@@ -1,0 +1,293 @@
+"""The parse stage: one Arrow-vectorized extraction UDF + native post-stages.
+
+The reference rebuilds a DOM three times per document and recompiles its
+regexes per call (parser/parser.go:68, clean_content.go:61, summary.go:102,
+title.go:28); here the text column crosses the JVM↔Python boundary exactly
+once, through a single pandas UDF that applies the module-level compiled
+regex bank from blogparser_spark.functions.patterns. Everything downstream —
+validity gates, status derivation, date parsing, summary truncation, slug,
+first-image selection — is native Column code (whole-stage codegen).
+
+Output contract mirrors the oracle layer (blogparser_spark.oracle.pyref) and
+is asserted equal to it row-by-row in tests/test_parse_stage.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from blogparser_spark.functions import patterns as P
+from blogparser_spark.functions import text as T
+from blogparser_spark.oracle import pyref
+
+IMAGE_TYPE = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("alt", StringType()),
+        StructField("width", StringType()),
+        StructField("height", StringType()),
+        StructField("description", StringType()),
+    ]
+)
+
+EXTRACT_TYPE = StructType(
+    [
+        StructField("title", StringType()),  # cleaned; null if not found
+        StructField("title_found", BooleanType()),
+        StructField("body_raw", StringType()),  # selected candidate, normalized
+        StructField("content_found", BooleanType()),
+        StructField("body", StringType()),  # after cleaning bank ('' if emptied)
+        StructField("categories", ArrayType(StringType())),  # raw, pre-clean
+        StructField("tags", ArrayType(StringType())),  # raw, pre-clean
+        StructField("date_candidates", ArrayType(StringType())),  # priority order
+        StructField("images", ArrayType(IMAGE_TYPE)),
+    ]
+)
+
+
+def _extract_title_vec(s: pd.Series) -> pd.Series:
+    """Vectorized 5-level priority chain (parser/title.go:18-73)."""
+    empty = pd.Series(pd.NA, index=s.index, dtype="object")
+
+    def nz(x: pd.Series) -> pd.Series:
+        # treat whitespace-only captures as missing so the chain falls through
+        stripped = x.str.strip()
+        return x.where(stripped.notna() & (stripped != ""))
+
+    ld = nz(s.str.extract(P.TITLE_LD_BLOG_VARS, expand=False).where(
+        s.str.contains(P.LD_BLOG_VARS_MARKER, regex=False)
+    ))
+    og = nz(s.str.extract(P.TITLE_OG_A, expand=False)).combine_first(
+        nz(s.str.extract(P.TITLE_OG_B, expand=False))
+    )
+    h1 = nz(
+        s.str.extract(P.TITLE_H1, expand=False)
+        .str.replace(P.STRIP_TAGS, "", regex=True)
+        .str.strip()
+    )
+    title_tag = nz(
+        s.str.extract(P.TITLE_TAG, expand=False)
+        .str.replace(P.STRIP_TAGS, "", regex=True)
+        .str.strip()
+    )
+    meta = nz(s.str.extract(P.TITLE_META_NAME_A, expand=False)).combine_first(
+        nz(s.str.extract(P.TITLE_META_NAME_B, expand=False))
+    )
+    return empty.combine_first(ld).combine_first(og).combine_first(h1).combine_first(
+        title_tag
+    ).combine_first(meta)
+
+
+def _clean_title_vec(s: pd.Series) -> pd.Series:
+    """Vectorized cleanTitle (parser/title.go:76-87)."""
+    c = s.str.replace("\n", " ", regex=False)
+    c = c.str.replace(P.WS_RUN, " ", regex=True).str.strip()
+    c = c.str.replace('"', '\\"', regex=False)
+    c = c.str.replace(P.SITE_NAME_SUFFIX, "", regex=False)
+    return c.str.strip()
+
+
+def _normalize_html_vec(s: pd.Series) -> pd.Series:
+    """Vectorized normalizeHTML (parser/content.go:116-136)."""
+    c = s.str.replace(r"\r\n?", "\n", regex=True)
+    c = c.str.replace(r"(?m)^[ \t\f\v]+|[ \t\f\v]+$", "", regex=True)
+    c = c.str.replace(r"\n{2,}", "\n", regex=True)
+    return c.str.strip()
+
+
+def _extract_content_vec(s: pd.Series) -> pd.Series:
+    """Vectorized selector-priority content extraction with the per-candidate
+    normalize + ≥100-**byte** gate (parser/content.go:16-113)."""
+    out = pd.Series(pd.NA, index=s.index, dtype="object")
+    pending = s
+    for pat in P.CONTENT_PATTERNS:
+        need = out.isna()
+        if not need.any():
+            break
+        cand = _normalize_html_vec(pending.where(need).str.extract(pat, expand=False))
+        ok = cand.notna() & (cand.str.encode("utf-8").str.len() >= P.MIN_CONTENT_BYTES)
+        out = out.combine_first(cand.where(ok))
+    # plain-text fallback: payloads with no markup at all are their own body
+    need = out.isna() & ~s.str.contains("<", regex=False)
+    if need.any():
+        cand = _normalize_html_vec(s.where(need))
+        ok = cand.notna() & (cand.str.encode("utf-8").str.len() >= P.MIN_CONTENT_BYTES)
+        out = out.combine_first(cand.where(ok))
+    return out
+
+
+def _clean_content_vec(s: pd.Series) -> pd.Series:
+    """Vectorized CleanContent bank (parser/clean_content.go:13-48,97-129)."""
+    c = s.str.replace(P.HTML_COMMENT, "", regex=True)
+    c = c.str.replace(P.RANK_MARKER, "", regex=True)
+    c = c.str.replace(P.BLOCK_TAGS, "", regex=True)
+    c = c.str.replace(P.AD_ELEMENT, "", regex=True)
+    c = c.str.replace(P.AD_VOID, "", regex=True)
+    return _normalize_html_vec(c)
+
+
+def _date_candidates(text: str) -> list[str]:
+    """Priority-ordered raw candidates; JSON-LD reversed so that the
+    reference's last-match-wins (parser/date.go:27-38) becomes first-valid
+    after the native-side parse filter."""
+    out: list[str] = []
+    for script in P.JSONLD_SCRIPT.findall(text):
+        out.extend(P.DATE_PUBLISHED.findall(script))
+    out.reverse()
+    m = P.TIME_DATETIME.search(text)
+    if m:
+        out.append(m.group(1))
+    m = P.TIME_TEXT.search(text)
+    if m:
+        inner = P.STRIP_TAGS.sub("", m.group(1)).strip()
+        if inner:
+            out.append(inner)
+    for pat in (P.DATE_META_PUBLISHED_TIME, P.DATE_META_PUBDATE, P.DATE_META_DATE):
+        m = pat.search(text)
+        if m:
+            out.append(m.group(1))
+    m = P.DATE_CLASS.search(text)
+    if m:
+        out.append(m.group(1).strip())
+    return out
+
+
+def _images_rows(text: str) -> list[dict]:
+    return [
+        {
+            "url": im.url,
+            "alt": im.alt,
+            "width": im.width,
+            "height": im.height,
+            "description": im.description,
+        }
+        for im in pyref.extract_images(text)
+    ]
+
+
+@F.pandas_udf(EXTRACT_TYPE)
+def extract_udf(texts: pd.Series) -> pd.DataFrame:
+    """The single JVM↔Python boundary of the parse stage."""
+    title_raw = _extract_title_vec(texts)
+    title = _clean_title_vec(title_raw)
+    body_raw = _extract_content_vec(texts)
+    body = _clean_content_vec(body_raw)
+
+    # list-valued extractions: batch python over the Arrow batch, cheap
+    # contains-prefilters skip rows that can't match
+    has_cat = texts.str.contains("categor|article:section", regex=True)
+    has_tag = texts.str.contains("tag|keywords", case=False, regex=True)
+    has_date = texts.str.contains("date|<time|pubdate|datePublished", regex=True)
+    has_img = texts.str.contains("og:image|twitter:image|<img", regex=True)
+
+    categories = [
+        pyref.extract_categories(t) if h else [] for t, h in zip(texts, has_cat)
+    ]
+    tags = [pyref.extract_tags(t) if h else [] for t, h in zip(texts, has_tag)]
+    dates = [_date_candidates(t) if h else [] for t, h in zip(texts, has_date)]
+    images = [_images_rows(t) if h else [] for t, h in zip(texts, has_img)]
+
+    return pd.DataFrame(
+        {
+            "title": title,
+            "title_found": title_raw.notna(),
+            "body_raw": body_raw,
+            "content_found": body_raw.notna(),
+            "body": body,
+            "categories": categories,
+            "tags": tags,
+            "date_candidates": dates,
+            "images": images,
+        }
+    )
+
+
+STATUS_OK = "ok"
+STATUSES = (
+    STATUS_OK,
+    "no_title",
+    "invalid_title",
+    "no_content",
+    "empty_after_clean",
+    "short_content",
+)
+
+
+def _status(e: Column) -> Column:
+    """Fail-fast gate order of parser/parser.go:64-154 as one CASE chain."""
+    valid_title = T.is_valid_title(e["title"])
+    return (
+        F.when(~e["title_found"], "no_title")
+        .when(~valid_title, "invalid_title")
+        .when(~e["content_found"], "no_content")
+        .when(e["body"] == "", "empty_after_clean")
+        .when(F.octet_length(e["body"]) < P.MIN_CONTENT_BYTES, "short_content")
+        .otherwise(STATUS_OK)
+    )
+
+
+def parse_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """transcripts → parsed: adds title, slug, body, summary, categories,
+    tags, created_at, first_image, images, parse_status.
+
+    Field availability per status mirrors the reference's fail-fast error
+    returns (parser/parser.go:74-154): failed rows carry NULL/empty for
+    everything downstream of the failing gate; a date that doesn't parse is
+    non-fatal (created_at NULL, parser.go:131-134); summary is computed
+    before the post-clean validity gate (parser.go:95 vs :100-102), so
+    short_content rows still have one.
+    """
+    e = F.col("_ex")
+    status = F.col("parse_status")
+    title_ok = ~status.isin("no_title", "invalid_title")
+    body_ok = status.isin(STATUS_OK, "short_content")
+    fully_ok = status == STATUS_OK
+
+    out = (
+        df.withColumn("_ex", extract_udf(F.col(text_col)))
+        .withColumn("parse_status", _status(e))
+        .withColumn("title", F.when(title_ok, e["title"]))
+        .withColumn("slug", F.when(title_ok, T.slugify(e["title"])).otherwise(F.lit("")))
+        .withColumn("body", F.when(body_ok, e["body"]))
+        .withColumn("summary", F.when(body_ok, T.summarize_truncation(e["body"])))
+        .withColumn(
+            "categories",
+            F.when(
+                fully_ok,
+                # clean → validity filter (parser/parser.go:110-116) → dedup
+                F.array_distinct(
+                    F.filter(
+                        F.transform(e["categories"], T.clean_category),
+                        lambda s: T.is_valid_title(s),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "tags",
+            F.when(
+                fully_ok, T.finalize_string_array(e["tags"], T.clean_tag)
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "created_at", F.when(fully_ok, T.pick_date(e["date_candidates"]))
+        )
+        .withColumn(
+            "first_image",
+            F.when(fully_ok, F.coalesce(e["images"][0]["url"], F.lit(""))).otherwise(
+                F.lit("")
+            ),
+        )
+        .withColumn("images", F.when(fully_ok, e["images"]))
+        .drop("_ex")
+    )
+    return out

@@ -1,0 +1,83 @@
+"""Route: fan parsed+enriched rows out to per-sink tables.
+
+The reference's sink is a printf per record in a CLI loop
+(sample/main.go:38-46) with per-file error isolation (:35-37). Here the
+error-isolation contract is the parse_status column (rows never fail the
+job), and the fan-out is a SINGLE-PASS partitioned write keyed on
+(channel, tool_category, parse_status) — one shuffle-free scan feeding a
+partitionBy writer, instead of S filtered re-scans. Per-sink readers then
+get partition pruning for free.
+
+Storage adapter: Iceberg when a catalog is configured, Parquet partitionBy
+fallback otherwise (SURVEY.md §7.4 risk 4 — the sandbox has no Iceberg jars;
+the write path is format-agnostic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SINK_KEYS = ["channel", "tool_category", "parse_status"]
+
+
+def with_sink_id(df: DataFrame) -> DataFrame:
+    """A single string sink id (useful for metrics / observe())."""
+    return df.withColumn(
+        "sink_id", F.concat_ws("/", *[F.col(k) for k in SINK_KEYS])
+    )
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def write_routed(
+    df: DataFrame,
+    path_or_table: str,
+    mode: str = "overwrite",
+    fmt: str | None = None,
+) -> None:
+    """Single-pass fan-out: partitionBy(sink keys). `fmt` forces a format;
+    default picks iceberg if its runtime is on the classpath, else parquet."""
+    spark = df.sparkSession
+    use_iceberg = fmt == "iceberg" or (fmt is None and _iceberg_available(spark))
+    # images is an internal array<struct>; sinks carry the flat record
+    out = df.drop("images")
+    if use_iceberg:
+        (
+            out.writeTo(path_or_table)
+            .using("iceberg")
+            .partitionedBy(*[F.col(k) for k in SINK_KEYS])
+            .createOrReplace()
+        )
+    else:
+        out.write.mode(mode).partitionBy(*SINK_KEYS).parquet(path_or_table)
+
+
+def read_sink(
+    spark: SparkSession,
+    path_or_table: str,
+    channel: str | None = None,
+    tool_category: str | None = None,
+    parse_status: str | None = None,
+) -> DataFrame:
+    """Read one sink; equality filters on partition columns prune at scan."""
+    df = (
+        spark.read.table(path_or_table)
+        if "/" not in path_or_table
+        else spark.read.parquet(path_or_table)
+    )
+    for k, v in (
+        ("channel", channel),
+        ("tool_category", tool_category),
+        ("parse_status", parse_status),
+    ):
+        if v is not None:
+            df = df.filter(F.col(k) == v)
+    return df

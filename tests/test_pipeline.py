@@ -1,0 +1,122 @@
+"""End-to-end pipeline tests: enrich → route → aggregate.
+
+Verifies the north-star contracts:
+  - per-sink aggregate counts exactly equal the oracle recomputation,
+  - routed-row-set equality per sink (exceptAll empty both ways),
+  - unknown dim keys land in the 'unknown' null bucket,
+  - summary-length histogram parity.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from blogparser_spark.operators.aggregate import (
+    conv_stats,
+    sink_counts,
+    summary_hist,
+    turn_features,
+)
+from blogparser_spark.operators.enrich import ROLE_CHANNEL, TOOL_CATEGORY, enrich
+from blogparser_spark.operators.route import with_sink_id, write_routed
+from blogparser_spark.oracle.pyref import parse_record
+
+
+@pytest.fixture(scope="module")
+def enriched(parsed):
+    df = enrich(parsed)
+    df.cache()
+    df.count()
+    return df
+
+
+def _oracle_rows(transcripts):
+    """Oracle-side (conv_id, turn_idx, channel, tool_category, status, summary)."""
+    tool_map = dict(TOOL_CATEGORY)
+    role_map = dict(ROLE_CHANNEL)
+    out = []
+    for r in transcripts.collect():
+        rec = parse_record(r["text"])
+        out.append(
+            (
+                r["conv_id"],
+                r["turn_idx"],
+                role_map.get(r["role"], "unknown"),
+                tool_map.get(r["tool"], "unknown"),
+                rec.parse_status,
+                rec.summary,
+            )
+        )
+    return out
+
+
+def test_sink_counts_match_oracle(enriched, transcripts):
+    got = {
+        (r["channel"], r["tool_category"], r["parse_status"]): r["n"]
+        for r in sink_counts(enriched).collect()
+    }
+    want = Counter((c, t, s) for _, _, c, t, s, _ in _oracle_rows(transcripts))
+    assert got == dict(want)
+
+
+def test_null_bucket(enriched):
+    n = enriched.filter(
+        (F.col("tool") == "mystery-tool") & (F.col("tool_category") != "unknown")
+    ).count()
+    assert n == 0
+    assert enriched.filter(F.col("tool_category") == "unknown").count() > 0
+
+
+def test_routed_row_set_equality(enriched, transcripts, tmp_path, spark):
+    """Write the fan-out, read every sink back, assert the union equals the
+    input row set exactly (exceptAll both directions empty)."""
+    out = str(tmp_path / "routed")
+    write_routed(with_sink_id(enriched), out, fmt="parquet")
+    back = spark.read.parquet(out)
+    assert back.count() == transcripts.count()
+    a = back.select("conv_id", "turn_idx", "text")
+    b = transcripts.select("conv_id", "turn_idx", "text")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # partition pruning works: single-sink read sees only its rows
+    one = spark.read.parquet(out).filter(
+        (F.col("channel") == "inbound") & (F.col("parse_status") == "ok")
+    )
+    want = enriched.filter(
+        (F.col("channel") == "inbound") & (F.col("parse_status") == "ok")
+    ).count()
+    assert one.count() == want
+
+
+def test_conv_stats(enriched, transcripts):
+    got = {r["conv_id"]: (r["n_turns"], r["max_turn_idx"]) for r in conv_stats(enriched).collect()}
+    want: dict[str, list[int]] = {}
+    for r in transcripts.select("conv_id", "turn_idx").collect():
+        cur = want.setdefault(r["conv_id"], [0, -1])
+        cur[0] += 1
+        cur[1] = max(cur[1], r["turn_idx"])
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_turn_features_stable_order(enriched):
+    rows = (
+        turn_features(enriched)
+        .filter(F.col("conv_id") == "conv-000005")
+        .orderBy("turn_idx")
+        .collect()
+    )
+    assert [r["turn_no"] for r in rows] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["prev_role"] == prev["role"]
+        assert cur["gap_seconds"] == 30
+
+
+def test_summary_hist_matches_oracle(enriched, transcripts):
+    got = {r["bucket"]: r["n"] for r in summary_hist(enriched).collect()}
+    want = Counter(
+        (len(s) // 50) * 50 for *_, s in _oracle_rows(transcripts) if s is not None
+    )
+    assert got == dict(want)
