@@ -1,0 +1,160 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  - brute-force cosine top-k: exact baseline. The query set is broadcast
+    (it is small by construction), so the big side is scanned once with no
+    shuffle; per-pair cosine runs JVM-side via zip_with/aggregate.
+  - IVF (inverted-file) bucketed top-k: the scale path. A small centroid set
+    partitions the corpus into cells; each query probes only its nearest
+    `nprobe` cells, cutting the candidate set by ~|cells|/nprobe. At 100 TB
+    the cell assignment is a write-time partitioning key, so a probe reads
+    only matching partitions (partition pruning), not the whole corpus.
+
+Centroids are taken deterministically (lowest vec_ids) so results — and the
+DuckDB SQL oracle — are reproducible without a random state. All math is
+double-precision with a final round(6) so cross-engine float comparison is
+exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dvec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every corpus vector for the first `n_queries`
+    vectors (deterministic query set). Plan shape: broadcast(queries) ⋈ scan,
+    window top-k per query — one pass over the corpus, one small shuffle of
+    n_queries·corpus candidate rows pre-filtered by rank."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("nid"), _dvec(F.col(vec_col)).alias("nv"))
+    queries = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), _dvec(F.col(vec_col)).alias("qv")
+    )
+    sims = (
+        base.join(F.broadcast(queries), F.col("nid") != F.col("qid"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .select("qid", "nid", "sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "sim")
+    )
+
+
+def assign_ivf_cells(
+    df: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: centroid set = vectors with the n_cells lowest
+    ids (deterministic); each vector goes to its max-cosine centroid (ties →
+    lowest centroid id). The cell id becomes a partitioning key for the
+    ANN-at-scale path."""
+    cents = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cv")
+    )
+    base = df.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
+    scored = base.join(F.broadcast(cents)).withColumn(
+        "csim", F.round(cosine(F.col("v"), F.col("cv")), 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(F.col(id_col), F.col("cid").alias("cell"), F.col("csim").alias("cell_sim"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's own cell (nprobe=1).
+    Recall < 1 by design; the exactness trade is the point of the scale
+    path — at 100 TB the probe reads 1/n_cells of the corpus."""
+    cells = assign_ivf_cells(df, n_cells, id_col, vec_col)
+    with_cell = df.join(cells.select(id_col, "cell"), id_col)
+    base = with_cell.select(
+        F.col(id_col).alias("nid"), F.col("cell").alias("ncell"), _dvec(F.col(vec_col)).alias("nv")
+    )
+    queries = with_cell.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col("cell").alias("qcell"), _dvec(F.col(vec_col)).alias("qv")
+    )
+    sims = (
+        base.join(
+            F.broadcast(queries),
+            (F.col("ncell") == F.col("qcell")) & (F.col("nid") != F.col("qid")),
+        )
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .select("qid", "nid", "sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: pairs within the same IVF
+    cell with cosine ≥ threshold. Cell blocking keeps the pair join linear-ish
+    in corpus size (pairs only form inside cells)."""
+    cells = assign_ivf_cells(df, n_cells, id_col, vec_col)
+    v = df.join(cells.select(id_col, "cell"), id_col).select(
+        F.col(id_col).alias("id"), F.col("cell"), _dvec(F.col(vec_col)).alias("v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("sim", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "sim")
+    )

@@ -1,0 +1,143 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+These are corpus-hygiene stages a training-data pipeline runs before dedup /
+filtering. All are pure native-Column expressions (JVM-side, whole-stage
+codegen): at 100 TB the scan is the only cost — no shuffle, no Python
+boundary. Filters composed from these columns push down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# whitespace tokens: documents payloads are space-separated words
+TOKEN_SPLIT = " "
+# BPE-ish lexer: letter runs | digit runs | single non-alnum-non-space —
+# the shape a byte-pair pretokenizer produces (same regex runs in DuckDB/RE2)
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny per-language stopword marker sets (public common function words);
+# langid scores distinct-token overlap against each set
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "una", "es"),
+    "fr": ("le", "la", "les", "de", "et", "des", "un", "une", "est", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "den", "von", "mit"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties dropped (split never yields NULL)."""
+    return F.filter(F.split(col, TOKEN_SPLIT), lambda t: t != "")
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """Sub-word-ish lexemes via regexp_extract_all — the token-count a BPE
+    tokenizer's pretokenizer would see."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_REGEX), 0)
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens / n_bpe_tokens / n_chars / n_bytes / avg_token_len."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_bpe_tokens", F.size(bpe_ish_tokens(c)))
+        .withColumn("n_chars", F.length(c))
+        .withColumn("n_bytes", F.octet_length(c))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.aggregate(
+                    toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+                )
+                / F.greatest(F.size(toks), F.lit(1)),
+                6,
+            ),
+        )
+    )
+
+
+def ascii_ratio(col: Column) -> Column:
+    """Fraction of characters that are ASCII — the CJK-vs-Latin discriminator
+    (CJK scripts don't use spaces, so token features alone fail there)."""
+    ascii_len = F.length(F.regexp_replace(col, r"[^\x00-\x7f]", ""))
+    return ascii_len / F.greatest(F.length(col), F.lit(1))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Distinct-token overlap with each language's marker set."""
+    toks = F.array_distinct(tokens(F.lower(col)))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK by ascii-ratio, else argmax marker overlap
+    with ties broken alphabetically ascending (no markers → 'und').
+
+    The argmax is a greatest() over (score, priority, lang) structs —
+    lexicographic struct ordering gives the deterministic tie-break natively."""
+    c = F.col(text_col)
+    scores = lang_scores(c)
+    langs = sorted(scores)  # alphabetical; earlier lang wins ties
+    structs = [
+        F.struct(
+            scores[lang].alias("s"),
+            F.lit(len(langs) - 1 - i).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.greatest(*structs)
+    pred = (
+        F.when(ascii_ratio(c) < 0.5, F.lit("zh"))
+        .when(best["s"] <= 0, F.lit("und"))
+        .otherwise(best["lang"])
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality features + a composite score in [0,1]:
+    length band, stopword presence, alpha ratio, mean token length band.
+    The score is a filter key — a training pipeline drops quality < cutoff;
+    expressed natively so the filter pushes into the scan."""
+    c = F.col(text_col)
+    toks = tokens(F.lower(c))
+    n = F.greatest(F.size(toks), F.lit(1))
+    all_markers = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: t.isin(*all_markers))
+    ) / n
+    alpha_ratio = F.length(F.regexp_replace(c, r"[^A-Za-zÀ-ɏ一-鿿]", "")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+    len_band = F.when((F.length(c) >= 50) & (F.length(c) <= 10000), 1.0).otherwise(0.3)
+    mean_tok = F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / n
+    tok_band = F.when((mean_tok >= 2.0) & (mean_tok <= 12.0), 1.0).otherwise(0.4)
+    score = F.round(
+        0.3 * len_band
+        + 0.3 * tok_band
+        + 0.2 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.2 * alpha_ratio,
+        6,
+    )
+    return (
+        df.withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("quality", score)
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized
+    lowercase text (stable under incidental whitespace edits — the rolling
+    hash analog with cross-engine-identical md5)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(norm))

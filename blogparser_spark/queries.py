@@ -1,0 +1,939 @@
+"""Driver-contract queries: one entry per operator family (SURVEY.md §2 +
+dataops), each paired with an exact DuckDB SQL oracle in ORACLE_SQL.
+
+Every query is a callable (spark, sf_dir) -> DataFrame over the driver's
+parquet tables. Column names/aliases match the oracle SQL exactly; float
+outputs are rounded on both sides; arrays are sorted on both sides (DuckDB's
+list_distinct does not preserve order, Spark's array_distinct does — sorting
+makes the comparison engine-neutral).
+
+The HTML-ish payloads the extraction operators need are constructed
+deterministically *inside* the query from table columns (doc_id % k variant
+switch), so both engines see identical inputs without external fixtures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blogparser_spark.dataops import dedup, similarity, textstats
+from blogparser_spark.functions import text as T
+from blogparser_spark.operators import aggregate as agg_ops
+from blogparser_spark.operators import summary_bm25
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ===========================================================================
+# Extraction family (SURVEY.md §2.2) — priority chains, cleaning, validity
+# ===========================================================================
+
+
+@_q(
+    "title_priority_chain",
+    """
+    WITH payload AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<meta property="og:title" content="OG ' || source || '"><h1>h1 loses</h1>'
+          WHEN 1 THEN '<h1> H1 ' || source || ' </h1><title>title loses</title>'
+          ELSE '<title>TT ' || source || '</title>'
+        END AS html
+      FROM documents
+    )
+    SELECT doc_id,
+      coalesce(
+        nullif(trim(regexp_extract(html, '<meta[^>]*property="og:title"[^>]*content="([^"]*)"', 1)), ''),
+        nullif(trim(regexp_extract(html, '<h1[^>]*>(.*?)</h1>', 1)), ''),
+        nullif(trim(regexp_extract(html, '<title[^>]*>(.*?)</title>', 1)), '')
+      ) AS title
+    FROM payload
+    """,
+)
+def title_priority_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 extractTitle (parser/title.go:18-73): priority coalesce over regex
+    captures — native Columns, whole-stage codegen."""
+    d = _docs(spark, sf_dir)
+    html = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="OG '),
+                F.col("source"),
+                F.lit('"><h1>h1 loses</h1>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("<h1> H1 "), F.col("source"), F.lit(" </h1><title>title loses</title>")
+            ),
+        )
+        .otherwise(F.concat(F.lit("<title>TT "), F.col("source"), F.lit("</title>")))
+    )
+
+    def rx(pat: str) -> F.Column:
+        return F.nullif(F.trim(F.regexp_extract(F.col("html"), pat, 1)), F.lit(""))
+
+    return d.select(F.col("doc_id"), html.alias("html")).select(
+        "doc_id",
+        F.coalesce(
+            rx('<meta[^>]*property="og:title"[^>]*content="([^"]*)"'),
+            rx("<h1[^>]*>(.*?)</h1>"),
+            rx("<title[^>]*>(.*?)</title>"),
+        ).alias("title"),
+    )
+
+
+@_q(
+    "clean_title_chain",
+    """
+    SELECT doc_id,
+      trim(replace(
+        replace(trim(regexp_replace(
+          replace('  Report' || chr(10) || '"' || source || '"   end | 心理カウンセラー・中井亜紀『成長の記録』', chr(10), ' '),
+          '\\s+', ' ', 'g')), '"', '\\"'),
+        '| 心理カウンセラー・中井亜紀『成長の記録』', '')) AS title
+    FROM documents
+    """,
+)
+def clean_title_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 cleanTitle (parser/title.go:76-87): newline→space, collapse ws,
+    escape quotes, strip site suffix, trim."""
+    d = _docs(spark, sf_dir)
+    messy = F.concat(
+        F.lit('  Report\n"'),
+        F.col("source"),
+        F.lit('"   end | 心理カウンセラー・中井亜紀『成長の記録』'),
+    )
+    return d.select("doc_id", T.clean_title(messy).alias("title"))
+
+
+@_q(
+    "validity_route_counts",
+    """
+    SELECT status, count(*)::BIGINT AS n FROM (
+      SELECT CASE
+        WHEN text IS NULL OR text = '' THEN 'no_content'
+        WHEN strlen(text) < 100 THEN 'short_content'
+        WHEN regexp_matches(text, '[<>]') THEN 'invalid'
+        ELSE 'ok' END AS status
+      FROM documents
+    ) GROUP BY status
+    """,
+)
+def validity_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P6 validity gates as a routing-status derivation + sink counts —
+    byte semantics via octet_length (content.go:146, Go len())."""
+    d = _docs(spark, sf_dir)
+    status = (
+        F.when(F.col("text").isNull() | (F.col("text") == ""), "no_content")
+        .when(F.octet_length("text") < 100, "short_content")
+        .when(F.col("text").rlike("[<>]"), "invalid")
+        .otherwise("ok")
+    )
+    return d.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n")
+    )
+
+
+@_q(
+    "truncate_summary",
+    """
+    SELECT doc_id,
+      CASE WHEN length(text) > 300
+           THEN substring(text, 1, 300) || '・・・'
+           ELSE text END AS summary
+    FROM documents
+    """,
+)
+def truncate_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 truncateSummary (summary.go:164-171): rune-based truncation —
+    Spark length/substring are char-based ≡ Go rune slicing."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", T.truncate_summary(F.col("text")).alias("summary"))
+
+
+@_q(
+    "slugify",
+    """
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(
+        lower(substring(text, 1, 50)), '[^a-z0-9 ]', '', 'g'),
+        '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g') AS slug
+    FROM documents
+    """,
+)
+def slugify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P18 SetSlug (pkg/models/blog.go:26-50)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", T.slugify(F.substring("text", 1, 50)).alias("slug"))
+
+
+@_q(
+    "date_multiformat_parse",
+    """
+    WITH s AS (
+      SELECT o_orderkey,
+        CASE o_orderkey % 3
+          WHEN 0 THEN strftime(o_orderdate, '%Y/%m/%d')
+          WHEN 1 THEN strftime(o_orderdate, '%Y.%m.%d')
+          ELSE strftime(o_orderdate, '%Y-%m-%d') END AS ds
+      FROM orders
+    )
+    SELECT o_orderkey,
+      coalesce(try_strptime(ds, '%Y-%m-%d'), try_strptime(ds, '%Y/%m/%d'),
+               try_strptime(ds, '%Y.%m.%d')) AS parsed
+    FROM s
+    """,
+)
+def date_multiformat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17 parseDateString (parser/date.go:113-137): multi-layout
+    try-parse coalesce; malformed → NULL, never a job failure."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ds = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy/MM/dd"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "yyyy.MM.dd"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("ds"), F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(F.col("ds"), F.lit("yyyy/MM/dd")),
+        F.try_to_timestamp(F.col("ds"), F.lit("yyyy.MM.dd")),
+    )
+    return o.select("o_orderkey", ds.alias("ds")).select(
+        "o_orderkey", parsed.alias("parsed")
+    )
+
+
+@_q(
+    "tags_union_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks, source
+      FROM documents
+    )
+    SELECT doc_id,
+      array_to_string(list_sort(list_distinct(list_concat(list_concat(toks[1:3], toks[3:5]), [source]))), '|') AS tags
+    FROM t
+    """,
+)
+def tags_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 extractTags: all banks accumulate (union) then dedup
+    (tag.go:17-110); sorted + joined for engine-neutral comparison."""
+    d = _docs(spark, sf_dir)
+    toks = textstats.tokens(F.col("text"))
+    tags = F.array_sort(
+        F.array_distinct(
+            F.concat(F.slice(toks, 1, 3), F.slice(toks, 3, 3), F.array(F.col("source")))
+        )
+    )
+    return d.select("doc_id", F.array_join(tags, "|").alias("tags"))
+
+
+@_q(
+    "category_first_bank",
+    """
+    WITH b AS (
+      SELECT doc_id,
+        regexp_extract_all(text, 'spark[a-z]*') AS b1,
+        regexp_extract_all(text, 'table[a-z]*') AS b2,
+        [source] AS b3
+      FROM documents
+    )
+    SELECT doc_id,
+      array_to_string(list_sort(list_distinct(
+        CASE WHEN len(b1) > 0 THEN b1 WHEN len(b2) > 0 THEN b2 ELSE b3 END
+      )), '|') AS categories
+    FROM b
+    """,
+)
+def category_first_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 extractCategories: FIRST non-empty bank wins (category.go:18-111)
+    — array-level coalesce, unlike the tags union."""
+    d = _docs(spark, sf_dir)
+    b1 = F.regexp_extract_all(F.col("text"), F.lit("spark[a-z]*"), 0)
+    b2 = F.regexp_extract_all(F.col("text"), F.lit("table[a-z]*"), 0)
+    b3 = F.array(F.col("source"))
+    chosen = F.when(F.size(b1) > 0, b1).when(F.size(b2) > 0, b2).otherwise(b3)
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(chosen)), "|").alias("categories"),
+    )
+
+
+# ===========================================================================
+# Enrich / route / aggregate family (§2.5)
+# ===========================================================================
+
+
+@_q(
+    "enrich_broadcast_route",
+    """
+    SELECT channel, count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
+    FROM (
+      SELECT coalesce(d.channel, 'unknown') AS channel, e.value
+      FROM events e
+      LEFT JOIN (VALUES ('click','ui'), ('view','ui'), ('purchase','commerce'),
+                        ('signup','growth')) AS d(event_type, channel)
+        ON e.event_type = d.event_type
+    ) GROUP BY channel
+    """,
+)
+def enrich_broadcast_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-analog lookup enrich: broadcast hash join of a tiny dim, null
+    bucket → 'unknown', then per-sink counts (the route+aggregate shape)."""
+    e = _events(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [("click", "ui"), ("view", "ui"), ("purchase", "commerce"), ("signup", "growth")],
+        "event_type string, channel string",
+    )
+    return (
+        e.join(F.broadcast(dim), "event_type", "left")
+        .withColumn("channel", F.coalesce("channel", F.lit("unknown")))
+        .groupBy("channel")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@_q(
+    "conv_window_stats",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_no,
+        epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           max(turn_no)::BIGINT AS max_turn,
+           max(gap_us)::BIGINT AS max_gap_us
+    FROM w GROUP BY user_id
+    """,
+)
+def conv_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conv window features (north-star stable turn ordering): row_number
+    + lag over (user, ts) then rollup — the A9/window family on events.
+    Gaps in exact integer microseconds (sub-second ts resolution)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("turn_no", F.row_number().over(w))
+        .withColumn(
+            "gap_us",
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w)),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("turn_no").cast("long").alias("max_turn"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+@_q(
+    "top2_per_group",
+    """
+    SELECT event_type, rank, event_id, round(value, 6) AS value
+    FROM (
+      SELECT event_type, event_id, value,
+        row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+      FROM events
+    ) WHERE rank <= 2
+    """,
+)
+def top2_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 top-2 stable select (summary.go:136-158): window row_number with a
+    deterministic tie-break (the documented fix of Go's unstable sort)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("event_type", "rank", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+@_q(
+    "summary_length_histogram",
+    """
+    SELECT (floor(length(text) / 50) * 50)::BIGINT AS bucket, count(*)::BIGINT AS n
+    FROM documents GROUP BY bucket
+    """,
+)
+def summary_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star summary-length histogram (bucket width 50)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy((F.floor(F.length("text") / 50) * 50).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a session — lag + running sum over
+    the stable (user, ts) window, then per-session rollup."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+            )
+            > 1800 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        e.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(run).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@_q(
+    "pricing_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      count(*)::BIGINT AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregatable hash rollup with filter pushdown (the classic
+    pricing-summary shape) — decimal sums for exact cross-engine equality."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ===========================================================================
+# BM25 summary family (§2.4) — the relational flagship
+# ===========================================================================
+
+
+@_q(
+    "bm25_top2",
+    """
+    WITH sent AS (
+      SELECT source AS doc, doc_id AS sent_idx, text AS sentence, length(text) AS sent_len
+      FROM documents
+    ), toks AS (
+      SELECT doc, sent_idx, sent_len, unnest(list_filter(string_split(lower(sentence), ' '), x -> x != '')) AS term
+      FROM sent
+    ), tf AS (
+      SELECT doc, sent_idx, sent_len, term, count(*) AS tf
+      FROM toks GROUP BY doc, sent_idx, sent_len, term
+    ), dft AS (
+      SELECT doc, term, count(DISTINCT sent_idx) AS df FROM tf GROUP BY doc, term
+    ), stats AS (
+      SELECT doc, count(*) AS n_sents, avg(sent_len) AS avg_len FROM sent GROUP BY doc
+    ), scored AS (
+      SELECT tf.doc, tf.sent_idx,
+        sum(greatest(0.0, ln((stats.n_sents - dft.df + 0.5) / (dft.df + 0.5)))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.sent_len / stats.avg_len))
+            * tf.tf) AS score
+      FROM tf JOIN dft ON tf.doc = dft.doc AND tf.term = dft.term
+              JOIN stats ON tf.doc = stats.doc
+      GROUP BY tf.doc, tf.sent_idx
+    )
+    SELECT doc, rank, sent_idx, round(score, 4) AS score FROM (
+      SELECT doc, sent_idx, score,
+        row_number() OVER (PARTITION BY doc ORDER BY round(score, 6) DESC, sent_idx) AS rank
+      FROM scored
+    ) WHERE rank <= 2
+    """,
+)
+def bm25_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5-A9 relational BM25: source = document, each row = sentence; tf/df/
+    avg-len as hash aggregations, top-2 via window — linear where the
+    reference is quadratic (summary.go:49-55)."""
+    d = _docs(spark, sf_dir)
+    sent = d.select(
+        F.col("source").alias("doc"),
+        F.col("doc_id").alias("sent_idx"),
+        F.col("text").alias("sentence"),
+    )
+    scored = summary_bm25.bm25_sentence_scores(sent)
+    w = Window.partitionBy("doc").orderBy(F.desc(F.round("score", 6)), F.asc("sent_idx"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("doc", "rank", "sent_idx", F.round("score", 4).alias("score"))
+    )
+
+
+# ===========================================================================
+# Dedup family (dataops.dedup)
+# ===========================================================================
+
+
+@_q(
+    "dedup_exact_stats",
+    """
+    SELECT count(*)::BIGINT AS n_docs,
+           count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))::BIGINT AS n_distinct,
+           (count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))))::BIGINT AS n_dup_rows
+    FROM documents
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: hash-groupBy on md5 of normalized text."""
+    return dedup.exact_dedup_stats(_docs(spark, sf_dir))
+
+
+@_q(
+    "minhash_signatures",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS shingles
+      FROM t
+    )
+    SELECT doc_id,
+      array_to_string([
+       list_min(list_transform(shingles, s -> md5('0:' || s))),
+       list_min(list_transform(shingles, s -> md5('1:' || s))),
+       list_min(list_transform(shingles, s -> md5('2:' || s))),
+       list_min(list_transform(shingles, s -> md5('3:' || s))),
+       list_min(list_transform(shingles, s -> md5('4:' || s))),
+       list_min(list_transform(shingles, s -> md5('5:' || s))),
+       list_min(list_transform(shingles, s -> md5('6:' || s))),
+       list_min(list_transform(shingles, s -> md5('7:' || s)))], '|') AS sig
+    FROM sh
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8) over word 3-shingles — md5-string
+    minimization is engine-portable."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.array_join(dedup.minhash_signature(F.col("text")), "|").alias("sig"),
+    )
+
+
+@_q(
+    "minhash_lsh_buckets",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS shingles
+      FROM t
+    ), sig AS (
+      SELECT doc_id,
+        [list_min(list_transform(shingles, s -> md5('0:' || s))),
+         list_min(list_transform(shingles, s -> md5('1:' || s))),
+         list_min(list_transform(shingles, s -> md5('2:' || s))),
+         list_min(list_transform(shingles, s -> md5('3:' || s))),
+         list_min(list_transform(shingles, s -> md5('4:' || s))),
+         list_min(list_transform(shingles, s -> md5('5:' || s))),
+         list_min(list_transform(shingles, s -> md5('6:' || s))),
+         list_min(list_transform(shingles, s -> md5('7:' || s)))] AS s
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b.band_idx, md5(s[b.band_idx*2 + 1] || '|' || s[b.band_idx*2 + 2]) AS band_hash
+      FROM sig, (SELECT unnest(range(4)) AS band_idx) b
+    )
+    SELECT band_idx, band_hash, count(*)::BIGINT AS n_docs,
+           array_to_string(list_transform(list_sort(list(doc_id)), x -> x::VARCHAR), '|') AS ids
+    FROM bands GROUP BY band_idx, band_hash HAVING count(*) >= 2
+    """,
+)
+def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band buckets with ≥2 members — the candidate-pair generator; the
+    only shuffle key is the tiny (band_idx, band_hash)."""
+    out = dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+    return out.select(
+        "band_idx",
+        "band_hash",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), "|").alias("ids"),
+    )
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    """
+    WITH base AS (
+      SELECT doc_id AS id, lang,
+        list_distinct(list_transform(
+          range(1, greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 2)),
+          i -> list_filter(string_split(text, ' '), x -> x != '')[i] || ' ' ||
+               list_filter(string_split(text, ' '), x -> x != '')[i+1])) AS sh
+      FROM documents
+    ), b2 AS (
+      SELECT id, lang, sh, (len(sh) // 8)::BIGINT AS bucket FROM base
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+      round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+    FROM b2 a JOIN b2 b
+      ON a.lang = b.lang AND a.bucket = b.bucket AND a.id < b.id
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) >= 0.12
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise 2-gram Jaccard (block = lang × size bucket)."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.12, bucket_width=8
+    )
+
+
+@_q(
+    "simhash_signatures",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        list_distinct(list_filter(string_split(lower(text), ' '), x -> x != '')) AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, md5(unnest(toks)) AS h FROM t
+    ), votes AS (
+      SELECT doc_id, r.b,
+        sum(2 * (((strpos('0123456789abcdef', substr(h, (r.b // 4)::INT + 1, 1)) - 1)
+                  >> (3 - (r.b % 4))::INT) & 1) - 1) AS vote
+      FROM tok, (SELECT unnest(range(32)) AS b) r
+      GROUP BY doc_id, r.b
+    )
+    SELECT doc_id,
+      sum(CASE WHEN vote > 0 THEN (1::BIGINT << (31 - b)::INT) ELSE 0 END)::BIGINT AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc — per-row, shuffle-free on the Spark side."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", dedup.simhash(F.col("text")).alias("simhash"))
+
+
+# ===========================================================================
+# Similarity family (dataops.similarity)
+# ===========================================================================
+
+_COS = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "greatest(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))), 1e-12)"
+)
+
+
+@_q(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), sims AS (
+      SELECT q.qid, e.vec_id AS nid,
+        round({_COS.format(a="q.qv", b="e.embedding")}, 6) AS sim
+      FROM embeddings e JOIN q ON e.vec_id != q.qid
+    )
+    SELECT qid, rank, nid, sim FROM (
+      SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline): broadcast query set,
+    single corpus scan, windowed top-k."""
+    return similarity.brute_force_topk(_emb(spark, sf_dir), n_queries=5, k=5)
+
+
+@_q(
+    "ivf_cell_assign",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+        round({_COS.format(a="e.embedding", b="c.cv")}, 6) AS csim
+      FROM embeddings e CROSS JOIN c
+    )
+    SELECT vec_id, cid AS cell, csim AS cell_sim FROM (
+      SELECT vec_id, cid, csim,
+        row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS r
+      FROM scored
+    ) WHERE r = 1
+    """,
+)
+def ivf_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: deterministic centroids (lowest vec_ids),
+    max-cosine cell assignment — the ANN scale path's partitioning key."""
+    return similarity.assign_ivf_cells(_emb(spark, sf_dir), n_cells=8)
+
+
+# ===========================================================================
+# Text analysis family (dataops.textstats)
+# ===========================================================================
+
+
+@_q(
+    "token_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+      len(toks)::BIGINT AS n_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+      length(text)::BIGINT AS n_chars,
+      strlen(text)::BIGINT AS n_bytes,
+      round(list_aggregate(list_transform(toks, x -> length(x)::DOUBLE), 'sum') /
+            greatest(len(toks), 1), 6) AS avg_token_len
+    FROM t
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish lexemes + char/byte."""
+    d = textstats.with_token_stats(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("long"),
+        F.col("n_bpe_tokens").cast("long"),
+        F.col("n_chars").cast("long"),
+        F.col("n_bytes").cast("long"),
+        "avg_token_len",
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable document fingerprint (whitespace-normalized md5)."""
+    return textstats.with_fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint"
+    )
+
+
+@_q(
+    "langid_confusion",
+    """
+    WITH s AS (
+      SELECT lang,
+        list_distinct(list_filter(string_split(lower(text), ' '), x -> x != '')) AS toks,
+        length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g'))::DOUBLE /
+          greatest(length(text), 1) AS ar
+      FROM documents
+    ), sc AS (
+      SELECT lang, ar,
+        len(list_intersect(toks, ['the','and','of','to','a','in','is','that','for','it'])) AS s_en,
+        len(list_intersect(toks, ['el','la','de','que','y','los','en','un','una','es'])) AS s_es,
+        len(list_intersect(toks, ['le','la','les','de','et','des','un','une','est','dans'])) AS s_fr,
+        len(list_intersect(toks, ['der','die','das','und','ist','ein','eine','den','von','mit'])) AS s_de
+      FROM s
+    )
+    SELECT lang, lang_pred, count(*)::BIGINT AS n FROM (
+      SELECT lang,
+        CASE WHEN ar < 0.5 THEN 'zh'
+             WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM sc
+    ) GROUP BY lang, lang_pred
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the table's lang label (confusion counts)."""
+    d = textstats.with_langid(_docs(spark, sf_dir))
+    return d.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+
+
+@_q(
+    "quality_scores",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+        list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id, text, toks,
+        greatest(len(toks), 1) AS n,
+        len(list_filter(toks, x -> list_contains(
+          ['a','and','das','dans','de','den','der','des','die','el','ein','eine','en','es',
+           'est','et','for','in','is','it','la','le','les','los','mit','of','que','that',
+           'the','to','un','una','und','une','von','y'], x))) AS n_stop,
+        length(regexp_replace(text, '[^A-Za-zÀ-ɏ一-鿿]', '', 'g'))::DOUBLE /
+          greatest(length(text), 1) AS alpha_ratio,
+        list_aggregate(list_transform(toks, x -> length(x)::DOUBLE), 'sum') AS tok_len_sum
+      FROM t
+    )
+    SELECT doc_id,
+      round(n_stop::DOUBLE / n, 6) AS stopword_ratio,
+      round(alpha_ratio, 6) AS alpha_ratio,
+      round(0.3 * (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END)
+          + 0.3 * (CASE WHEN tok_len_sum / n BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
+          + 0.2 * least(n_stop::DOUBLE / n * 4, 1.0)
+          + 0.2 * alpha_ratio, 6) AS quality
+    FROM f
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length band, token-length band, stopword
+    ratio, alpha ratio) — a pushdown-friendly native filter key."""
+    d = textstats.with_quality(_docs(spark, sf_dir))
+    return d.select("doc_id", "stopword_ratio", "alpha_ratio", "quality")
+
+
+# ===========================================================================
+# Flagship pipeline (no SQL oracle — pandas-UDF parse; rows-only check)
+# ===========================================================================
+
+
+def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically reshape the documents table into the authoritative
+    transcripts schema (conv_id, turn_idx, role, text, tool, ts), wrapping
+    payloads in the HTML variants the parse stage extracts from."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool"))
+    tools = F.array(
+        F.lit("search"), F.lit("browser"), F.lit("python"), F.lit("bash"), F.lit("none")
+    )
+    html = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("<h1>Doc "),
+                F.col("doc_id"),
+                F.lit('</h1><span class="date">2023-10-20</span>'
+                      '<div class="entry-content">'),
+                F.col("text"),
+                F.lit("</div>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit('<meta property="og:title" content="Doc '),
+                F.col("doc_id"),
+                F.lit('"><article>'),
+                F.col("text"),
+                F.lit("</article>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("<article>no title "), F.col("text"), F.lit("</article>")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return d.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.element_at(roles, (F.col("doc_id") % 4 + 1).cast("int")).alias("role"),
+        html.alias("text"),
+        F.element_at(tools, (F.col("doc_id") % 5 + 1).cast("int")).alias("tool"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id") * 30)
+        ).alias("ts"),
+    )
+
+
+@_q("pipeline_sink_counts")  # no oracle: pandas-UDF parse stage
+def pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship parse→enrich→route→aggregate chain over transcripts
+    derived from the documents table; per-sink counts."""
+    from blogparser_spark.operators.enrich import enrich
+    from blogparser_spark.operators.parse import parse_stage
+
+    t = documents_as_transcripts(spark, sf_dir)
+    parsed = parse_stage(t)
+    enriched = enrich(parsed, spark)
+    return agg_ops.sink_counts(enriched).withColumnRenamed("n", "n_rows")
