@@ -93,58 +93,57 @@ def shingles(col: Column, n: int = SHINGLE_N) -> Column:
 # ---------------------------------------------------------------- minhash ---
 
 
-def minhash_signature(col: Column, k: int = MINHASH_K) -> Column:
-    """k MinHash values: for permutation i, min over shingles of
+def minhash_signature_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}): for permutation i, min over shingles of
     md5(i ':' shingle). Minimizing the hex string lexicographically is an
     order-isomorphic stand-in for minimizing a 128-bit integer.
 
-    Built as ONE nested higher-order-function expression with the shingle
-    array let-bound, so shingling runs once per row and only the k·|shingles|
-    md5 calls repeat."""
-    return _let(
-        shingles(col),
-        lambda sh: F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda i: F.array_min(
-                F.transform(
-                    sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s))
-                )
-            ),
-        ),
+    Relational form: explode shingles → k native md5 columns → hash-agg min.
+    Whole-stage codegen evaluates the md5s (an array-lambda formulation runs
+    interpreted, measured ~20× slower), and min() partial-aggregates, so the
+    shuffle carries only per-partition minima per doc — the shape that holds
+    at 10^9 docs. Docs with <SHINGLE_N tokens keep a row with NULL minhashes
+    (explode_outer)."""
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(shingles(F.col(text_col))).alias("sh")
+    )
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh_{i}")
+            for i in range(k)
+        ]
     )
 
 
 def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Explode each doc's signature into (band_idx, band_hash) rows — the LSH
-    bucketing relation. Docs sharing any (band_idx, band_hash) are candidate
-    near-duplicates.
-
-    The signature subtree is bound ONCE via transform-over-singleton (a
-    let-binding in Catalyst HOF form) so projection collapse can't duplicate
-    it into every band expression."""
+    """Signature → (id, band_idx, band_hash) rows — the LSH bucketing
+    relation. Docs sharing any (band_idx, band_hash) are candidate
+    near-duplicates. Docs without shingles are dropped (cannot near-dup)."""
+    sig = minhash_signature_df(df, text_col, id_col)
     n_bands = MINHASH_K // LSH_BAND_ROWS
-    bands = _let(
-        minhash_signature(F.col(text_col)),
-        lambda v: F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.element_at(
-                                    v, (b * LSH_BAND_ROWS + r + 1).cast("int")
-                                )
-                                for r in range(LSH_BAND_ROWS)
-                            ],
-                        )
-                    ).alias("band_hash"),
-                ),
-            ),
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * LSH_BAND_ROWS + r}")
+                            for r in range(LSH_BAND_ROWS)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    return df.select(F.col(id_col), F.explode(bands).alias("band")).select(
-        id_col, "band.band_idx", "band.band_hash"
+    return (
+        sig.filter(F.col("mh_0").isNotNull())
+        .select(F.col(id_col), F.explode(bands).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_hash")
     )
 
 
@@ -240,19 +239,58 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", simhash(F.col(text_col)))
 
 
+def simhash_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, simhash) via the relational plan: explode distinct tokens →
+    32 codegen-native vote sums (partial-aggregatable) → assemble. Same math
+    as simhash(); ~20× faster than the per-row HOF expression because
+    whole-stage codegen evaluates it. Docs with no tokens hash to 0."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(tokens(F.lower(F.col(text_col))))
+        ).alias("term"),
+    ).withColumn("h", F.md5("term"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                2
+                * (
+                    F.shiftright(
+                        F.conv(F.substring("h", b // 4 + 1, 1), 16, 10).cast("int"),
+                        3 - (b % 4),
+                    )
+                    % 2
+                )
+                - 1
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sh = None
+    for b in range(bits):
+        contrib = F.when(
+            F.col(f"v{b}") > 0, F.lit(2 ** (bits - 1 - b)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sh = contrib if sh is None else sh + contrib
+    return votes.select(F.col(id_col), sh.alias("simhash"))
+
+
 def simhash_band_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Group on the upper/lower 16-bit halves of the simhash — docs agreeing
-    on either half are near-dup candidates (≤16 differing bits guaranteed
-    caught by one band when hamming distance ≤ ... standard band argument)."""
-    sh = simhash(F.col(text_col))
+    on either half are near-dup candidates (standard band argument: hamming
+    distance ≤ 1 is always caught; larger distances probabilistically)."""
+    sh = F.col("simhash")
     halves = F.array(
         F.struct(F.lit(0).alias("band_idx"), F.floor(sh / F.lit(2**16)).alias("band_val")),
         F.struct(F.lit(1).alias("band_idx"), (sh % F.lit(2**16)).alias("band_val")),
     )
     return (
-        df.select(F.col(id_col), F.explode(halves).alias("b"))
+        simhash_df(df, text_col, id_col)
+        .select(F.col(id_col), F.explode(halves).alias("b"))
         .select(id_col, "b.band_idx", "b.band_val")
         .groupBy("band_idx", "band_val")
         .agg(F.count("*").alias("n_docs"), F.array_sort(F.collect_list(id_col)).alias("ids"))

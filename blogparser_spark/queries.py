@@ -586,10 +586,12 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=8) over word 3-shingles — md5-string
     minimization is engine-portable."""
-    d = _docs(spark, sf_dir)
-    return d.select(
+    sig = dedup.minhash_signature_df(_docs(spark, sf_dir))
+    return sig.select(
         "doc_id",
-        F.array_join(dedup.minhash_signature(F.col("text")), "|").alias("sig"),
+        F.array_join(
+            F.array(*[F.col(f"mh_{i}") for i in range(dedup.MINHASH_K)]), "|"
+        ).alias("sig"),
     )
 
 
@@ -689,9 +691,8 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per doc — per-row, shuffle-free on the Spark side."""
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", dedup.simhash(F.col("text")).alias("simhash"))
+    """32-bit SimHash per doc (relational vote-sum plan)."""
+    return dedup.simhash_df(_docs(spark, sf_dir))
 
 
 # ===========================================================================
