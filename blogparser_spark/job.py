@@ -1,0 +1,66 @@
+"""spark-submit entry point for the full pipeline.
+
+    spark-submit --py-files blogparser_spark.zip -m blogparser_spark.job \
+        --input /path/transcripts --output /path/out [--resume] \
+        [--slices 64] [--sf-dir ...]
+
+Runs the sliced, resumable parse→enrich pipeline (checkpoint manifests per
+slice), then the aggregate reports over the routed output. On a cluster the
+same file is submitted unchanged; local runs honor SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def transform(df):
+    from blogparser_spark.operators.enrich import enrich
+    from blogparser_spark.operators.parse import parse_stage
+    from blogparser_spark.operators.route import with_sink_id
+
+    return with_sink_id(enrich(parse_stage(df))).drop("images")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts parquet dir")
+    ap.add_argument("--output", required=True, help="output base dir")
+    ap.add_argument("--slices", type=int, default=8)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--key-col", default="conv_id")
+    args = ap.parse_args(argv)
+
+    from blogparser_spark.operators import aggregate as agg
+    from blogparser_spark.operators.checkpoint import run_sliced
+    from blogparser_spark.session import get_spark
+
+    spark = get_spark(app_name="blogparser-job")
+    manifests = run_sliced(
+        spark,
+        args.input,
+        args.output,
+        transform,
+        n_slices=args.slices,
+        key_col=args.key_col,
+        resume=args.resume,
+    )
+    routed = spark.read.parquet(args.output + "/slice=*")
+    report = {
+        "slices_run": [m.slice_id for m in manifests],
+        "rows_in": sum(m.rows_in for m in manifests),
+        "wall_seconds": round(sum(m.wall_seconds for m in manifests), 3),
+        "sink_counts": {
+            f"{r['channel']}/{r['tool_category']}/{r['parse_status']}": r["n"]
+            for r in agg.sink_counts(routed).collect()
+        },
+        "n_convs": agg.conv_stats(routed).count(),
+    }
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

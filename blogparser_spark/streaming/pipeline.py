@@ -1,0 +1,84 @@
+"""Structured Streaming variant of the pipeline (SURVEY.md §7.6).
+
+The batch pipeline is the contract; this module runs the SAME stage
+functions (parse_stage, enrich — they are plain DataFrame→DataFrame) over a
+streaming source, adding only the streaming-specific concerns:
+
+  - event-time watermark on ts (late turns beyond the horizon are dropped),
+  - exactly-once-ish dedup on (conv_id, turn_idx) within the watermark,
+  - windowed per-sink counts (tumbling windows on event time),
+  - checkpointLocation for offset + state recovery (the streaming analog of
+    the batch layer's slice manifests).
+
+Tests drive it with trigger(availableNow=True) over a parquet directory —
+the same code path a Kafka/Iceberg-CDC source would take in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blogparser_spark.operators.enrich import enrich
+from blogparser_spark.operators.parse import parse_stage
+from blogparser_spark.operators.route import with_sink_id
+from blogparser_spark.sources.synthetic import transcripts_df  # schema source
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream with the authoritative transcripts schema."""
+    schema = transcripts_df(spark, n_convs=1, turns_per_conv=1).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_transform(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """watermark → dedup → parse → enrich → sink id. parse_stage and enrich
+    are the batch functions, unchanged — stateless stages compose freely
+    with streaming; only the dedup is stateful (bounded by the watermark)."""
+    deduped = stream.withWatermark("ts", watermark).dropDuplicates(
+        ["conv_id", "turn_idx"]
+    )
+    return with_sink_id(enrich(parse_stage(deduped)))
+
+
+def windowed_sink_counts(
+    stream: DataFrame, window: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window per-sink counts on event time; with the watermark set
+    upstream, state for closed windows is evicted (bounded state at scale)."""
+    return (
+        stream.groupBy(F.window("ts", window).alias("win"), F.col("sink_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "sink_id",
+            "n",
+        )
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "1 hour",
+) -> None:
+    """Drain whatever is in the source now and stop — the batch-parity mode
+    used by tests and by catch-up restarts (offsets + dedup state recover
+    from checkpoint_path)."""
+    stream = read_transcript_stream(spark, input_path)
+    out = streaming_transform(stream, watermark).drop("images")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,206 @@
+"""Tests for the training-data ops: dedup, similarity, textstats, multimodal."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 0/1: exact duplicates (modulo whitespace), 2: near-dup of 0, 3/4 distinct
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en", "s0"),
+        (1, "the quick  brown fox jumps over the lazy dog again and again", "en", "s0"),
+        (2, "the quick brown fox jumps over the lazy cat again and again", "en", "s0"),
+        (3, "der schnelle braune fuchs springt über den faulen hund und mehr", "de", "s1"),
+        (4, "el rápido zorro marrón salta sobre el perro perezoso y que más", "es", "s1"),
+        (5, "数据 处理 平台 分析 系统 的 高速 计算 模型 和 集群", "zh", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    df.cache().count()
+    return df
+
+
+# ------------------------------------------------------------------ dedup ---
+
+
+def test_exact_dedup(docs):
+    from blogparser_spark.dataops.dedup import exact_dedup_stats, exact_dup_groups
+
+    stats = exact_dedup_stats(docs).collect()[0]
+    assert stats["n_docs"] == 6
+    assert stats["n_distinct"] == 5  # 0 and 1 normalize identically
+    assert stats["n_dup_rows"] == 1
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 0
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    from blogparser_spark.dataops.dedup import minhash_lsh_candidates, minhash_signature_df
+
+    sig = {r["doc_id"]: [r[f"mh_{i}"] for i in range(8)] for r in
+           minhash_signature_df(docs).collect()}
+    assert sig[0] == sig[1]  # identical docs → identical signatures
+    # near-dup (one word changed) shares most minhashes with doc 0
+    shared = sum(a == b for a, b in zip(sig[0], sig[2]))
+    assert shared >= 4
+    buckets = minhash_lsh_candidates(docs).collect()
+    pairs = {tuple(b["ids"]) for b in buckets}
+    assert any({0, 1} <= set(p) for p in pairs)
+
+
+def test_minhash_signature_deterministic(docs):
+    from blogparser_spark.dataops.dedup import minhash_signature_df
+
+    a = sorted(map(tuple, minhash_signature_df(docs).collect()))
+    b = sorted(map(tuple, minhash_signature_df(docs).collect()))
+    assert a == b
+    # cross-check one permutation against a pure-python recomputation
+    row = dict(zip(["doc_id"] + [f"mh_{i}" for i in range(8)], a[0]))
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    toks = text.split()
+    shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    expect = min(hashlib.md5(f"0:{s}".encode()).hexdigest() for s in shingles)
+    assert row["mh_0"] == expect
+
+
+def test_simhash_similar_docs_close(docs):
+    from blogparser_spark.dataops.dedup import simhash_df
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_df(docs).collect()}
+    assert sh[0] == sh[1]
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard(docs):
+    from blogparser_spark.dataops.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+
+
+# ------------------------------------------------------------- similarity ---
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [round(rng.gauss(0, 1), 4) for _ in range(16)], i % 3) for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk(emb):
+    from blogparser_spark.dataops.similarity import brute_force_topk
+
+    out = brute_force_topk(emb, n_queries=3, k=4).collect()
+    assert len(out) == 12
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        sims = [r["sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["nid"] != q for r in rows)
+
+
+def test_ivf_subset_of_corpus(emb):
+    from blogparser_spark.dataops.similarity import assign_ivf_cells, ivf_topk
+
+    cells = assign_ivf_cells(emb, n_cells=4)
+    assert cells.count() == 40
+    # each centroid is in its own cell (self-similarity 1.0)
+    own = {r["vec_id"]: r["cell"] for r in cells.filter(F.col("vec_id") < 4).collect()}
+    assert own == {0: 0, 1: 1, 2: 2, 3: 3}
+    approx = ivf_topk(emb, n_queries=2, k=3, n_cells=4)
+    assert approx.count() <= 6  # cells may hold < k+1 members
+
+
+def test_embedding_near_dups(spark):
+    from blogparser_spark.dataops.similarity import embedding_near_dup_pairs
+
+    # centroids are ids 0/1; the near-dup pair 2/3 lives inside cell 0
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.05, 0.0, 0.0]),
+        (3, [0.98, 0.06, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(df, threshold=0.999, n_cells=2).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(2, 3)}
+
+
+# -------------------------------------------------------------- textstats ---
+
+
+def test_token_stats(docs):
+    from blogparser_spark.dataops.textstats import with_token_stats
+
+    r = {x["doc_id"]: x for x in with_token_stats(docs).collect()}
+    assert r[0]["n_tokens"] == 12
+    assert r[0]["n_bytes"] == len(r[0]["text"].encode())
+    assert r[5]["n_bytes"] > r[5]["n_chars"]  # CJK multibyte
+
+
+def test_langid(docs):
+    from blogparser_spark.dataops.textstats import with_langid
+
+    pred = {r["doc_id"]: r["lang_pred"] for r in with_langid(docs).collect()}
+    assert pred[0] == "en" and pred[3] == "de" and pred[4] == "es" and pred[5] == "zh"
+
+
+def test_quality_and_fingerprint(docs):
+    from blogparser_spark.dataops.textstats import with_fingerprint, with_quality
+
+    q = with_quality(docs).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in q)
+    fp = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(docs).collect()}
+    assert fp[0] == fp[1]  # whitespace-insensitive
+    assert fp[0] != fp[2]
+
+
+# ------------------------------------------------------------- multimodal ---
+
+
+def test_multimodal_plumbing(docs):
+    from blogparser_spark.dataops.multimodal import (
+        decode_features,
+        documents_as_media,
+        frame_sample_plan,
+    )
+
+    media = documents_as_media(docs)
+    assert media.count() == 6
+    feats = decode_features(media).collect()
+    assert len(feats) == 6
+    f0 = next(f for f in feats if f["media_id"] == 0)
+    assert f0["channels"] == 3 and len(f0["embedding"]) == 8
+    assert f0["magic"] == "the quick brown fox"[:4].encode().hex()[:8]
+    # strict mode: codec genuinely absent → explicit failure, not silence
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_features(media, strict=True).collect()
+    plan = frame_sample_plan(media, every_n=1)
+    assert plan.count() == 6  # 1 fake frame per small payload
+
+
+def test_multimodal_decode_deterministic(docs):
+    from blogparser_spark.dataops.multimodal import decode_features, documents_as_media
+
+    a = sorted(map(str, decode_features(documents_as_media(docs)).collect()))
+    b = sorted(map(str, decode_features(documents_as_media(docs)).collect()))
+    assert a == b

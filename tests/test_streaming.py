@@ -1,0 +1,64 @@
+"""Structured Streaming variant: dedup within watermark + batch parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_streaming_dedups_and_matches_batch(spark, tmp_path):
+    from blogparser_spark.job import transform
+    from blogparser_spark.sources.synthetic import transcripts_df
+    from blogparser_spark.streaming.pipeline import run_available_now
+
+    base = transcripts_df(spark, n_convs=12, turns_per_conv=4)
+    # duplicate a third of the rows — the stream must emit each turn once
+    dup_input = base.unionAll(base.filter(F.col("turn_idx") % 3 == 0))
+    inp = str(tmp_path / "in")
+    dup_input.write.mode("overwrite").parquet(inp)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(spark, inp, out, ckpt)
+
+    streamed = spark.read.parquet(out)
+    assert streamed.count() == 48  # dups dropped
+    assert streamed.select("conv_id", "turn_idx").distinct().count() == 48
+
+    batch = transform(base).drop("images")
+    cols = ["conv_id", "turn_idx", "parse_status", "sink_id", "title", "summary"]
+    assert (
+        streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
+        and batch.select(cols).exceptAll(streamed.select(cols)).count() == 0
+    )
+
+
+def test_windowed_sink_counts_shape(spark, tmp_path):
+    from blogparser_spark.operators.enrich import enrich
+    from blogparser_spark.operators.parse import parse_stage
+    from blogparser_spark.operators.route import with_sink_id
+    from blogparser_spark.sources.synthetic import transcripts_df
+    from blogparser_spark.streaming.pipeline import (
+        read_transcript_stream,
+        windowed_sink_counts,
+    )
+
+    inp = str(tmp_path / "in2")
+    src = transcripts_df(spark, n_convs=8, turns_per_conv=4)
+    n_input = src.count()
+    src.write.mode("overwrite").parquet(inp)
+
+    # complete mode: append would withhold windows still inside the
+    # watermark horizon at end-of-stream
+    stream = read_transcript_stream(spark, inp)
+    agg = windowed_sink_counts(with_sink_id(enrich(parse_stage(stream))))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from win_counts").collect()
+    assert rows and all(r["n"] > 0 for r in rows)
+    assert sum(r["n"] for r in rows) == n_input
