@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-TURNS_PER_DOC = 20
+TURNS_PER_DOC = int(os.environ.get("SPARK_GRAFT_TURNS_PER_DOC", "20"))
 
 
 def build_transcripts(spark, sf_dir: str):
@@ -28,7 +28,12 @@ def build_transcripts(spark, sf_dir: str):
     parse path."""
     from pyspark.sql import functions as F
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the docs parquet is one file → one scan partition; the explode fan-out
+    # inherits it, which would feed the whole corpus to ONE core. Repartition
+    # the narrow side BEFORE the explode (5k-row shuffle, trivial) so the
+    # 200× fan-out lands spread across the cluster.
+    n_parts = spark.sparkContext.defaultParallelism
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(n_parts)
     t = d.select(
         F.concat(F.lit("conv-"), F.col("doc_id")).alias("conv_id"),
         F.col("doc_id"),
@@ -94,11 +99,21 @@ def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     )
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
 
     def bench(name, thunk):
+        """First run pays one-off whole-stage-codegen compile + JIT + python
+        worker startup (recorded as cold); steady-state = min of three runs —
+        the number a long job sees per unit of work, robust to GC noise."""
         t0 = time.time()
         thunk()
-        timings[name] = round(time.time() - t0, 3)
+        cold[name] = round(time.time() - t0, 3)
+        best = cold[name]
+        for _ in range(2):
+            t0 = time.time()
+            thunk()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     transcripts = build_transcripts(spark, sf_dir)
     n_turns = transcripts.count()  # materialization cost excluded from q_pipeline? no — rebuilt below
@@ -125,7 +140,7 @@ def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     bench("q_window", lambda: conv_window_stats(spark, sf_dir).collect())
     bench("q_sessionize", lambda: events_sessionize(spark, sf_dir).count())
     bench("q_pricing", lambda: pricing_rollup(spark, sf_dir).collect())
-    return timings, n_turns
+    return timings, cold, n_turns
 
 
 def one_run(cpus: int, sf_dir: str) -> dict:
@@ -135,13 +150,14 @@ def one_run(cpus: int, sf_dir: str) -> dict:
         master=f"local[{cpus}]", shuffle_partitions=int(cpus), app_name=f"bench-{cpus}"
     )
     spark.sparkContext.setLogLevel("ERROR")
-    timings, n_turns = run_headline(spark, sf_dir)
+    timings, cold, n_turns = run_headline(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
         "sf": sf_dir,
         "n_turns": n_turns,
         "turns_per_sec_pipeline": round(n_turns / timings["q_pipeline"], 1),
@@ -155,26 +171,65 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
-        r_lo, r_hi = one_run(lo, sf_dir), one_run(hi, sf_dir)
-        tp_lo = r_lo["turns_per_sec_pipeline"]
-        tp_hi = r_hi["turns_per_sec_pipeline"]
-        eff = (tp_hi / tp_lo) / (hi / lo)
-        print(
-            json.dumps(
-                {
-                    "scaling": {
-                        f"local[{lo}]": r_lo,
-                        f"local[{hi}]": r_hi,
-                        "throughput_ratio": round(tp_hi / tp_lo, 3),
-                        "core_ratio": hi / lo,
-                        "efficiency": round(eff, 3),
-                    }
-                }
-            )
-        )
+        print(json.dumps(scaling_run(sf_dir)))
     else:
         print(json.dumps(one_run(cpus, sf_dir)))
+
+
+def pipeline_throughput(cpus: int, sf_dir: str, repeats: int = 5) -> dict:
+    """Steady-state parse→enrich→aggregate throughput at one parallelism
+    level. Each timed run builds a FRESH plan — re-collecting one plan
+    instance reuses its shuffle map outputs (skipped stages), even with AQE
+    off, and measures nothing. The constant per-run planning cost (~2-3 s)
+    is drowned by sizing the input to minutes of work (5M turns default)."""
+    from blogparser_spark.operators.aggregate import sink_counts
+    from blogparser_spark.operators.enrich import enrich
+    from blogparser_spark.operators.parse import parse_stage
+    from blogparser_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cpus}]", shuffle_partitions=int(cpus), app_name=f"scale-{cpus}"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    n_turns = build_transcripts(spark, sf_dir).count()
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        sink_counts(enrich(parse_stage(build_transcripts(spark, sf_dir)))).collect()
+        times.append(round(time.time() - t0, 3))
+    spark.stop()
+    best = min(times[1:])  # drop the cold run (codegen/JIT/worker startup)
+    return {
+        "cpus": cpus,
+        "n_turns": n_turns,
+        "cold_sec": times[0],
+        "runs_sec": times[1:],
+        "best_sec": best,
+        "turns_per_sec": round(n_turns / best, 1),
+    }
+
+
+def scaling_run(sf_dir: str) -> dict:
+    """N vs 4N cores on identical input. Uses local[4] vs local[16] so that
+    JVM task threads + Python UDF workers (2 threads per core of
+    parallelism) never oversubscribe the 32 hardware cores at either level —
+    local[32] would contend with its own python workers and measure the
+    scheduler, not the pipeline."""
+    global TURNS_PER_DOC
+    TURNS_PER_DOC = int(os.environ.get("SPARK_GRAFT_TURNS_PER_DOC", "1000"))
+    lo, hi = 4, 16
+    r_lo = pipeline_throughput(lo, sf_dir, repeats=3)
+    r_hi = pipeline_throughput(hi, sf_dir, repeats=3)
+    eff = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / (hi / lo)
+    return {
+        "scaling": {
+            f"local[{lo}]": r_lo,
+            f"local[{hi}]": r_hi,
+            "throughput_ratio": round(r_hi["turns_per_sec"] / r_lo["turns_per_sec"], 3),
+            "core_ratio": hi / lo,
+            "efficiency": round(eff, 3),
+        }
+    }
 
 
 if __name__ == "__main__":

@@ -85,24 +85,33 @@ def _any_id(el_id: str) -> re.Pattern[str]:
     )
 
 
-# mirrors contentSelectors order, parser/content.go:24-40, then main, then body
-CONTENT_PATTERNS: list[re.Pattern[str]] = [
-    _div_class("article-body-inner"),
-    _div_class("skin-entryBody"),
-    _div_class("articleText"),
-    _div_class("post-main"),
-    _div_class("post-body"),
-    _div_class("entry-content"),
-    _div_class("POST_BODY"),
-    re.compile(r"<article[^>]*>([\s\S]*?)</article>", re.I),
-    re.compile(r"<[a-z]+[^>]*itemprop=[\"']articleBody[\"'][^>]*>([\s\S]*?)</[a-z]+>", re.I),
-    _div_class("post-content"),
-    _div_class("article-content"),
-    _any_id("content"),
-    _any_id("main-content"),
-    _div_class("content"),
-    re.compile(r"<main[^>]*>([\s\S]*?)</main>", re.I),
-    re.compile(r"<body[^>]*>([\s\S]*?)</body>", re.I),
+# mirrors contentSelectors order, parser/content.go:24-40, then main, then
+# body. Each entry carries a lowercase LITERAL needle that must appear for
+# the regex to possibly match — the vectorized extractor uses it as a
+# C-speed contains() prefilter before paying for the backtracking regex
+# (necessary-not-sufficient, so priority semantics are unchanged).
+CONTENT_PATTERNS: list[tuple[str, re.Pattern[str]]] = [
+    ("article-body-inner", _div_class("article-body-inner")),
+    ("skin-entrybody", _div_class("skin-entryBody")),
+    ("articletext", _div_class("articleText")),
+    ("post-main", _div_class("post-main")),
+    ("post-body", _div_class("post-body")),
+    ("entry-content", _div_class("entry-content")),
+    ("post_body", _div_class("POST_BODY")),
+    ("<article", re.compile(r"<article[^>]*>([\s\S]*?)</article>", re.I)),
+    (
+        "itemprop",
+        re.compile(
+            r"<[a-z]+[^>]*itemprop=[\"']articleBody[\"'][^>]*>([\s\S]*?)</[a-z]+>", re.I
+        ),
+    ),
+    ("post-content", _div_class("post-content")),
+    ("article-content", _div_class("article-content")),
+    ("content", _any_id("content")),
+    ("main-content", _any_id("main-content")),
+    ("content", _div_class("content")),
+    ("<main", re.compile(r"<main[^>]*>([\s\S]*?)</main>", re.I)),
+    ("<body", re.compile(r"<body[^>]*>([\s\S]*?)</body>", re.I)),
 ]
 
 MIN_CONTENT_BYTES = 100  # content.go:146 — bytes, not runes

@@ -104,20 +104,27 @@ def _normalize_html_vec(s: pd.Series) -> pd.Series:
     return c.str.strip()
 
 
-def _extract_content_vec(s: pd.Series) -> pd.Series:
+def _extract_content_vec(s: pd.Series, lower: pd.Series | None = None) -> pd.Series:
     """Vectorized selector-priority content extraction with the per-candidate
-    normalize + ≥100-**byte** gate (parser/content.go:16-113)."""
+    normalize + ≥100-**byte** gate (parser/content.go:16-113).
+
+    Each pattern runs only on rows whose lowercase text contains its literal
+    needle (C-speed scan) — at ~10× the speed of letting the backtracking
+    regex discover the absence itself. Priority order is unchanged: a row is
+    settled by the first pattern that yields a valid candidate."""
+    if lower is None:
+        lower = s.str.lower()
     out = pd.Series(pd.NA, index=s.index, dtype="object")
-    pending = s
-    for pat in P.CONTENT_PATTERNS:
-        need = out.isna()
+    has_markup = lower.str.contains("<", regex=False)
+    for needle, pat in P.CONTENT_PATTERNS:
+        need = out.isna() & has_markup & lower.str.contains(needle, regex=False)
         if not need.any():
-            break
-        cand = _normalize_html_vec(pending.where(need).str.extract(pat, expand=False))
+            continue
+        cand = _normalize_html_vec(s.where(need).str.extract(pat, expand=False))
         ok = cand.notna() & (cand.str.encode("utf-8").str.len() >= P.MIN_CONTENT_BYTES)
         out = out.combine_first(cand.where(ok))
     # plain-text fallback: payloads with no markup at all are their own body
-    need = out.isna() & ~s.str.contains("<", regex=False)
+    need = out.isna() & ~has_markup
     if need.any():
         cand = _normalize_html_vec(s.where(need))
         ok = cand.notna() & (cand.str.encode("utf-8").str.len() >= P.MIN_CONTENT_BYTES)
@@ -126,13 +133,17 @@ def _extract_content_vec(s: pd.Series) -> pd.Series:
 
 
 def _clean_content_vec(s: pd.Series) -> pd.Series:
-    """Vectorized CleanContent bank (parser/clean_content.go:13-48,97-129)."""
-    c = s.str.replace(P.HTML_COMMENT, "", regex=True)
+    """Vectorized CleanContent bank (parser/clean_content.go:13-48,97-129).
+    Rows without markup or rank markers (most tool-output payloads) skip the
+    five regex passes entirely — the bank can only be a no-op there."""
+    dirty = s.str.contains("<", regex=False) | s.str.contains("位：", regex=False)
+    sub = s.where(dirty)
+    c = sub.str.replace(P.HTML_COMMENT, "", regex=True)
     c = c.str.replace(P.RANK_MARKER, "", regex=True)
     c = c.str.replace(P.BLOCK_TAGS, "", regex=True)
     c = c.str.replace(P.AD_ELEMENT, "", regex=True)
     c = c.str.replace(P.AD_VOID, "", regex=True)
-    return _normalize_html_vec(c)
+    return _normalize_html_vec(c).combine_first(_normalize_html_vec(s.where(~dirty)))
 
 
 def _date_candidates(text: str) -> list[str]:
@@ -177,17 +188,25 @@ def _images_rows(text: str) -> list[dict]:
 @F.pandas_udf(EXTRACT_TYPE)
 def extract_udf(texts: pd.Series) -> pd.DataFrame:
     """The single JVM↔Python boundary of the parse stage."""
+    lower = texts.str.lower()
     title_raw = _extract_title_vec(texts)
     title = _clean_title_vec(title_raw)
-    body_raw = _extract_content_vec(texts)
+    body_raw = _extract_content_vec(texts, lower)
     body = _clean_content_vec(body_raw)
 
-    # list-valued extractions: batch python over the Arrow batch, cheap
-    # contains-prefilters skip rows that can't match
-    has_cat = texts.str.contains("categor|article:section", regex=True)
-    has_tag = texts.str.contains("tag|keywords", case=False, regex=True)
-    has_date = texts.str.contains("date|<time|pubdate|datePublished", regex=True)
-    has_img = texts.str.contains("og:image|twitter:image|<img", regex=True)
+    # list-valued extractions: batch python over the Arrow batch; literal
+    # contains() prefilters (C-speed, no regex) skip rows that can't match
+
+    def any_of(*needles: str) -> pd.Series:
+        m = lower.str.contains(needles[0], regex=False)
+        for n in needles[1:]:
+            m = m | lower.str.contains(n, regex=False)
+        return m
+
+    has_cat = any_of("categor", "article:section")
+    has_tag = any_of("tag", "keywords")
+    has_date = any_of("date", "<time")  # covers pubdate/datePublished
+    has_img = any_of("og:image", "twitter:image", "<img")
 
     categories = [
         pyref.extract_categories(t) if h else [] for t, h in zip(texts, has_cat)

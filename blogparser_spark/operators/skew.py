@@ -1,0 +1,55 @@
+"""Explicit skew handling for hot conv_ids (SURVEY.md §7.4 risk 3).
+
+Fixture reality: ~20% of turns live in a handful of hot conversations. Two
+different stages need two different treatments:
+
+1. The PARSE stage is per-row (order-free), so it can and should be salted:
+   repartition on (conv_id, salt) spreads a hot conv across `salt_k`
+   partitions. No correctness impact — no stage before the window cares
+   about co-location.
+
+2. Per-conv WINDOWS (row_number over (conv_id, turn_idx)) cannot be salted —
+   a split conv would get wrong ranks. There the tools are
+   repartitionByRange on (conv_id, turn_idx) (range partitioner samples the
+   key distribution, so a hot conv gets a partition to itself instead of
+   hash-colliding with others) plus AQE skew-join splitting for the join
+   side. This is the documented tradeoff: one conv's turns must fit one
+   partition's memory; with 10^6-turn hot convs and ~KB rows that is MBs —
+   fine. Convs larger than memory would need a two-phase segmented window
+   (segment ranks + prefix-sum merge), which no fixture requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_K = 16
+
+
+def with_salt(df: DataFrame, salt_k: int = DEFAULT_SALT_K, turn_col: str = "turn_idx") -> DataFrame:
+    """Deterministic salt derived from the turn index — stable across runs
+    (no rand(); resume-safe) and uniform within a conversation."""
+    return df.withColumn("salt", F.pmod(F.hash(F.col(turn_col)), F.lit(salt_k)))
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    key_col: str = "conv_id",
+    salt_k: int = DEFAULT_SALT_K,
+) -> DataFrame:
+    """Spread hot keys over salt_k buckets for order-free stages (parse)."""
+    return (
+        with_salt(df, salt_k)
+        .repartition(num_partitions, F.col(key_col), F.col("salt"))
+        .drop("salt")
+    )
+
+
+def range_partition_for_windows(
+    df: DataFrame, num_partitions: int, key_col: str = "conv_id", order_col: str = "turn_idx"
+) -> DataFrame:
+    """Pre-shuffle for per-conv windows: range partitioning samples the key
+    distribution, isolating hot convs instead of hash-colliding them."""
+    return df.repartitionByRange(num_partitions, F.col(key_col), F.col(order_col))

@@ -81,7 +81,7 @@ def is_valid_content(content: str) -> bool:
 def extract_content(text: str) -> str | None:
     """Priority selector bank; per-candidate normalize + byte-length gate
     (parser/content.go:16-113)."""
-    for pat in P.CONTENT_PATTERNS:
+    for _needle, pat in P.CONTENT_PATTERNS:
         m = pat.search(text)
         if m:
             candidate = normalize_html(m.group(1))

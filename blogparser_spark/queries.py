@@ -288,6 +288,160 @@ def category_first_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "image_first_url",
+    """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<meta property="og:image" content="https://stat.ameba.jp/img/p' || doc_id || '_s.jpg"><img src="https://example.com/lose.png">'
+          WHEN 1 THEN '<meta name="twitter:image" content="https://example.com/tw' || doc_id || '.jpg">'
+          WHEN 2 THEN '<img src="data:image/png;base64,AAAA"><img src="https://example.com/i' || doc_id || '.png">'
+          ELSE '<p>no image</p>'
+        END AS html
+      FROM documents
+    ), ext AS (
+      SELECT doc_id,
+        coalesce(
+          nullif(regexp_extract(html, '<meta[^>]*property="og:image"[^>]*content="([^"]*)"', 1), ''),
+          nullif(regexp_extract(html, '<meta[^>]*name="twitter:image"[^>]*content="([^"]*)"', 1), ''),
+          nullif(regexp_extract(html, '<img[^>]*src="(https?://[^"]*)"', 1), ''),
+          '') AS url
+      FROM p
+    )
+    SELECT doc_id,
+      CASE WHEN url LIKE 'https://stat.ameba.jp/%'
+           THEN regexp_replace(url, '_[sm]\\.', '.')
+           ELSE url END AS first_image
+    FROM ext
+    """,
+)
+def image_first_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1-I3 image extraction: og:image > twitter:image > first img;
+    data: URLs skipped (the https?:// requirement), ameblo thumbnail
+    suffix normalized to the full-size URL (parser/image.go:104-128)."""
+    d = _docs(spark, sf_dir)
+    html = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<meta property="og:image" content="https://stat.ameba.jp/img/p'),
+                F.col("doc_id"),
+                F.lit('_s.jpg"><img src="https://example.com/lose.png">'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit('<meta name="twitter:image" content="https://example.com/tw'),
+                F.col("doc_id"),
+                F.lit('.jpg">'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit('<img src="data:image/png;base64,AAAA"><img src="https://example.com/i'),
+                F.col("doc_id"),
+                F.lit('.png">'),
+            ),
+        )
+        .otherwise(F.lit("<p>no image</p>"))
+    )
+    h = F.col("html")
+    url = F.coalesce(
+        F.nullif(
+            F.regexp_extract(h, '<meta[^>]*property="og:image"[^>]*content="([^"]*)"', 1),
+            F.lit(""),
+        ),
+        F.nullif(
+            F.regexp_extract(h, '<meta[^>]*name="twitter:image"[^>]*content="([^"]*)"', 1),
+            F.lit(""),
+        ),
+        F.nullif(F.regexp_extract(h, '<img[^>]*src="(https?://[^"]*)"', 1), F.lit("")),
+        F.lit(""),
+    )
+    first = F.when(
+        F.col("url").startswith("https://stat.ameba.jp/"),
+        F.regexp_replace("url", r"_[sm]\.", "."),
+    ).otherwise(F.col("url"))
+    return (
+        d.select("doc_id", html.alias("html"))
+        .select("doc_id", url.alias("url"))
+        .select("doc_id", first.alias("first_image"))
+    )
+
+
+@_q(
+    "jsonld_date_extract",
+    """
+    WITH p AS (
+      SELECT doc_id,
+        '<script type="application/ld+json">{"datePublished": "2023-' ||
+        printf('%02d', (doc_id % 12)::INT + 1) || '-' ||
+        printf('%02d', (doc_id % 28)::INT + 1) || 'T10:30:00"}</script>' AS html
+      FROM documents
+    )
+    SELECT doc_id,
+      try_strptime(regexp_extract(html, '"datePublished"\\s*:\\s*"([^"]*)"', 1),
+                   '%Y-%m-%dT%H:%M:%S') AS published
+    FROM p
+    """,
+)
+def jsonld_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 extractDatePublishedFromJSONLD (parser/date.go:93-110): regex scan
+    of the JSON-LD script payload, then timestamp parse."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<script type="application/ld+json">{"datePublished": "2023-'),
+        F.format_string("%02d", (F.col("doc_id") % 12 + 1).cast("int")),
+        F.lit("-"),
+        F.format_string("%02d", (F.col("doc_id") % 28 + 1).cast("int")),
+        F.lit('T10:30:00"}</script>'),
+    )
+    published = F.try_to_timestamp(
+        F.regexp_extract(F.col("html"), r'"datePublished"\s*:\s*"([^"]*)"', 1),
+        F.lit("yyyy-MM-dd'T'HH:mm:ss"),
+    )
+    return d.select("doc_id", html.alias("html")).select(
+        "doc_id", published.alias("published")
+    )
+
+
+@_q(
+    "normalize_lines",
+    """
+    WITH p AS (
+      SELECT doc_id,
+        '  ' || replace(text, ' ', chr(13) || chr(10) || '  ') || '   ' AS messy
+      FROM documents
+    )
+    SELECT doc_id,
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(messy, '\\r\\n?', chr(10), 'g'),
+          '(?m)^[ \\t]+|[ \\t]+$', '', 'g'),
+        '\\n{2,}', chr(10), 'g')) AS normalized
+    FROM p
+    """,
+)
+def normalize_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P9 normalizeHTML / normalizeWhitespace (parser/content.go:116-136):
+    CRLF→LF, per-line trim, empty-line drop, outer trim — one native chain."""
+    d = _docs(spark, sf_dir)
+    messy = F.concat(
+        F.lit("  "),
+        F.regexp_replace("text", " ", "\r\n  "),
+        F.lit("   "),
+    )
+    c = F.regexp_replace(F.col("messy"), r"\r\n?", "\n")
+    c = F.regexp_replace(c, r"(?m)^[ \t]+|[ \t]+$", "")
+    c = F.trim(F.regexp_replace(c, r"\n{2,}", "\n"))
+    return d.select("doc_id", messy.alias("messy")).select(
+        "doc_id", c.alias("normalized")
+    )
+
+
 # ===========================================================================
 # Enrich / route / aggregate family (§2.5)
 # ===========================================================================
@@ -879,8 +1033,10 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically reshape the documents table into the authoritative
     transcripts schema (conv_id, turn_idx, role, text, tool, ts), wrapping
-    payloads in the HTML variants the parse stage extracts from."""
-    d = _docs(spark, sf_dir)
+    payloads in the HTML variants the parse stage extracts from. The narrow
+    input is repartitioned so the downstream parse UDF parallelizes even when
+    the source parquet is a single file."""
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     w = Window.partitionBy("source").orderBy("doc_id")
     roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool"))
     tools = F.array(

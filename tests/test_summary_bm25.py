@@ -11,9 +11,12 @@ import pytest
 K1, B = 1.2, 0.75
 
 
-def py_bm25_scores(sentences: list[str]) -> list[float]:
+def py_bm25_scores(
+    sentences: list[str], weights: dict[str, float] | None = None
+) -> list[float]:
     """Direct port of calculateBM25Score (summary.go:43-74): iterate token
-    OCCURRENCES (not distinct terms), weight 1.0, df over sentences."""
+    OCCURRENCES (not distinct terms), per-term weight (getWordWeight analog,
+    summary.go:227-241; default 1.0), df over sentences."""
     token_lists = [[t for t in s.lower().split() if t] for s in sentences]
     n = len(sentences)
     avg_len = sum(len(s) for s in sentences) / n
@@ -24,9 +27,10 @@ def py_bm25_scores(sentences: list[str]) -> list[float]:
             df = sum(1 for tl in token_lists if tok in tl)
             idf = max(0.0, math.log((n - df + 0.5) / (df + 0.5)))
             tf = toks.count(tok)
+            w = (weights or {}).get(tok, 1.0)
             score += idf * tf * (K1 + 1) / (
                 tf + K1 * (1 - B + B * len(sentences[i]) / avg_len)
-            )
+            ) * w
         scores.append(score)
     return scores
 
@@ -52,6 +56,24 @@ def test_bm25_scores_match_python_oracle(spark, sent_rows):
     }
     d1 = [s for d, i, s in sent_rows if d == "d1"]
     want = py_bm25_scores(d1)
+    for i, w in enumerate(want):
+        assert got[("d1", i)] == pytest.approx(w, rel=1e-9)
+
+
+def test_bm25_weights_dim_broadcast_join(spark, sent_rows):
+    """W1 posWeights analog: term weights enter via a broadcast dim join and
+    scale each occurrence's contribution."""
+    from blogparser_spark.operators.summary_bm25 import bm25_sentence_scores
+
+    df = spark.createDataFrame(sent_rows, "doc string, sent_idx int, sentence string")
+    weights = {"spark": 2.0, "queries": 0.5}
+    dim = spark.createDataFrame(list(weights.items()), "term string, weight double")
+    got = {
+        (r["doc"], r["sent_idx"]): r["score"]
+        for r in bm25_sentence_scores(df, weights_dim=dim).collect()
+    }
+    d1 = [s for d, i, s in sent_rows if d == "d1"]
+    want = py_bm25_scores(d1, weights)
     for i, w in enumerate(want):
         assert got[("d1", i)] == pytest.approx(w, rel=1e-9)
 
