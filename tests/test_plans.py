@@ -1,0 +1,71 @@
+"""Physical-plan assertions — the scale contract, checked in CI:
+partition pruning on sink reads, ONE Python boundary in the parse stage,
+broadcast (not shuffle) joins for dims, parquet filter pushdown."""
+
+from __future__ import annotations
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_single_python_boundary_in_pipeline(spark, transcripts):
+    from blogparser_spark.operators.enrich import enrich
+    from blogparser_spark.operators.parse import parse_stage
+
+    plan = _plan(enrich(parse_stage(transcripts)))
+    assert plan.count("ArrowEvalPython") == 1, (
+        "parse must cross JVM↔Python exactly once"
+    )
+
+
+def test_dims_broadcast_not_shuffled(spark, transcripts):
+    from blogparser_spark.operators.enrich import enrich
+    from blogparser_spark.operators.parse import parse_stage
+
+    plan = _plan(enrich(parse_stage(transcripts)))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_sink_read_partition_pruning(spark, transcripts, tmp_path):
+    from blogparser_spark.operators.enrich import enrich
+    from blogparser_spark.operators.parse import parse_stage
+    from blogparser_spark.operators.route import read_sink, with_sink_id, write_routed
+
+    out = str(tmp_path / "routed")
+    write_routed(with_sink_id(enrich(parse_stage(transcripts))), out)
+    df = read_sink(spark, out, channel="inbound", parse_status="ok")
+    plan = _plan(df)
+    # equality filters on partition columns must prune at the source, and the
+    # pruned partition columns must not survive as post-scan filters
+    assert "PartitionFilters" in plan
+    assert "channel#" in plan.split("PartitionFilters", 1)[1][:400]
+    rows = df.select("channel", "parse_status").distinct().collect()
+    assert all(r["channel"] == "inbound" and r["parse_status"] == "ok" for r in rows)
+
+
+def test_parquet_filter_pushdown(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select("l_returnflag", "l_quantity")
+    plan = _plan(li)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: scan reads only the 3 needed columns
+    assert "ReadSchema: struct<l_quantity:double,l_returnflag:string,l_shipdate:timestamp" in plan
+
+
+def test_bm25_aggregates_are_partial(spark):
+    """The BM25 tf aggregation must show a partial_count before the exchange
+    (map-side combine) — the property that bounds the shuffle at corpus
+    scale."""
+    from blogparser_spark.operators.summary_bm25 import bm25_sentence_scores
+
+    df = spark.createDataFrame(
+        [("d", 0, "a b c"), ("d", 1, "b c d")],
+        "doc string, sent_idx int, sentence string",
+    )
+    plan = _plan(bm25_sentence_scores(df))
+    assert "partial_count" in plan
