@@ -42,13 +42,23 @@ def write_routed(
     path_or_table: str,
     mode: str = "overwrite",
     fmt: str | None = None,
+    files_per_sink: int = 1,
 ) -> None:
     """Single-pass fan-out: partitionBy(sink keys). `fmt` forces a format;
-    default picks iceberg if its runtime is on the classpath, else parquet."""
+    default picks iceberg if its runtime is on the classpath, else parquet.
+
+    The frame is repartitioned on the sink keys (+ a bounded salt) first —
+    without this, every upstream task opens a writer per sink it happens to
+    hold rows for, producing tasks × sinks tiny files at scale. With it,
+    each sink's rows land in `files_per_sink` salt buckets → bounded file
+    counts regardless of upstream parallelism; hot sinks raise
+    files_per_sink instead of skewing one writer."""
     spark = df.sparkSession
     use_iceberg = fmt == "iceberg" or (fmt is None and _iceberg_available(spark))
     # images is an internal array<struct>; sinks carry the flat record
     out = df.drop("images")
+    salt = F.pmod(F.hash(F.col("conv_id")), F.lit(max(files_per_sink, 1)))
+    out = out.repartition(*[F.col(k) for k in SINK_KEYS], salt)
     if use_iceberg:
         (
             out.writeTo(path_or_table)

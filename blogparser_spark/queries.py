@@ -514,6 +514,36 @@ def conv_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "turn_window_features",
+    """
+    SELECT user_id, event_id,
+      row_number() OVER w AS turn_no,
+      lag(event_type) OVER w AS prev_type,
+      lead(event_type) OVER w AS next_type,
+      round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING), 6) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def turn_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full stable-ordered window family over conversations (north-star
+    turn features): row_number, lag, lead, running sum — one shuffle on the
+    conv key, every function sharing the same window frame."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("turn_no"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(F.sum("value").over(run), 6).alias("running_value"),
+    )
+
+
+@_q(
     "top2_per_group",
     """
     SELECT event_type, rank, event_id, round(value, 6) AS value
