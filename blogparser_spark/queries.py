@@ -1055,6 +1055,105 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "stopword_ratio", "alpha_ratio", "quality")
 
 
+@_q(
+    "pii_mask",
+    """
+    WITH p AS (
+      SELECT doc_id,
+        'contact user' || doc_id || '@example.com or 192.168.' || (doc_id % 256) ||
+        '.1 tel +1 555-010-' || (1000 + doc_id % 9000) || ' ' || substring(text, 1, 40) AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+      len(regexp_extract_all(payload, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(payload, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+        '\\+?\\d[\\d\\- ]{7,14}\\d', '<PHONE>', 'g') AS masked
+    FROM p
+    """,
+)
+def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus PII scrub: emails / IPv4 / phone-like spans replaced
+    by typed placeholders, with an audit count, in one codegen pass."""
+    from blogparser_spark.dataops.scrub import EMAIL_RE, mask_pii
+
+    d = _docs(spark, sf_dir)
+    payload = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or 192.168."),
+        (F.col("doc_id") % 256),
+        F.lit(".1 tel +1 555-010-"),
+        (F.lit(1000) + F.col("doc_id") % 9000),
+        F.lit(" "),
+        F.substring("text", 1, 40),
+    )
+    return d.select("doc_id", payload.alias("payload")).select(
+        "doc_id",
+        F.regexp_count("payload", F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        mask_pii(F.col("payload")).alias("masked"),
+    )
+
+
+@_q(
+    "bm25_weighted",
+    """
+    WITH sent AS (
+      SELECT source AS doc, doc_id AS sent_idx, text AS sentence, length(text) AS sent_len
+      FROM documents
+    ), toks AS (
+      SELECT doc, sent_idx, sent_len, unnest(list_filter(string_split(lower(sentence), ' '), x -> x != '')) AS term
+      FROM sent
+    ), wt AS (
+      SELECT t.*, coalesce(w.weight, 1.0) AS weight
+      FROM toks t LEFT JOIN (VALUES ('table', 2.0), ('data', 1.5), ('key', 0.5))
+        AS w(term, weight) ON t.term = w.term
+    ), tf AS (
+      SELECT doc, sent_idx, sent_len, term, weight, count(*) AS tf
+      FROM wt GROUP BY doc, sent_idx, sent_len, term, weight
+    ), dft AS (
+      SELECT doc, term, count(DISTINCT sent_idx) AS df FROM tf GROUP BY doc, term
+    ), stats AS (
+      SELECT doc, count(*) AS n_sents, avg(sent_len) AS avg_len FROM sent GROUP BY doc
+    ), scored AS (
+      SELECT tf.doc, tf.sent_idx,
+        sum(greatest(0.0, ln((stats.n_sents - dft.df + 0.5) / (dft.df + 0.5)))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.sent_len / stats.avg_len))
+            * tf.weight * tf.tf) AS score
+      FROM tf JOIN dft ON tf.doc = dft.doc AND tf.term = dft.term
+              JOIN stats ON tf.doc = stats.doc
+      GROUP BY tf.doc, tf.sent_idx
+    )
+    SELECT doc, rank, sent_idx, round(score, 4) AS score FROM (
+      SELECT doc, sent_idx, score,
+        row_number() OVER (PARTITION BY doc ORDER BY round(score, 6) DESC, sent_idx) AS rank
+      FROM scored
+    ) WHERE rank <= 2
+    """,
+)
+def bm25_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 getWordWeight as a BROADCAST dim join (the reference's only
+    lookup-enrich, parser/summary.go:227-241) feeding the BM25 rollup."""
+    d = _docs(spark, sf_dir)
+    sent = d.select(
+        F.col("source").alias("doc"),
+        F.col("doc_id").alias("sent_idx"),
+        F.col("text").alias("sentence"),
+    )
+    dim = spark.createDataFrame(
+        [("table", 2.0), ("data", 1.5), ("key", 0.5)], "term string, weight double"
+    )
+    scored = summary_bm25.bm25_sentence_scores(sent, weights_dim=dim)
+    w = Window.partitionBy("doc").orderBy(F.desc(F.round("score", 6)), F.asc("sent_idx"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("doc", "rank", "sent_idx", F.round("score", 4).alias("score"))
+    )
+
+
 # ===========================================================================
 # Flagship pipeline (no SQL oracle — pandas-UDF parse; rows-only check)
 # ===========================================================================

@@ -174,6 +174,23 @@ def test_quality_and_fingerprint(docs):
     assert fp[0] != fp[2]
 
 
+def test_pii_scrub(spark):
+    from blogparser_spark.dataops.scrub import with_pii_masked
+
+    rows = [
+        (0, "mail me at a.b+c@ex-ample.org thanks"),
+        (1, "server 10.0.255.3 port open, call +1 555-123-4567 now"),
+        (2, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_pii_masked(df).collect()}
+    assert out[0]["n_emails"] == 1 and "<EMAIL>" in out[0]["text_masked"]
+    assert "a.b+c@ex-ample.org" not in out[0]["text_masked"]
+    assert out[1]["n_ips"] == 1
+    assert "<IP>" in out[1]["text_masked"] and "<PHONE>" in out[1]["text_masked"]
+    assert out[2]["text_masked"] == "no pii here at all"
+
+
 # ------------------------------------------------------------- multimodal ---
 
 
