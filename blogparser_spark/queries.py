@@ -28,12 +28,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+def _prepare(spark: SparkSession) -> SparkSession:
+    """Pin the runtime-settable confs this package's semantics assume, for
+    callers that hand us their own session (the driver does): ANSI off so a
+    malformed date is a NULL rather than an exception (the reference's
+    zero-value contract, parser/parser.go:131-134), UTC so timestamp
+    rendering matches the DuckDB oracles, Arrow on for the pandas UDFs.
+    Also ships the package zip to executor workers (addPyFile) in case the
+    session's JVM was launched without this repo on PYTHONPATH."""
+    from blogparser_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    for k, v in (
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # read-only in some deployments; defaults then apply
+    return spark
+
+
 def _q(name: str, sql: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(_prepare(spark), sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLE_SQL[name] = sql
-        return fn
+        return wrapped
 
     return deco
 
