@@ -277,6 +277,90 @@ def simhash_df(
     return votes.select(F.col(id_col), sh.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Cluster candidate near-duplicate pairs into components by iterative
+    minimum-label propagation: every node repeatedly adopts the smallest id
+    reachable over one hop until no label changes.
+
+    Dedup semantics need CLUSTERS, not pairs — keep min(id) per component,
+    drop the rest. Iterations are driver-side (genuinely iterative, not
+    SQL-expressible in one query); each round is one shuffle join, the frame
+    is localCheckpoint()ed to truncate lineage so round k doesn't replay
+    rounds 1..k-1, and convergence needs O(log(diameter)) rounds because
+    labels hop through the current minimum, not just direct edges.
+    Returns (node, component) with component = min id of the cluster."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # candidate label for each node: min over neighbors' current labels
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """End-to-end near-dup dedup decision: MinHash-LSH candidate buckets →
+    pairs → connected components → (doc_id, component, keep). keep is true
+    for the component's minimum id (the deterministic survivor)."""
+    buckets = minhash_lsh_candidates(df, text_col, id_col)
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ids") - 2),
+                    lambda i: F.struct(
+                        F.element_at("ids", (i + 1).cast("int")).alias("id_a"),
+                        F.element_at("ids", (i + 2).cast("int")).alias("id_b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("node").alias(id_col),
+        "component",
+        (F.col("node") == F.col("component")).alias("keep"),
+    )
+
+
 def simhash_band_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -676,20 +676,22 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-aggregatable hash rollup with filter pushdown (the classic
-    pricing-summary shape) — decimal sums for exact cross-engine equality."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_price"),
-            F.count("*").alias("n"),
-        )
+    pricing-summary shape) — decimal sums for exact cross-engine equality.
+    Expressed through spark.sql() over a temp view: the SQL front-end and
+    the DataFrame API land on the same Catalyst plan."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          count(*) AS n
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
     )
 
 
@@ -1238,6 +1240,15 @@ def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.make_interval(secs=F.col("doc_id") * 30)
         ).alias("ts"),
     )
+
+
+@_q("near_dup_clusters")  # no oracle: iterative label propagation
+def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH buckets → pairs → connected components → survivor flags.
+    Genuinely iterative (driver-side fixpoint loop with lineage
+    checkpointing) — the documented non-SQL-expressible query class; the
+    driver records a rows-only check."""
+    return dedup.near_dup_clusters(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 @_q("pipeline_sink_counts")  # no oracle: pandas-UDF parse stage

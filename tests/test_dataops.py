@@ -174,6 +174,25 @@ def test_quality_and_fingerprint(docs):
     assert fp[0] != fp[2]
 
 
+def test_connected_components_chain(spark):
+    from blogparser_spark.dataops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4)], "id_a long, id_b long"
+    )
+    comps = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_clusters_end_to_end(docs, spark):
+    from blogparser_spark.dataops.dedup import near_dup_clusters
+
+    out = {r["doc_id"]: r for r in near_dup_clusters(docs).collect()}
+    # docs 0/1 are exact dups → same component; survivor = min id
+    assert out[0]["component"] == out[1]["component"]
+    assert out[0]["keep"] is True and out[1]["keep"] is False
+
+
 def test_pii_scrub(spark):
     from blogparser_spark.dataops.scrub import with_pii_masked
 
