@@ -13,7 +13,15 @@ sys.path.insert(0, str(REPO))
 def spark():
     from blogparser_spark.session import get_spark
 
-    s = get_spark(master="local[4]", app_name="blogparser-tests", shuffle_partitions=4)
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="spark-wh-")
+    s = get_spark(
+        master="local[4]",
+        app_name="blogparser-tests",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
     s.stop()
 
