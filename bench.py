@@ -19,7 +19,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-TURNS_PER_DOC = int(os.environ.get("SPARK_GRAFT_TURNS_PER_DOC", "20"))
+# 100 turns/doc → 500k turns at sf0.1: enough work that the pipeline timing
+# measures throughput rather than the ~5s constant of planning + codegen
+TURNS_PER_DOC = int(os.environ.get("SPARK_GRAFT_TURNS_PER_DOC", "100"))
 
 
 def build_transcripts(spark, sf_dir: str):
