@@ -68,6 +68,14 @@ def ascii_ratio(col: Column) -> Column:
     return ascii_len / F.greatest(F.length(col), F.lit(1))
 
 
+def _let(bound: Column, body) -> Column:
+    """Let-binding (see dataops/dedup.py): evaluate `bound` once per row,
+    reference it as a lambda variable — a subtree referenced k times would
+    otherwise be duplicated k× in the generated code (whole-stage codegen
+    compile measured ~50s cold for the naive langid+quality composition)."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def lang_scores(col: Column) -> dict[str, Column]:
     """Distinct-token overlap with each language's marker set."""
     toks = F.array_distinct(tokens(F.lower(col)))
@@ -82,19 +90,28 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     with ties broken alphabetically ascending (no markers → 'und').
 
     The argmax is a greatest() over (score, priority, lang) structs —
-    lexicographic struct ordering gives the deterministic tie-break natively."""
+    lexicographic struct ordering gives the deterministic tie-break natively.
+    The distinct-token array is let-bound so it appears once, not once per
+    language, in the generated code."""
     c = F.col(text_col)
-    scores = lang_scores(c)
-    langs = sorted(scores)  # alphabetical; earlier lang wins ties
-    structs = [
-        F.struct(
-            scores[lang].alias("s"),
-            F.lit(len(langs) - 1 - i).alias("prio"),
-            F.lit(lang).alias("lang"),
-        )
-        for i, lang in enumerate(langs)
-    ]
-    best = F.greatest(*structs)
+    langs = sorted(LANG_MARKERS)  # alphabetical; earlier lang wins ties
+
+    def best_of(toks: Column) -> Column:
+        structs = [
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        toks, F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+                    )
+                ).alias("s"),
+                F.lit(len(langs) - 1 - i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+        return F.greatest(*structs)
+
+    best = _let(F.array_distinct(tokens(F.lower(c))), best_of)
     pred = (
         F.when(ascii_ratio(c) < 0.5, F.lit("zh"))
         .when(best["s"] <= 0, F.lit("und"))
@@ -107,19 +124,33 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality features + a composite score in [0,1]:
     length band, stopword presence, alpha ratio, mean token length band.
     The score is a filter key — a training pipeline drops quality < cutoff;
-    expressed natively so the filter pushes into the scan."""
+    expressed natively so the filter pushes into the scan. All token-derived
+    quantities come out of ONE let-bound struct so the split/filter subtree
+    appears once in the generated code."""
     c = F.col(text_col)
-    toks = tokens(F.lower(c))
-    n = F.greatest(F.size(toks), F.lit(1))
     all_markers = sorted({w for ws in LANG_MARKERS.values() for w in ws})
-    stop_ratio = F.size(
-        F.filter(toks, lambda t: t.isin(*all_markers))
-    ) / n
+
+    feats = _let(
+        tokens(F.lower(c)),
+        lambda toks: F.struct(
+            F.greatest(F.size(toks), F.lit(1)).alias("n"),
+            F.size(F.filter(toks, lambda t: t.isin(*all_markers))).alias("n_stop"),
+            F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)).alias(
+                "tok_len_sum"
+            ),
+        ),
+    )
+    return _with_quality_from(df, c, feats)
+
+
+def _with_quality_from(df: DataFrame, c: Column, feats: Column) -> DataFrame:
+    n = feats["n"]
+    stop_ratio = feats["n_stop"] / n
     alpha_ratio = F.length(F.regexp_replace(c, r"[^A-Za-zÀ-ɏ一-鿿]", "")) / F.greatest(
         F.length(c), F.lit(1)
     )
     len_band = F.when((F.length(c) >= 50) & (F.length(c) <= 10000), 1.0).otherwise(0.3)
-    mean_tok = F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / n
+    mean_tok = feats["tok_len_sum"] / n
     tok_band = F.when((mean_tok >= 2.0) & (mean_tok <= 12.0), 1.0).otherwise(0.4)
     score = F.round(
         0.3 * len_band

@@ -1,0 +1,74 @@
+import sys; sys.path.insert(0, "/root/repo")
+from blogparser_spark.session import get_spark
+from blogparser_spark.sources.synthetic import transcripts_df
+from blogparser_spark.operators.parse import parse_stage
+from blogparser_spark.operators.enrich import enrich
+from blogparser_spark.operators.route import write_routed, with_sink_id
+from blogparser_spark.operators.aggregate import sink_counts
+
+spark = get_spark(master="local[4]", shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+df = transcripts_df(spark, n_convs=40, turns_per_conv=6)
+enriched = enrich(parse_stage(df))
+write_routed(with_sink_id(enriched), "/tmp/drive/routed")
+sink_counts(enriched).show(50)
+
+# new modules end-to-end on testdata
+import __spark_entry__ as E
+print("entry rows:", E.entry(spark).count())
+from blogparser_spark.dataops.dedup import with_simhash, minhash_lsh_candidates
+from blogparser_spark.dataops.textstats import with_langid, with_quality
+from blogparser_spark.dataops.similarity import brute_force_topk, ivf_topk
+from blogparser_spark.operators.summary_bm25 import bm25_summary
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+print("simhash:", with_simhash(docs).select("simhash").limit(3).collect())
+print("lsh buckets:", minhash_lsh_candidates(docs).count())
+print("langid+quality:", with_quality(with_langid(docs)).select("lang","lang_pred","quality").limit(3).collect())
+print("bf topk:", brute_force_topk(emb, 3, 3).count(), "ivf topk:", ivf_topk(emb, 3, 3).count())
+print("bm25 summary:", bm25_summary(docs.selectExpr("source","text"), "source", "text", delim=" table ").count())
+print("DRIVE OK")
+
+# checkpoint + job + streaming + multimodal surfaces
+import tempfile, os
+from blogparser_spark.job import transform
+from blogparser_spark.operators.checkpoint import run_sliced, completed_slices
+from blogparser_spark.streaming.pipeline import run_available_now
+from blogparser_spark.dataops.multimodal import documents_as_media, decode_features
+with tempfile.TemporaryDirectory() as td:
+    inp = os.path.join(td, "in"); out = os.path.join(td, "out")
+    transcripts_df(spark, n_convs=10, turns_per_conv=3).write.parquet(inp)
+    ms = run_sliced(spark, inp, out, transform, n_slices=2)
+    print("slices:", completed_slices(out), "rows:", sum(m.rows_in for m in ms))
+    sout, sck = os.path.join(td, "sout"), os.path.join(td, "sck")
+    run_available_now(spark, inp, sout, sck)
+    print("stream rows:", spark.read.parquet(sout).count())
+print("media feats:", decode_features(documents_as_media(docs)).count())
+print("DRIVE2 OK")
+
+from blogparser_spark.dataops.scrub import with_pii_masked
+print("scrub:", with_pii_masked(docs).filter("n_emails >= 0").count())
+print("DRIVE3 OK")
+
+from blogparser_spark.streaming.stateful import run_profiles_available_now
+with tempfile.TemporaryDirectory() as td:
+    inp2 = os.path.join(td, "in")
+    transcripts_df(spark, n_convs=6, turns_per_conv=3).write.parquet(inp2)
+    prof = run_profiles_available_now(spark, inp2, os.path.join(td, "o"), os.path.join(td, "c"))
+    print("profiles:", prof.count())
+print("DRIVE4 OK")
+
+from blogparser_spark.dataops.dedup import near_dup_clusters
+print("near-dup clusters:", near_dup_clusters(docs).count())
+print("DRIVE5 OK")
+
+from blogparser_spark.operators.storage import write_bucketed, bucketed_join
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+import shutil; shutil.rmtree("/tmp/drive/spark-warehouse", ignore_errors=True)
+spark.sql("DROP TABLE IF EXISTS t_b"); spark.sql("DROP TABLE IF EXISTS s_b")
+write_bucketed(df.select("conv_id","turn_idx","role"), "t_b", n_buckets=4)
+write_bucketed(df.groupBy("conv_id").count(), "s_b", n_buckets=4, sort_col=None)
+jb = bucketed_join(spark, "t_b", "s_b", "conv_id")
+pl = jb._jdf.queryExecution().executedPlan().toString()
+print("bucketed join rows:", jb.count(), "no-exchange:", "Exchange" not in pl)
+print("DRIVE6 OK")
