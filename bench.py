@@ -84,6 +84,17 @@ def build_transcripts(spark, sf_dir: str):
     )
 
 
+def _quiesce(spark) -> None:
+    """Collect the previous query's JVM garbage before timing the next one —
+    the 500k-turn pipeline job otherwise taxes the following query with its
+    full-GC debt (measured 7s→48s on the query after it)."""
+    try:
+        spark._jvm.System.gc()  # noqa: SLF001
+        time.sleep(0.5)
+    except Exception:
+        pass
+
+
 def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     from pyspark.sql import functions as F
 
@@ -107,6 +118,7 @@ def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], int]:
         """First run pays one-off whole-stage-codegen compile + JIT + python
         worker startup (recorded as cold); steady-state = min of three runs —
         the number a long job sees per unit of work, robust to GC noise."""
+        _quiesce(spark)
         t0 = time.time()
         thunk()
         cold[name] = round(time.time() - t0, 3)
