@@ -1242,6 +1242,43 @@ def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "top_terms_per_source",
+    """
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT source, term, count(*)::BIGINT AS n FROM tok GROUP BY source, term
+    )
+    SELECT source, rank, term, n FROM (
+      SELECT source, term, n,
+        row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rank
+      FROM counts
+    ) WHERE rank <= 5
+    """,
+)
+def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters per corpus slice: explode → hash-count (map-side
+    partial) → per-group top-k window. The term count shuffle is bounded by
+    distinct (source, term), not token volume."""
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(
+            "source",
+            F.explode(textstats.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "rank", "term", "n")
+    )
+
+
 @_q("near_dup_clusters")  # no oracle: iterative label propagation
 def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH buckets → pairs → connected components → survivor flags.
