@@ -95,7 +95,9 @@ def _quiesce(spark) -> None:
         pass
 
 
-def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], int]:
+def run_headline(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, float], int]:
     from pyspark.sql import functions as F
 
     from blogparser_spark.dataops.dedup import minhash_lsh_candidates
@@ -114,16 +116,19 @@ def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
 
-    def bench(name, thunk):
+    def bench(name, thunk, reps=2):
         """First run pays one-off whole-stage-codegen compile + JIT + python
-        worker startup (recorded as cold); steady-state = min of three runs —
-        the number a long job sees per unit of work, robust to GC noise."""
+        worker startup (recorded as cold); steady-state = min of the repeat
+        runs — the number a long job sees per unit of work. Quiesce BETWEEN
+        runs too: each fresh plan leaves its run's allocation debt behind,
+        and min-of-N should measure the plan, not the previous run's GC."""
         _quiesce(spark)
         t0 = time.time()
         thunk()
         cold[name] = round(time.time() - t0, 3)
         best = cold[name]
-        for _ in range(2):
+        for _ in range(reps):
+            _quiesce(spark)
             t0 = time.time()
             thunk()
             best = min(best, time.time() - t0)
@@ -135,6 +140,7 @@ def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     bench(
         "q_pipeline",
         lambda: sink_counts(enrich(parse_stage(build_transcripts(spark, sf_dir)))).collect(),
+        reps=3,  # JIT on the 500k-turn plan keeps improving through run ~3
     )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench(
