@@ -55,8 +55,10 @@ TITLE_META_NAME_B = re.compile(
     r"<meta[^>]*content=[\"']([^\"']*)[\"'][^>]*name=[\"']title[\"']", re.I
 )
 
-# cleanTitle (parser/title.go:76-87)
-SITE_NAME_SUFFIX = "| 心理カウンセラー・中井亜紀『成長の記録』"
+# cleanTitle (parser/title.go:76-87); cleanTag deletes the BARE site name
+# (tag.go:118), cleanTitle the " | "-prefixed form (title.go:84)
+SITE_NAME = "心理カウンセラー・中井亜紀『成長の記録』"
+SITE_NAME_SUFFIX = " | " + SITE_NAME
 WS_RUN = re.compile(r"\s+")
 # isValidTitle (parser/title.go:90-109): no <>, no control chars except \t\n\r
 CONTROL_CHARS = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
@@ -117,78 +119,273 @@ CONTENT_PATTERNS: list[tuple[str, re.Pattern[str]]] = [
 MIN_CONTENT_BYTES = 100  # content.go:146 — bytes, not runes
 
 # --------------------------------------------------------------------------
+# CSS-selector mini-engine.
+# goquery runs real CSS selectors over a DOM; here each selector compiles to
+# a (literal needle, extractor) pair: the needle is a cheap lowercase
+# containment prefilter (necessary, not sufficient), the extractor a regex
+# chain approximating the selector over raw markup. Class tokens match
+# exactly and case-sensitively (cascadia semantics); tag/attribute NAMES
+# match case-insensitively. Nested same-name containers are the documented
+# deviation (module docstring).
+# --------------------------------------------------------------------------
+
+_TAGNAME = r"[a-zA-Z][a-zA-Z0-9]*"
+
+
+def _class_attr(cls: str) -> str:
+    """class attribute containing the exact token `cls`."""
+    return (
+        r"(?i:class)\s*=\s*[\"'](?:[^\"']*\s)?" + re.escape(cls) + r"(?:\s[^\"']*)?[\"']"
+    )
+
+
+def _attr_eq(name: str, value: str) -> str:
+    return "(?i:" + re.escape(name) + r")\s*=\s*[\"']" + re.escape(value) + r"[\"']"
+
+
+def _attr_contains(name: str, sub: str) -> str:
+    return (
+        "(?i:" + re.escape(name) + r")\s*=\s*[\"'][^\"']*" + re.escape(sub) + r"[^\"']*[\"']"
+    )
+
+
+def _el_re(attr: str | None = None, tag: str | None = None) -> re.Pattern[str]:
+    """<tag ...attr...>inner</tag> — captures (tagname, inner); lazy inner
+    with a backreferenced close tag."""
+    t = "(?i:" + (tag or _TAGNAME) + ")"
+    mid = (r"[^>]*" + attr) if attr else ""
+    return re.compile("<(" + t + r")\b" + mid + r"[^>]*>([\s\S]*?)</\1\s*>")
+
+
+def _texts(pat: re.Pattern[str]):
+    """goquery .Text() analog: inner markup stripped, untrimmed (callers
+    apply TrimSpace / cleanTag per the Go call sites)."""
+
+    def ex(text: str) -> list[str]:
+        return [STRIP_TAGS.sub("", inner) for _t, inner in pat.findall(text)]
+
+    return ex
+
+
+def _descend(container: re.Pattern[str], inner_ex):
+    """Descendant combinator: run inner_ex inside each container block —
+    document order is preserved (containers don't nest in the fixtures)."""
+
+    def ex(text: str) -> list[str]:
+        out: list[str] = []
+        for _t, inner in container.findall(text):
+            out.extend(inner_ex(inner))
+        return out
+
+    return ex
+
+
+def _sel(cls: str | None = None, tag: str | None = None, attr: str | None = None):
+    """Element text: `.cls` / `tag.cls` / `tag[attr]` / `[attr]`."""
+    return _texts(_el_re(_class_attr(cls) if cls else attr, tag))
+
+
+def _sel_in(
+    cls: str | None = None,
+    tag: str | None = None,
+    attr: str | None = None,
+    inner_tag: str = "a",
+    inner_attr: str | None = None,
+):
+    """Descendant text: `.cls a` and friends."""
+    return _descend(
+        _el_re(_class_attr(cls) if cls else attr, tag),
+        _texts(_el_re(inner_attr, inner_tag)),
+    )
+
+
+# --------------------------------------------------------------------------
 # CleanContent (parser/clean_content.go:13-48)
 # --------------------------------------------------------------------------
 
-HTML_COMMENT = re.compile(r"<!--[\s\S]*?-->")
+HTML_COMMENT = re.compile(r"<!--[\s\S]*?-->")  # regexPatterns, clean_content.go:42-47
 RANK_MARKER = re.compile(r"[１-９一二三四五六七八九十]位：")
-# removeTags bank (clean_content.go:13-25): script/style/iframe + ad/SNS classes
+# removeTags bank (clean_content.go:13-25): global removals
 BLOCK_TAGS = re.compile(r"<(script|style|iframe)\b[^>]*>[\s\S]*?</\1>", re.I)
-AD_CLASSES = (
+GLOBAL_REMOVE_PATTERNS: tuple[re.Pattern[str], ...] = (
+    _el_re(_class_attr("google-auto-placed")),  # .google-auto-placed
+    _el_re(_class_attr("article-tags"), "dl"),  # dl.article-tags
+    _el_re(_class_attr("blogroll1"), "div"),  # div.blogroll1
+    _el_re(_class_attr("rss2-title"), "div"),  # div.rss2-title
+    _el_re(_attr_contains("href", "newresu1.blog.fc2.com"), "a"),
+    _el_re(_class_attr("ad-entry-bottom"), "div"),  # div.ad-entry-bottom
+    _el_re(_class_attr("POST_TAIL"), "div"),  # div.POST_TAIL
+    # hr[style*='191970'] — void element, no close tag
+    re.compile(r"<(?i:hr)\b[^>]*" + _attr_contains("style", "191970") + r"[^>]*/?>"),
+    # void/self-closing form of the class removal (html parsers treat
+    # <ins .../> as an element; the regex model must delete the tag itself)
+    re.compile(r"<" + _TAGNAME + r"\b[^>]*" + _class_attr("google-auto-placed") + r"[^>]*/>"),
+)
+# ameblo-scoped removals (clean_content.go:28-39): ONLY inside
+# .skin-entryBody / .skin-entryBody2 containers
+AMEBLO_SCOPE_RE = re.compile(
+    "<(" + _TAGNAME + r")\b[^>]*"
+    r"(?i:class)\s*=\s*[\"'](?:[^\"']*\s)?skin-entryBody2?(?:\s[^\"']*)?[\"']"
+    r"[^>]*>([\s\S]*?)</\1\s*>"
+)
+AMEBLO_AD_CLASSES = (
     "google-auto-placed",
     "adsbygoogle",
     "blogroll-ad",
     "social-btn",
     "share-btn",
     "twitter-share-button",
-    "sns-share",
-    "ad-area",
 )
-AD_ELEMENT = re.compile(
-    r"<([a-z]+)[^>]*class=[\"'][^\"']*(?:" + "|".join(AD_CLASSES) + r")[^\"']*[\"'][^>]*>[\s\S]*?</\1>",
-    re.I,
+_AMEBLO_CLS = r"(?:[^\"']*\s)?(?:" + "|".join(AMEBLO_AD_CLASSES) + r")(?:\s[^\"']*)?"
+AMEBLO_AD_ELEMENT = re.compile(
+    "<(" + _TAGNAME + r")\b[^>]*(?i:class)\s*=\s*[\"']" + _AMEBLO_CLS + r"[\"'][^>]*>[\s\S]*?</\1\s*>"
 )
-# self-closing / void ad elements (e.g. <ins class="adsbygoogle"/>)
-AD_VOID = re.compile(
-    r"<[a-z]+[^>]*class=[\"'][^\"']*(?:" + "|".join(AD_CLASSES) + r")[^\"']*[\"'][^>]*/?>",
-    re.I,
+AMEBLO_AD_VOID = re.compile(
+    "<" + _TAGNAME + r"\b[^>]*(?i:class)\s*=\s*[\"']" + _AMEBLO_CLS + r"[\"'][^>]*/?>"
 )
 
+
+def scrub_ameblo_inner(inner: str) -> str:
+    """The child-selector Remove() pass applied to one container's inner
+    HTML (clean_content.go:70-77)."""
+    s = AMEBLO_AD_ELEMENT.sub("", inner)
+    return AMEBLO_AD_VOID.sub("", s)
+
+
+def scrub_ameblo_container(m: re.Match[str]) -> str:
+    """re.sub callable for AMEBLO_SCOPE_RE: scrub the inner span, keep the
+    container tags byte-identical."""
+    full, s0 = m.group(0), m.start(0)
+    a, b = m.start(2) - s0, m.end(2) - s0
+    return full[:a] + scrub_ameblo_inner(full[a:b]) + full[b:]
+
+
 # --------------------------------------------------------------------------
-# Categories (parser/category.go:18-111) — first non-empty bank wins
+# Categories (parser/category.go:18-111) — first non-empty STAGE wins; within
+# stage 1 all 22 selectors accumulate in selector order with order-preserving
+# dedup (category.go:56-66)
 # --------------------------------------------------------------------------
 
-CATEGORY_SELECTOR_PATTERNS: list[re.Pattern[str]] = [
-    re.compile(
-        r"<[a-z]+[^>]*class=[\"'][^\"']*(?:skin-categoryLink|entry-category|category-link|categoryLink|crumb-category)[^\"']*[\"'][^>]*>([^<]*)<",
-        re.I,
+CATEGORY_SELECTOR_BANKS: list[tuple[str, object]] = [
+    ("skin-categorylabel", _sel(cls="skin-categoryLabel")),  # .skin-categoryLabel
+    ("data-uranus-component", _sel(attr=_attr_eq("data-uranus-component", "theme"))),
+    ("skin-entrythemes", _sel_in(cls="skin-entryThemes")),  # .skin-entryThemes a
+    ("skin-categorytag", _sel(cls="skin-categoryTag")),  # .skin-categoryTag
+    (
+        "data-analytics-index-name",  # [data-analytics-index-name='theme'] span
+        _sel_in(attr=_attr_eq("data-analytics-index-name", "theme"), inner_tag="span"),
     ),
+    ("theme", _sel_in(cls="theme", tag="div")),  # div.theme a
+    ("skintheme", _sel(cls="skinTheme")),  # .skinTheme
+    ("theme", _sel_in(cls="theme", tag="li")),  # li.theme a
+    ("subheader-theme", _sel(cls="subHeader-theme")),  # .subHeader-theme
+    ("theme-link", _sel(cls="theme-link", tag="a")),  # a.theme-link
+    ("article-category1", _sel(cls="article-category1", tag="dd")),  # livedoor
+    ("article-category2", _sel(cls="article-category2", tag="dd")),
+    (
+        "post_tail",  # .POST_TAIL .TIME a[href*="/i"] (excite)
+        _descend(
+            _el_re(_class_attr("POST_TAIL")),
+            _descend(
+                _el_re(_class_attr("TIME")),
+                _texts(_el_re(_attr_contains("href", "/i"), "a")),
+            ),
+        ),
+    ),
+    ("articletheme", _sel(cls="articleTheme")),  # .articleTheme
+    ("rel", _sel(attr=_attr_eq("rel", "category"), tag="a")),  # a[rel='category']
+    ("category", _sel_in(cls="category")),  # .category a
+    ("cat-links", _sel_in(cls="cat-links")),  # .cat-links a
+    ("entry-categories", _sel_in(cls="entry-categories")),  # .entry-categories a
+    ("post-categories", _sel_in(cls="post-categories")),  # .post-categories a
+    ("articlesection", _sel(attr=_attr_eq("itemprop", "articleSection"))),
+    ("tags", _sel_in(cls="tags")),  # .tags a (no category/tag distinction)
+    ("rel", _sel(attr=_attr_eq("rel", "category tag"), tag="a")),  # a[rel='category tag']
 ]
-# stage 2: ld_blog_vars categories block (category.go:74) — block then names
-CATEGORY_LD_BLOCK = re.compile(r"categories\s*:\s*\[([^\]]*)\]")
-CATEGORY_LD_NAME = re.compile(r"name\s*:\s*'([^']*)'")
+# stage 2: ld_blog_vars categories — the reference regex captures the FIRST
+# name per `categories : [ {` block (category.go:74, FindAllStringSubmatch)
+CATEGORY_LD_FIRSTNAME = re.compile(
+    r"categories\s*:\s*\[\s*\{\s*[^}]*?name\s*:\s*'([^']*)'"
+)
 # stage 3: meta article:section
 CATEGORY_META_SECTION = re.compile(
     r"<meta[^>]*property=[\"']article:section[\"'][^>]*content=[\"']([^\"']*)[\"']", re.I
 )
 # stage 4: .category element text
-CATEGORY_CLASS = re.compile(
-    r"<[a-z]+[^>]*class=[\"']category[\"'][^>]*>([^<]*)<", re.I
-)
+CATEGORY_CLASS_TEXT = _sel(cls="category")
 # cleanCategory prefixes (category.go:114-141)
 CATEGORY_PREFIXES = ("テーマ：", "テーマ:", "Theme：", "Theme:")
+
+# vectorized prefilter: a row can only yield categories if one of these
+# literals appears in its lowercase text (necessary, not sufficient)
+CATEGORY_NEEDLES = tuple(
+    sorted({n for n, _ in CATEGORY_SELECTOR_BANKS} | {"ld_blog_vars", "article:section"})
+)
+CATEGORY_ANY_RE = "|".join(re.escape(n) for n in CATEGORY_NEEDLES)
 
 # --------------------------------------------------------------------------
 # Tags (parser/tag.go:17-110) — ALL banks accumulate (union), dedup preserves
 # first occurrence (tag.go:59,77,90,102 / category.go:166-168)
 # --------------------------------------------------------------------------
 
-TAG_SELECTOR_PATTERNS: list[re.Pattern[str]] = [
-    re.compile(
-        r"<[a-z]+[^>]*class=[\"'][^\"']*(?:hashtag-module__item__text|tag-link|entry-tag\b|post-tag\b|tagLink)[^\"']*[\"'][^>]*>([^<]*)<",
-        re.I,
+TAG_SELECTOR_BANKS: list[tuple[str, object]] = [
+    ("skin-taglabel", _sel(cls="skin-tagLabel")),  # .skin-tagLabel
+    ("skin-entrytags", _sel_in(cls="skin-entryTags")),  # .skin-entryTags a
+    ("skin-tag", _sel(cls="skin-tag")),  # .skin-tag
+    ("tag", _sel_in(cls="tag")),  # .tag a
+    ("tags", _sel_in(cls="tags")),  # .tags a
+    ("entry-tags", _sel_in(cls="entry-tags")),  # .entry-tags a
+    ("post-tags", _sel_in(cls="post-tags")),  # .post-tags a
+    ("blog-tags", _sel_in(cls="blog-tags")),  # .blog-tags a
+    ("article-tags", _sel_in(cls="article-tags")),  # .article-tags a
+    ("taglist", _sel_in(cls="taglist")),  # .taglist a
+    ("entrytag", _sel_in(cls="entryTag")),  # .entryTag a
+    ("entry_tag", _sel_in(cls="entry_tag")),  # .entry_tag a
+    ("blogtag", _sel_in(cls="blogTag")),  # .blogTag a
+    ("blog_tag", _sel_in(cls="blog_tag")),  # .blog_tag a
+    ("label", _sel_in(cls="label")),  # .label a
+    ("labels", _sel_in(cls="labels")),  # .labels a
+    ("post-labels", _sel_in(cls="post-labels")),  # .post-labels a
+    ("post_label", _sel_in(cls="post_label")),  # .post_label a
+    ("entry-labels", _sel_in(cls="entry-labels")),  # .entry-labels a
+    ("entry_label", _sel_in(cls="entry_label")),  # .entry_label a
+    ("tagcloud", _sel_in(cls="tagcloud")),  # .tagcloud a
+    ("tagcloud", _sel_in(cls="tagCloud")),  # .tagCloud a
+    ("tag-list", _sel_in(cls="tag-list")),  # .tag-list a
+    ("taglist", _sel_in(cls="tagList")),  # .tagList a
+    ("tag_links", _sel_in(cls="tag_links")),  # .tag_links a
+    ("taglinks", _sel_in(cls="tagLinks")),  # .tagLinks a
+    (
+        "tag",  # .tag a[rel='tag']
+        _descend(
+            _el_re(_class_attr("tag")), _texts(_el_re(_attr_eq("rel", "tag"), "a"))
+        ),
     ),
+    ("hashtag-module__item__text", _sel(cls="hashtag-module__item__text")),
 ]
 TAG_LD_BLOCK = re.compile(r"tags\s*:\s*\[([^\]]*)\]")  # tag.go:69
 TAG_LD_ITEM = re.compile(r"'([^']*)'")  # tag.go:72
 TAG_META_KEYWORDS = re.compile(
     r"<meta[^>]*name=[\"']keywords[\"'][^>]*content=[\"']([^\"']*)[\"']", re.I
 )
-TAG_CLASS = re.compile(
-    r"<[a-z]+[^>]*class=[\"'](?:tag|tags|entry-tags|post-tags)[\"'][^>]*>([^<]*)<", re.I
+# stage 4 (tag.go:96-108): element TEXT of .tag/.tags/.entry-tags/.post-tags
+TAG_TEXT_BANKS: list[tuple[str, object]] = [
+    ("tag", _sel(cls="tag")),
+    ("tags", _sel(cls="tags")),
+    ("entry-tags", _sel(cls="entry-tags")),
+    ("post-tags", _sel(cls="post-tags")),
+]
+# cleanTag (parser/tag.go:113-134) — BARE site name, unlike cleanTitle
+TAG_DELETE_LITERALS = (SITE_NAME, "ブログ")
+
+TAG_NEEDLES = tuple(
+    sorted(
+        {n for n, _ in TAG_SELECTOR_BANKS}
+        | {n for n, _ in TAG_TEXT_BANKS}
+        | {"ld_blog_vars", "keywords"}
+    )
 )
-# cleanTag (parser/tag.go:113-134)
-TAG_DELETE_LITERALS = (SITE_NAME_SUFFIX, "ブログ")
+TAG_ANY_RE = "|".join(re.escape(n) for n in TAG_NEEDLES)
 
 # --------------------------------------------------------------------------
 # Date (parser/date.go:20-137)

@@ -128,12 +128,14 @@ def pick_date(candidates: Column) -> Column:
 
 
 def clean_tag(col: Column) -> Column:
-    """parser/tag.go:113-134 as a native chain (used via transform())."""
+    """parser/tag.go:113-134 as a native chain (used via transform()):
+    deletes the BARE site name (tag.go:118) and strips exactly ONE leading
+    '#' (TrimPrefix, tag.go:127)."""
     c = F.trim(col)
-    c = F.replace(c, F.lit(P.SITE_NAME_SUFFIX), F.lit(""))
+    c = F.replace(c, F.lit(P.SITE_NAME), F.lit(""))
     c = F.replace(c, F.lit("ブログ"), F.lit(""))
     c = F.regexp_replace(c, r"\n", " ")
-    c = F.regexp_replace(c, "^#+", "")
+    c = F.regexp_replace(c, "^#", "")
     return collapse_ws(c)
 
 

@@ -133,16 +133,27 @@ def _extract_content_vec(s: pd.Series, lower: pd.Series | None = None) -> pd.Ser
 
 
 def _clean_content_vec(s: pd.Series) -> pd.Series:
-    """Vectorized CleanContent bank (parser/clean_content.go:13-48,97-129).
-    Rows without markup or rank markers (most tool-output payloads) skip the
-    five regex passes entirely — the bank can only be a no-op there."""
+    """Vectorized CleanContent bank (parser/clean_content.go:13-48,97-129):
+    regex deletions, the global removeTags bank, and the ameblo-scoped child
+    removals (applied only inside .skin-entryBody containers, on only the
+    rows that have one). Rows without markup or rank markers (most
+    tool-output payloads) skip every regex pass — the bank can only be a
+    no-op there."""
     dirty = s.str.contains("<", regex=False) | s.str.contains("位：", regex=False)
     sub = s.where(dirty)
     c = sub.str.replace(P.HTML_COMMENT, "", regex=True)
     c = c.str.replace(P.RANK_MARKER, "", regex=True)
     c = c.str.replace(P.BLOCK_TAGS, "", regex=True)
-    c = c.str.replace(P.AD_ELEMENT, "", regex=True)
-    c = c.str.replace(P.AD_VOID, "", regex=True)
+    for pat in P.GLOBAL_REMOVE_PATTERNS:
+        c = c.str.replace(pat, "", regex=True)
+    # .eq(True): NA-body rows (non-dirty) → False without dtype downcasting
+    scoped = c.str.lower().str.contains("skin-entrybody", regex=False).eq(True)
+    if scoped.any():
+        c = c.where(~scoped).combine_first(
+            c.where(scoped).str.replace(
+                P.AMEBLO_SCOPE_RE, P.scrub_ameblo_container, regex=True
+            )
+        )
     return _normalize_html_vec(c).combine_first(_normalize_html_vec(s.where(~dirty)))
 
 
@@ -195,7 +206,10 @@ def extract_udf(texts: pd.Series) -> pd.DataFrame:
     body = _clean_content_vec(body_raw)
 
     # list-valued extractions: batch python over the Arrow batch; literal
-    # contains() prefilters (C-speed, no regex) skip rows that can't match
+    # prefilters skip rows that can't match. The category/tag gates are the
+    # union of every selector bank's needle (patterns.CATEGORY_NEEDLES /
+    # TAG_NEEDLES); the extractors re-check per-bank needles so only the
+    # banks that can fire pay their regex.
 
     def any_of(*needles: str) -> pd.Series:
         m = lower.str.contains(needles[0], regex=False)
@@ -203,8 +217,8 @@ def extract_udf(texts: pd.Series) -> pd.DataFrame:
             m = m | lower.str.contains(n, regex=False)
         return m
 
-    has_cat = any_of("categor", "article:section")
-    has_tag = any_of("tag", "keywords")
+    has_cat = lower.str.contains(P.CATEGORY_ANY_RE, regex=True)
+    has_tag = lower.str.contains(P.TAG_ANY_RE, regex=True)
     has_date = any_of("date", "<time")  # covers pubdate/datePublished
     has_img = any_of("og:image", "twitter:image", "<img")
 

@@ -97,13 +97,18 @@ def extract_content(text: str) -> str | None:
 
 def clean_content(content: str) -> str:
     """parser/clean_content.go:52-94 minus DOM re-serialization (deviation
-    pinned in tests): regex deletions, block-tag/ad-element removal,
-    whitespace normalization (clean_content.go:106-129)."""
+    pinned in tests): regex deletions (comments, rank markers), the global
+    removeTags bank (clean_content.go:13-25), the ameblo-SCOPED child
+    removals applied only inside .skin-entryBody containers
+    (clean_content.go:28-39,70-77), then whitespace normalization
+    (clean_content.go:106-129)."""
     s = P.HTML_COMMENT.sub("", content)
     s = P.RANK_MARKER.sub("", s)
     s = P.BLOCK_TAGS.sub("", s)
-    s = P.AD_ELEMENT.sub("", s)
-    s = P.AD_VOID.sub("", s)
+    for pat in P.GLOBAL_REMOVE_PATTERNS:
+        s = pat.sub("", s)
+    if "skin-entrybody" in s.lower():
+        s = P.AMEBLO_SCOPE_RE.sub(P.scrub_ameblo_container, s)
     # normalizeWhitespace: trim each line, drop empty lines, collapse \n\s*\n
     lines = [ln.strip() for ln in s.split("\n")]
     return "\n".join(ln for ln in lines if ln).strip()
@@ -140,28 +145,35 @@ def is_valid_category(cat: str) -> bool:
 
 
 def extract_categories(text: str) -> list[str]:
-    """First non-empty bank wins (parser/category.go:18-111)."""
-    # stage 1: selector bank
+    """First non-empty STAGE wins (parser/category.go:18-111); stage 1 runs
+    all 22 selectors in bank order, accumulating with order-preserving
+    dedup (category.go:56-66)."""
+    lower = text.lower()
+    # stage 1: the full selector bank (category.go:26-54)
     found: list[str] = []
-    for pat in P.CATEGORY_SELECTOR_PATTERNS:
-        found.extend(m.strip() for m in pat.findall(text) if m.strip())
+    for needle, ex in P.CATEGORY_SELECTOR_BANKS:
+        if needle not in lower:
+            continue
+        for raw in ex(text):
+            c = raw.strip()
+            if c and c not in found:
+                found.append(c)
     if found:
-        return dedup_preserve_order(found)
-    # stage 2: ld_blog_vars categories
-    blk = P.CATEGORY_LD_BLOCK.search(text)
-    if blk:
-        names = [n for n in P.CATEGORY_LD_NAME.findall(blk.group(1)) if n.strip()]
-        if names:
-            return dedup_preserve_order(names)
-    # stage 3: meta article:section
+        return found
+    # stage 2: ld_blog_vars categories — first name per block (category.go:74)
+    if P.LD_BLOG_VARS_MARKER in text:
+        names = [n.strip() for n in P.CATEGORY_LD_FIRSTNAME.findall(text)]
+        found = dedup_preserve_order([n for n in names if n])
+        if found:
+            return found
+    # stage 3: meta article:section (category.go:92-100)
     m = P.CATEGORY_META_SECTION.search(text)
     if m and m.group(1).strip():
         return [m.group(1).strip()]
-    # stage 4: .category element text
-    m = P.CATEGORY_CLASS.search(text)
-    if m and m.group(1).strip():
-        return [m.group(1).strip()]
-    return []
+    # stage 4: .category element text (category.go:103-110)
+    return dedup_preserve_order(
+        [c.strip() for c in P.CATEGORY_CLASS_TEXT(text) if c.strip()]
+    )
 
 
 def finalize_categories(text: str) -> list[str]:
@@ -174,30 +186,53 @@ def finalize_categories(text: str) -> list[str]:
 
 
 def clean_tag(tag: str) -> str:
-    """parser/tag.go:113-134: trim, delete site-name + 'ブログ' substrings,
-    \\n→space, strip leading '#', collapse ws, trim."""
+    """parser/tag.go:113-134: trim, delete bare-site-name + 'ブログ'
+    substrings, \\n→space, strip ONE leading '#' (TrimPrefix, tag.go:127),
+    collapse ws, trim."""
     t = tag.strip()
     for lit in P.TAG_DELETE_LITERALS:
         t = t.replace(lit, "")
     t = t.replace("\n", " ")
-    t = t.lstrip("#")
+    t = t.removeprefix("#")
     t = " ".join(t.split())
     return t.strip()
 
 
 def extract_tags(text: str) -> list[str]:
-    """ALL banks accumulate (parser/tag.go:17-110), order-preserving dedup."""
+    """ALL banks accumulate (parser/tag.go:17-110): 28 selectors, then
+    ld_blog_vars tags, then meta keywords, then the 4 text selectors —
+    order-preserving dedup across the union. The reference dedups on
+    CLEANED values during accumulation; returning raw values and cleaning
+    in finalize_tags is equivalent because cleanTag is deterministic and
+    dedup keeps first occurrence."""
+    lower = text.lower()
     found: list[str] = []
-    for pat in P.TAG_SELECTOR_PATTERNS:
-        found.extend(m.strip() for m in pat.findall(text) if m.strip())
-    blk = P.TAG_LD_BLOCK.search(text)
-    if blk:
-        found.extend(t for t in P.TAG_LD_ITEM.findall(blk.group(1)) if t.strip())
+
+    def add(raw: str) -> None:
+        t = raw.strip()
+        if t and t not in found:
+            found.append(t)
+
+    for needle, ex in P.TAG_SELECTOR_BANKS:
+        if needle not in lower:
+            continue
+        for raw in ex(text):
+            add(raw)
+    if P.LD_BLOG_VARS_MARKER in text:
+        blk = P.TAG_LD_BLOCK.search(text)
+        if blk:
+            for t in P.TAG_LD_ITEM.findall(blk.group(1)):
+                add(t)
     m = P.TAG_META_KEYWORDS.search(text)
     if m:
-        found.extend(k.strip() for k in m.group(1).split(",") if k.strip())
-    found.extend(t.strip() for t in P.TAG_CLASS.findall(text) if t.strip())
-    return dedup_preserve_order(found)
+        for k in m.group(1).split(","):
+            add(k)
+    for needle, ex in P.TAG_TEXT_BANKS:
+        if needle not in lower:
+            continue
+        for raw in ex(text):
+            add(raw)
+    return found
 
 
 def finalize_tags(text: str) -> list[str]:

@@ -35,7 +35,7 @@ def _body_words(rng: random.Random, n: int = 40) -> str:
 
 def _make_text(rng: random.Random, i: int) -> str:
     """Compose one payload; variant chosen deterministically by index."""
-    v = i % 24
+    v = i % 28
     body = _body_words(rng)
     title_word = f"Post {i} {rng.choice(_WORDS)} report"
 
@@ -57,10 +57,10 @@ def _make_text(rng: random.Random, i: int) -> str:
             f"<img data-src=\"https://example.com/real{i}.png\" src=\"https://example.com/lazy.gif\" alt=\"pic\" width=\"640\" height=\"480\">"
             f"<article>{body} {body}</article>"
         )
-    if v == 2:  # h1 + japanese date + category selector
+    if v == 2:  # h1 + japanese date + ameblo category label (category.go:29)
         return (
             f"<h1>{title_word}</h1>"
-            f"<a class=\"skin-categoryLink\">テーマ：日常</a>"
+            f"<span class=\"skin-categoryLabel\">テーマ：日常</span>"
             f"<span class=\"date\">2023年8月10日</span>"
             f"<div class=\"skin-entryBody\">{body} {body}</div>"
         )
@@ -96,12 +96,12 @@ def _make_text(rng: random.Random, i: int) -> str:
         return f"<h1>{title_word}</h1><article>{'あ' * 40}</article>"
     if v == 11:  # multibyte: 34 chars = 102 bytes ok; 33 = 99 would fail
         return f"<h1>{title_word}</h1><article>{'い' * 33}</article>"  # 99 bytes → no_content
-    if v == 12:  # cleaning bank: comments, script, style, ads, rank markers
+    if v == 12:  # cleaning bank: comments, script, style, global removeTags
         return (
             f"<h1>{title_word}</h1>"
             f"<div class=\"post-main\"><!-- ad slot -->１位：{body}"
             f"<script>evil()</script><style>.x{{}}</style>"
-            f"<ins class=\"adsbygoogle\">AD</ins>"
+            f"<dl class=\"article-tags\">DL-AD</dl>"
             f"<p class=\"google-auto-placed\">AD2</p> {body}</div>"
         )
     if v == 13:  # title cleaning: newlines, quotes, site suffix
@@ -163,11 +163,48 @@ def _make_text(rng: random.Random, i: int) -> str:
             f"<div class=\"article-body-inner\">INNER {body} {body}</div>"
             f"<article>OUTER {body}</article>"
         )
-    # v == 23: short_content — candidate ≥100 bytes pre-clean, shrinks <100
-    # but non-empty after the cleaning bank (parser/parser.go:100-102 gate)
+    if v == 23:  # short_content — candidate ≥100 bytes pre-clean, shrinks
+        # <100 but non-empty after cleaning (parser/parser.go:100-102 gate)
+        return (
+            f"<h1>{title_word}</h1>"
+            f"<article><!-- {'pad ' * 30}-->tiny leftover {i}</article>"
+        )
+    if v == 24:  # ameblo: entryThemes categories, tagLabel, SCOPED ad removal
+        return (
+            f"<h1>{title_word}</h1>"
+            f"<div class=\"skin-entryThemes\"><a>テーマ：解析</a><a>Spark</a></div>"
+            f"<span class=\"skin-tagLabel\">#分散</span>"
+            f"<ins class=\"adsbygoogle\">KEEP-OUTSIDE</ins>"
+            f"<div class=\"skin-entryBody\">{body}"
+            f"<ins class=\"adsbygoogle\">AD-IN</ins>"
+            f"<p class=\"social-btn\">SNS</p> {body}</div>"
+        )
+    if v == 25:  # livedoor: dd categories, taglist/blog-tags anchors
+        return (
+            f"<h1>{title_word}</h1>"
+            f"<dd class=\"article-category1\">Liv日記</dd>"
+            f"<dd class=\"article-category2\">Liv技術</dd>"
+            f"<div class=\"taglist\"><a>lt-{i % 5}</a><a>shared</a></div>"
+            f"<div class=\"blog-tags\"><a>shared</a></div>"
+            f"<div class=\"articleText\">{body} {body}</div>"
+        )
+    if v == 26:  # excite: POST_TAIL TIME category; POST_TAIL removed from body
+        return (
+            f"<h1>{title_word}</h1>"
+            f"<div class=\"POST_TAIL\"><span class=\"TIME\">"
+            f"<a href=\"/i{i}\">Ex謎解き</a><a href=\"/other\">skip</a></span></div>"
+            f"<div class=\"POST_BODY\">{body}"
+            f"<div class=\"POST_TAIL\">trailer junk</div> {body}</div>"
+        )
+    # v == 27: wordpress-ish: cat-links + itemprop BOTH accumulate (stage-1
+    # banks union in selector order), tagcloud/label tags
     return (
         f"<h1>{title_word}</h1>"
-        f"<article><!-- {'pad ' * 30}-->tiny leftover {i}</article>"
+        f"<div class=\"cat-links\"><a>WpCat</a></div>"
+        f"<span itemprop=\"articleSection\">AlsoCat</span>"
+        f"<div class=\"tagcloud\"><a>#wp-{i % 3}</a></div>"
+        f"<div class=\"label\"><a>lbl</a></div>"
+        f"<div class=\"entry-content\">{body} {body}</div>"
     )
 
 

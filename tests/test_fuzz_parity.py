@@ -19,7 +19,14 @@ FRAGMENTS = [
     '<script type="application/ld+json">{{"datePublished": "2023-06-12T15:30:00Z"}}</script>',
     "<script>ld_blog_vars = {{ articles : [ {{ title : '{w} ld' }} ], tags : ['A{w}','B'] }};</script>",
     '<meta name="keywords" content="k1, {w}, ブログ">',
-    '<a class="skin-categoryLink">テーマ：{w}</a>',
+    '<span class="skin-categoryLabel">テーマ：{w}</span>',
+    '<div class="skin-entryThemes"><a>{w}テーマ</a><a>Th2</a></div>',
+    '<dd class="article-category1">{w}cat</dd>',
+    '<div class="POST_TAIL"><span class="TIME"><a href="/i9">{w}ex</a></span></div>',
+    '<div class="taglist"><a>#{w}</a><a>t2</a></div>',
+    '<div class="tagcloud"><a>{w}cloud</a></div>',
+    '<span itemprop="articleSection">{w}sec2</span>',
+    '<div class="skin-entryBody">scoped {w} <ins class="adsbygoogle">AD</ins> tail</div>',
     '<meta property="article:section" content="{w}sec">',
     '<meta property="og:image" content="https://stat.ameba.jp/u/x{n}_s.jpg">',
     '<img src="data:image/png;base64,AAA="><img data-src="https://e.com/{n}.png" src="https://e.com/lazy.gif">',

@@ -98,11 +98,46 @@ def test_clean_content():
     assert R.clean_content(s) == "abcd"
     s = "１位：first ３位：third"
     assert R.clean_content(s) == "first third"
+    # global removeTags bank (clean_content.go:13-25): .google-auto-placed
+    # is global; .adsbygoogle is only removed inside .skin-entryBody
     s = 'x<ins class="adsbygoogle">AD</ins>y<p class="google-auto-placed">A</p>z'
-    assert R.clean_content(s) == "xyz"
+    assert R.clean_content(s) == 'x<ins class="adsbygoogle">AD</ins>yz'
+    s = (
+        "a<dl class='article-tags'>T</dl>b<div class='blogroll1'>B</div>"
+        "c<div class='POST_TAIL'>PT</div>d<hr style='border:#191970'>e"
+        "<a href='http://newresu1.blog.fc2.com/p'>L</a>f<div class='ad-entry-bottom'>X</div>g"
+    )
+    assert R.clean_content(s) == "abcdefg"
     # nested-ish script content removed wholesale
     s = "pre<script>if (a<b) { x(); }</script>post"
     assert R.clean_content(s) == "prepost"
+
+
+def test_clean_content_ameblo_scoped():
+    """amebloRemoveSelectors are scoped to .skin-entryBody/.skin-entryBody2
+    (clean_content.go:28-39) — the same class OUTSIDE the container stays."""
+    s = (
+        '<ins class="adsbygoogle">OUT</ins>'
+        '<div class="skin-entryBody">k1<ins class="adsbygoogle">IN</ins>k2'
+        '<p class="social-btn">SNS</p>k3</div>'
+        '<div class="skin-entryBody2">m1<span class="share-btn">S</span>m2</div>'
+    )
+    got = R.clean_content(s)
+    assert "OUT" in got and "IN" not in got and "SNS" not in got
+    assert "k1" in got and "k2" in got and "k3" in got
+    assert "m1m2" in got.replace("\n", "")
+
+
+def test_clean_content_entity_deviation():
+    """DOCUMENTED DEVIATION (patterns.py module docstring): the reference
+    re-serializes through net/html, re-encoding entities — '"' becomes
+    '&#34;' (clean_content_test.go:121-124). The regex model passes
+    characters through verbatim; pin the deviation so a silent change to
+    either behavior fails a test."""
+    s = 'say "hi" & <b>bold</b>'
+    got = R.clean_content(s)
+    assert '"hi"' in got  # reference would yield &#34;hi&#34;
+    assert "&" in got  # reference would yield &amp;
 
 
 # ---- categories (parser/category_test.go:10-124) ----
@@ -115,12 +150,14 @@ def test_clean_category():
 
 
 def test_categories_first_bank_wins():
-    sel = '<a class="skin-categoryLink">CatSel</a>'
+    sel = '<span class="skin-categoryLabel">CatSel</span>'
     ld = "<script>ld_blog_vars = { categories : [ {name:'CatLD'}, {name:'CatLD2'} ] };</script>"
     meta = '<meta property="article:section" content="CatMeta">'
     cls = '<span class="category">CatCls</span>'
     assert R.extract_categories(sel + ld + meta + cls) == ["CatSel"]
-    assert R.extract_categories(ld + meta + cls) == ["CatLD", "CatLD2"]
+    # the reference regex (category.go:74) captures only the FIRST name per
+    # `categories : [ {` block — CatLD2 is never extracted
+    assert R.extract_categories(ld + meta + cls) == ["CatLD"]
     assert R.extract_categories(meta + cls) == ["CatMeta"]
     assert R.extract_categories(cls) == ["CatCls"]
     assert R.extract_categories("<p>none</p>") == []
@@ -131,9 +168,12 @@ def test_categories_first_bank_wins():
 
 def test_clean_tag():
     assert R.clean_tag("#Go") == "Go"
+    assert R.clean_tag("##Go") == "#Go"  # TrimPrefix removes ONE '#', tag.go:127
     assert R.clean_tag(" spaced ") == "spaced"
     assert R.clean_tag("myブログtag") == "mytag"  # substring deletion, tag.go:121
     assert R.clean_tag("ブログ") == ""
+    # tag deletion uses the BARE site name (tag.go:118), no ' | ' prefix
+    assert R.clean_tag("心理カウンセラー・中井亜紀『成長の記録』タグ") == "タグ"
 
 
 def test_tags_all_banks_union():

@@ -64,8 +64,12 @@ print("DRIVE5 OK")
 
 from blogparser_spark.operators.storage import write_bucketed, bucketed_join
 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-import shutil; shutil.rmtree("/tmp/drive/spark-warehouse", ignore_errors=True)
-spark.sql("DROP TABLE IF EXISTS t_b"); spark.sql("DROP TABLE IF EXISTS s_b")
+import shutil
+from urllib.parse import urlparse
+wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path  # cwd-relative default
+for t in ("t_b", "s_b"):
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(os.path.join(wh, t), ignore_errors=True)  # stale dir from a prior run
 write_bucketed(df.select("conv_id","turn_idx","role"), "t_b", n_buckets=4)
 write_bucketed(df.groupBy("conv_id").count(), "s_b", n_buckets=4, sort_col=None)
 jb = bucketed_join(spark, "t_b", "s_b", "conv_id")
