@@ -14,17 +14,32 @@ and the BM25 sum runs as one more hash aggregation. Faithfulness notes
   - the reference sums per token *occurrence*, not per distinct term
     (summary.go:49 iterates tokens) — reproduced by the trailing ×tf;
   - idf = max(0, ln((N-df+0.5)/(df+0.5))) (summary.go:57-62), k1=1.2 b=0.75;
-  - top-2 sentences are emitted in original order (summary.go:149-157);
-    Go's sort.Slice is unstable on score ties — we pin the tie-break to
-    sent_idx (documented deviation, makes results deterministic);
-  - ≤2 sentences → no scoring, pure truncation (summary.go:110-112);
+  - length normalization mixes units, faithfully: docLen is the sentence's
+    KEPT-TOKEN count (summary.go:45, len of the Word vector) while
+    avgDocLen is the mean BYTE length of the sentences (summary.go:121-127,
+    Go len(sent)) — the ratio is dimensionally odd but it is the spec;
+  - ≤2 sentences → no scoring; the ORIGINAL text (delimiters included) is
+    truncated (summary.go:110-112);
   - the result is truncated to 300 runes + '・・・' (summary.go:164-171).
 
-Term weights (posWeights, summary.go:23-30) enter via an optional broadcast
-dimension join — the lookup-enrich pattern; absent terms weight 1.0.
+Top-k selection: the reference computes BM25 scores but its selection loop
+(summary.go:141-158) checks `r.index == i` against a `ranked` list that
+contains EVERY sentence index, so it degenerates to "first two sentences"
+— pinned by the reference's own golden (summary_test.go:93-101,
+'今日は天気です明日は雨です'). bm25_summary implements the evident intent
+(BM25 top-k, deterministic sent_idx tie-break replacing Go's unstable
+sort.Slice); generate_summary_reference reproduces the reference's actual
+first-k behavior, golden-tested. Both deviations are documented here and
+asserted in tests/test_summary_bm25.py.
 
-Scale: every aggregation here is partial-aggregatable; the only shuffles are
-on (doc, …) keys, and the window partitions by doc only for rows that
+Term weights (posWeights, summary.go:23-30) enter via an optional broadcast
+dimension join — the lookup-enrich pattern; absent terms weight 1.0. The
+POS-keyed path (pos_weighted_tokens) runs the full getWordWeight chain:
+heuristic POS per token, broadcast join on dim_pos_weight for the exact
+map, prefix-default fallback, weight-0 tokens dropped (summary.go:186-241).
+
+Scale: every aggregation here is partial-aggregatable; the only shuffles
+are on (doc, …) keys, and the window partitions by doc only for rows that
 survived the per-sentence rollup (sentence grain, not token grain).
 """
 
@@ -33,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from blogparser_spark.functions import jpos
 from blogparser_spark.functions import patterns as P
 
 K1 = P.BM25_K1
@@ -54,34 +70,50 @@ def explode_sentences(
     )
 
 
-def bm25_sentence_scores(
-    sent_df: DataFrame, weights_dim: DataFrame | None = None
-) -> DataFrame:
-    """(doc, sent_idx, sentence) → + bm25 score.
-
-    weights_dim: optional broadcast dim (term string, weight double) — the
-    posWeights analog; unmatched terms get weight 1.0."""
-    toks = sent_df.select(
+def whitespace_tokens(sent_df: DataFrame) -> DataFrame:
+    """(doc, sent_idx, sentence) → one row per token occurrence with
+    weight 1.0 — the weightless-tokenizer mode (every token kept)."""
+    return sent_df.select(
         "doc",
         "sent_idx",
-        F.length("sentence").alias("sent_len"),
         F.explode(
             F.filter(F.split(F.lower("sentence"), r"\s+"), lambda t: t != "")
         ).alias("term"),
-    )
-    if weights_dim is not None:
-        toks = toks.join(F.broadcast(weights_dim), "term", "left").withColumn(
-            "weight", F.coalesce("weight", F.lit(1.0))
-        )
-    else:
-        toks = toks.withColumn("weight", F.lit(1.0))
+    ).withColumn("weight", F.lit(1.0))
 
-    tf = toks.groupBy("doc", "sent_idx", "sent_len", "term", "weight").agg(
+
+def pos_weighted_tokens(sent_df: DataFrame, pos_dim: DataFrame) -> DataFrame:
+    """The reference's tokenize+getWordWeight chain (summary.go:186-241):
+    segment → heuristic POS → broadcast-join the posWeights dim on the POS
+    key → prefix-default fallback → DROP weight-0 tokens (particles,
+    auxiliaries, symbols never enter the sentence vectors).
+
+    pos_dim: (pos string, weight double) — enrich.dim_pos_weight."""
+    toks = sent_df.select(
+        "doc",
+        "sent_idx",
+        F.explode(jpos.segment(F.col("sentence"))).alias("term"),
+    ).withColumn("pos", jpos.pos_of(F.col("term")))
+    return (
+        toks.join(F.broadcast(pos_dim), "pos", "left")
+        .withColumn("weight", F.coalesce("weight", jpos.default_weight(F.col("pos"))))
+        .filter(F.col("weight") > 0)
+        .select("doc", "sent_idx", "term", "weight")
+    )
+
+
+def _score_tokens(sent_df: DataFrame, toks: DataFrame) -> DataFrame:
+    """Shared scoring core over (doc, sent_idx, term, weight) occurrences.
+    docLen = kept tokens per sentence; avg_len = mean sentence BYTES
+    (the reference's mixed units — module docstring)."""
+    tf = toks.groupBy("doc", "sent_idx", "term", "weight").agg(
         F.count("*").alias("tf")
     )
+    sent_toks = tf.groupBy("doc", "sent_idx").agg(F.sum("tf").alias("n_toks"))
     df_t = tf.groupBy("doc", "term").agg(F.countDistinct("sent_idx").alias("df"))
     doc_stats = sent_df.groupBy("doc").agg(
-        F.count("*").alias("n_sents"), F.avg(F.length("sentence")).alias("avg_len")
+        F.count("*").alias("n_sents"),
+        F.avg(F.octet_length("sentence")).alias("avg_len"),
     )
 
     idf = F.greatest(
@@ -93,7 +125,7 @@ def bm25_sentence_scores(
         idf
         * F.col("tf")
         * (K1 + 1)
-        / (F.col("tf") + K1 * (1 - B + B * F.col("sent_len") / F.col("avg_len")))
+        / (F.col("tf") + K1 * (1 - B + B * F.col("n_toks") / F.col("avg_len")))
         * F.col("weight")
         * F.col("tf")
     )
@@ -101,6 +133,7 @@ def bm25_sentence_scores(
     # the join keys already share the (doc, …) partitioning, AQE handles it
     scored = (
         tf.join(df_t, ["doc", "term"])
+        .join(sent_toks, ["doc", "sent_idx"])
         .join(doc_stats, "doc")
         .groupBy("doc", "sent_idx")
         .agg(F.sum(term_score).alias("score"))
@@ -108,6 +141,29 @@ def bm25_sentence_scores(
     return sent_df.join(scored, ["doc", "sent_idx"], "left").withColumn(
         "score", F.coalesce("score", F.lit(0.0))
     )
+
+
+def bm25_sentence_scores(
+    sent_df: DataFrame, weights_dim: DataFrame | None = None
+) -> DataFrame:
+    """(doc, sent_idx, sentence) → + bm25 score.
+
+    weights_dim: optional broadcast dim (term string, weight double) — the
+    term-keyed posWeights analog; unmatched terms get weight 1.0."""
+    toks = whitespace_tokens(sent_df)
+    if weights_dim is not None:
+        toks = (
+            toks.drop("weight")
+            .join(F.broadcast(weights_dim), "term", "left")
+            .withColumn("weight", F.coalesce("weight", F.lit(1.0)))
+        )
+    return _score_tokens(sent_df, toks)
+
+
+def bm25_pos_sentence_scores(sent_df: DataFrame, pos_dim: DataFrame) -> DataFrame:
+    """(doc, sent_idx, sentence) → + bm25 score with the full POS-keyed
+    getWordWeight chain (W1) — the reference's actual lookup-enrich."""
+    return _score_tokens(sent_df, pos_weighted_tokens(sent_df, pos_dim))
 
 
 def bm25_summary(
@@ -119,15 +175,17 @@ def bm25_summary(
     delim: str = P.SENTENCE_DELIM,
 ) -> DataFrame:
     """(doc, text) → (doc, summary): BM25 top-k sentences re-ordered by
-    position, concatenated with no separator, truncated to 300 runes."""
-    from blogparser_spark.functions.text import truncate_summary
+    position, concatenated with no separator, truncated to 300 runes.
+    Docs with ≤ top_k sentences skip scoring and truncate the ORIGINAL
+    text, delimiters included (summary.go:110-112)."""
+    from blogparser_spark.functions.text import split_sentences, truncate_summary
 
-    sent = explode_sentences(df, doc_col, text_col, delim)
-    n_per_doc = Window.partitionBy("doc")
-    sent = sent.withColumn("n_sents", F.count("*").over(n_per_doc))
-
-    few = sent.filter(F.col("n_sents") <= top_k)
-    many = sent.filter(F.col("n_sents") > top_k).drop("n_sents")
+    n_sents = F.size(split_sentences(F.col(text_col)))
+    few = df.filter(n_sents <= top_k).select(
+        F.col(doc_col).alias("doc"),
+        truncate_summary(F.col(text_col)).alias("summary"),
+    )
+    many = explode_sentences(df.filter(n_sents > top_k), doc_col, text_col, delim)
 
     scored = bm25_sentence_scores(many, weights_dim)
     rank_w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("sent_idx"))
@@ -137,20 +195,34 @@ def bm25_summary(
 
     assembled = (
         picked.select("doc", "sent_idx", "sentence")
-        .unionByName(few.select("doc", "sent_idx", "sentence"))
         .groupBy("doc")
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("sent_idx", "sentence"))
-                    ),
+                    F.array_sort(F.collect_list(F.struct("sent_idx", "sentence"))),
                     lambda s: s["sentence"],
                 ),
                 "",
             ).alias("summary_raw")
         )
+        .select(F.col("doc"), truncate_summary(F.col("summary_raw")).alias("summary"))
     )
-    return assembled.select(
-        F.col("doc"), truncate_summary(F.col("summary_raw")).alias("summary")
-    )
+    return assembled.unionByName(few)
+
+
+def generate_summary_reference(
+    df: DataFrame, doc_col: str, text_col: str, top_k: int = TOP_K
+) -> DataFrame:
+    """Reference-EXACT GenerateSummary behavior: the selection loop
+    (summary.go:141-158) iterates sentences in order and matches every index
+    against the full ranked list, so it always emits the FIRST top_k
+    sentences — the BM25 scores never influence the output. Golden-pinned
+    by summary_test.go:93-101. Kept alongside bm25_summary (the evident
+    intent) as the bug-compatible mode."""
+    from blogparser_spark.functions.text import split_sentences, truncate_summary
+
+    sents = split_sentences(F.col(text_col))
+    summary = F.when(
+        F.size(sents) <= top_k, truncate_summary(F.col(text_col))
+    ).otherwise(truncate_summary(F.array_join(F.slice(sents, 1, top_k), "")))
+    return df.select(F.col(doc_col).alias("doc"), summary.alias("summary"))

@@ -704,24 +704,27 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bm25_top2",
     """
     WITH sent AS (
-      SELECT source AS doc, doc_id AS sent_idx, text AS sentence, length(text) AS sent_len
+      SELECT source AS doc, doc_id AS sent_idx, text AS sentence
       FROM documents
     ), toks AS (
-      SELECT doc, sent_idx, sent_len, unnest(list_filter(string_split(lower(sentence), ' '), x -> x != '')) AS term
+      SELECT doc, sent_idx, unnest(list_filter(string_split(lower(sentence), ' '), x -> x != '')) AS term
       FROM sent
     ), tf AS (
-      SELECT doc, sent_idx, sent_len, term, count(*) AS tf
-      FROM toks GROUP BY doc, sent_idx, sent_len, term
+      SELECT doc, sent_idx, term, count(*) AS tf
+      FROM toks GROUP BY doc, sent_idx, term
+    ), sent_toks AS (
+      SELECT doc, sent_idx, sum(tf) AS n_toks FROM tf GROUP BY doc, sent_idx
     ), dft AS (
       SELECT doc, term, count(DISTINCT sent_idx) AS df FROM tf GROUP BY doc, term
     ), stats AS (
-      SELECT doc, count(*) AS n_sents, avg(sent_len) AS avg_len FROM sent GROUP BY doc
+      SELECT doc, count(*) AS n_sents, avg(strlen(sentence)) AS avg_len FROM sent GROUP BY doc
     ), scored AS (
       SELECT tf.doc, tf.sent_idx,
         sum(greatest(0.0, ln((stats.n_sents - dft.df + 0.5) / (dft.df + 0.5)))
-            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.sent_len / stats.avg_len))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * st.n_toks / stats.avg_len))
             * tf.tf) AS score
       FROM tf JOIN dft ON tf.doc = dft.doc AND tf.term = dft.term
+              JOIN sent_toks st ON tf.doc = st.doc AND tf.sent_idx = st.sent_idx
               JOIN stats ON tf.doc = stats.doc
       GROUP BY tf.doc, tf.sent_idx
     )
@@ -965,6 +968,73 @@ def ivf_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.assign_ivf_cells(_emb(spark, sf_dir), n_cells=8)
 
 
+# shared oracle fragment: IVF cell assignment (centroids = 8 lowest vec_ids)
+_IVF_CELLS = f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    cscored AS (
+      SELECT e.vec_id, c.cid,
+        round({_COS.format(a="e.v", b="c.cv")}, 6) AS csim
+      FROM e CROSS JOIN c
+    ),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS r
+        FROM cscored
+      ) WHERE r = 1
+    )
+"""
+
+
+@_q(
+    "ivf_topk",
+    f"""
+    WITH {_IVF_CELLS},
+    base AS (
+      SELECT e.vec_id AS nid, cells.cell AS ncell, e.v AS nv
+      FROM e JOIN cells ON e.vec_id = cells.vec_id
+    ), q AS (
+      SELECT e.vec_id AS qid, cells.cell AS qcell, e.v AS qv
+      FROM e JOIN cells ON e.vec_id = cells.vec_id WHERE e.vec_id < 5
+    ), sims AS (
+      SELECT q.qid, base.nid,
+        round({_COS.format(a="q.qv", b="base.nv")}, 6) AS sim
+      FROM base JOIN q ON base.ncell = q.qcell AND base.nid != q.qid
+    )
+    SELECT qid, rank, nid, sim FROM (
+      SELECT qid, nid, sim,
+        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """,
+)
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe (nprobe=1): approximate top-k scanning only the query's own
+    cell — the partition-pruned ANN plan (similarity.py ivf_topk)."""
+    return similarity.ivf_topk(_emb(spark, sf_dir), n_queries=5, k=5, n_cells=8)
+
+
+@_q(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH {_IVF_CELLS},
+    v AS (
+      SELECT e.vec_id AS id, cells.cell, e.v
+      FROM e JOIN cells ON e.vec_id = cells.vec_id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+      round({_COS.format(a="a.v", b="b.v")}, 6) AS sim
+    FROM v a JOIN v b ON a.cell = b.cell AND a.id < b.id
+    WHERE round({_COS.format(a="a.v", b="b.v")}, 6) >= 0.3
+    """,
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-cell-blocked (threshold 0.3 on
+    the synthetic embeddings; real corpora use ~0.95)."""
+    return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3, n_cells=8)
+
+
 # ===========================================================================
 # Text analysis family (dataops.textstats)
 # ===========================================================================
@@ -1131,28 +1201,31 @@ def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bm25_weighted",
     """
     WITH sent AS (
-      SELECT source AS doc, doc_id AS sent_idx, text AS sentence, length(text) AS sent_len
+      SELECT source AS doc, doc_id AS sent_idx, text AS sentence
       FROM documents
     ), toks AS (
-      SELECT doc, sent_idx, sent_len, unnest(list_filter(string_split(lower(sentence), ' '), x -> x != '')) AS term
+      SELECT doc, sent_idx, unnest(list_filter(string_split(lower(sentence), ' '), x -> x != '')) AS term
       FROM sent
     ), wt AS (
       SELECT t.*, coalesce(w.weight, 1.0) AS weight
       FROM toks t LEFT JOIN (VALUES ('table', 2.0), ('data', 1.5), ('key', 0.5))
         AS w(term, weight) ON t.term = w.term
     ), tf AS (
-      SELECT doc, sent_idx, sent_len, term, weight, count(*) AS tf
-      FROM wt GROUP BY doc, sent_idx, sent_len, term, weight
+      SELECT doc, sent_idx, term, weight, count(*) AS tf
+      FROM wt GROUP BY doc, sent_idx, term, weight
+    ), sent_toks AS (
+      SELECT doc, sent_idx, sum(tf) AS n_toks FROM tf GROUP BY doc, sent_idx
     ), dft AS (
       SELECT doc, term, count(DISTINCT sent_idx) AS df FROM tf GROUP BY doc, term
     ), stats AS (
-      SELECT doc, count(*) AS n_sents, avg(sent_len) AS avg_len FROM sent GROUP BY doc
+      SELECT doc, count(*) AS n_sents, avg(strlen(sentence)) AS avg_len FROM sent GROUP BY doc
     ), scored AS (
       SELECT tf.doc, tf.sent_idx,
         sum(greatest(0.0, ln((stats.n_sents - dft.df + 0.5) / (dft.df + 0.5)))
-            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.sent_len / stats.avg_len))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * st.n_toks / stats.avg_len))
             * tf.weight * tf.tf) AS score
       FROM tf JOIN dft ON tf.doc = dft.doc AND tf.term = dft.term
+              JOIN sent_toks st ON tf.doc = st.doc AND tf.sent_idx = st.sent_idx
               JOIN stats ON tf.doc = stats.doc
       GROUP BY tf.doc, tf.sent_idx
     )
@@ -1176,6 +1249,75 @@ def bm25_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("table", 2.0), ("data", 1.5), ("key", 0.5)], "term string, weight double"
     )
     scored = summary_bm25.bm25_sentence_scores(sent, weights_dim=dim)
+    w = Window.partitionBy("doc").orderBy(F.desc(F.round("score", 6)), F.asc("sent_idx"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("doc", "rank", "sent_idx", F.round("score", 4).alias("score"))
+    )
+
+
+def _bm25_pos_sql() -> str:
+    """DuckDB twin of the POS-weighted BM25 chain, generated from the same
+    jpos constants as the Spark plan so the engines cannot drift."""
+    from blogparser_spark.functions import jpos
+
+    return f"""
+    WITH sent AS (
+      SELECT source AS doc, doc_id AS sent_idx, text AS sentence
+      FROM documents
+    ), seg AS (
+      SELECT doc, sent_idx,
+        unnest(regexp_extract_all(sentence, '{jpos.SEGMENT_RE}')) AS term
+      FROM sent
+    ), tagged AS (
+      SELECT doc, sent_idx, term, {jpos.pos_case_sql("term")} AS pos FROM seg
+    ), wt AS (
+      SELECT doc, sent_idx, term, {jpos.weight_case_sql("pos")} AS weight FROM tagged
+    ), kept AS (
+      SELECT * FROM wt WHERE weight > 0
+    ), tf AS (
+      SELECT doc, sent_idx, term, weight, count(*) AS tf
+      FROM kept GROUP BY doc, sent_idx, term, weight
+    ), sent_toks AS (
+      SELECT doc, sent_idx, sum(tf) AS n_toks FROM tf GROUP BY doc, sent_idx
+    ), dft AS (
+      SELECT doc, term, count(DISTINCT sent_idx) AS df FROM tf GROUP BY doc, term
+    ), stats AS (
+      SELECT doc, count(*) AS n_sents, avg(strlen(sentence)) AS avg_len FROM sent GROUP BY doc
+    ), scored AS (
+      SELECT tf.doc, tf.sent_idx,
+        sum(greatest(0.0, ln((stats.n_sents - dft.df + 0.5) / (dft.df + 0.5)))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * st.n_toks / stats.avg_len))
+            * tf.weight * tf.tf) AS score
+      FROM tf JOIN dft ON tf.doc = dft.doc AND tf.term = dft.term
+              JOIN sent_toks st ON tf.doc = st.doc AND tf.sent_idx = st.sent_idx
+              JOIN stats ON tf.doc = stats.doc
+      GROUP BY tf.doc, tf.sent_idx
+    )
+    SELECT doc, rank, sent_idx, round(score, 4) AS score FROM (
+      SELECT doc, sent_idx, score,
+        row_number() OVER (PARTITION BY doc ORDER BY round(score, 6) DESC, sent_idx) AS rank
+      FROM scored
+    ) WHERE rank <= 2
+    """
+
+
+@_q("bm25_pos_weighted", _bm25_pos_sql())
+def bm25_pos_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 closed loop: the reference's ACTUAL lookup-enrich — heuristic POS
+    per token (jpos, the kagome stand-in), broadcast join on the POS-keyed
+    posWeights dim (enrich.dim_pos_weight, summary.go:23-30), prefix-default
+    fallback, weight-0 drop — feeding the BM25 rollup (summary.go:186-241)."""
+    from blogparser_spark.operators.enrich import dim_pos_weight
+
+    d = _docs(spark, sf_dir)
+    sent = d.select(
+        F.col("source").alias("doc"),
+        F.col("doc_id").alias("sent_idx"),
+        F.col("text").alias("sentence"),
+    )
+    scored = summary_bm25.bm25_pos_sentence_scores(sent, dim_pos_weight(spark))
     w = Window.partitionBy("doc").orderBy(F.desc(F.round("score", 6)), F.asc("sent_idx"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

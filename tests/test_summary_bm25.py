@@ -1,6 +1,9 @@
 """Relational BM25 summary vs a direct pure-Python port of the reference's
 scoring (parser/summary.go:43-161): per-occurrence summation, idf floor at 0,
-k1=1.2 b=0.75, top-2 in original order, 300-rune truncation."""
+k1=1.2 b=0.75, the reference's mixed-unit length normalization (docLen =
+kept-token count, avgDocLen = mean sentence BYTES), top-2 in original order,
+300-rune truncation — plus the POS-weighted tokenizer chain and the
+reference-exact (first-2) GenerateSummary mode."""
 
 from __future__ import annotations
 
@@ -12,24 +15,32 @@ K1, B = 1.2, 0.75
 
 
 def py_bm25_scores(
-    sentences: list[str], weights: dict[str, float] | None = None
+    sentences: list[str],
+    weights: dict[str, float] | None = None,
+    token_lists: list[list[tuple[str, float]]] | None = None,
 ) -> list[float]:
     """Direct port of calculateBM25Score (summary.go:43-74): iterate token
-    OCCURRENCES (not distinct terms), per-term weight (getWordWeight analog,
-    summary.go:227-241; default 1.0), df over sentences."""
-    token_lists = [[t for t in s.lower().split() if t] for s in sentences]
+    OCCURRENCES (not distinct terms); docLen = len(vector) i.e. kept tokens
+    (summary.go:45), avgDocLen = mean Go len(sent) i.e. BYTES
+    (summary.go:121-127); df over sentences."""
+    if token_lists is None:
+        token_lists = [
+            [(t, (weights or {}).get(t, 1.0)) for t in s.lower().split() if t]
+            for s in sentences
+        ]
     n = len(sentences)
-    avg_len = sum(len(s) for s in sentences) / n
+    avg_len = sum(len(s.encode("utf-8")) for s in sentences) / n
     scores = []
-    for i, toks in enumerate(token_lists):
+    for toks in token_lists:
         score = 0.0
-        for tok in toks:  # per occurrence, like the Go loop
-            df = sum(1 for tl in token_lists if tok in tl)
+        doc_len = len(toks)
+        surfaces = [t for t, _ in toks]
+        for tok, w in toks:  # per occurrence, like the Go loop
+            df = sum(1 for tl in token_lists if tok in [t for t, _ in tl])
             idf = max(0.0, math.log((n - df + 0.5) / (df + 0.5)))
-            tf = toks.count(tok)
-            w = (weights or {}).get(tok, 1.0)
+            tf = surfaces.count(tok)
             score += idf * tf * (K1 + 1) / (
-                tf + K1 * (1 - B + B * len(sentences[i]) / avg_len)
+                tf + K1 * (1 - B + B * doc_len / avg_len)
             ) * w
         scores.append(score)
     return scores
@@ -78,6 +89,51 @@ def test_bm25_weights_dim_broadcast_join(spark, sent_rows):
         assert got[("d1", i)] == pytest.approx(w, rel=1e-9)
 
 
+def test_bm25_pos_weighted_matches_python_oracle(spark):
+    """The full W1 chain on Japanese + mixed text: heuristic segmentation,
+    POS tagging, broadcast dim_pos_weight join with prefix fallback,
+    weight-0 drop (summary.go:186-241)."""
+    from blogparser_spark.functions.jpos import tokenize_pos_py
+    from blogparser_spark.operators.enrich import dim_pos_weight
+    from blogparser_spark.operators.summary_bm25 import bm25_pos_sentence_scores
+
+    sents = [
+        "これは分散処理の基盤です",
+        "Sparkはデータを高速に処理する",
+        "遅い処理は最適化で速くなる",
+        "カタカナトークンとkanji漢字が混ざる文123",
+    ]
+    rows = [("d", i, s) for i, s in enumerate(sents)]
+    df = spark.createDataFrame(rows, "doc string, sent_idx int, sentence string")
+    got = {
+        r["sent_idx"]: r["score"]
+        for r in bm25_pos_sentence_scores(df, dim_pos_weight(spark)).collect()
+    }
+    token_lists = [[(t, w) for t, _pos, w in tokenize_pos_py(s)] for s in sents]
+    want = py_bm25_scores(sents, token_lists=token_lists)
+    for i, w in enumerate(want):
+        assert got[i] == pytest.approx(w, rel=1e-9), sents[i]
+
+
+def test_pos_tokenizer_drops_function_words():
+    from blogparser_spark.functions.jpos import tokenize_pos_py
+
+    toks = tokenize_pos_py("これは分散処理の基盤です")
+    surfaces = [t for t, _, _ in toks]
+    assert "は" not in surfaces and "の" not in surfaces and "です" not in surfaces
+    assert "分散処理" in surfaces  # kanji run → 名詞-一般
+    pos = {t: p for t, p, _ in toks}
+    assert pos["分散処理"] == "名詞-一般"
+    w = {t: w for t, _, w in toks}
+    assert w["分散処理"] == 1.5  # posWeights exact hit (summary.go:25)
+    # latin + digits + katakana
+    toks2 = dict((t, (p, w)) for t, p, w in tokenize_pos_py("Spark spark 123 データベース"))
+    assert toks2["Spark"] == ("名詞-固有名詞", 2.0)
+    assert toks2["spark"] == ("名詞-一般", 1.5)
+    assert toks2["123"] == ("名詞-数", 1.0)  # prefix fallback 名詞→1.0
+    assert toks2["データベース"] == ("名詞-固有名詞", 2.0)
+
+
 def test_bm25_summary_top2_original_order(spark):
     from blogparser_spark.operators.summary_bm25 import bm25_summary
 
@@ -100,12 +156,28 @@ def test_bm25_summary_top2_original_order(spark):
 def test_bm25_summary_few_sentences_truncation_path(spark):
     from blogparser_spark.operators.summary_bm25 import bm25_summary
 
-    # ≤2 sentences → no scoring, pure concat+truncate (summary.go:110-112)
+    # ≤2 sentences → no scoring; the ORIGINAL text is truncated, delimiters
+    # preserved (summary.go:110-112 returns `text`, not re-joined sentences)
     df = spark.createDataFrame(
         [("a", "first part。second part"), ("b", "x" * 400)],
         "doc string, text string",
     )
     got = {r["doc"]: r["summary"] for r in bm25_summary(df, "doc", "text").collect()}
-    assert got["a"] == "first partsecond part"
+    assert got["a"] == "first part。second part"
     assert got["b"] == "x" * 300 + "・・・"
     assert len(got["b"]) == 303
+
+
+def test_generate_summary_reference_golden(spark):
+    """The reference's ACTUAL selection behavior: first two sentences,
+    regardless of score (summary.go:141-158 — `ranked` holds every index,
+    so the order-preserving scan always takes sentences 0 and 1). Golden
+    from summary_test.go:93-101."""
+    from blogparser_spark.operators.summary_bm25 import generate_summary_reference
+
+    df = spark.createDataFrame(
+        [("g", "今日は天気です。明日は雨です。明後日は晴れです。")],
+        "doc string, text string",
+    )
+    out = generate_summary_reference(df, "doc", "text").collect()[0]["summary"]
+    assert out == "今日は天気です明日は雨です"
