@@ -5,9 +5,10 @@ Scale design (100 TB):
     payload; map-side partial aggregation collapses most groups before the
     shuffle.
   - MinHash+LSH: shingle→minhash→band→bucket-join. The only shuffle keys are
-    (band_idx, band_hash) — tiny, uniformly distributed; candidate pairs are
-    verified only inside buckets, so the quadratic blow-up is confined to
-    colliding buckets (expected O(n·dups)).
+    (band_idx, band_hash) — tiny, uniformly distributed; candidate pairs
+    form only inside buckets (chained, linear in bucket size) and pass an
+    EXACT Jaccard verification (verify_pairs_jaccard) before any keep/drop
+    decision, so an LSH collision can never drop a non-duplicate.
   - n-gram Jaccard: blocked pairwise join — block key = (lang, token-count
     bucket) keeps the join out of cross-product territory; real deployments
     narrow blocks further (band buckets from LSH) before the exact verify.
@@ -278,30 +279,40 @@ def simhash_df(
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster candidate near-duplicate pairs into components by iterative
     minimum-label propagation: every node repeatedly adopts the smallest id
-    reachable over one hop until no label changes.
+    reachable over one hop until no label changes (O(diameter) rounds, with
+    early convergence detection).
 
     Dedup semantics need CLUSTERS, not pairs — keep min(id) per component,
     drop the rest. Iterations are driver-side (genuinely iterative, not
-    SQL-expressible in one query); each round is one shuffle join, the frame
-    is localCheckpoint()ed to truncate lineage so round k doesn't replay
-    rounds 1..k-1, and convergence needs O(log(diameter)) rounds because
-    labels hop through the current minimum, not just direct edges.
-    Returns (node, component) with component = min id of the cluster."""
+    SQL-expressible in one query); each round is one shuffle join. BOTH
+    frames are localCheckpoint()ed: `labels` so round k doesn't replay
+    rounds 1..k-1, and `edges` so the per-round join doesn't re-derive the
+    full upstream pipeline (MinHash+LSH over the corpus) on every
+    iteration — without it an executor loss or AQE replan recomputes the
+    signatures per round. Returns (node, component) with component = min id
+    of the cluster; pass `stats` to receive {'iterations': n}."""
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    iterations = 0
     for _ in range(max_iter):
+        iterations += 1
         # candidate label for each node: min over neighbors' current labels
         neighbor_min = (
             edges.join(labels, edges["v"] == labels["node"])
@@ -328,17 +339,20 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["iterations"] = iterations
     return labels
 
 
-def near_dup_clusters(
+def lsh_candidate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """End-to-end near-dup dedup decision: MinHash-LSH candidate buckets →
-    pairs → connected components → (doc_id, component, keep). keep is true
-    for the component's minimum id (the deterministic survivor)."""
+    """MinHash-LSH buckets → chained candidate pairs (id_a, id_b), id_a <
+    id_b. CHAINED, not all-pairs-per-bucket: consecutive members suffice to
+    connect a bucket's docs for clustering, keeping pair count linear in
+    bucket size."""
     buckets = minhash_lsh_candidates(df, text_col, id_col)
-    pairs = (
+    return (
         buckets.select(
             F.explode(
                 F.transform(
@@ -353,7 +367,56 @@ def near_dup_clusters(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    comps = connected_components(pairs)
+
+
+def verify_pairs_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """Exact verification of candidate pairs: true n-gram Jaccard over the
+    same distinct word-shingles MinHash sketched, keeping pairs ≥ threshold.
+    With k=8 in 4 bands of 2, moderately-similar docs (J≈0.5) collide in
+    some bucket with ~68% probability — clustering unverified candidates
+    would mark non-duplicates keep=false and drop real documents. The join
+    is pairs ⋈ docs twice on the id — linear in candidate count, never
+    all-pairs."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify_threshold: float = 0.5,
+    stats: dict | None = None,
+) -> DataFrame:
+    """End-to-end near-dup dedup decision: MinHash-LSH candidate buckets →
+    chained pairs → EXACT Jaccard verification (≥ verify_threshold) →
+    connected components → (doc_id, component, keep). keep is true for the
+    component's minimum id (the deterministic survivor). Only verified
+    pairs cluster, so an LSH false positive can never drop a document."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col)
+    verified = verify_pairs_jaccard(df, pairs, verify_threshold, text_col, id_col)
+    comps = connected_components(verified, stats=stats)
     return comps.select(
         F.col("node").alias(id_col),
         "component",

@@ -78,23 +78,51 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return (n % 640) + 1, (n % 480) + 1, 3
 
 
+def codec_available() -> bool:
+    """True iff a real image codec (PIL) is importable in this environment."""
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_decode(payload: bytes) -> tuple[int, int, int]:
+    """Real codec path, used when strict=True and PIL is present."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height, len(im.getbands())
+
+
 def decode_features(
     df: DataFrame, strict: bool = False, embed_dim: int = 8
 ) -> DataFrame:
-    """mapInPandas feature extraction over the binary column. strict=True is
-    the production path → NotImplementedError until a codec is wired in;
-    strict=False uses the deterministic fake (tests, plumbing)."""
+    """mapInPandas feature extraction over the binary column.
+
+    strict=True is the production path: it requires a real codec (PIL) and
+    FAILS AT THE OPERATOR BOUNDARY — plan-construction time — when none is
+    importable, so a 100 TB job never launches tasks just to discover the
+    executors can't decode. strict=False uses the deterministic fake
+    (tests, plumbing)."""
+    if strict and not codec_available():
+        raise NotImplementedError(
+            "decode_features(strict=True) needs an image codec (PIL), which is "
+            "not available in this environment; use strict=False for the "
+            "deterministic fake decode"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            if strict:
-                raise NotImplementedError("image codec not available in this environment")
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                w, h, c = _fake_decode(b)
+                w, h, c = _pil_decode(b) if strict else _fake_decode(b)
                 digest = hashlib.md5(b).digest()
                 emb = [
                     round(digest[i] / 255.0, 6) for i in range(embed_dim)

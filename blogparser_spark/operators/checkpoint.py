@@ -33,6 +33,8 @@ from dataclasses import asdict, dataclass
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from blogparser_spark.operators.parse import STATUSES as _OBSERVED_STATUSES
+
 MANIFEST_DIR = "_manifests"
 
 
@@ -77,25 +79,61 @@ def completed_slices(base: str) -> set[int]:
     return out
 
 
+SLICE_COL = "slice_bucket"
+
+
 def slice_predicate(slice_id: int, n_slices: int, key_col: str = "conv_id"):
     """Deterministic, data-independent slice membership: pmod(hash(key), n).
     Every executor computes it identically; no shuffle, no state."""
     return F.pmod(F.hash(F.col(key_col)), F.lit(n_slices)) == slice_id
 
 
+def write_sliced_input(
+    df: DataFrame, path: str, n_slices: int = 8, key_col: str = "conv_id"
+) -> None:
+    """Ingest-time alignment of the slice key with STORAGE partitioning:
+    write the input partitioned by slice_bucket = pmod(hash(key), n). A
+    slice run then filters on the partition column and the scan PRUNES to
+    1/n of the files — a hash predicate over a flat layout cannot prune,
+    so an N-slice run over it reads the corpus N times (at 100 TB × 64
+    slices that is 6.4 PB of scan). Iceberg would express the same thing
+    as a bucket(n, key) partition transform."""
+    out = df.withColumn(SLICE_COL, F.pmod(F.hash(F.col(key_col)), F.lit(n_slices)))
+    out.write.mode("overwrite").partitionBy(SLICE_COL).parquet(path)
+
+
+def _sliced_layout(path: str, n_slices: int) -> bool:
+    """True iff `path` was written by write_sliced_input with this n."""
+    try:
+        parts = {p for p in os.listdir(path) if p.startswith(f"{SLICE_COL}=")}
+    except OSError:
+        return False
+    return len(parts) > 0 and parts <= {f"{SLICE_COL}={i}" for i in range(n_slices)}
+
+
 def input_snapshot_id(spark: SparkSession, path: str) -> str:
     """Lineage identifier for the input. Iceberg would give a snapshot id;
-    for parquet dirs, the max mtime of the files is the next best stable
+    for parquet dirs, the max mtime over ALL data files (recursive — the
+    input may be partitioned into subdirectories) is the next best stable
     marker (changes iff the data changes)."""
+    latest = None
     try:
-        mt = max(
-            os.path.getmtime(os.path.join(path, p))
-            for p in os.listdir(path)
-            if p.endswith(".parquet")
-        )
-        return f"mtime:{int(mt)}"
-    except (OSError, ValueError):
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    mt = os.path.getmtime(os.path.join(root, f))
+                    latest = mt if latest is None else max(latest, mt)
+    except OSError:
         return "unknown"
+    return f"mtime:{int(latest)}" if latest is not None else "unknown"
+
+
+def read_manifest(base: str, slice_id: int) -> dict | None:
+    try:
+        with open(_manifest_path(base, slice_id)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def run_sliced(
@@ -109,45 +147,64 @@ def run_sliced(
 ) -> list[SliceManifest]:
     """Run transform(df_slice) -> DataFrame for each incomplete slice,
     writing per-slice parquet + manifest. `transform` must return a frame
-    with a parse_status column (for the observed sink metrics)."""
-    done = completed_slices(output_base) if resume else set()
+    with a parse_status column (for the observed sink metrics).
+
+    Input layouts: if input_path was written by write_sliced_input with a
+    compatible slice count, each slice filters on the PARTITION column and
+    the scan prunes to that slice's files; otherwise it falls back to the
+    hash predicate over a full scan (correct, but reads the corpus once
+    per slice — fine in tests, wrong at 100 TB; ingest sliced there).
+
+    Resume safety: a completed slice is skipped only if its manifest's
+    input_snapshot matches the CURRENT input snapshot — after the input
+    changes, every slice re-runs rather than silently mixing lineages."""
     snapshot = input_snapshot_id(spark, input_path)
+    done: set[int] = set()
+    if resume:
+        for s in completed_slices(output_base):
+            m = read_manifest(output_base, s)
+            if m and m.get("input_snapshot") == snapshot:
+                done.add(s)
+    sliced = _sliced_layout(input_path, n_slices)
     manifests: list[SliceManifest] = []
     for s in range(n_slices):
         if s in done:
             continue
         t0 = time.time()
-        src = spark.read.parquet(input_path).filter(
-            slice_predicate(s, n_slices, key_col)
-        )
+        if sliced:
+            # partition-column filter → directory-level pruning at the scan
+            src = spark.read.parquet(input_path).filter(F.col(SLICE_COL) == s)
+            predicate = f"{SLICE_COL} = {s} (partition-pruned)"
+        else:
+            src = spark.read.parquet(input_path).filter(
+                slice_predicate(s, n_slices, key_col)
+            )
+            predicate = f"pmod(hash({key_col}), {n_slices}) = {s}"
         obs_in = Observation(f"in-{s}")
         obs_out = Observation(f"out-{s}")
         src = src.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
         out = transform(src)
-        out = out.observe(
-            obs_out,
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(
-                F.when(F.col("parse_status") == "ok", 1).otherwise(0)
-            ).alias("rows_ok"),
-        )
+        # per-sink counts ride the SAME write job via observe() — no
+        # re-read of the slice output just to recount
+        status_aggs = [
+            F.sum(F.when(F.col("parse_status") == st, 1).otherwise(0)).alias(st)
+            for st in _OBSERVED_STATUSES
+        ]
+        out = out.observe(obs_out, F.count(F.lit(1)).alias("rows"), *status_aggs)
         out_path = os.path.join(output_base, f"slice={s}")
         out.write.mode("overwrite").parquet(out_path)
+        metrics = obs_out.get
         sink_counts = {
-            r["parse_status"]: r["n"]
-            for r in spark.read.parquet(out_path)
-            .groupBy("parse_status")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            st: int(metrics[st]) for st in _OBSERVED_STATUSES if metrics[st]
         }
         m = SliceManifest(
             slice_id=s,
             n_slices=n_slices,
-            predicate=f"pmod(hash({key_col}), {n_slices}) = {s}",
+            predicate=predicate,
             input_path=input_path,
             input_snapshot=snapshot,
             rows_in=int(obs_in.get["rows_in"]),
-            rows_ok=int(obs_out.get["rows_ok"] or 0),
+            rows_ok=sink_counts.get("ok", 0),
             sink_counts=sink_counts,
             started_at=t0,
             wall_seconds=round(time.time() - t0, 3),

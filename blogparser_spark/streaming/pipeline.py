@@ -39,8 +39,12 @@ def read_transcript_stream(
 def streaming_transform(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """watermark → dedup → parse → enrich → sink id. parse_stage and enrich
     are the batch functions, unchanged — stateless stages compose freely
-    with streaming; only the dedup is stateful (bounded by the watermark)."""
-    deduped = stream.withWatermark("ts", watermark).dropDuplicates(
+    with streaming; only the dedup is stateful. dropDuplicatesWithinWatermark
+    (not dropDuplicates: with a dedup key that excludes the event-time
+    column, plain dropDuplicates never evicts state and it grows without
+    bound on a real stream) — state for a key is dropped once the watermark
+    passes its last-seen event time."""
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["conv_id", "turn_idx"]
     )
     return with_sink_id(enrich(parse_stage(deduped)))

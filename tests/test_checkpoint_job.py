@@ -74,3 +74,64 @@ def test_slices_partition_all_rows_exactly_once(spark, tmp_path):
         df.filter(slice_predicate(s, 4)).count() for s in range(4)
     )
     assert covered == n
+
+
+def test_sliced_input_scan_prunes_to_own_files(spark, tmp_path):
+    """Storage-aligned slicing: with write_sliced_input, a slice read scans
+    ONLY the files under its own slice_bucket partition — the hash-filter
+    fallback would scan everything (6.4 PB at 100 TB × 64 slices)."""
+    from blogparser_spark.operators.checkpoint import SLICE_COL, write_sliced_input
+    from blogparser_spark.sources.synthetic import transcripts_df
+
+    p = str(tmp_path / "sliced_in")
+    write_sliced_input(transcripts_df(spark, n_convs=30, turns_per_conv=4), p, n_slices=4)
+    full = spark.read.parquet(p)
+    one = full.filter(F.col(SLICE_COL) == 2)
+    # the slice filter must land in the scan's PartitionFilters (directory
+    # pruning), not in the data filters (per-row evaluation after reading)
+    plan = one._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "PartitionFilters" in plan
+    scan_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert SLICE_COL in scan_line.split("PartitionFilters")[1].split("]")[0]
+    # and the four partitions cover every row exactly once
+    assert sum(
+        full.filter(F.col(SLICE_COL) == s).count() for s in range(4)
+    ) == full.count()
+
+
+def test_sliced_run_uses_pruned_predicate_and_matches_flat(spark, tmp_path):
+    from blogparser_spark.job import transform
+    from blogparser_spark.operators.checkpoint import run_sliced, write_sliced_input
+    from blogparser_spark.sources.synthetic import transcripts_df
+
+    df = transcripts_df(spark, n_convs=20, turns_per_conv=3)
+    p = str(tmp_path / "sliced_in2")
+    write_sliced_input(df, p, n_slices=2)
+    out = str(tmp_path / "sliced_out")
+    ms = run_sliced(spark, p, out, transform, n_slices=2)
+    assert all("partition-pruned" in m.predicate for m in ms)
+    assert sum(m.rows_in for m in ms) == df.count()
+    got = spark.read.parquet(out + "/slice=*").count()
+    assert got == df.count()
+
+
+def test_resume_reruns_when_input_snapshot_changes(spark, tmp_path):
+    """ADVICE: a manifest from an OLDER input snapshot must not be trusted —
+    resuming after the input changed re-runs the slice instead of silently
+    mixing lineages."""
+    import time as _time
+
+    from blogparser_spark.job import transform
+    from blogparser_spark.operators.checkpoint import run_sliced
+
+    inp = _write_input(spark, tmp_path)
+    out = str(tmp_path / "out3")
+    first = run_sliced(spark, inp, out, transform, n_slices=2)
+    assert [m.slice_id for m in first] == [0, 1]
+    # unchanged input → resume skips everything
+    assert run_sliced(spark, inp, out, transform, n_slices=2) == []
+    # rewrite the input (new mtime ⇒ new snapshot id) → all slices re-run
+    _time.sleep(1.1)  # mtime granularity
+    _write_input(spark, tmp_path)
+    rerun = run_sliced(spark, inp, out, transform, n_slices=2)
+    assert [m.slice_id for m in rerun] == [0, 1]

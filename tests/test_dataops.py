@@ -187,10 +187,50 @@ def test_connected_components_chain(spark):
 def test_near_dup_clusters_end_to_end(docs, spark):
     from blogparser_spark.dataops.dedup import near_dup_clusters
 
-    out = {r["doc_id"]: r for r in near_dup_clusters(docs).collect()}
+    stats: dict = {}
+    out = {r["doc_id"]: r for r in near_dup_clusters(docs, stats=stats).collect()}
     # docs 0/1 are exact dups → same component; survivor = min id
     assert out[0]["component"] == out[1]["component"]
     assert out[0]["keep"] is True and out[1]["keep"] is False
+    # iteration accounting: tiny graph converges immediately — one
+    # propagating round plus the round that observes no change
+    assert 1 <= stats["iterations"] <= 3
+
+
+def test_near_dup_verify_blocks_lsh_false_positives(spark):
+    """ADVICE: LSH bucket collisions alone must never drop a document —
+    candidate pairs go through exact Jaccard verification before
+    clustering. Construct a pair below the verify threshold and force-feed
+    it: the verify stage must reject it."""
+    from blogparser_spark.dataops.dedup import verify_pairs_jaccard
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma unrelated words entirely different here"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "id_a long, id_b long")
+    kept = {(r["id_a"], r["id_b"]) for r in
+            verify_pairs_jaccard(df, pairs, threshold=0.5).collect()}
+    assert (0, 1) not in kept  # J(0,1) ≈ 0.09 — LSH false positive rejected
+    assert (0, 2) in kept  # J(0,2) ≈ 0.55 — real near-dup survives
+
+
+def test_connected_components_chain_iterations(spark):
+    """Min-label propagation over a 5-node chain: label 0 moves one hop per
+    round → 4 propagating rounds + 1 no-change round, and edges lineage is
+    truncated (localCheckpoint) so rounds don't replay the pair pipeline."""
+    from blogparser_spark.dataops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    comps = {r["node"]: r["component"]
+             for r in connected_components(pairs, stats=stats).collect()}
+    assert comps == {i: 0 for i in range(5)}
+    assert stats["iterations"] == 5
 
 
 def test_pii_scrub(spark):
@@ -227,11 +267,23 @@ def test_multimodal_plumbing(docs):
     f0 = next(f for f in feats if f["media_id"] == 0)
     assert f0["channels"] == 3 and len(f0["embedding"]) == 8
     assert f0["magic"] == "the quick brown fox"[:4].encode().hex()[:8]
-    # strict mode: codec genuinely absent → explicit failure, not silence
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        decode_features(media, strict=True).collect()
     plan = frame_sample_plan(media, every_n=1)
     assert plan.count() == 6  # 1 fake frame per small payload
+
+
+def test_multimodal_strict_contract(docs):
+    """Strict-mode contract: with a real codec present the strict path
+    decodes; without one the operator fails AT PLAN TIME with the
+    documented error — no Spark job is ever launched to discover it."""
+    from blogparser_spark.dataops import multimodal as M
+
+    media = M.documents_as_media(docs)
+    if M.codec_available():
+        feats = M.decode_features(media, strict=True).collect()
+        assert len(feats) == 6
+    else:
+        with pytest.raises(NotImplementedError, match="codec"):
+            M.decode_features(media, strict=True)  # raises before .collect()
 
 
 def test_multimodal_decode_deterministic(docs):
