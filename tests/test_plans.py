@@ -57,6 +57,33 @@ def test_parquet_filter_pushdown(spark, sf_dir):
     assert "ReadSchema: struct<l_quantity:double,l_returnflag:string,l_shipdate:timestamp" in plan
 
 
+def test_pos_weight_dim_broadcast(spark):
+    """The POS→weight lookup-enrich (W1) must be a broadcast hash join —
+    the 6-row dim never shuffles the token-grain fact side."""
+    from blogparser_spark.operators.enrich import dim_pos_weight
+    from blogparser_spark.operators.summary_bm25 import pos_weighted_tokens
+
+    df = spark.createDataFrame(
+        [("d", 0, "これは分散処理の基盤です")],
+        "doc string, sent_idx int, sentence string",
+    )
+    plan = _plan(pos_weighted_tokens(df, dim_pos_weight(spark)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_matmul_shuffles_only_local_topk(spark):
+    """brute_force_topk_matmul's window input is the mapInPandas output
+    (local top-k rows), never a corpus×queries join — no join operator at
+    all in the plan."""
+    from blogparser_spark.dataops.similarity import brute_force_topk_matmul
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(brute_force_topk_matmul(emb, 3, 3))
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+
+
 def test_bm25_aggregates_are_partial(spark):
     """The BM25 tf aggregation must show a partial_count before the exchange
     (map-side combine) — the property that bounds the shuffle at corpus
