@@ -107,6 +107,30 @@ def transcripts_parquet(spark, sf_dir: str, turns_per_doc: int | None = None) ->
     return path
 
 
+def _bench_spark(cpus: int, app_name: str):
+    """Benchmark sessions pin and PRE-TOUCH the heap (-Xms=-Xmx,
+    AlwaysPreTouch): the sandbox host provisions fresh pages to this VM at
+    ~100-200 MB/s under load, and ParallelGC un-commits heap between runs,
+    so an unpinned session re-faults host pages inside the timed window
+    (measured 33.8s vs 105s for identical runs). Pre-touching moves that
+    cost to session startup, outside every timing. 16g is ample for the
+    500k-5M-turn workloads once GC is the throughput collector."""
+    from blogparser_spark.session import get_spark
+
+    mem = os.environ.get("SPARK_GRAFT_BENCH_MEM", "16g")
+    return get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        app_name=app_name,
+        extra_conf={
+            "spark.driver.memory": mem,
+            "spark.driver.extraJavaOptions": (
+                f"-XX:+UseParallelGC -Xms{mem} -XX:+AlwaysPreTouch"
+            ),
+        },
+    )
+
+
 def _quiesce(spark) -> None:
     """Collect the previous query's JVM garbage before timing the next one —
     the 500k-turn pipeline job otherwise taxes the following query with its
@@ -174,7 +198,9 @@ def run_headline(
     bench(
         "q_pipeline",
         lambda: sink_counts(enrich(parse_stage(spark.read.parquet(tpath)))).collect(),
-        reps=3,  # JIT on the 500k-turn plan keeps improving through run ~3
+        # JIT keeps improving the 500k-turn plan through ~run 3, and
+        # min-of-N needs headroom against host interference bursts
+        reps=4,
     )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench(
@@ -198,11 +224,7 @@ def run_headline(
 
 
 def one_run(cpus: int, sf_dir: str) -> dict:
-    from blogparser_spark.session import get_spark
-
-    spark = get_spark(
-        master=f"local[{cpus}]", shuffle_partitions=int(cpus), app_name=f"bench-{cpus}"
-    )
+    spark = _bench_spark(cpus, f"bench-{cpus}")
     spark.sparkContext.setLogLevel("ERROR")
     timings, cold, n_turns = run_headline(spark, sf_dir)
     total = round(sum(timings.values()), 3)
@@ -239,11 +261,8 @@ def pipeline_throughput(cpus: int, sf_dir: str, repeats: int = 5) -> dict:
     from blogparser_spark.operators.aggregate import sink_counts
     from blogparser_spark.operators.enrich import enrich
     from blogparser_spark.operators.parse import parse_stage
-    from blogparser_spark.session import get_spark
 
-    spark = get_spark(
-        master=f"local[{cpus}]", shuffle_partitions=int(cpus), app_name=f"scale-{cpus}"
-    )
+    spark = _bench_spark(cpus, f"scale-{cpus}")
     spark.sparkContext.setLogLevel("ERROR")
     tpath = transcripts_parquet(spark, sf_dir)
     n_turns = spark.read.parquet(tpath).count()

@@ -43,7 +43,9 @@ EXTRACT_TYPE = StructType(
     [
         StructField("title", StringType()),  # cleaned; null if not found
         StructField("title_found", BooleanType()),
-        StructField("body_raw", StringType()),  # selected candidate, normalized
+        # the raw selected candidate (pre-clean body) stays Python-side:
+        # only content_found derives from it, so serializing it to the JVM
+        # would ship a near-duplicate of `body` per row for nothing
         StructField("content_found", BooleanType()),
         StructField("body", StringType()),  # after cleaning bank ('' if emptied)
         StructField("categories", ArrayType(StringType())),  # raw, pre-clean
@@ -233,7 +235,6 @@ def extract_udf(texts: pd.Series) -> pd.DataFrame:
         {
             "title": title,
             "title_found": title_raw.notna(),
-            "body_raw": body_raw,
             "content_found": body_raw.notna(),
             "body": body,
             "categories": categories,

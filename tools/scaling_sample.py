@@ -32,9 +32,23 @@ def bandwidth_canary() -> float:
 
 
 def main() -> None:
-    bench.TURNS_PER_DOC = 1000
+    turns = int(sys.argv[1]) if len(sys.argv) > 1 else 400  # 2M turns default
+    gate = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0  # GB/s
+    bench.TURNS_PER_DOC = turns
     sf = "/root/testdata/sf0.1"
-    sample = {"ts": time.strftime("%H:%M:%S")}
+    # opportunistic gating: only measure when the host isn't throttling
+    # memory bandwidth (observed 0.03–2+ GB/s swings); give up after ~3 min
+    bw = bandwidth_canary()
+    waited = 0
+    while bw < gate and waited < 180:
+        time.sleep(30)
+        waited += 30
+        bw = bandwidth_canary()
+    sample = {"ts": time.strftime("%H:%M:%S"), "turns_per_doc": turns, "bw_gate": bw}
+    if bw < gate:
+        sample["skipped"] = "bandwidth below gate"
+        print(json.dumps(sample))
+        return
     for cpus in (4, 16):
         sample[f"bw_before_{cpus}"] = bandwidth_canary()
         r = bench.pipeline_throughput(cpus, sf, repeats=2)
