@@ -194,6 +194,9 @@ def run_headline(
     # shape of the north rule) — generation happens once, outside timing
     tpath = transcripts_parquet(spark, sf_dir)
     n_turns = spark.read.parquet(tpath).count()
+    # count() is footer-only; touch the data pages so the first timed run
+    # measures the plan, not the page cache (a long job's steady state)
+    spark.read.parquet(tpath).agg(F.sum(F.length("text"))).collect()
 
     bench(
         "q_pipeline",

@@ -52,6 +52,23 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def apply_exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the dedup decision: keep ONE row per normalized-text
+    group (the minimum id — deterministic survivor), preserving the full
+    input schema. One window shuffle keyed on the 32-byte hash, never on
+    the payload; at 10^9 docs the per-group state is a single counter."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(_norm(F.col(text_col)))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus summary: total docs, distinct texts, removable dups."""
     h = F.md5(_norm(F.col(text_col)))

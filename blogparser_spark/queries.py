@@ -774,6 +774,23 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_apply_survivors",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (
+        PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized dedup decision: ids surviving exact dedup (min-id
+    per normalized-text group) — what a training pipeline actually writes."""
+    return dedup.apply_exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
+@_q(
     "minhash_signatures",
     """
     WITH t AS (

@@ -39,6 +39,15 @@ def test_exact_dedup(docs):
     assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 0
 
 
+def test_apply_exact_dedup(docs):
+    from blogparser_spark.dataops.dedup import apply_exact_dedup
+
+    out = apply_exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == [0, 2, 3, 4, 5]  # doc 1 (whitespace-dup of 0) dropped
+    assert out.columns == docs.columns  # full schema preserved
+
+
 def test_minhash_lsh_finds_near_dup(docs):
     from blogparser_spark.dataops.dedup import minhash_lsh_candidates, minhash_signature_df
 
