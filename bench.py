@@ -163,13 +163,15 @@ def run_headline(
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
 
-    # Session warmup: spawn the Python UDF workers and JIT the Arrow
-    # serialization path once, on a 2k-row job, BEFORE any timing. These are
-    # per-session (per-executor-JVM) one-offs a long-running cluster pays
-    # once; with them excluded, `queries_cold` measures what a NEW PLAN
-    # costs (whole-stage-codegen compile), which is the per-plan-shape
-    # number that recurs at scale.
-    warm = build_transcripts(spark, sf_dir).limit(2000)
+    # Session warmup: spawn the Python UDF workers, JIT the Arrow path, and
+    # fault in the workers' batch buffers (32 workers × pandas/Arrow
+    # allocations — fresh pages arrive from the host at ~100-200 MB/s under
+    # load, so an undersized warmup leaves that cost in the first timed
+    # run). These are per-session (per-executor-JVM) one-offs a
+    # long-running cluster pays once; with them excluded, `queries_cold`
+    # measures what a NEW PLAN costs (whole-stage-codegen compile), the
+    # per-plan-shape number that recurs at scale.
+    warm = build_transcripts(spark, sf_dir).limit(100_000)
     sink_counts(enrich(parse_stage(warm))).collect()
 
     def bench(name, thunk, reps=2):
