@@ -929,6 +929,72 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_df(_docs(spark, sf_dir))
 
 
+@_q(
+    "simhash_band_candidates",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        list_distinct(list_filter(string_split(lower(text), ' '), x -> x != '')) AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, md5(unnest(toks)) AS h FROM t
+    ), votes AS (
+      SELECT doc_id, r.b,
+        sum(2 * (((strpos('0123456789abcdef', substr(h, (r.b // 4)::INT + 1, 1)) - 1)
+                  >> (3 - (r.b % 4))::INT) & 1) - 1) AS vote
+      FROM tok, (SELECT unnest(range(32)) AS b) r
+      GROUP BY doc_id, r.b
+    ), sh AS (
+      SELECT doc_id,
+        sum(CASE WHEN vote > 0 THEN (1::BIGINT << (31 - b)::INT) ELSE 0 END)::BIGINT AS simhash
+      FROM votes GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band_idx, simhash // 65536 AS band_val FROM sh
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, simhash % 65536 AS band_val FROM sh
+    )
+    SELECT band_idx, band_val, count(*)::BIGINT AS n_docs,
+           array_to_string(list_transform(list_sort(list(doc_id)), x -> x::VARCHAR), '|') AS ids
+    FROM bands GROUP BY band_idx, band_val HAVING count(*) >= 2
+    """,
+)
+def simhash_band_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate generation: group on the 16-bit signature
+    halves — hamming distance ≤ 1 always collides on one half (dedup.py
+    simhash_band_candidates)."""
+    out = dedup.simhash_band_candidates(_docs(spark, sf_dir))
+    return out.select(
+        "band_idx",
+        F.col("band_val").cast("long").alias("band_val"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), "|").alias("ids"),
+    )
+
+
+@_q(
+    "media_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes FROM documents
+    ), frames AS (
+      SELECT media_id, unnest(range((n_bytes // 1024) + 1)) AS frame_idx FROM media
+    )
+    SELECT media_id, frame_idx::INT AS frame_idx
+    FROM frames WHERE frame_idx % 3 = 0
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan: (media_id, frame_idx) rows for every
+    3rd frame — the pure-relational half of the video path (the decode
+    itself goes through the strict-gated mapInPandas codec)."""
+    from blogparser_spark.dataops.multimodal import documents_as_media, frame_sample_plan
+
+    media = documents_as_media(_docs(spark, sf_dir))
+    return frame_sample_plan(media, every_n=3).select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
 # ===========================================================================
 # Similarity family (dataops.similarity)
 # ===========================================================================
