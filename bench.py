@@ -148,7 +148,7 @@ def run_headline(
     from pyspark.sql import functions as F
 
     from blogparser_spark.dataops.dedup import minhash_lsh_candidates
-    from blogparser_spark.dataops.similarity import brute_force_topk
+    from blogparser_spark.dataops.similarity import brute_force_topk_matmul
     from blogparser_spark.dataops.textstats import with_fingerprint, with_langid, with_quality
     from blogparser_spark.operators.aggregate import sink_counts
     from blogparser_spark.operators.enrich import enrich
@@ -218,7 +218,8 @@ def run_headline(
     bench("q_minhash_lsh", lambda: minhash_lsh_candidates(docs).count())
     bench(
         "q_ann",
-        lambda: brute_force_topk(
+        # the matmul local-top-k plan: join-free, ≤ k·parts·queries shuffle
+        lambda: brute_force_topk_matmul(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"), 10, 10
         ).count(),
     )

@@ -120,7 +120,10 @@ def brute_force_topk_matmul(
     top-k window therefore carries ≤ k·n_partitions·n_queries candidate
     rows instead of n_corpus·n_queries — at 10^9 vectors that is the
     difference between a 10-row-per-query merge and a 10^10-row shuffle.
-    Same results as brute_force_topk (equivalence-tested)."""
+    Same results as brute_force_topk (equivalence-tested); sims are rounded
+    to 6 decimals BEFORE the local prune so the local and global orderings
+    share one key — pruning on raw floats could cut a candidate that ties
+    at the boundary under the rounded global (sim, nid) order."""
     import numpy as np
 
     q_rows = (
@@ -130,7 +133,7 @@ def brute_force_topk_matmul(
     )
     qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     Q = np.asarray([list(r["qv"]) for r in q_rows], dtype=np.float64)
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    Qnorm = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
 
     out_schema = "qid long, nid long, sim double"
 
@@ -140,8 +143,12 @@ def brute_force_topk_matmul(
                 continue
             ids = pdf[id_col].to_numpy()
             V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            norms = np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            sims = (V / norms) @ Qn.T  # (batch, n_queries), one BLAS call
+            norms = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+            # dot first, normalize after — the same association order as the
+            # join kernel (dot/(|v||q|)) and the DuckDB oracle, so round(6)
+            # lands identically across all three
+            sims = (V @ Q.T) / np.outer(norms, Qnorm)  # one BLAS call
+            sims = np.round(sims, 6)
             rows = []
             for j, qid in enumerate(qids):
                 col = sims[:, j]
@@ -149,12 +156,12 @@ def brute_force_topk_matmul(
                 cand_idx = np.nonzero(mask)[0]
                 if len(cand_idx) == 0:
                     continue
-                # local order = global tie-break: (-sim, nid) so boundary
-                # ties survive to the global merge deterministically
+                # local order = global tie-break on the ROUNDED key:
+                # (-sim, nid), so boundary ties survive deterministically
                 order = np.lexsort((ids[cand_idx], -col[cand_idx]))
                 top = cand_idx[order[:k]]
                 for i in top:
-                    rows.append((int(qid), int(ids[i]), round(float(col[i]), 6)))
+                    rows.append((int(qid), int(ids[i]), float(col[i])))
             if rows:
                 yield pd.DataFrame(rows, columns=["qid", "nid", "sim"])
 

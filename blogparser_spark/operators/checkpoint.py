@@ -88,6 +88,9 @@ def slice_predicate(slice_id: int, n_slices: int, key_col: str = "conv_id"):
     return F.pmod(F.hash(F.col(key_col)), F.lit(n_slices)) == slice_id
 
 
+LAYOUT_MARKER = "_slice_layout.json"
+
+
 def write_sliced_input(
     df: DataFrame, path: str, n_slices: int = 8, key_col: str = "conv_id"
 ) -> None:
@@ -97,18 +100,28 @@ def write_sliced_input(
     1/n of the files — a hash predicate over a flat layout cannot prune,
     so an N-slice run over it reads the corpus N times (at 100 TB × 64
     slices that is 6.4 PB of scan). Iceberg would express the same thing
-    as a bucket(n, key) partition transform."""
+    as a bucket(n, key) partition transform. The written slice count is
+    persisted in a marker file so a later run with a DIFFERENT n_slices
+    cannot silently misattribute slices (run n=8 over a written n=4
+    layout would give 4 double-width slices and 4 empty ones)."""
     out = df.withColumn(SLICE_COL, F.pmod(F.hash(F.col(key_col)), F.lit(n_slices)))
     out.write.mode("overwrite").partitionBy(SLICE_COL).parquet(path)
+    with open(os.path.join(path, LAYOUT_MARKER), "w") as f:
+        json.dump({"n_slices": n_slices, "key_col": key_col}, f)
 
 
-def _sliced_layout(path: str, n_slices: int) -> bool:
-    """True iff `path` was written by write_sliced_input with this n."""
+def _sliced_layout(path: str, n_slices: int, key_col: str) -> bool:
+    """True iff `path` was written by write_sliced_input with EXACTLY this
+    (n_slices, key_col). The marker is authoritative; a marker-less
+    partitioned dir falls back to the hash predicate (correct, unpruned)
+    rather than guessing the written layout from directory names — a
+    subset check would accept a smaller written n and misreport slicing."""
     try:
-        parts = {p for p in os.listdir(path) if p.startswith(f"{SLICE_COL}=")}
-    except OSError:
+        with open(os.path.join(path, LAYOUT_MARKER)) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
         return False
-    return len(parts) > 0 and parts <= {f"{SLICE_COL}={i}" for i in range(n_slices)}
+    return meta.get("n_slices") == n_slices and meta.get("key_col") == key_col
 
 
 def input_snapshot_id(spark: SparkSession, path: str) -> str:
@@ -165,7 +178,7 @@ def run_sliced(
             m = read_manifest(output_base, s)
             if m and m.get("input_snapshot") == snapshot:
                 done.add(s)
-    sliced = _sliced_layout(input_path, n_slices)
+    sliced = _sliced_layout(input_path, n_slices, key_col)
     manifests: list[SliceManifest] = []
     for s in range(n_slices):
         if s in done:
@@ -197,6 +210,11 @@ def run_sliced(
         sink_counts = {
             st: int(metrics[st]) for st in _OBSERVED_STATUSES if metrics[st]
         }
+        # statuses outside the known list must not vanish from the manifest:
+        # record the residue so sink_counts always sums to the row count
+        other = int(metrics["rows"]) - sum(sink_counts.values())
+        if other:
+            sink_counts["other"] = other
         m = SliceManifest(
             slice_id=s,
             n_slices=n_slices,

@@ -1023,9 +1023,11 @@ _COS = (
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (exact ANN baseline): broadcast query set,
-    single corpus scan, windowed top-k."""
-    return similarity.brute_force_topk(_emb(spark, sf_dir), n_queries=5, k=5)
+    """Exact cosine top-k via the matmul scale path: one BLAS matmul per
+    Arrow batch, local top-k per partition, join-free — the shuffle carries
+    ≤ k·parts·queries rows. The join-based brute_force_topk remains as the
+    equivalence-tested parity reference (test_dataops)."""
+    return similarity.brute_force_topk_matmul(_emb(spark, sf_dir), n_queries=5, k=5)
 
 
 @_q(

@@ -135,3 +135,48 @@ def test_resume_reruns_when_input_snapshot_changes(spark, tmp_path):
     _write_input(spark, tmp_path)
     rerun = run_sliced(spark, inp, out, transform, n_slices=2)
     assert [m.slice_id for m in rerun] == [0, 1]
+
+
+def test_layout_mismatch_falls_back_to_hash_predicate(spark, tmp_path):
+    """A layout written with a SMALLER slice count must NOT pass the sliced
+    check for a larger n (slices would silently double up / read empty);
+    the marker requires an exact (n_slices, key_col) match."""
+    from blogparser_spark.job import transform
+    from blogparser_spark.operators.checkpoint import run_sliced, write_sliced_input
+    from blogparser_spark.sources.synthetic import transcripts_df
+
+    df = transcripts_df(spark, n_convs=20, turns_per_conv=3)
+    p = str(tmp_path / "sliced_small")
+    write_sliced_input(df, p, n_slices=4)
+    out = str(tmp_path / "mismatch_out")
+    ms = run_sliced(spark, p, out, transform, n_slices=8)
+    # fell back to the hash predicate: correct totals, honest predicates
+    assert all(m.predicate.startswith("pmod(hash(conv_id), 8)") for m in ms)
+    assert sum(m.rows_in for m in ms) == df.count()
+    # and the matching count still uses the pruned path
+    ms4 = run_sliced(spark, p, str(tmp_path / "match_out"), transform, n_slices=4)
+    assert all("partition-pruned" in m.predicate for m in ms4)
+
+
+def test_unknown_status_lands_in_other_bucket(spark, tmp_path):
+    """sink_counts is built from observed aggregates over the KNOWN status
+    list; a transform emitting a status outside it must surface as 'other'
+    so the manifest counts always sum to rows."""
+    from pyspark.sql import functions as F
+
+    from blogparser_spark.operators.checkpoint import run_sliced
+
+    inp = _write_input(spark, tmp_path)
+    out = str(tmp_path / "other_out")
+
+    def odd_transform(df):
+        return df.withColumn(
+            "parse_status",
+            F.when(F.col("turn_idx") == 0, F.lit("weird_status")).otherwise("ok"),
+        )
+
+    ms = run_sliced(spark, inp, out, odd_transform, n_slices=2)
+    for m in ms:
+        assert sum(m.sink_counts.values()) == m.rows_in
+        assert m.sink_counts.get("other", 0) > 0 or "weird_status" not in str(m)
+    assert any(m.sink_counts.get("other", 0) > 0 for m in ms)
