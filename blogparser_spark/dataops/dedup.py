@@ -165,18 +165,38 @@ def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+BUCKET_IDS_CAP = 100  # bucket-report arrays carry at most this many ids
+
+
 def minhash_lsh_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """LSH buckets holding ≥2 docs → (band_idx, band_hash, n_docs, doc_ids
-    sorted). The bucket-join is the scale path: only bucket members are ever
-    compared pairwise downstream."""
+    """LSH buckets holding ≥2 docs → (band_idx, band_hash, n_docs, ids).
+    The bucket-join is the scale path: only bucket members are ever
+    compared pairwise downstream.
+
+    `n_docs` is the EXACT member count; `ids` is the first BUCKET_IDS_CAP
+    members in id order — a bounded sample, not the full roster. On a
+    degenerate corpus (everything identical) one bucket holds every doc;
+    an uncapped collect_list would materialize the whole corpus's ids in
+    one aggregation buffer on one executor. The cap is enforced BEFORE the
+    collect (window rank ≤ cap), so per-group state is bounded; pair
+    generation (lsh_candidate_pairs) never reads this array — it chains
+    via lag() with O(1) per-row state."""
+    from pyspark.sql import Window
+
+    bands = minhash_bands(df, text_col, id_col)
+    w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
     return (
-        minhash_bands(df, text_col, id_col)
+        bands.withColumn("_rn", F.row_number().over(w))
         .groupBy("band_idx", "band_hash")
         .agg(
             F.count("*").alias("n_docs"),
-            F.array_sort(F.collect_list(id_col)).alias("ids"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= BUCKET_IDS_CAP, F.col(id_col))
+                )
+            ).alias("ids"),
         )
         .filter(F.col("n_docs") >= 2)
     )
@@ -303,13 +323,17 @@ def connected_components(
     stats: dict | None = None,
 ) -> DataFrame:
     """Cluster candidate near-duplicate pairs into components by iterative
-    minimum-label propagation: every node repeatedly adopts the smallest id
-    reachable over one hop until no label changes (O(diameter) rounds, with
-    early convergence detection).
+    minimum-label propagation WITH pointer jumping: each round every node
+    adopts the smallest label reachable over one hop, then adopts its
+    label's label (comp ← comp(comp)). The jump halves pointer chains, so
+    convergence is O(log diameter) rounds — the property that matters when
+    chained LSH pairs produce path-shaped clusters (a 10^6-member
+    boilerplate cluster is a path of diameter 10^6; plain propagation
+    would need 10^6 rounds, this needs ~20).
 
     Dedup semantics need CLUSTERS, not pairs — keep min(id) per component,
     drop the rest. Iterations are driver-side (genuinely iterative, not
-    SQL-expressible in one query); each round is one shuffle join. BOTH
+    SQL-expressible in one query); each round is two shuffle joins. ALL
     frames are localCheckpoint()ed: `labels` so round k doesn't replay
     rounds 1..k-1, and `edges` so the per-round join doesn't re-derive the
     full upstream pipeline (MinHash+LSH over the corpus) on every
@@ -346,6 +370,22 @@ def connected_components(
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
+        # pointer jumping: comp ← comp(comp). Labels are always node ids, so
+        # the self-join on (component = node) resolves every row; the jump
+        # halves chain lengths each round → O(log diameter) total rounds.
+        lbl = new_labels.select(
+            F.col("node").alias("_ln"), F.col("component").alias("_lc")
+        )
+        new_labels = (
+            new_labels.join(lbl, new_labels["component"] == lbl["_ln"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("_lc", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -367,21 +407,18 @@ def lsh_candidate_pairs(
     """MinHash-LSH buckets → chained candidate pairs (id_a, id_b), id_a <
     id_b. CHAINED, not all-pairs-per-bucket: consecutive members suffice to
     connect a bucket's docs for clustering, keeping pair count linear in
-    bucket size."""
-    buckets = minhash_lsh_candidates(df, text_col, id_col)
+    bucket size. The chain is built with lag() over the (band, id) window —
+    O(1) state per row, external-sortable — NEVER by collecting a bucket's
+    members into one array, which is unbounded on a degenerate corpus
+    (everything identical → one bucket holds every id)."""
+    from pyspark.sql import Window
+
+    bands = minhash_bands(df, text_col, id_col)
+    w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
     return (
-        buckets.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ids") - 2),
-                    lambda i: F.struct(
-                        F.element_at("ids", (i + 1).cast("int")).alias("id_a"),
-                        F.element_at("ids", (i + 2).cast("int")).alias("id_b"),
-                    ),
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
+        bands.withColumn("_prev", F.lag(id_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b"))
         .distinct()
     )
 
@@ -446,17 +483,32 @@ def simhash_band_candidates(
 ) -> DataFrame:
     """Group on the upper/lower 16-bit halves of the simhash — docs agreeing
     on either half are near-dup candidates (standard band argument: hamming
-    distance ≤ 1 is always caught; larger distances probabilistically)."""
+    distance ≤ 1 is always caught; larger distances probabilistically).
+    As with minhash_lsh_candidates: n_docs is exact, ids is capped at
+    BUCKET_IDS_CAP (bounded per-group state on degenerate corpora)."""
+    from pyspark.sql import Window
+
     sh = F.col("simhash")
     halves = F.array(
         F.struct(F.lit(0).alias("band_idx"), F.floor(sh / F.lit(2**16)).alias("band_val")),
         F.struct(F.lit(1).alias("band_idx"), (sh % F.lit(2**16)).alias("band_val")),
     )
-    return (
+    bands = (
         simhash_df(df, text_col, id_col)
         .select(F.col(id_col), F.explode(halves).alias("b"))
         .select(id_col, "b.band_idx", "b.band_val")
+    )
+    w = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
+    return (
+        bands.withColumn("_rn", F.row_number().over(w))
         .groupBy("band_idx", "band_val")
-        .agg(F.count("*").alias("n_docs"), F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= BUCKET_IDS_CAP, F.col(id_col))
+                )
+            ).alias("ids"),
+        )
         .filter(F.col("n_docs") >= 2)
     )

@@ -858,7 +858,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sig, (SELECT unnest(range(4)) AS band_idx) b
     )
     SELECT band_idx, band_hash, count(*)::BIGINT AS n_docs,
-           array_to_string(list_transform(list_sort(list(doc_id)), x -> x::VARCHAR), '|') AS ids
+           array_to_string(list_transform(list_sort(list(doc_id))[1:100], x -> x::VARCHAR), '|') AS ids
     FROM bands GROUP BY band_idx, band_hash HAVING count(*) >= 2
     """,
 )
@@ -954,7 +954,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, 1 AS band_idx, simhash % 65536 AS band_val FROM sh
     )
     SELECT band_idx, band_val, count(*)::BIGINT AS n_docs,
-           array_to_string(list_transform(list_sort(list(doc_id)), x -> x::VARCHAR), '|') AS ids
+           array_to_string(list_transform(list_sort(list(doc_id))[1:100], x -> x::VARCHAR), '|') AS ids
     FROM bands GROUP BY band_idx, band_val HAVING count(*) >= 2
     """,
 )
@@ -1506,19 +1506,113 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("near_dup_clusters")  # no oracle: iterative label propagation
+@_q(
+    "near_dup_clusters",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS shingles
+      FROM t
+    ), sig AS (
+      SELECT doc_id,
+        [list_min(list_transform(shingles, s -> md5('0:' || s))),
+         list_min(list_transform(shingles, s -> md5('1:' || s))),
+         list_min(list_transform(shingles, s -> md5('2:' || s))),
+         list_min(list_transform(shingles, s -> md5('3:' || s))),
+         list_min(list_transform(shingles, s -> md5('4:' || s))),
+         list_min(list_transform(shingles, s -> md5('5:' || s))),
+         list_min(list_transform(shingles, s -> md5('6:' || s))),
+         list_min(list_transform(shingles, s -> md5('7:' || s)))] AS s
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b.band_idx,
+             md5(s[b.band_idx*2 + 1] || '|' || s[b.band_idx*2 + 2]) AS band_hash
+      FROM sig, (SELECT unnest(range(4)) AS band_idx) b
+      WHERE s[1] IS NOT NULL
+    ), ranked AS (
+      SELECT doc_id,
+        lag(doc_id) OVER (PARTITION BY band_idx, band_hash ORDER BY doc_id) AS prev
+      FROM bands
+    ), cand AS (
+      SELECT DISTINCT prev AS id_a, doc_id AS id_b FROM ranked WHERE prev IS NOT NULL
+    ), dsh AS (
+      SELECT doc_id, list_distinct(shingles) AS sh FROM sh
+    ), verified AS (
+      SELECT id_a, id_b FROM cand
+      JOIN dsh a ON a.doc_id = cand.id_a
+      JOIN dsh b ON b.doc_id = cand.id_b
+      WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6)
+            >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ), nodes AS (
+      SELECT DISTINCT u AS node FROM edges
+    ), reach AS (
+      SELECT node, node AS m FROM nodes
+      UNION
+      SELECT e.u AS node, r.m FROM edges e JOIN reach r ON e.v = r.node
+    )
+    SELECT node AS doc_id, min(m)::BIGINT AS component, (node = min(m)) AS keep
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
 def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH buckets → pairs → connected components → survivor flags.
-    Genuinely iterative (driver-side fixpoint loop with lineage
-    checkpointing) — the documented non-SQL-expressible query class; the
-    driver records a rows-only check."""
+    """MinHash-LSH bands → lag-chained pairs → exact-Jaccard verify →
+    connected components → survivor flags. The Spark side is genuinely
+    iterative (driver-side fixpoint with pointer jumping and lineage
+    checkpointing); the oracle reproduces the fixpoint as a bounded
+    recursive transitive closure over the verified pairs — tractable
+    because the verified pair set is tiny at oracle scale."""
     return dedup.near_dup_clusters(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
-@_q("pipeline_sink_counts")  # no oracle: pandas-UDF parse stage
+@_q(
+    "pipeline_sink_counts",
+    """
+    WITH t AS (
+      SELECT doc_id % 4 AS v,
+        ['user','assistant','system','tool'][(doc_id % 4)::INT + 1] AS role,
+        ['search','browser','python','bash','none'][(doc_id % 5)::INT + 1] AS tool,
+        strlen(trim(regexp_replace(regexp_replace(regexp_replace(text,
+          '\\r\\n?', chr(10), 'g'), '(?m)^[ \\t\\f\\v]+|[ \\t\\f\\v]+$', '', 'g'),
+          '\\n{2,}', chr(10), 'g'))) AS body_bytes
+      FROM documents
+    ), s AS (
+      SELECT role, tool,
+        CASE WHEN v >= 2 THEN 'no_title'
+             WHEN body_bytes >= 100 THEN 'ok'
+             ELSE 'no_content' END AS parse_status
+      FROM t
+    )
+    SELECT channel, tool_category, parse_status, count(*)::BIGINT AS n_rows
+    FROM s
+    JOIN (VALUES ('user','inbound'), ('assistant','outbound'),
+                 ('system','control'), ('tool','machine')) AS rc(role, channel)
+      USING (role)
+    JOIN (VALUES ('search','retrieval'), ('browser','web'), ('python','code'),
+                 ('bash','shell'), ('none','chat')) AS tc(tool, tool_category)
+      USING (tool)
+    GROUP BY channel, tool_category, parse_status
+    """,
+)
 def pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship parse→enrich→route→aggregate chain over transcripts
-    derived from the documents table; per-sink counts."""
+    derived from the documents table; per-sink counts. The oracle exploits
+    the deterministic doc_id%4 payload variants: v2 (<article> without any
+    title source) and v3 (plain text, no markup → no title chain fires)
+    route to no_title; v0/v1 extract the document text as body, so the
+    status reduces to the ≥100-byte gate on the normalized text (the
+    documents corpus contains no markup, so CleanContent is the identity
+    there); role/tool dims are the enrich broadcast lookups."""
     from blogparser_spark.operators.enrich import enrich
     from blogparser_spark.operators.parse import parse_stage
 

@@ -238,9 +238,10 @@ def test_near_dup_verify_blocks_lsh_false_positives(spark):
 
 
 def test_connected_components_chain_iterations(spark):
-    """Min-label propagation over a 5-node chain: label 0 moves one hop per
-    round → 4 propagating rounds + 1 no-change round, and edges lineage is
-    truncated (localCheckpoint) so rounds don't replay the pair pipeline."""
+    """Min-label propagation + pointer jumping over a 5-node chain:
+    converges in ~log2(diameter) propagating rounds (2 here) + 1 no-change
+    round, and edges lineage is truncated (localCheckpoint) so rounds don't
+    replay the pair pipeline."""
     from blogparser_spark.dataops.dedup import connected_components
 
     pairs = spark.createDataFrame(
@@ -250,7 +251,8 @@ def test_connected_components_chain_iterations(spark):
     comps = {r["node"]: r["component"]
              for r in connected_components(pairs, stats=stats).collect()}
     assert comps == {i: 0 for i in range(5)}
-    assert stats["iterations"] == 5
+    # pointer jumping: strictly fewer rounds than the diameter-bound 5
+    assert stats["iterations"] == 3
 
 
 def test_pii_scrub(spark):
@@ -312,3 +314,42 @@ def test_multimodal_decode_deterministic(docs):
     a = sorted(map(str, decode_features(documents_as_media(docs)).collect()))
     b = sorted(map(str, decode_features(documents_as_media(docs)).collect()))
     assert a == b
+
+
+def test_degenerate_corpus_bounded_buckets(spark):
+    """All-identical corpus: one LSH bucket holds every doc. The bucket
+    report must stay bounded (ids capped, exact n_docs), chained pairs must
+    still connect everything, and clustering must keep exactly one
+    survivor."""
+    from blogparser_spark.dataops.dedup import (
+        BUCKET_IDS_CAP,
+        lsh_candidate_pairs,
+        minhash_lsh_candidates,
+        near_dup_clusters,
+        simhash_band_candidates,
+    )
+
+    n = BUCKET_IDS_CAP + 50
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    buckets = minhash_lsh_candidates(df).collect()
+    assert buckets, "identical docs must share buckets"
+    for b in buckets:
+        assert b["n_docs"] == n  # exact count survives the cap
+        assert len(b["ids"]) == BUCKET_IDS_CAP  # bounded roster
+        assert b["ids"] == sorted(b["ids"])
+
+    for b in simhash_band_candidates(df).collect():
+        assert b["n_docs"] == n
+        assert len(b["ids"]) == BUCKET_IDS_CAP
+
+    # lag-chained pairs: exactly the consecutive chain, all docs connected
+    pairs = lsh_candidate_pairs(df).collect()
+    assert len(pairs) == n - 1
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(i, i + 1) for i in range(n - 1)}
+
+    clusters = near_dup_clusters(df).collect()
+    assert len(clusters) == n
+    assert sum(1 for r in clusters if r["keep"]) == 1
+    assert all(r["component"] == 0 for r in clusters)
