@@ -13,17 +13,21 @@ payload. The reference recompiles its regexes per document
 (parser/title.go:28, parser/category.go:74, parser/tag.go:69); here every
 pattern is compiled exactly once per Python worker.
 
-Known, documented deviations from DOM semantics (pinned in tests):
-  - nested same-name tags inside a content container are not handled (the
-    fixture generator never nests them);
-  - CleanContent does not re-serialize through an HTML parser, so the Go
-    side's entity re-encoding (clean_content_test.go:121-124) is not
-    reproduced.
+Container elements are matched with BALANCED same-tag scanning
+(ElementPattern below): the inner span of <div …> runs to the close tag
+that balances nested same-name opens, exactly as a DOM gives goquery —
+a lazy regex would stop at the FIRST close and truncate any container
+with a nested same-name child (real blog pages always nest). Tag names
+match case-insensitively end to end (<DIV …></div> extracts); class
+tokens stay case-sensitive (cascadia semantics). Unclosed containers
+auto-close at end of input, as WHATWG parsing does at end of body.
 """
 
 from __future__ import annotations
 
+import html as _html
 import re
+from typing import NamedTuple
 
 # --------------------------------------------------------------------------
 # Title (parser/title.go:18-73) — 5-level priority chain, first match wins
@@ -67,66 +71,15 @@ ANGLE = re.compile(r"[<>]")
 STRIP_TAGS = re.compile(r"<[^>]+>")
 
 # --------------------------------------------------------------------------
-# Content (parser/content.go:16-113) — selector priority list → regex bank.
-# Each entry captures the container's inner payload; the candidate is kept if
-# its normalized form is ≥ 100 **bytes** (content.go:139-151, Go len()).
-# --------------------------------------------------------------------------
-
-
-def _div_class(cls: str) -> re.Pattern[str]:
-    return re.compile(
-        r"<div[^>]*class=[\"'][^\"']*" + re.escape(cls) + r"[^\"']*[\"'][^>]*>([\s\S]*?)</div>",
-        re.I,
-    )
-
-
-def _any_id(el_id: str) -> re.Pattern[str]:
-    return re.compile(
-        r"<(?:div|main|section)[^>]*id=[\"']" + re.escape(el_id) + r"[\"'][^>]*>([\s\S]*?)</(?:div|main|section)>",
-        re.I,
-    )
-
-
-# mirrors contentSelectors order, parser/content.go:24-40, then main, then
-# body. Each entry carries a lowercase LITERAL needle that must appear for
-# the regex to possibly match — the vectorized extractor uses it as a
-# C-speed contains() prefilter before paying for the backtracking regex
-# (necessary-not-sufficient, so priority semantics are unchanged).
-CONTENT_PATTERNS: list[tuple[str, re.Pattern[str]]] = [
-    ("article-body-inner", _div_class("article-body-inner")),
-    ("skin-entrybody", _div_class("skin-entryBody")),
-    ("articletext", _div_class("articleText")),
-    ("post-main", _div_class("post-main")),
-    ("post-body", _div_class("post-body")),
-    ("entry-content", _div_class("entry-content")),
-    ("post_body", _div_class("POST_BODY")),
-    ("<article", re.compile(r"<article[^>]*>([\s\S]*?)</article>", re.I)),
-    (
-        "itemprop",
-        re.compile(
-            r"<[a-z]+[^>]*itemprop=[\"']articleBody[\"'][^>]*>([\s\S]*?)</[a-z]+>", re.I
-        ),
-    ),
-    ("post-content", _div_class("post-content")),
-    ("article-content", _div_class("article-content")),
-    ("content", _any_id("content")),
-    ("main-content", _any_id("main-content")),
-    ("content", _div_class("content")),
-    ("<main", re.compile(r"<main[^>]*>([\s\S]*?)</main>", re.I)),
-    ("<body", re.compile(r"<body[^>]*>([\s\S]*?)</body>", re.I)),
-]
-
-MIN_CONTENT_BYTES = 100  # content.go:146 — bytes, not runes
-
-# --------------------------------------------------------------------------
 # CSS-selector mini-engine.
 # goquery runs real CSS selectors over a DOM; here each selector compiles to
 # a (literal needle, extractor) pair: the needle is a cheap lowercase
-# containment prefilter (necessary, not sufficient), the extractor a regex
-# chain approximating the selector over raw markup. Class tokens match
-# exactly and case-sensitively (cascadia semantics); tag/attribute NAMES
-# match case-insensitively. Nested same-name containers are the documented
-# deviation (module docstring).
+# containment prefilter (necessary, not sufficient), the extractor an
+# ElementPattern over raw markup. Class tokens match exactly and
+# case-sensitively (cascadia semantics); tag/attribute NAMES match
+# case-insensitively, including the close tag (a lazy backreference regex
+# was case-sensitive on the close — <DIV …></div> now extracts). Balanced
+# same-tag scanning handles nested same-name containers (module docstring).
 # --------------------------------------------------------------------------
 
 _TAGNAME = r"[a-zA-Z][a-zA-Z0-9]*"
@@ -149,27 +102,118 @@ def _attr_contains(name: str, sub: str) -> str:
     )
 
 
-def _el_re(attr: str | None = None, tag: str | None = None) -> re.Pattern[str]:
-    """<tag ...attr...>inner</tag> — captures (tagname, inner); lazy inner
-    with a backreferenced close tag."""
+class Elem(NamedTuple):
+    """One matched element: spans index the ORIGINAL text."""
+
+    tag: str
+    inner: str
+    start: int  # '<' of the open tag
+    inner_start: int  # just after the open tag's '>'
+    inner_end: int  # '<' of the balancing close tag
+    end: int  # just after the close tag's '>'
+
+
+class ElementPattern:
+    """Raw-markup element matcher with DOM-faithful balanced close-tag
+    matching: the inner span of <tag …> runs to the close tag that balances
+    nested same-name opens (a DOM gives goquery this for free; the lazy
+    `([\\s\\S]*?)</tag>` form this replaces stopped at the FIRST close and
+    truncated any container with a nested same-name child,
+    parser/content.go:42-66 handles arbitrary nesting). Close-tag matching
+    is case-insensitive on its own compiled pattern — never a backreference,
+    whose inline-scoped (?i:) did not apply to the backreference itself.
+    Self-closed same-name tags don't change depth; an unclosed container
+    auto-closes at end of input (WHATWG tree construction does the same at
+    end of body). Exposes findall/sub with re.Pattern-compatible shapes so
+    extractors treat both interchangeably."""
+
+    def __init__(self, open_re: str):
+        self.open = re.compile(open_re)
+        self._close: dict[str, re.Pattern[str]] = {}
+
+    def _tokens(self, tag: str) -> re.Pattern[str]:
+        pat = self._close.get(tag)
+        if pat is None:
+            pat = re.compile("<(/?)" + re.escape(tag) + r"\b", re.I)
+            self._close[tag] = pat
+        return pat
+
+    def _element(self, text: str, m: re.Match[str]) -> Elem:
+        tag = m.group(1)
+        if m.group(0).rstrip(">").endswith("/"):  # self-closed open tag
+            return Elem(tag, "", m.start(), m.end(), m.end(), m.end())
+        depth = 1
+        for t in self._tokens(tag).finditer(text, m.end()):
+            gt = text.find(">", t.end())
+            if t.group(1):  # close token
+                depth -= 1
+                if depth == 0:
+                    end = gt + 1 if gt != -1 else len(text)
+                    return Elem(
+                        tag, text[m.end() : t.start()], m.start(), m.end(), t.start(), end
+                    )
+            elif gt == -1 or text[gt - 1] != "/":  # real (non-self-closed) open
+                depth += 1
+        n = len(text)  # unclosed: auto-close at end of input
+        return Elem(tag, text[m.end() :], m.start(), m.end(), n, n)
+
+    def iter_elements(self, text: str):
+        """Non-overlapping elements in document order (the outermost match
+        wins where same-selector containers nest — goquery would also list
+        the nested one; outer.Text() already contains it)."""
+        pos = 0
+        while True:
+            m = self.open.search(text, pos)
+            if m is None:
+                return
+            el = self._element(text, m)
+            yield el
+            pos = max(el.end, m.end())
+
+    def findall(self, text: str) -> list[tuple[str, str]]:
+        return [(el.tag, el.inner) for el in self.iter_elements(text)]
+
+    def search_inner(self, text: str) -> str | None:
+        for el in self.iter_elements(text):
+            return el.inner
+        return None
+
+    def sub(self, repl: str, text: str) -> str:
+        """Element removal (goquery Remove()); only repl == '' is used."""
+        out: list[str] = []
+        pos = 0
+        for el in self.iter_elements(text):
+            out.append(text[pos : el.start])
+            if repl:
+                out.append(repl)
+            pos = el.end
+        out.append(text[pos:])
+        return "".join(out)
+
+
+def _el_re(attr: str | None = None, tag: str | None = None) -> ElementPattern:
+    """<tag ...attr...>inner</tag> with balanced same-tag inner matching."""
     t = "(?i:" + (tag or _TAGNAME) + ")"
     mid = (r"[^>]*" + attr) if attr else ""
-    return re.compile("<(" + t + r")\b" + mid + r"[^>]*>([\s\S]*?)</\1\s*>")
+    return ElementPattern("<(" + t + r")\b" + mid + r"[^>]*>")
 
 
-def _texts(pat: re.Pattern[str]):
-    """goquery .Text() analog: inner markup stripped, untrimmed (callers
-    apply TrimSpace / cleanTag per the Go call sites)."""
+def _texts(pat: ElementPattern):
+    """goquery .Text() analog: inner markup stripped, entities decoded (the
+    DOM parser decodes text nodes before .Text() sees them), untrimmed
+    (callers apply TrimSpace / cleanTag per the Go call sites)."""
 
     def ex(text: str) -> list[str]:
-        return [STRIP_TAGS.sub("", inner) for _t, inner in pat.findall(text)]
+        return [
+            _html.unescape(STRIP_TAGS.sub("", inner)) for _t, inner in pat.findall(text)
+        ]
 
     return ex
 
 
-def _descend(container: re.Pattern[str], inner_ex):
+def _descend(container: ElementPattern, inner_ex):
     """Descendant combinator: run inner_ex inside each container block —
-    document order is preserved (containers don't nest in the fixtures)."""
+    document order is preserved."""
 
     def ex(text: str) -> list[str]:
         out: list[str] = []
@@ -200,33 +244,93 @@ def _sel_in(
 
 
 # --------------------------------------------------------------------------
+# Content (parser/content.go:16-113) — selector priority list. Each entry
+# is (needle, lazy regex, balanced pattern): the lowercase literal needle is
+# a C-speed contains() prefilter; the LAZY regex is the vectorized fast
+# path, valid exactly when its captured inner holds no markup (then the
+# first close IS the balanced close); the ElementPattern is the
+# authoritative balanced matcher for everything else. The candidate is kept
+# if its normalized form is ≥ 100 **bytes** (content.go:139-151, Go len()).
+# --------------------------------------------------------------------------
+
+
+def _content_entry(
+    needle: str, attr: str | None, tag: str | None
+) -> tuple[str, re.Pattern[str], ElementPattern]:
+    mid = (r"[^>]*" + attr) if attr else ""
+    close = tag if tag is not None else _TAGNAME
+    lazy = re.compile(
+        "<(?i:" + (tag or _TAGNAME) + r")\b" + mid
+        + r"[^>]*>([\s\S]*?)</(?i:" + close + r")\s*>"
+    )
+    return needle, lazy, _el_re(attr, tag)
+
+
+def _div_class(needle: str, cls: str):
+    return _content_entry(needle, _class_attr(cls), "div")
+
+
+def _any_id(needle: str, el_id: str):
+    return _content_entry(needle, _attr_eq("id", el_id), "div|main|section")
+
+
+# mirrors contentSelectors order, parser/content.go:24-40, then main, body
+CONTENT_PATTERNS: list[tuple[str, re.Pattern[str], ElementPattern]] = [
+    _div_class("article-body-inner", "article-body-inner"),
+    _div_class("skin-entrybody", "skin-entryBody"),
+    _div_class("articletext", "articleText"),
+    _div_class("post-main", "post-main"),
+    _div_class("post-body", "post-body"),
+    _div_class("entry-content", "entry-content"),
+    _div_class("post_body", "POST_BODY"),
+    _content_entry("<article", None, "article"),
+    _content_entry("itemprop", _attr_eq("itemprop", "articleBody"), None),
+    _div_class("post-content", "post-content"),
+    _div_class("article-content", "article-content"),
+    _any_id("content", "content"),
+    _any_id("main-content", "main-content"),
+    _div_class("content", "content"),
+    _content_entry("<main", None, "main"),
+    _content_entry("<body", None, "body"),
+]
+
+MIN_CONTENT_BYTES = 100  # content.go:146 — bytes, not runes
+
+
+# --------------------------------------------------------------------------
 # CleanContent (parser/clean_content.go:13-48)
 # --------------------------------------------------------------------------
 
 HTML_COMMENT = re.compile(r"<!--[\s\S]*?-->")  # regexPatterns, clean_content.go:42-47
 RANK_MARKER = re.compile(r"[１-９一二三四五六七八九十]位：")
-# removeTags bank (clean_content.go:13-25): global removals
-BLOCK_TAGS = re.compile(r"<(script|style|iframe)\b[^>]*>[\s\S]*?</\1>", re.I)
-GLOBAL_REMOVE_PATTERNS: tuple[re.Pattern[str], ...] = (
-    _el_re(_class_attr("google-auto-placed")),  # .google-auto-placed
-    _el_re(_class_attr("article-tags"), "dl"),  # dl.article-tags
-    _el_re(_class_attr("blogroll1"), "div"),  # div.blogroll1
-    _el_re(_class_attr("rss2-title"), "div"),  # div.rss2-title
-    _el_re(_attr_contains("href", "newresu1.blog.fc2.com"), "a"),
-    _el_re(_class_attr("ad-entry-bottom"), "div"),  # div.ad-entry-bottom
-    _el_re(_class_attr("POST_TAIL"), "div"),  # div.POST_TAIL
+# removeTags bank (clean_content.go:13-25): global removals. script/style/
+# iframe are raw-text elements in HTML parsing: their content runs to the
+# FIRST matching close tag, so the lazy regex is exact there; a leftover
+# orphan close token (e.g. the second </script> of a nested-script payload,
+# clean_content_test.go 'ネストしたscriptタグ') is a stray close tag, which
+# tree construction drops — STRAY_BLOCK_CLOSE reproduces that.
+BLOCK_TAGS = re.compile(r"<(script|style|iframe)\b[^>]*>[\s\S]*?</\1\s*>", re.I)
+STRAY_BLOCK_CLOSE = re.compile(r"</(?:script|style|iframe)\s*>", re.I)
+# (needle, pattern): the lowercase literal gates the vectorized path;
+# ElementPattern entries remove balanced element spans, plain regexes the
+# void/self-closing forms.
+GLOBAL_REMOVE_PATTERNS: tuple[tuple[str, object], ...] = (
+    ("google-auto-placed", _el_re(_class_attr("google-auto-placed"))),
+    ("article-tags", _el_re(_class_attr("article-tags"), "dl")),  # dl.article-tags
+    ("blogroll1", _el_re(_class_attr("blogroll1"), "div")),  # div.blogroll1
+    ("rss2-title", _el_re(_class_attr("rss2-title"), "div")),  # div.rss2-title
+    ("newresu1.blog.fc2.com", _el_re(_attr_contains("href", "newresu1.blog.fc2.com"), "a")),
+    ("ad-entry-bottom", _el_re(_class_attr("ad-entry-bottom"), "div")),
+    ("post_tail", _el_re(_class_attr("POST_TAIL"), "div")),  # div.POST_TAIL
     # hr[style*='191970'] — void element, no close tag
-    re.compile(r"<(?i:hr)\b[^>]*" + _attr_contains("style", "191970") + r"[^>]*/?>"),
-    # void/self-closing form of the class removal (html parsers treat
-    # <ins .../> as an element; the regex model must delete the tag itself)
-    re.compile(r"<" + _TAGNAME + r"\b[^>]*" + _class_attr("google-auto-placed") + r"[^>]*/>"),
+    ("191970", re.compile(r"<(?i:hr)\b[^>]*" + _attr_contains("style", "191970") + r"[^>]*/?>")),
 )
 # ameblo-scoped removals (clean_content.go:28-39): ONLY inside
 # .skin-entryBody / .skin-entryBody2 containers
-AMEBLO_SCOPE_RE = re.compile(
+AMEBLO_SCOPE = ElementPattern(
     "<(" + _TAGNAME + r")\b[^>]*"
     r"(?i:class)\s*=\s*[\"'](?:[^\"']*\s)?skin-entryBody2?(?:\s[^\"']*)?[\"']"
-    r"[^>]*>([\s\S]*?)</\1\s*>"
+    r"[^>]*>"
 )
 AMEBLO_AD_CLASSES = (
     "google-auto-placed",
@@ -237,11 +341,11 @@ AMEBLO_AD_CLASSES = (
     "twitter-share-button",
 )
 _AMEBLO_CLS = r"(?:[^\"']*\s)?(?:" + "|".join(AMEBLO_AD_CLASSES) + r")(?:\s[^\"']*)?"
-AMEBLO_AD_ELEMENT = re.compile(
-    "<(" + _TAGNAME + r")\b[^>]*(?i:class)\s*=\s*[\"']" + _AMEBLO_CLS + r"[\"'][^>]*>[\s\S]*?</\1\s*>"
+AMEBLO_AD_ELEMENT = ElementPattern(
+    "<(" + _TAGNAME + r")\b[^>]*(?i:class)\s*=\s*[\"']" + _AMEBLO_CLS + r"[\"'][^>]*>"
 )
 AMEBLO_AD_VOID = re.compile(
-    "<" + _TAGNAME + r"\b[^>]*(?i:class)\s*=\s*[\"']" + _AMEBLO_CLS + r"[\"'][^>]*/?>"
+    "<" + _TAGNAME + r"\b[^>]*(?i:class)\s*=\s*[\"']" + _AMEBLO_CLS + r"[\"'][^>]*/>"
 )
 
 
@@ -252,12 +356,40 @@ def scrub_ameblo_inner(inner: str) -> str:
     return AMEBLO_AD_VOID.sub("", s)
 
 
-def scrub_ameblo_container(m: re.Match[str]) -> str:
-    """re.sub callable for AMEBLO_SCOPE_RE: scrub the inner span, keep the
-    container tags byte-identical."""
-    full, s0 = m.group(0), m.start(0)
-    a, b = m.start(2) - s0, m.end(2) - s0
-    return full[:a] + scrub_ameblo_inner(full[a:b]) + full[b:]
+def scrub_ameblo(text: str) -> str:
+    """Scrub ad/SNS children inside each .skin-entryBody container, keeping
+    the container tags byte-identical (clean_content.go:70-77). Balanced
+    container matching: a nested <div> inside the entry body no longer
+    truncates the scrub scope."""
+    out: list[str] = []
+    pos = 0
+    for el in AMEBLO_SCOPE.iter_elements(text):
+        out.append(text[pos : el.inner_start])
+        out.append(scrub_ameblo_inner(el.inner))
+        out.append(text[el.inner_end : el.end])
+        pos = el.end
+    out.append(text[pos:])
+    return "".join(out)
+
+
+# --- Go-renderer entity re-encoding (clean_content.go:82-94 renders the
+# cleaned DOM back to HTML; x/net/html escapes text nodes with a fixed
+# 5-char set, so source entities are normalized: &quot; → &#34;,
+# &apos;/' → &#39;, stray & → &amp; — pinned by clean_content_test.go's
+# '特殊文字を含むHTML' case). Text between tags is unescaped (full entity
+# table, as the parser does) then re-escaped with exactly that set.
+_TAG_SPLIT = re.compile(r"(<[^>]*>)")
+_GO_ESCAPE = str.maketrans(
+    {"&": "&amp;", "'": "&#39;", "<": "&lt;", ">": "&gt;", '"': "&#34;"}
+)
+
+
+def reencode_entities(text: str) -> str:
+    parts = _TAG_SPLIT.split(text)
+    for i in range(0, len(parts), 2):  # even indices are text nodes
+        if parts[i]:
+            parts[i] = _html.unescape(parts[i]).translate(_GO_ESCAPE)
+    return "".join(parts)
 
 
 # --------------------------------------------------------------------------
@@ -472,6 +604,24 @@ AMEBLO_THUMB = re.compile(r"_[sm]\.")
 SUMMARY_MAX_RUNES = 300  # summary.go:164-171 — runes, not bytes
 SUMMARY_ELLIPSIS = "・・・"
 SENTENCE_DELIM = "。"  # splitSentences, summary.go:244-254
+
+# DOM .Text() entity decoding for the summary path: summary.go:102-106
+# re-parses the cleaned HTML and text extraction unescapes entities. The
+# summary is derived NATIVELY from the body column, so the decode must be a
+# Column-expressible replace chain — this basic set covers the renderer's
+# own escape output (reencode_entities) plus the common source spellings;
+# &amp; decodes LAST so double-escaped sequences resolve one level, like a
+# DOM. Shared by text.strip_tags (Spark) and pyref.strip_to_text (oracle).
+BASIC_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&#34;", '"'),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
 
 SLUG_NON_ASCII = re.compile(r"[^a-z0-9 ]")  # blog.go:42-50 after lower()
 SLUG_SEP = re.compile(r"[^a-z0-9]+")  # blog.go:26-39

@@ -32,8 +32,14 @@ def normalize_lines(col: Column) -> Column:
 
 
 def strip_tags(col: Column) -> Column:
-    """doc.Text() analog: markup → space, collapse (summary.go:106)."""
-    return collapse_ws(F.regexp_replace(col, r"<[^>]+>", " "))
+    """doc.Text() analog: markup → space, entities decoded (the DOM parser
+    the reference re-parses through decodes text nodes — BASIC_ENTITIES is
+    the Column-expressible chain, shared verbatim with the oracle), collapse
+    (summary.go:102-106)."""
+    c = F.regexp_replace(col, r"<[^>]+>", " ")
+    for ent, ch in P.BASIC_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return collapse_ws(c)
 
 
 # ----------------------------------------------------------------- title ---

@@ -56,8 +56,25 @@ EXTRACT_TYPE = StructType(
 )
 
 
+def _unescape_amp_rows(x: pd.Series) -> pd.Series:
+    """Entity-decode only rows that can contain an entity ('&' present) —
+    DOM-sourced values are parser-decoded in the reference (pyref twin uses
+    html.unescape unconditionally; rows without '&' are fixed points)."""
+    import html as _html
+
+    mask = x.notna() & x.str.contains("&", regex=False)
+    if not mask.any():
+        return x
+    return x.where(~mask).combine_first(
+        x.where(mask).map(_html.unescape, na_action="ignore")
+    )
+
+
 def _extract_title_vec(s: pd.Series) -> pd.Series:
-    """Vectorized 5-level priority chain (parser/title.go:18-73)."""
+    """Vectorized 5-level priority chain (parser/title.go:18-73). Meta
+    attribute values and element text are entity-decoded (goquery reads
+    them post-parse); the ld_blog_vars capture is <script> raw text, which
+    HTML parsing does not decode."""
     empty = pd.Series(pd.NA, index=s.index, dtype="object")
 
     def nz(x: pd.Series) -> pd.Series:
@@ -68,21 +85,29 @@ def _extract_title_vec(s: pd.Series) -> pd.Series:
     ld = nz(s.str.extract(P.TITLE_LD_BLOG_VARS, expand=False).where(
         s.str.contains(P.LD_BLOG_VARS_MARKER, regex=False)
     ))
-    og = nz(s.str.extract(P.TITLE_OG_A, expand=False)).combine_first(
-        nz(s.str.extract(P.TITLE_OG_B, expand=False))
+    og = _unescape_amp_rows(
+        nz(s.str.extract(P.TITLE_OG_A, expand=False)).combine_first(
+            nz(s.str.extract(P.TITLE_OG_B, expand=False))
+        )
     )
     h1 = nz(
-        s.str.extract(P.TITLE_H1, expand=False)
-        .str.replace(P.STRIP_TAGS, "", regex=True)
-        .str.strip()
+        _unescape_amp_rows(
+            s.str.extract(P.TITLE_H1, expand=False).str.replace(
+                P.STRIP_TAGS, "", regex=True
+            )
+        ).str.strip()
     )
     title_tag = nz(
-        s.str.extract(P.TITLE_TAG, expand=False)
-        .str.replace(P.STRIP_TAGS, "", regex=True)
-        .str.strip()
+        _unescape_amp_rows(
+            s.str.extract(P.TITLE_TAG, expand=False).str.replace(
+                P.STRIP_TAGS, "", regex=True
+            )
+        ).str.strip()
     )
-    meta = nz(s.str.extract(P.TITLE_META_NAME_A, expand=False)).combine_first(
-        nz(s.str.extract(P.TITLE_META_NAME_B, expand=False))
+    meta = _unescape_amp_rows(
+        nz(s.str.extract(P.TITLE_META_NAME_A, expand=False)).combine_first(
+            nz(s.str.extract(P.TITLE_META_NAME_B, expand=False))
+        )
     )
     return empty.combine_first(ld).combine_first(og).combine_first(h1).combine_first(
         title_tag
@@ -112,17 +137,31 @@ def _extract_content_vec(s: pd.Series, lower: pd.Series | None = None) -> pd.Ser
 
     Each pattern runs only on rows whose lowercase text contains its literal
     needle (C-speed scan) — at ~10× the speed of letting the backtracking
-    regex discover the absence itself. Priority order is unchanged: a row is
-    settled by the first pattern that yields a valid candidate."""
+    regex discover the absence itself. The lazy regex is the vectorized
+    fast path, valid exactly when its captured inner holds no markup (the
+    first close tag IS the balanced close then); rows whose capture holds
+    markup — a nested same-name tag could truncate it — and rows where the
+    open tag matched but no close followed (unclosed container: the DOM
+    auto-closes at end of body) recompute through the BALANCED
+    ElementPattern. Priority order is unchanged: a row is settled by the
+    first pattern that yields a valid candidate."""
     if lower is None:
         lower = s.str.lower()
     out = pd.Series(pd.NA, index=s.index, dtype="object")
     has_markup = lower.str.contains("<", regex=False)
-    for needle, pat in P.CONTENT_PATTERNS:
+    for needle, lazy, ep in P.CONTENT_PATTERNS:
         need = out.isna() & has_markup & lower.str.contains(needle, regex=False)
         if not need.any():
             continue
-        cand = _normalize_html_vec(s.where(need).str.extract(pat, expand=False))
+        sub = s.where(need)
+        raw = sub.str.extract(lazy, expand=False)
+        suspect = raw.str.contains("<", regex=False).eq(True) | (
+            raw.isna() & sub.str.contains(ep.open).eq(True)
+        )
+        if suspect.any():
+            fixed = sub.where(suspect).map(ep.search_inner, na_action="ignore")
+            raw = raw.where(~suspect).combine_first(fixed)
+        cand = _normalize_html_vec(raw)
         ok = cand.notna() & (cand.str.encode("utf-8").str.len() >= P.MIN_CONTENT_BYTES)
         out = out.combine_first(cand.where(ok))
     # plain-text fallback: payloads with no markup at all are their own body
@@ -135,26 +174,50 @@ def _extract_content_vec(s: pd.Series, lower: pd.Series | None = None) -> pd.Ser
 
 
 def _clean_content_vec(s: pd.Series) -> pd.Series:
-    """Vectorized CleanContent bank (parser/clean_content.go:13-48,97-129):
-    regex deletions, the global removeTags bank, and the ameblo-scoped child
-    removals (applied only inside .skin-entryBody containers, on only the
-    rows that have one). Rows without markup or rank markers (most
-    tool-output payloads) skip every regex pass — the bank can only be a
-    no-op there."""
-    dirty = s.str.contains("<", regex=False) | s.str.contains("位：", regex=False)
+    """Vectorized CleanContent bank (parser/clean_content.go:13-48,82-129):
+    regex deletions, the global removeTags bank (needle-gated; balanced
+    element removals run row-level only on rows containing the class
+    literal), the ameblo-scoped child removals (only inside .skin-entryBody
+    containers, on only the rows that have one), and the Go-renderer entity
+    re-encoding of text nodes. Rows without markup, rank markers, or
+    entity-relevant characters (most tool-output payloads) skip every
+    pass — the bank can only be a no-op there."""
+    dirty = s.str.contains(r"[<>&'\"]", regex=True) | s.str.contains(
+        "位：", regex=False
+    )
     sub = s.where(dirty)
     c = sub.str.replace(P.HTML_COMMENT, "", regex=True)
     c = c.str.replace(P.RANK_MARKER, "", regex=True)
     c = c.str.replace(P.BLOCK_TAGS, "", regex=True)
-    for pat in P.GLOBAL_REMOVE_PATTERNS:
-        c = c.str.replace(pat, "", regex=True)
+    c = c.str.replace(P.STRAY_BLOCK_CLOSE, "", regex=True)
+    # needle gates from the ORIGINAL text: removals only delete content, so
+    # an absent needle stays absent — the initial mask is removal-stable
+    low0 = sub.str.lower()
+    for needle, pat in P.GLOBAL_REMOVE_PATTERNS:
+        mask = low0.str.contains(needle, regex=False).eq(True)
+        if not mask.any():
+            continue
+        if isinstance(pat, P.ElementPattern):
+            c = c.where(~mask).combine_first(
+                c.where(mask).map(lambda x, p=pat: p.sub("", x), na_action="ignore")
+            )
+        else:
+            c = c.where(~mask).combine_first(
+                c.where(mask).str.replace(pat, "", regex=True)
+            )
     # .eq(True): NA-body rows (non-dirty) → False without dtype downcasting
     scoped = c.str.lower().str.contains("skin-entrybody", regex=False).eq(True)
     if scoped.any():
         c = c.where(~scoped).combine_first(
-            c.where(scoped).str.replace(
-                P.AMEBLO_SCOPE_RE, P.scrub_ameblo_container, regex=True
-            )
+            c.where(scoped).map(P.scrub_ameblo, na_action="ignore")
+        )
+    # entity re-encoding: only rows holding an entity-relevant character can
+    # change (unescape is the identity without '&'; escape without &'"<>
+    # outside tags); the dirty gate above already admits exactly those rows
+    reenc = c.str.contains(r"[&'\"<>]", regex=True).eq(True)
+    if reenc.any():
+        c = c.where(~reenc).combine_first(
+            c.where(reenc).map(P.reencode_entities, na_action="ignore")
         )
     return _normalize_html_vec(c).combine_first(_normalize_html_vec(s.where(~dirty)))
 

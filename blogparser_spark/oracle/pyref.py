@@ -20,7 +20,12 @@ from blogparser_spark.functions import patterns as P
 
 
 def extract_title(text: str) -> str | None:
-    """5-level priority chain, first non-empty wins (parser/title.go:18-73)."""
+    """5-level priority chain, first non-empty wins (parser/title.go:18-73).
+    DOM-sourced values (meta attributes, element text) are entity-decoded —
+    goquery reads them post-parse; the ld_blog_vars capture comes from
+    <script> RAW TEXT, which HTML parsing does not decode."""
+    import html as _html
+
     if P.LD_BLOG_VARS_MARKER in text:
         m = P.TITLE_LD_BLOG_VARS.search(text)
         if m and m.group(1).strip():
@@ -28,17 +33,17 @@ def extract_title(text: str) -> str | None:
     for pat in (P.TITLE_OG_A, P.TITLE_OG_B):
         m = pat.search(text)
         if m and m.group(1).strip():
-            return m.group(1)
+            return _html.unescape(m.group(1))
     for pat in (P.TITLE_H1, P.TITLE_TAG):
         m = pat.search(text)
         if m:
-            inner = P.STRIP_TAGS.sub("", m.group(1)).strip()
+            inner = _html.unescape(P.STRIP_TAGS.sub("", m.group(1))).strip()
             if inner:
                 return inner
     for pat in (P.TITLE_META_NAME_A, P.TITLE_META_NAME_B):
         m = pat.search(text)
         if m and m.group(1).strip():
-            return m.group(1)
+            return _html.unescape(m.group(1))
     return None
 
 
@@ -79,12 +84,14 @@ def is_valid_content(content: str) -> bool:
 
 
 def extract_content(text: str) -> str | None:
-    """Priority selector bank; per-candidate normalize + byte-length gate
+    """Priority selector bank with BALANCED container matching (a nested
+    same-name tag inside the container no longer truncates the candidate,
+    parser/content.go:42-66); per-candidate normalize + byte-length gate
     (parser/content.go:16-113)."""
-    for _needle, pat in P.CONTENT_PATTERNS:
-        m = pat.search(text)
-        if m:
-            candidate = normalize_html(m.group(1))
+    for _needle, _lazy, ep in P.CONTENT_PATTERNS:
+        inner = ep.search_inner(text)
+        if inner is not None:
+            candidate = normalize_html(inner)
             if is_valid_content(candidate):
                 return candidate
     # plain-text transcripts (no markup at all): the whole payload is the body
@@ -96,19 +103,23 @@ def extract_content(text: str) -> str | None:
 
 
 def clean_content(content: str) -> str:
-    """parser/clean_content.go:52-94 minus DOM re-serialization (deviation
-    pinned in tests): regex deletions (comments, rank markers), the global
-    removeTags bank (clean_content.go:13-25), the ameblo-SCOPED child
-    removals applied only inside .skin-entryBody containers
-    (clean_content.go:28-39,70-77), then whitespace normalization
+    """parser/clean_content.go:52-94: regex deletions (comments, rank
+    markers), the global removeTags bank (clean_content.go:13-25) with
+    raw-text block elements and their stray close tags, the ameblo-SCOPED
+    child removals applied only inside .skin-entryBody containers
+    (clean_content.go:28-39,70-77), the Go-renderer entity re-encoding of
+    text nodes (clean_content.go:82-94, clean_content_test.go
+    '特殊文字を含むHTML'), then whitespace normalization
     (clean_content.go:106-129)."""
     s = P.HTML_COMMENT.sub("", content)
     s = P.RANK_MARKER.sub("", s)
     s = P.BLOCK_TAGS.sub("", s)
-    for pat in P.GLOBAL_REMOVE_PATTERNS:
+    s = P.STRAY_BLOCK_CLOSE.sub("", s)
+    for _needle, pat in P.GLOBAL_REMOVE_PATTERNS:
         s = pat.sub("", s)
     if "skin-entrybody" in s.lower():
-        s = P.AMEBLO_SCOPE_RE.sub(P.scrub_ameblo_container, s)
+        s = P.scrub_ameblo(s)
+    s = P.reencode_entities(s)
     # normalizeWhitespace: trim each line, drop empty lines, collapse \n\s*\n
     lines = [ln.strip() for ln in s.split("\n")]
     return "\n".join(ln for ln in lines if ln).strip()
@@ -418,8 +429,13 @@ def is_sentence_end(surface: str, features: tuple[str, ...] | None = None) -> bo
 
 
 def strip_to_text(html: str) -> str:
-    """doc.Find('body').Text() analog (summary.go:106) + ws normalization."""
+    """doc.Find('body').Text() analog (summary.go:106) + ws normalization.
+    Entity decode mirrors the Spark replace chain EXACTLY (same constants,
+    same order) — not html.unescape — because the summary is derived
+    natively from the body column and the two engines must agree."""
     t = P.STRIP_TAGS.sub(" ", html)
+    for ent, ch in P.BASIC_ENTITIES:
+        t = t.replace(ent, ch)
     return " ".join(t.split())
 
 

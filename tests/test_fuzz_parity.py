@@ -42,6 +42,14 @@ FRAGMENTS = [
     "y" * 100,
     "<div>unclosed",
     "| 心理カウンセラー・中井亜紀『成長の記録』",
+    # nesting / case / entity adversaries (balanced mini-engine + re-encode)
+    '<div class="skin-entryBody">s<div>deep {w}</div><ins class="adsbygoogle">AD</ins>e</div>',
+    '<div class="taglist"><div><a>{w}n1</a></div><a>n2</a></div>',
+    "&quot;{w}&amp; &#39;ent&#34;",
+    'say "hi" & {w} <b class="q">bold</b>',
+    "</script> stray close",
+    "<SPAN ITEMPROP=\"articleSection\">{w}CASED</SPAN>",
+    '<div class="tags"><a>{w}</a><div>mid</div><a>after-nest</a></div>',
 ]
 
 CONTAINERS = [
@@ -50,6 +58,12 @@ CONTAINERS = [
     "<article>{body}</article>",
     "<main>{body}</main>",
     "{body}",
+    # nested same-name containers: balanced close must not truncate at the
+    # first inner close tag
+    '<div class="entry-content">pre<div class="pic">nest</div>{body}<div>tail</div></div>',
+    "<article>lead<article>inner</article>{body}</article>",
+    '<DIV class="entry-content">{body}</DIV>',
+    '<div class="entry-content">{body}',  # unclosed: auto-close at EOF
 ]
 
 

@@ -128,16 +128,41 @@ def test_clean_content_ameblo_scoped():
     assert "m1m2" in got.replace("\n", "")
 
 
-def test_clean_content_entity_deviation():
-    """DOCUMENTED DEVIATION (patterns.py module docstring): the reference
-    re-serializes through net/html, re-encoding entities — '"' becomes
-    '&#34;' (clean_content_test.go:121-124). The regex model passes
-    characters through verbatim; pin the deviation so a silent change to
-    either behavior fails a test."""
-    s = 'say "hi" & <b>bold</b>'
+def test_clean_content_entity_reencoding():
+    """PARITY (was a pinned deviation): the reference re-serializes through
+    net/html, whose renderer escapes text nodes with a fixed 5-char set —
+    source entities normalize ('&quot;' → '&#34;') and raw specials escape
+    ('"' → '&#34;', '&' → '&amp;'), per clean_content_test.go's
+    '特殊文字を含むHTML' golden. Tags and their attribute values pass
+    through untouched."""
+    s = 'say "hi" & <b class="x">bold</b>'
     got = R.clean_content(s)
-    assert '"hi"' in got  # reference would yield &#34;hi&#34;
-    assert "&" in got  # reference would yield &amp;
+    assert "&#34;hi&#34;" in got
+    assert "&amp;" in got
+    assert '<b class="x">bold</b>' in got  # attrs not re-encoded
+    # the reference's own golden: entities normalize to the renderer's forms
+    s = "<div>&lt;&gt;&amp;&quot;&#39;</div>"
+    assert R.clean_content(s) == "<div>&lt;&gt;&amp;&#34;&#39;</div>"
+    # nested-script golden ('ネストしたscriptタグ'): raw-text parsing ends the
+    # script at the FIRST close; the stray second close tag is dropped
+    s = "<div><script><script>alert('nested');</script></script>本文</div>"
+    assert R.clean_content(s) == "<div>本文</div>"
+
+
+def test_clean_content_nested_container_scope():
+    """Balanced container matching: a nested <div> inside .skin-entryBody
+    must not truncate the scrub scope — ads AFTER the nested child are
+    still inside the container and must be removed (goquery DOM scoping,
+    parser/content.go:42-66)."""
+    s = (
+        '<div class="skin-entryBody">a<div>inner</div>'
+        'b<ins class="adsbygoogle">AD</ins>c</div>'
+        '<ins class="adsbygoogle">OUT</ins>'
+    )
+    got = R.clean_content(s)
+    assert "AD" not in got  # would survive under lazy-close truncation
+    assert "OUT" in got
+    assert "a" in got and "inner" in got and "b" in got and "c" in got
 
 
 # ---- categories (parser/category_test.go:10-124) ----
@@ -309,3 +334,35 @@ def test_parse_record_statuses():
     rec = R.parse_record(shrink)
     assert rec.parse_status == "short_content"
     assert rec.summary == "small text here"
+
+
+def test_extract_content_nested_same_tag():
+    """Balanced matching in the content bank: a nested <div> inside the
+    container no longer truncates extraction at the first close tag."""
+    pad = "x" * 120
+    s = (
+        '<div class="entry-content">lead<div class="photo">img</div>'
+        f"tail {pad}</div>after"
+    )
+    got = R.extract_content(s)
+    assert got is not None
+    assert "tail" in got and pad in got  # lazy close would have cut these
+    assert "after" not in got
+    # unclosed container: DOM auto-closes at end of body
+    s2 = f'<div class="entry-content">body starts {pad}'
+    got2 = R.extract_content(s2)
+    assert got2 is not None and pad in got2
+    # close tag case-insensitive: <DIV ...></div> pairs up
+    s3 = f'<DIV class="entry-content">cased {pad}</div>rest'
+    got3 = R.extract_content(s3)
+    assert got3 is not None and "cased" in got3 and "rest" not in got3
+
+
+def test_selector_nested_same_tag_categories():
+    """Mini-engine balanced matching: .skin-entryThemes with a nested div
+    still yields every descendant <a> text."""
+    s = (
+        '<div class="skin-entryThemes">'
+        "<div><a>cat-one</a></div><a>cat-two</a></div>"
+    )
+    assert R.extract_categories(s) == ["cat-one", "cat-two"]
