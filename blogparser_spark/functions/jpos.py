@@ -11,14 +11,16 @@ dictionary/suffix POS heuristic that emits the SAME POS label vocabulary
 (operators/enrich.dim_pos_weight) joins on real keys.
 
 DOCUMENTED DEVIATIONS from kagome (SURVEY.md §7.4-5): segmentation is by
-script-class runs, not lattice search; lemma = surface (no de-inflection);
-POS is heuristic. The *shape* of the computation — tokenize → POS →
-weight-lookup-with-prefix-fallback → drop weight-0 tokens — matches
-summary.go exactly.
+script-class runs (with a kanji-stem + inflection-suffix merge, below), not
+lattice search; the lemma comes from a deterministic suffix de-inflection
+rule table, not dictionary features[6]; POS is heuristic. The *shape* of
+the computation — tokenize → POS → weight-lookup-with-prefix-fallback →
+drop weight-0 tokens, with tf/df keyed on the LEMMA (summary.go:51-95
+containsWord/calculateTF compare word.Lemma) — matches summary.go exactly.
 
-Every rule exists twice: as a Spark Column expression and as generated
-ANSI SQL (for the DuckDB oracle), built from the same constants so the two
-engines cannot drift.
+Every rule exists THRICE: as a Spark Column expression, as generated ANSI
+SQL (for the DuckDB oracle), and as the pure-Python pytest twin — all
+built from the same constants so the engines cannot drift.
 """
 
 from __future__ import annotations
@@ -28,8 +30,75 @@ from pyspark.sql import functions as F
 
 from blogparser_spark.functions.patterns import POS_PREFIX_WEIGHTS, POS_WEIGHTS
 
-# script-class run segmentation: kanji | hiragana | katakana(+ー) | latin | digits
-SEGMENT_RE = r"[一-龯々]+|[ぁ-ゖ]+|[ァ-ヶー]+|[A-Za-z]+|[0-9]+"
+# Suffix de-inflection (godan/ichidan/adjective endings → dictionary form),
+# longest suffix first; the first matching rule with a NON-EMPTY stem wins.
+# kagome derives the true lemma from the lattice (features[6]); this is the
+# deterministic stand-in: 飛びます→飛ぶ, 嬉しかった→嬉しい, 走りました→走る.
+# godan ます-stem vowel row → dictionary-form ending (書き→書く, 走り→走る)
+_GODAN_STEM_END: tuple[tuple[str, str], ...] = (
+    ("い", "う"),
+    ("き", "く"),
+    ("ぎ", "ぐ"),
+    ("し", "す"),
+    ("ち", "つ"),
+    ("に", "ぬ"),
+    ("び", "ぶ"),
+    ("み", "む"),
+    ("り", "る"),
+)
+
+
+def _build_lemma_rules() -> tuple[tuple[str, str], ...]:
+    rules: list[tuple[str, str]] = [
+        # し-adjective inflections (嬉しかった → 嬉しい)
+        ("しかった", "しい"),
+        ("しくない", "しい"),
+        ("しくて", "しい"),
+    ]
+    # godan polite forms keep their stem row (走りました → 走る)
+    for stem, dict_end in _GODAN_STEM_END:
+        rules += [
+            (stem + "ました", dict_end),
+            (stem + "ません", dict_end),
+            (stem + "ます", dict_end),
+        ]
+    rules += [
+        # ichidan polite forms: stem + る (食べました → 食べる)
+        ("ましょう", "る"),
+        ("ました", "る"),
+        ("ません", "る"),
+        ("かった", "い"),
+        ("くない", "い"),
+        ("くて", "い"),
+        ("ます", "る"),
+        # た/て forms by euphonic change
+        ("って", "る"),
+        ("った", "る"),
+        ("んで", "む"),
+        ("んだ", "む"),
+        ("いて", "く"),
+        ("いた", "く"),
+        ("いで", "ぐ"),
+        ("いだ", "ぐ"),
+        ("して", "す"),
+        ("した", "す"),
+    ]
+    return tuple(rules)
+
+
+LEMMA_RULES: tuple[tuple[str, str], ...] = _build_lemma_rules()
+# tokens eligible for de-inflection: optional kanji stem + hiragana tail
+_INFLECTABLE_RE = r"^[一-龯々]*[ぁ-ゖ]+$"
+
+# segmentation: a kanji stem MERGES with a directly-following inflection
+# suffix (so 飛びます is ONE token and de-inflects to the true lemma 飛ぶ
+# instead of splitting into 飛 + びます); the suffix alternation is built
+# from the rule table + bare い (already-dictionary-form adjectives), so
+# ordinary particles (分散処理の → 分散処理 + の) never merge.
+_SUFFIX_ALT = "|".join([s for s, _ in LEMMA_RULES] + ["しい", "い"])
+SEGMENT_RE = (
+    r"[一-龯々]+(?:" + _SUFFIX_ALT + r")?|[ぁ-ゖ]+|[ァ-ヶー]+|[A-Za-z]+|[0-9]+"
+)
 
 # closed-class function words (public Japanese grammar): exact-match stages
 # of the heuristic, both mapping to weight-0 POS (dropped, like kagome 助詞)
@@ -42,6 +111,32 @@ VERB_SUFFIXES = "るうくすつむぶぬぐ"  # godan/ichidan dictionary-form e
 def segment(col: Column) -> Column:
     """text → array of script-run tokens (the tokenizer's segmentation)."""
     return F.regexp_extract_all(col, F.lit(SEGMENT_RE), 0)
+
+
+def lemma_of(term: Column) -> Column:
+    """Suffix de-inflection: first matching LEMMA_RULES entry with a
+    non-empty stem rewrites the ending; closed-class auxiliaries and
+    everything uninflected (katakana, latin, digits) keep lemma =
+    surface."""
+    inflectable = term.rlike(_INFLECTABLE_RE) & ~term.isin(*AUXILIARIES)
+    expr = None
+    for sfx, rep in LEMMA_RULES:
+        cond = inflectable & term.endswith(sfx) & (F.length(term) > len(sfx))
+        val = F.concat(
+            F.substring(term, F.lit(1), F.length(term) - len(sfx)), F.lit(rep)
+        )
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr.otherwise(term)
+
+
+def pos_of_lemma(term: Column, lemma: Column) -> Column:
+    """POS for a (surface, lemma) pair: a de-inflected token is a verb or
+    adjective by its dictionary-form ending; uninflected tokens go through
+    the surface rules (pos_of)."""
+    return F.when(
+        lemma != term,
+        F.when(lemma.endswith("い"), "形容詞-自立").otherwise("動詞-自立"),
+    ).otherwise(pos_of(term))
 
 
 def pos_of(term: Column) -> Column:
@@ -114,37 +209,82 @@ def weight_case_sql(pos: str) -> str:
     return f"CASE {exact} {prefix} ELSE 0.0 END"
 
 
+def lemma_case_sql(term: str) -> str:
+    """lemma_of() as a DuckDB CASE over column `term` (char-based length /
+    substr / LIKE are multibyte-correct in DuckDB)."""
+    aux = ", ".join(_sql_quote(a) for a in AUXILIARIES)
+    whens = " ".join(
+        f"WHEN regexp_matches({term}, '{_INFLECTABLE_RE}') "
+        f"AND {term} NOT IN ({aux}) "
+        f"AND {term} LIKE {_sql_quote('%' + sfx)} AND length({term}) > {len(sfx)} "
+        f"THEN substr({term}, 1, length({term}) - {len(sfx)}) || {_sql_quote(rep)}"
+        for sfx, rep in LEMMA_RULES
+    )
+    return f"CASE {whens} ELSE {term} END"
+
+
+def pos_lemma_case_sql(term: str, lemma: str) -> str:
+    """pos_of_lemma() as SQL over (surface, lemma) columns."""
+    return (
+        f"CASE WHEN {lemma} != {term} THEN "
+        f"(CASE WHEN {lemma} LIKE '%い' THEN '形容詞-自立' ELSE '動詞-自立' END) "
+        f"ELSE {pos_case_sql(term)} END"
+    )
+
+
 # ------------------------------------------------------ python oracle ----
 
 
+def lemma_py(tok: str) -> str:
+    """Pure-Python twin of lemma_of()."""
+    import re
+
+    if tok not in AUXILIARIES and re.fullmatch(_INFLECTABLE_RE.strip("^$"), tok):
+        for sfx, rep in LEMMA_RULES:
+            if tok.endswith(sfx) and len(tok) > len(sfx):
+                return tok[: -len(sfx)] + rep
+    return tok
+
+
+def _pos_py(tok: str) -> str:
+    """Pure-Python twin of pos_of() (surface rules)."""
+    import re
+
+    if re.fullmatch(r"[ァ-ヶー]+", tok):
+        return "名詞-固有名詞" if len(tok) >= 4 else "名詞-一般"
+    if re.fullmatch(r"[一-龯々]+", tok):
+        return "名詞-一般"
+    if re.match(r"[A-Z]", tok):
+        return "名詞-固有名詞"
+    if re.match(r"[a-z]", tok):
+        return "名詞-一般"
+    if re.fullmatch(r"[0-9]+", tok):
+        return "名詞-数"
+    if tok in PARTICLES:
+        return "助詞-格助詞"
+    if tok in AUXILIARIES:
+        return "助動詞"
+    if tok.endswith("い"):
+        return "形容詞-自立"
+    if tok[-1] in VERB_SUFFIXES:
+        return "動詞-自立"
+    return "助詞-係助詞"
+
+
 def tokenize_pos_py(text: str) -> list[tuple[str, str, float]]:
-    """Pure-Python twin of segment+pos_of+weights for pytest oracles:
-    (surface, pos, weight) per kept token, weight-0 tokens dropped
-    (summary.go:208-216)."""
+    """Pure-Python twin of segment+lemma+pos+weights for pytest oracles:
+    (LEMMA, pos, weight) per kept token, weight-0 tokens dropped — the
+    lemma is the tuple's term because the reference keys tf/df on
+    word.Lemma (summary.go:51-95, token.Features()[6])."""
     import re
 
     out: list[tuple[str, str, float]] = []
     for tok in re.findall(SEGMENT_RE, text):
-        if re.fullmatch(r"[ァ-ヶー]+", tok):
-            pos = "名詞-固有名詞" if len(tok) >= 4 else "名詞-一般"
-        elif re.fullmatch(r"[一-龯々]+", tok):
-            pos = "名詞-一般"
-        elif re.match(r"[A-Z]", tok):
-            pos = "名詞-固有名詞"
-        elif re.match(r"[a-z]", tok):
-            pos = "名詞-一般"
-        elif re.fullmatch(r"[0-9]+", tok):
-            pos = "名詞-数"
-        elif tok in PARTICLES:
-            pos = "助詞-格助詞"
-        elif tok in AUXILIARIES:
-            pos = "助動詞"
-        elif tok.endswith("い"):
-            pos = "形容詞-自立"
-        elif tok[-1] in VERB_SUFFIXES:
-            pos = "動詞-自立"
+        lemma = lemma_py(tok)
+        if lemma != tok:
+            pos = "形容詞-自立" if lemma.endswith("い") else "動詞-自立"
         else:
-            pos = "助詞-係助詞"
+            pos = _pos_py(tok)
         if pos in POS_WEIGHTS:
             w = POS_WEIGHTS[pos]
         else:
@@ -154,5 +294,5 @@ def tokenize_pos_py(text: str) -> list[tuple[str, str, float]]:
                     w = weight
                     break
         if w > 0:
-            out.append((tok, pos, w))
+            out.append((lemma, pos, w))
     return out

@@ -84,21 +84,27 @@ def whitespace_tokens(sent_df: DataFrame) -> DataFrame:
 
 def pos_weighted_tokens(sent_df: DataFrame, pos_dim: DataFrame) -> DataFrame:
     """The reference's tokenize+getWordWeight chain (summary.go:186-241):
-    segment → heuristic POS → broadcast-join the posWeights dim on the POS
-    key → prefix-default fallback → DROP weight-0 tokens (particles,
-    auxiliaries, symbols never enter the sentence vectors).
+    segment → suffix de-inflection (lemma) → heuristic POS →
+    broadcast-join the posWeights dim on the POS key → prefix-default
+    fallback → DROP weight-0 tokens (particles, auxiliaries, symbols never
+    enter the sentence vectors). The emitted term is the LEMMA: the
+    reference keys tf/df on word.Lemma (summary.go:51-95, features[6]).
 
     pos_dim: (pos string, weight double) — enrich.dim_pos_weight."""
-    toks = sent_df.select(
-        "doc",
-        "sent_idx",
-        F.explode(jpos.segment(F.col("sentence"))).alias("term"),
-    ).withColumn("pos", jpos.pos_of(F.col("term")))
+    toks = (
+        sent_df.select(
+            "doc",
+            "sent_idx",
+            F.explode(jpos.segment(F.col("sentence"))).alias("surface"),
+        )
+        .withColumn("lemma", jpos.lemma_of(F.col("surface")))
+        .withColumn("pos", jpos.pos_of_lemma(F.col("surface"), F.col("lemma")))
+    )
     return (
         toks.join(F.broadcast(pos_dim), "pos", "left")
         .withColumn("weight", F.coalesce("weight", jpos.default_weight(F.col("pos"))))
         .filter(F.col("weight") > 0)
-        .select("doc", "sent_idx", "term", "weight")
+        .select("doc", "sent_idx", F.col("lemma").alias("term"), "weight")
     )
 
 

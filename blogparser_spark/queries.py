@@ -1353,13 +1353,24 @@ def _bm25_pos_sql() -> str:
       FROM documents
     ), seg AS (
       SELECT doc, sent_idx,
-        unnest(regexp_extract_all(sentence, '{jpos.SEGMENT_RE}')) AS term
+        unnest(regexp_extract_all(sentence, '{jpos.SEGMENT_RE}')) AS surface
       FROM sent
-    ), tagged AS (
-      SELECT doc, sent_idx, term, {jpos.pos_case_sql("term")} AS pos FROM seg
-    ), wt AS (
+    ), lem AS MATERIALIZED (
+      -- MATERIALIZED throughout this chain: projection collapse would
+      -- substitute the generated 48-branch lemma CASE into every reference
+      -- of `term` in the POS CASE (≈15 refs), then that product into every
+      -- `pos` reference in the weight CASE (≈9 refs) — multiplicative
+      -- expression blowup (observed: planner OOM, then 600 s runtime).
+      -- Materializing each stage pins one evaluation per row.
+      SELECT doc, sent_idx, surface, {jpos.lemma_case_sql("surface")} AS term
+      FROM seg
+    ), tagged AS MATERIALIZED (
+      SELECT doc, sent_idx, term,
+        {jpos.pos_lemma_case_sql("surface", "term")} AS pos
+      FROM lem
+    ), wt AS MATERIALIZED (
       SELECT doc, sent_idx, term, {jpos.weight_case_sql("pos")} AS weight FROM tagged
-    ), kept AS (
+    ), kept AS MATERIALIZED (
       SELECT * FROM wt WHERE weight > 0
     ), tf AS (
       SELECT doc, sent_idx, term, weight, count(*) AS tf

@@ -181,3 +181,68 @@ def test_generate_summary_reference_golden(spark):
     )
     out = generate_summary_reference(df, "doc", "text").collect()[0]["summary"]
     assert out == "今日は天気です明日は雨です"
+
+
+def test_lemma_deinflection_inflected_forms():
+    """Suffix de-inflection: lemma ≠ surface on inflected verbs/adjectives
+    (the reference's word.Lemma = kagome features[6], summary.go:216). The
+    segmenter merges a kanji stem with a directly-attached inflection
+    suffix so the rewritten lemma is the true dictionary form."""
+    from blogparser_spark.functions.jpos import lemma_py, tokenize_pos_py
+
+    # merged kanji+suffix tokens → true lemmas
+    assert lemma_py("飛びます") == "飛ぶ"
+    assert lemma_py("走りました") == "走る"
+    assert lemma_py("嬉しかった") == "嬉しい"
+    assert lemma_py("読んだ") == "読む"
+    assert lemma_py("書いて") == "書く"
+    assert lemma_py("話して") == "話す"
+    # uninflected / ineligible tokens keep lemma = surface
+    assert lemma_py("高い") == "高い"
+    assert lemma_py("データベース") == "データベース"
+    assert lemma_py("spark") == "spark"
+    assert lemma_py("ました") == "ました"  # bare suffix: empty stem → no rule
+
+    toks = dict((t, (p, w)) for t, p, w in tokenize_pos_py("鳥が飛びます。嬉しかった"))
+    assert toks["飛ぶ"] == ("動詞-自立", 1.2)  # posWeights exact 動詞-自立
+    assert toks["嬉しい"] == ("形容詞-自立", 1.2)
+    assert "飛びます" not in toks and "嬉しかった" not in toks
+
+
+def test_lemma_spark_matches_python_twin(spark):
+    """Spark lemma/POS Columns vs the pure-Python twin on inflected text."""
+    from pyspark.sql import functions as F
+
+    from blogparser_spark.functions import jpos
+
+    sents = [
+        "鳥が飛びます",
+        "昨日は走りました",
+        "嬉しかったです",
+        "本を読んだ後で手紙を書いて友達と話して高い山を見た",
+        "Spark 123 データベース の処理",
+    ]
+    df = spark.createDataFrame([(s,) for s in sents], "sentence string")
+    rows = (
+        df.select(F.explode(jpos.segment(F.col("sentence"))).alias("surface"))
+        .withColumn("lemma", jpos.lemma_of(F.col("surface")))
+        .withColumn("pos", jpos.pos_of_lemma(F.col("surface"), F.col("lemma")))
+        .collect()
+    )
+    import re
+
+    from blogparser_spark.functions.jpos import SEGMENT_RE, _pos_py, lemma_py
+
+    want = []
+    for s in sents:
+        for tok in re.findall(SEGMENT_RE, s):
+            lemma = lemma_py(tok)
+            pos = (
+                ("形容詞-自立" if lemma.endswith("い") else "動詞-自立")
+                if lemma != tok
+                else _pos_py(tok)
+            )
+            want.append((tok, lemma, pos))
+    got = [(r["surface"], r["lemma"], r["pos"]) for r in rows]
+    assert sorted(got) == sorted(want)
+    assert any(l != s for s, l, _ in got)  # de-inflection actually fired
