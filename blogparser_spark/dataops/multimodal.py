@@ -58,6 +58,30 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+def documents_as_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VALID-PNG media table keyed off an id column: payload
+    is a synth_png whose dimensions are a pure function of the id, plus a
+    declared per-media frame count (the video-ish metadata the sampling
+    plan consumes). Because payloads are real PNGs, decode_features returns
+    identical values whether the codec is the header-parse fake or PIL —
+    the query wiring is codec-invariant by construction."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def _png_udf(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: synth_png(int(i) % 16 + 1, int(i) % 12 + 1, int(i) % 251)
+        )
+
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        _png_udf(F.col(id_col)).alias("payload"),
+        F.lit("image/png").alias("mime"),
+        ((F.col(id_col) % 7 + 1) * 4).cast("long").alias("n_frames"),
+    ).withColumn("n_bytes", F.octet_length("payload").cast("long"))
+
+
 def documents_as_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic media table from a text table (sandbox stand-in): the
     UTF-8 bytes are the opaque payload; real deployments read binary files
@@ -71,9 +95,57 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → bands
+
+
+def synth_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A VALID minimal 8-bit RGB PNG built from the public spec with stdlib
+    zlib/struct only — signature, IHDR, one zlib IDAT of filter-0
+    scanlines, IEND, correct CRCs. Pixel bytes are a deterministic function
+    of (x, y, seed), so payloads are reproducible without a codec. Any real
+    decoder (PIL) reads back exactly (width, height, 3 channels), which is
+    what makes the strict and non-strict decode paths agree on this data."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((x * 31 + y * 17 + seed) % 256 for x in range(width * 3))
+        for y in range(height)
+    )
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_header_decode(payload: bytes) -> tuple[int, int, int]:
+    """Codec-free PNG header parse: IHDR width/height are the 8 big-endian
+    bytes after the chunk header (offsets 16-24), color type at offset 25.
+    Returns exactly what a real decoder returns for a well-formed PNG."""
+    import struct
+
+    w, h = struct.unpack(">II", payload[16:24])
+    return w, h, _PNG_CHANNELS.get(payload[25], 3)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic fake decode: dimensions from byte content. Stands in
-    for a real codec so batch shapes/schemas are testable without PIL."""
+    """Deterministic codec-free decode: a well-formed PNG is read from its
+    header (agreeing with a real codec); anything else gets byte-derived
+    dimensions so batch shapes/schemas stay testable on arbitrary blobs."""
+    if payload[:8] == PNG_SIGNATURE and len(payload) >= 26:
+        return _png_header_decode(payload)
     n = len(payload)
     return (n % 640) + 1, (n % 480) + 1, 3
 

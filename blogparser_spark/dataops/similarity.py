@@ -248,6 +248,77 @@ def ivf_topk(
     )
 
 
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the ANN-at-scale layout: the corpus written PARTITIONED
+    BY its IVF cell (cell assignment happens once, at write time) plus the
+    tiny centroid set alongside. A probe then filters on the partition
+    column and the scan prunes to 1/n_cells of the files — the claim the
+    module docstring makes is demonstrated by ivf_probe_partitioned's
+    PartitionFilters plan assertion (tests/test_plans.py). Iceberg would
+    express the same thing as a partition transform on cell."""
+    cells = assign_ivf_cells(df, n_cells, id_col, vec_col)
+    (
+        df.join(cells.select(id_col, "cell"), id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/corpus")
+    )
+    df.filter(F.col(id_col) < n_cells).select(id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def ivf_probe_partitioned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 1,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Serve one ANN probe against a write_ivf_partitioned layout: the
+    query's nearest `nprobe` centroids are picked DRIVER-side from the
+    tiny centroid file (same round-6 / lowest-cid tie-break as
+    assign_ivf_cells), and the corpus scan filters cell IN (…literals…) —
+    a partition-column predicate, so only the probed cells' files are
+    read. At 100 TB with 4096 cells and nprobe=8 that is a 512× scan
+    reduction before any similarity math runs."""
+    import numpy as np
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cids = np.array([r[id_col] for r in cents], dtype=np.int64)
+    C = np.asarray([list(r[vec_col]) for r in cents], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = max(float(np.linalg.norm(q)), 1e-12)
+    csims = np.round(
+        (C @ q) / (np.maximum(np.linalg.norm(C, axis=1), 1e-12) * qn), 6
+    )
+    order = np.lexsort((cids, -csims))
+    probe_cells = [int(cids[i]) for i in order[:nprobe]]
+
+    corpus = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    if exclude_id is not None:
+        corpus = corpus.filter(F.col(id_col) != exclude_id)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    base = corpus.select(
+        F.col(id_col).alias("nid"), _dvec(F.col(vec_col)).alias("nv")
+    ).withColumn("nn", norm(F.col("nv")))
+    sims = base.withColumn(
+        "sim", F.round(dot_udf(F.col("nv"), qlit) / F.greatest(F.col("nn") * F.lit(qn), F.lit(1e-12)), 6)
+    )
+    return sims.orderBy(F.desc("sim"), F.asc("nid")).limit(k).select("nid", "sim")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -995,6 +995,48 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "media_pipeline_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+        (doc_id % 16 + 1)::INT AS width,
+        (doc_id % 12 + 1)::INT AS height,
+        ((doc_id % 7 + 1) * 4)::BIGINT AS n_frames
+      FROM documents
+    )
+    SELECT media_id, width, height, 3::INT AS channels,
+           '89504e47' AS magic,
+           ((n_frames - 1) // 3 + 1)::BIGINT AS n_frames_sampled
+    FROM m
+    """,
+)
+def media_pipeline_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wired multimodal pipeline: synthesize VALID PNG payloads →
+    frame-sampling plan over the declared frame metadata → decode features
+    through decode_features(strict=codec_available()) → join. The oracle
+    knows the answers because payload dimensions are a pure function of the
+    id and the magic is the PNG signature; the decode path is
+    codec-invariant (header-parse fake ≡ PIL on well-formed PNGs), so this
+    query's results do not change the day a real codec appears."""
+    from blogparser_spark.dataops import multimodal as M
+
+    media = M.documents_as_png_media(_docs(spark, sf_dir))
+    feats = M.decode_features(media, strict=M.codec_available())
+    sampled = (
+        media.select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+        )
+        .filter(F.col("frame_idx") % 3 == 0)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames_sampled"))
+    )
+    return feats.select("media_id", "width", "height", "channels", "magic").join(
+        sampled, "media_id"
+    )
+
+
 # ===========================================================================
 # Similarity family (dataops.similarity)
 # ===========================================================================

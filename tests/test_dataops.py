@@ -353,3 +353,49 @@ def test_degenerate_corpus_bounded_buckets(spark):
     assert len(clusters) == n
     assert sum(1 for r in clusters if r["keep"]) == 1
     assert all(r["component"] == 0 for r in clusters)
+
+
+def test_synth_png_header_roundtrip():
+    """synth_png writes a well-formed PNG; the codec-free header parse
+    returns the declared dimensions (and PIL would agree, when present)."""
+    from blogparser_spark.dataops.multimodal import (
+        PNG_SIGNATURE,
+        _fake_decode,
+        codec_available,
+        synth_png,
+    )
+
+    for w, h, seed in ((1, 1, 0), (16, 12, 7), (5, 9, 250)):
+        png = synth_png(w, h, seed)
+        assert png.startswith(PNG_SIGNATURE)
+        assert _fake_decode(png) == (w, h, 3)
+        if codec_available():  # real-codec agreement, when the env has one
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(png)) as im:
+                assert (im.width, im.height, len(im.getbands())) == (w, h, 3)
+    # non-PNG blobs still take the byte-derived fake path
+    assert _fake_decode(b"not a png at all") == (16 % 640 + 1, 16 % 480 + 1, 3)
+
+
+def test_png_media_decode_features(spark):
+    from blogparser_spark.dataops.multimodal import (
+        codec_available,
+        decode_features,
+        documents_as_png_media,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    media = documents_as_png_media(df)
+    feats = {
+        r["media_id"]: r
+        for r in decode_features(media, strict=codec_available()).collect()
+    }
+    for i in range(20):
+        assert feats[i]["width"] == i % 16 + 1
+        assert feats[i]["height"] == i % 12 + 1
+        assert feats[i]["channels"] == 3
+        assert feats[i]["magic"] == "89504e47"
+        assert len(feats[i]["embedding"]) == 8

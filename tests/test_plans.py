@@ -96,3 +96,38 @@ def test_bm25_aggregates_are_partial(spark):
     )
     plan = _plan(bm25_sentence_scores(df))
     assert "partial_count" in plan
+
+
+def test_ivf_partitioned_probe_prunes_and_matches(spark, tmp_path):
+    """The IVF-at-scale layout: cell is a WRITE-time partition key; a probe
+    must (a) show the cell predicate in the scan's PartitionFilters
+    (directory pruning, not per-row filtering) and (b) return the same
+    rows as the join-based ivf_topk for the same query."""
+    from blogparser_spark.dataops.similarity import (
+        ivf_probe_partitioned,
+        ivf_topk,
+        write_ivf_partitioned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    layout = str(tmp_path / "ivf")
+    write_ivf_partitioned(emb, layout, n_cells=4)
+
+    qid = 8  # a non-centroid corpus vector
+    qvec = [float(x) for x in emb.filter(emb.vec_id == qid).collect()[0]["embedding"]]
+    probe = ivf_probe_partitioned(
+        spark, layout, qvec, k=3, nprobe=1, exclude_id=qid
+    )
+    plan = _plan(probe)
+    scan_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "cell" in scan_line.split("PartitionFilters")[1].split("]")[0]
+
+    got = [(r["nid"], r["sim"]) for r in probe.collect()]
+    want = [
+        (r["nid"], r["sim"])
+        for r in ivf_topk(emb, n_queries=qid + 1, k=3, n_cells=4)
+        .filter("qid = 8")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
