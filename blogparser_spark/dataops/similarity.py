@@ -210,11 +210,16 @@ def ivf_topk(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's own cell (nprobe=1).
     Recall < 1 by design; the exactness trade is the point of the scale
-    path — at 100 TB the probe reads 1/n_cells of the corpus."""
-    cells = assign_ivf_cells(df, n_cells, id_col, vec_col)
+    path — at 100 TB the probe reads 1/n_cells of the corpus. Pass a
+    precomputed `cells` assignment (or use a write_ivf_partitioned layout
+    + ivf_probe_partitioned) so repeated queries don't re-derive it —
+    cell-at-write-time is the production shape."""
+    if cells is None:
+        cells = assign_ivf_cells(df, n_cells, id_col, vec_col)
     with_cell = df.join(cells.select(id_col, "cell"), id_col)
     base = with_cell.select(
         F.col(id_col).alias("nid"),
@@ -325,11 +330,14 @@ def embedding_near_dup_pairs(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection: pairs within the same IVF
     cell with cosine ≥ threshold. Cell blocking keeps the pair join linear-ish
-    in corpus size (pairs only form inside cells)."""
-    cells = assign_ivf_cells(df, n_cells, id_col, vec_col)
+    in corpus size (pairs only form inside cells). Accepts a precomputed
+    `cells` assignment like ivf_topk."""
+    if cells is None:
+        cells = assign_ivf_cells(df, n_cells, id_col, vec_col)
     v = (
         df.join(cells.select(id_col, "cell"), id_col)
         .select(F.col(id_col).alias("id"), F.col("cell"), _dvec(F.col(vec_col)).alias("v"))

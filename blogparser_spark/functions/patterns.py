@@ -127,8 +127,11 @@ class ElementPattern:
     end of body). Exposes findall/sub with re.Pattern-compatible shapes so
     extractors treat both interchangeably."""
 
-    def __init__(self, open_re: str):
+    def __init__(self, open_re: str, probe_re: str | None = None):
         self.open = re.compile(open_re)
+        # capture-free twin for vectorized presence probes (pandas
+        # str.contains warns on and wastes work tracking match groups)
+        self.probe = re.compile(probe_re) if probe_re else self.open
         self._close: dict[str, re.Pattern[str]] = {}
 
     def _tokens(self, tag: str) -> re.Pattern[str]:
@@ -195,7 +198,8 @@ def _el_re(attr: str | None = None, tag: str | None = None) -> ElementPattern:
     """<tag ...attr...>inner</tag> with balanced same-tag inner matching."""
     t = "(?i:" + (tag or _TAGNAME) + ")"
     mid = (r"[^>]*" + attr) if attr else ""
-    return ElementPattern("<(" + t + r")\b" + mid + r"[^>]*>")
+    tail = r"\b" + mid + r"[^>]*>"
+    return ElementPattern("<(" + t + ")" + tail, "<" + t + tail)
 
 
 def _texts(pat: ElementPattern):
@@ -372,15 +376,27 @@ def scrub_ameblo(text: str) -> str:
     return "".join(out)
 
 
-# --- Go-renderer entity re-encoding (clean_content.go:82-94 renders the
-# cleaned DOM back to HTML; x/net/html escapes text nodes with a fixed
-# 5-char set, so source entities are normalized: &quot; → &#34;,
-# &apos;/' → &#39;, stray & → &amp; — pinned by clean_content_test.go's
-# '特殊文字を含むHTML' case). Text between tags is unescaped (full entity
-# table, as the parser does) then re-escaped with exactly that set.
+# --- Go-renderer re-serialization (clean_content.go:82-94 renders the
+# cleaned DOM back to HTML). Three observable renderer behaviors, each
+# pinned by the reference's own goldens:
+#   1. text nodes escape with a fixed 5-char set, so source entities are
+#      normalized: &quot; → &#34;, &apos;/' → &#39;, stray & → &amp;
+#      ('特殊文字を含むHTML');
+#   2. attributes render double-quoted ('アメブロ特有要素の削除' shows
+#      class='x' → class="x");
+#   3. unclosed tags auto-close at end of input ('HTMLパースエラー':
+#      <div><span> → <div><span></span></div>).
+# Text between tags is unescaped (full entity table, as the parser does)
+# then re-escaped with exactly the renderer's set.
 _TAG_SPLIT = re.compile(r"(<[^>]*>)")
 _GO_ESCAPE = str.maketrans(
     {"&": "&amp;", "'": "&#39;", "<": "&lt;", ">": "&gt;", '"': "&#34;"}
+)
+_ATTR_SINGLE_QUOTED = re.compile(r"=\s*'([^\"']*)'")
+_TAG_TOKEN = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*?(/?)>")
+# HTML void elements: no close tag to balance
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
 )
 
 
@@ -389,7 +405,29 @@ def reencode_entities(text: str) -> str:
     for i in range(0, len(parts), 2):  # even indices are text nodes
         if parts[i]:
             parts[i] = _html.unescape(parts[i]).translate(_GO_ESCAPE)
+    for i in range(1, len(parts), 2):  # odd indices are tags
+        if "'" in parts[i]:
+            parts[i] = _ATTR_SINGLE_QUOTED.sub(r'="\1"', parts[i])
     return "".join(parts)
+
+
+def close_unclosed_tags(text: str) -> str:
+    """Renderer behavior 3: append close tags for elements still open at
+    end of input, innermost first (the simplified tree-construction
+    recovery — real parsers also do implicit mid-document closes for
+    <p>/<li> etc., which the extraction model doesn't need)."""
+    stack: list[str] = []
+    for m in _TAG_TOKEN.finditer(text):
+        closing, name, selfclosed = m.group(1), m.group(2).lower(), m.group(3)
+        if closing:
+            if name in stack:  # pop to the matching open (parser recovery)
+                while stack and stack.pop() != name:
+                    pass
+        elif not selfclosed and name not in VOID_ELEMENTS:
+            stack.append(name)
+    if not stack:
+        return text
+    return text + "".join(f"</{n}>" for n in reversed(stack))
 
 
 # --------------------------------------------------------------------------

@@ -155,9 +155,10 @@ def _extract_content_vec(s: pd.Series, lower: pd.Series | None = None) -> pd.Ser
             continue
         sub = s.where(need)
         raw = sub.str.extract(lazy, expand=False)
-        suspect = raw.str.contains("<", regex=False).eq(True) | (
-            raw.isna() & sub.str.contains(ep.open).eq(True)
-        )
+        suspect = raw.str.contains("<", regex=False).eq(True)
+        na = raw.isna() & need
+        if na.any():  # unclosed-container probe only when a row needs it
+            suspect = suspect | (na & sub.str.contains(ep.probe).eq(True))
         if suspect.any():
             fixed = sub.where(suspect).map(ep.search_inner, na_action="ignore")
             raw = raw.where(~suspect).combine_first(fixed)
@@ -211,9 +212,14 @@ def _clean_content_vec(s: pd.Series) -> pd.Series:
         c = c.where(~scoped).combine_first(
             c.where(scoped).map(P.scrub_ameblo, na_action="ignore")
         )
-    # entity re-encoding: only rows holding an entity-relevant character can
-    # change (unescape is the identity without '&'; escape without &'"<>
-    # outside tags); the dirty gate above already admits exactly those rows
+    # renderer re-serialization: auto-close unclosed tags (rows with
+    # markup), then entity re-encode / attr-quote normalize (rows holding
+    # an entity-relevant character — the dirty gate admits exactly those)
+    tagged = c.str.contains("<", regex=False).eq(True)
+    if tagged.any():
+        c = c.where(~tagged).combine_first(
+            c.where(tagged).map(P.close_unclosed_tags, na_action="ignore")
+        )
     reenc = c.str.contains(r"[&'\"<>]", regex=True).eq(True)
     if reenc.any():
         c = c.where(~reenc).combine_first(

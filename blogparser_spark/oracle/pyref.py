@@ -119,6 +119,8 @@ def clean_content(content: str) -> str:
         s = pat.sub("", s)
     if "skin-entrybody" in s.lower():
         s = P.scrub_ameblo(s)
+    if "<" in s:
+        s = P.close_unclosed_tags(s)
     s = P.reencode_entities(s)
     # normalizeWhitespace: trim each line, drop empty lines, collapse \n\s*\n
     lines = [ln.strip() for ln in s.split("\n")]

@@ -147,6 +147,11 @@ def test_clean_content_entity_reencoding():
     # script at the FIRST close; the stray second close tag is dropped
     s = "<div><script><script>alert('nested');</script></script>本文</div>"
     assert R.clean_content(s) == "<div>本文</div>"
+    # renderer goldens: attributes re-quote double ('アメブロ特有要素の削除')
+    s = "<div class='skin-entryBody'><div class='adsbygoogle'>広告</div>本文</div>"
+    assert R.clean_content(s) == '<div class="skin-entryBody">本文</div>'
+    # …and unclosed tags auto-close at end of input ('HTMLパースエラー')
+    assert R.clean_content("<div><span>x") == "<div><span>x</span></div>"
 
 
 def test_clean_content_nested_container_scope():
