@@ -24,6 +24,24 @@ def transform(df):
     return with_sink_id(enrich(parse_stage(df))).drop("images")
 
 
+def make_transform(salt_parts: int = 0, salt_k: int = 16):
+    """Job transform with optional salted repartition before the parse UDF.
+    Use when the INPUT layout clusters hot conv_ids (e.g. conv-bucketed
+    slices): parse is per-row/order-free, so spreading a hot conv across
+    (conv_id, salt) buckets evens executor load with no correctness impact
+    (operators/skew.py). salt_parts=0 skips the extra shuffle — right when
+    the scan's splits are already balanced."""
+
+    def t(df):
+        if salt_parts:
+            from blogparser_spark.operators.skew import salted_repartition
+
+            df = salted_repartition(df, salt_parts, salt_k=salt_k)
+        return transform(df)
+
+    return t
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="transcripts parquet dir")
@@ -31,6 +49,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--slices", type=int, default=8)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--key-col", default="conv_id")
+    ap.add_argument(
+        "--salt-parts",
+        type=int,
+        default=0,
+        help="salted repartition width before parse (0 = off; use when the "
+        "input layout clusters hot conv_ids)",
+    )
     args = ap.parse_args(argv)
 
     from blogparser_spark.operators import aggregate as agg
@@ -42,7 +67,7 @@ def main(argv: list[str] | None = None) -> int:
         spark,
         args.input,
         args.output,
-        transform,
+        make_transform(salt_parts=args.salt_parts),
         n_slices=args.slices,
         key_col=args.key_col,
         resume=args.resume,

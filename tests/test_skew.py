@@ -1,0 +1,80 @@
+"""Skew handling (SURVEY.md §7.4 risk 3, north-rule requirement): hot
+conv_ids must not serialize the parse stage, and salting must never change
+results. The fixture puts half of all turns in ONE conversation and lays the
+input out clustered by conv (the layout where salting matters — a balanced
+scan doesn't need it)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _skewed_df(spark, n_hot: int = 4000, n_cold_convs: int = 40, turns_each: int = 100):
+    rows = []
+    for t in range(n_hot):
+        rows.append(("conv-hot", t, "user", f"payload {t} " * 8, "none",
+                     datetime(2024, 1, 1)))
+    for c in range(n_cold_convs):
+        for t in range(turns_each):
+            rows.append((f"conv-{c:03d}", t, "user", f"text {c} {t} " * 8, "none",
+                         datetime(2024, 1, 1)))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    # cluster by conv (the adversarial layout): all of conv-hot in one partition
+    return df.repartition(8, "conv_id")
+
+
+def _partition_sizes(df):
+    return [
+        r["n"]
+        for r in df.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+
+
+def test_salted_repartition_balances_hot_conv(spark):
+    from blogparser_spark.operators.skew import salted_repartition
+
+    df = _skewed_df(spark)
+    before = _partition_sizes(df)
+    n = df.count()
+    assert max(before) >= n // 2  # the hot conv serializes one partition
+
+    salted = salted_repartition(df, 8)
+    after = _partition_sizes(salted)
+    assert sum(after) == n
+    # the hot conv is spread: no partition holds more than ~2× the mean
+    assert max(after) <= 2 * (n // 8)
+
+
+def test_salting_does_not_change_parse_results(spark):
+    """Parse is per-row/order-free: salted and unsalted runs must produce
+    identical routed row sets and sink counts."""
+    from blogparser_spark.job import make_transform, transform
+
+    df = _skewed_df(spark, n_hot=500, n_cold_convs=10, turns_each=20)
+    plain = transform(df).select("conv_id", "turn_idx", "parse_status", "summary")
+    salted = (
+        make_transform(salt_parts=8)(df)
+        .select("conv_id", "turn_idx", "parse_status", "summary")
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_hot_conv_window_ranks_correct(spark):
+    """Per-conv windows cannot be salted — the hot conv's ranks must still
+    be exact (one partition holds it; AQE + range isolation are the scale
+    levers, correctness is non-negotiable)."""
+    from blogparser_spark.operators.aggregate import turn_features
+
+    df = _skewed_df(spark, n_hot=3000, n_cold_convs=5, turns_each=10)
+    feats = turn_features(df).filter(F.col("conv_id") == "conv-hot")
+    got = [r["turn_no"] for r in feats.orderBy("turn_idx").collect()]
+    assert got == list(range(1, 3001))

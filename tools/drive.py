@@ -62,6 +62,21 @@ from blogparser_spark.dataops.dedup import near_dup_clusters
 print("near-dup clusters:", near_dup_clusters(docs).count())
 print("DRIVE5 OK")
 
+# round-3 surfaces: codec-invariant PNG media, IVF partitioned probe,
+# salted job transform on a skewed frame
+from blogparser_spark.dataops.multimodal import documents_as_png_media, codec_available
+from blogparser_spark.dataops.similarity import write_ivf_partitioned, ivf_probe_partitioned
+from blogparser_spark.job import make_transform
+png_feats = decode_features(documents_as_png_media(docs), strict=codec_available())
+print("png media feats:", png_feats.filter("magic = '89504e47'").count())
+with tempfile.TemporaryDirectory() as td:
+    lay = os.path.join(td, "ivf")
+    write_ivf_partitioned(emb, lay, n_cells=4)
+    qv = [float(x) for x in emb.filter("vec_id = 9").collect()[0]["embedding"]]
+    print("ivf probe:", ivf_probe_partitioned(spark, lay, qv, k=3, exclude_id=9).count())
+print("salted pipeline rows:", make_transform(salt_parts=4)(df).count())
+print("DRIVE7 OK")
+
 from blogparser_spark.operators.storage import write_bucketed, bucketed_join
 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 import shutil
