@@ -411,11 +411,20 @@ def reencode_entities(text: str) -> str:
     return "".join(parts)
 
 
+_UNTERMINATED_TAIL = re.compile(r"<[^>]*$")
+
+
 def close_unclosed_tags(text: str) -> str:
     """Renderer behavior 3: append close tags for elements still open at
     end of input, innermost first (the simplified tree-construction
     recovery — real parsers also do implicit mid-document closes for
-    <p>/<li> etc., which the extraction model doesn't need)."""
+    <p>/<li> etc., which the extraction model doesn't need). A trailing
+    UNTERMINATED tag-start ('<A' with no '>') is text per WHATWG
+    EOF-in-tag handling — its '<'s are pre-escaped so an appended close
+    tag cannot merge with it into a bogus token."""
+    m = _UNTERMINATED_TAIL.search(text)
+    if m:
+        text = text[: m.start()] + m.group(0).replace("<", "&lt;")
     stack: list[str] = []
     for m in _TAG_TOKEN.finditer(text):
         closing, name, selfclosed = m.group(1), m.group(2).lower(), m.group(3)

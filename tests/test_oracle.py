@@ -371,3 +371,20 @@ def test_selector_nested_same_tag_categories():
         "<div><a>cat-one</a></div><a>cat-two</a></div>"
     )
     assert R.extract_categories(s) == ["cat-one", "cat-two"]
+
+
+def test_deep_nesting_linear_and_correct():
+    """200-level nested same-name divs: the balanced scan stays linear (no
+    regex backtracking blowup) and extracts the full container."""
+    import time
+
+    depth = 200
+    inner = "core " + "x" * 120
+    nested = "<div>" * depth + inner + "</div>" * depth
+    payload = f'<h1>T</h1><div class="entry-content">{nested}</div>'
+    t0 = time.time()
+    rec = R.parse_record(payload)
+    assert time.time() - t0 < 1.0  # linear, not exponential
+    assert rec.parse_status == "ok"
+    assert inner in rec.body
+    assert rec.body.count("<div>") == depth  # full nesting retained

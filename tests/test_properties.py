@@ -87,3 +87,80 @@ def test_parse_record_total_no_crash(s):
 def test_normalize_html_idempotent(s):
     once = pyref.normalize_html(s)
     assert pyref.normalize_html(once) == once
+
+
+# markup-ish strategy: interleave text with tag-like fragments so the
+# balanced engine and renderer passes actually fire
+_frag = st.one_of(
+    st.text(max_size=20),
+    st.sampled_from(
+        ["<div>", "</div>", "<div class='a b'>", "<span>", "</span>", "<br/>",
+         "<img src='x'>", "&quot;", "&amp;", "'", '"', "<", ">",
+         '<div class="entry-content">', "</DIV>", "<script>x</script>"]
+    ),
+)
+markup_strat = st.lists(_frag, max_size=12).map("".join)
+
+
+@given(markup_strat)
+@settings(max_examples=300, deadline=None)
+def test_close_unclosed_tags_balances(s):
+    """After the auto-close pass, every non-void open token has a matching
+    close downstream (scanning with the same tokenizer)."""
+    from blogparser_spark.functions import patterns as P
+
+    out = P.close_unclosed_tags(s)
+    # append-only except the WHATWG EOF-in-tag neutralization of a trailing
+    # unterminated '<…' fragment (escaped to text, never dropped)
+    assert out.startswith(s) or out.replace("&lt;", "<").startswith(s)
+    stack = []
+    for m in P._TAG_TOKEN.finditer(out):
+        closing, name, selfclosed = m.group(1), m.group(2).lower(), m.group(3)
+        if closing:
+            if name in stack:
+                while stack and stack.pop() != name:
+                    pass
+        elif not selfclosed and name not in P.VOID_ELEMENTS:
+            stack.append(name)
+    assert stack == []
+    assert P.close_unclosed_tags(out) == out  # idempotent
+
+
+@given(markup_strat)
+@settings(max_examples=300, deadline=None)
+def test_reencode_entities_idempotent_and_tag_preserving(s):
+    """Renderer re-encode is idempotent (escape∘unescape fixpoint) and
+    never alters double-quoted tag tokens."""
+    from blogparser_spark.functions import patterns as P
+
+    once = P.reencode_entities(s)
+    assert P.reencode_entities(once) == once
+    # text nodes of the output never hold a raw special
+    for i, part in enumerate(P._TAG_SPLIT.split(once)):
+        if i % 2 == 0:
+            assert not any(c in part for c in "<>\"'")
+
+
+@given(markup_strat)
+@settings(max_examples=200, deadline=None)
+def test_balanced_extractor_spans_sane(s):
+    """ElementPattern elements are non-overlapping, in order, with inner
+    spans inside element spans."""
+    from blogparser_spark.functions.patterns import _class_attr, _el_re
+
+    pat = _el_re(_class_attr("entry-content"), "div")
+    prev_end = 0
+    for el in pat.iter_elements(s):
+        assert prev_end <= el.start < el.inner_start <= el.inner_end <= el.end
+        assert s[el.inner_start : el.inner_end] == el.inner
+        prev_end = el.end
+
+
+@given(markup_strat)
+@settings(max_examples=200, deadline=None)
+def test_clean_content_still_total_on_markup(s):
+    rec = pyref.parse_record(s)
+    assert rec.parse_status in {
+        "ok", "no_title", "invalid_title", "no_content",
+        "empty_after_clean", "short_content",
+    }
