@@ -113,20 +113,39 @@ def segment(col: Column) -> Column:
     return F.regexp_extract_all(col, F.lit(SEGMENT_RE), 0)
 
 
-def lemma_of(term: Column) -> Column:
-    """Suffix de-inflection: first matching LEMMA_RULES entry with a
-    non-empty stem rewrites the ending; closed-class auxiliaries and
-    everything uninflected (katakana, latin, digits) keep lemma =
-    surface."""
-    inflectable = term.rlike(_INFLECTABLE_RE) & ~term.isin(*AUXILIARIES)
-    expr = None
+def _rules_by_len() -> list[tuple[int, dict[str, str]]]:
+    by_len: dict[int, dict[str, str]] = {}
     for sfx, rep in LEMMA_RULES:
-        cond = inflectable & term.endswith(sfx) & (F.length(term) > len(sfx))
-        val = F.concat(
-            F.substring(term, F.lit(1), F.length(term) - len(sfx)), F.lit(rep)
+        by_len.setdefault(len(sfx), {})[sfx] = rep
+    return sorted(by_len.items(), reverse=True)
+
+
+def lemma_of(term: Column) -> Column:
+    """Suffix de-inflection: the matching LEMMA_RULES entry with a
+    non-empty stem rewrites the ending; closed-class auxiliaries and
+    everything uninflected (katakana, latin, digits) keep lemma = surface.
+
+    Longest-suffix-first with one literal-map lookup per suffix LENGTH —
+    semantically identical to first-match-in-table-order (same-length
+    suffixes are mutually exclusive as endswith conditions, and every
+    nested pair in the table is ordered longer-first), but the Column tree
+    is 3 map lookups instead of 48 when-branches: the 48-branch form's
+    whole-stage codegen cost showed up as a 23 s cold first run."""
+    inflectable = term.rlike(_INFLECTABLE_RE) & ~term.isin(*AUXILIARIES)
+    cands = []
+    for length, rules in _rules_by_len():
+        m = F.create_map(
+            *[F.lit(x) for sfx_rep in rules.items() for x in sfx_rep]
         )
-        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
-    return expr.otherwise(term)
+        rep = F.element_at(m, F.substring(term, -length, length))  # NULL: no rule
+        stem = F.substring(term, F.lit(1), F.length(term) - length)
+        # concat(NULL) propagates: no rule at this length → try the next
+        cands.append(
+            F.when(F.length(term) > length, F.concat(stem, rep)).otherwise(
+                F.lit(None).cast("string")
+            )
+        )
+    return F.when(inflectable, F.coalesce(*cands, term)).otherwise(term)
 
 
 def pos_of_lemma(term: Column, lemma: Column) -> Column:
