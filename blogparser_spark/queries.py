@@ -1465,6 +1465,163 @@ def bm25_pos_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Curation funnel — the dataops composed end-to-end
+# ===========================================================================
+
+
+def _near_dup_ctes(base: str) -> str:
+    """The MinHash-LSH → lag-chained pairs → exact-Jaccard verify →
+    transitive-closure CTE chain over a base CTE/table exposing
+    (doc_id, text). Appended inside a WITH RECURSIVE context; exposes
+    nd_reach (node, m) — component = min(m) per node."""
+    return f"""
+    nd_t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM {base}
+    ), nd_sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS shingles
+      FROM nd_t
+    ), nd_sig AS (
+      SELECT doc_id,
+        [list_min(list_transform(shingles, s -> md5('0:' || s))),
+         list_min(list_transform(shingles, s -> md5('1:' || s))),
+         list_min(list_transform(shingles, s -> md5('2:' || s))),
+         list_min(list_transform(shingles, s -> md5('3:' || s))),
+         list_min(list_transform(shingles, s -> md5('4:' || s))),
+         list_min(list_transform(shingles, s -> md5('5:' || s))),
+         list_min(list_transform(shingles, s -> md5('6:' || s))),
+         list_min(list_transform(shingles, s -> md5('7:' || s)))] AS s
+      FROM nd_sh
+    ), nd_bands AS (
+      SELECT doc_id, b.band_idx,
+             md5(s[b.band_idx*2 + 1] || '|' || s[b.band_idx*2 + 2]) AS band_hash
+      FROM nd_sig, (SELECT unnest(range(4)) AS band_idx) b
+      WHERE s[1] IS NOT NULL
+    ), nd_ranked AS (
+      SELECT doc_id,
+        lag(doc_id) OVER (PARTITION BY band_idx, band_hash ORDER BY doc_id) AS prev
+      FROM nd_bands
+    ), nd_cand AS (
+      SELECT DISTINCT prev AS id_a, doc_id AS id_b FROM nd_ranked WHERE prev IS NOT NULL
+    ), nd_dsh AS (
+      SELECT doc_id, list_distinct(shingles) AS sh FROM nd_sh
+    ), nd_verified AS (
+      SELECT id_a, id_b FROM nd_cand
+      JOIN nd_dsh a ON a.doc_id = nd_cand.id_a
+      JOIN nd_dsh b ON b.doc_id = nd_cand.id_b
+      WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6)
+            >= 0.5
+    ), nd_edges AS (
+      SELECT id_a AS u, id_b AS v FROM nd_verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM nd_verified
+    ), nd_nodes AS (
+      SELECT DISTINCT u AS node FROM nd_edges
+    ), nd_reach AS (
+      SELECT node, node AS m FROM nd_nodes
+      UNION
+      SELECT e.u AS node, r.m FROM nd_edges e JOIN nd_reach r ON e.v = r.node
+    )"""
+
+
+def _funnel_sql() -> str:
+    from blogparser_spark.dataops.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+    WITH RECURSIVE qt AS (
+      SELECT doc_id, text,
+        list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ), qf AS (
+      SELECT doc_id, text,
+        greatest(len(toks), 1) AS n,
+        len(list_filter(toks, x -> list_contains(
+          ['a','and','das','dans','de','den','der','des','die','el','ein','eine','en','es',
+           'est','et','for','in','is','it','la','le','les','los','mit','of','que','that',
+           'the','to','un','una','und','une','von','y'], x))) AS n_stop,
+        length(regexp_replace(text, '[^A-Za-zÀ-ɏ一-鿿]', '', 'g'))::DOUBLE /
+          greatest(length(text), 1) AS alpha_ratio,
+        list_aggregate(list_transform(toks, x -> length(x)::DOUBLE), 'sum') AS tls
+      FROM qt
+    ), quality AS (
+      SELECT doc_id, text FROM qf
+      WHERE round(0.3 * (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END)
+                + 0.3 * (CASE WHEN tls / n BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
+                + 0.2 * least(n_stop::DOUBLE / n * 4, 1.0)
+                + 0.2 * alpha_ratio, 6) >= 0.8
+    ), surv AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, row_number() OVER (
+          PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+          ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ), {_near_dup_ctes("surv")},
+    nd_drop AS (
+      SELECT node AS doc_id FROM nd_reach GROUP BY node HAVING node != min(m)
+    ), final AS (
+      SELECT s.doc_id, s.text FROM surv s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM nd_drop)
+    )
+    SELECT
+      (SELECT count(*) FROM documents)::BIGINT AS n_input,
+      (SELECT count(*) FROM quality)::BIGINT AS n_quality,
+      (SELECT count(*) FROM surv)::BIGINT AS n_exact,
+      (SELECT count(*) FROM final)::BIGINT AS n_final,
+      (SELECT count(*) FROM final WHERE
+         len(regexp_extract_all(text, '{EMAIL_RE}')) +
+         len(regexp_extract_all(text, '{IPV4_RE}')) +
+         len(regexp_extract_all(text, '{PHONE_RE}')) > 0)::BIGINT AS n_pii_rows
+    """
+
+
+@_q("curation_funnel", _funnel_sql())
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation funnel, composing the dataops
+    the way a corpus pipeline runs them: quality gate (score ≥ 0.8) →
+    exact-dedup survivors (min-id per normalized text) → near-dup drop
+    (MinHash-LSH → verify → clusters, non-survivors removed) → PII audit.
+    One row of per-stage counts — the numbers a curation run reports.
+    Every stage is an already-oracle-verified operator; the funnel pins
+    their COMPOSITION (each stage consumes the previous stage's actual
+    output, not the raw table)."""
+    from functools import reduce
+
+    from blogparser_spark.dataops.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    d = _docs(spark, sf_dir)
+    q = textstats.with_quality(d).filter(F.col("quality") >= 0.8).select(*d.columns)
+    # the dedup-survivor frame feeds clustering AND three counts — truncate
+    # its lineage once so the quality+window chain isn't re-derived per
+    # consumer (same checkpointing discipline as connected_components)
+    exact = dedup.apply_exact_dedup(q).localCheckpoint(eager=False)
+    clusters = dedup.near_dup_clusters(exact)
+    final = exact.join(
+        clusters.filter(~F.col("keep")).select("doc_id"), "doc_id", "left_anti"
+    )
+    pii_hits = (
+        F.regexp_count("text", F.lit(EMAIL_RE))
+        + F.regexp_count("text", F.lit(IPV4_RE))
+        + F.regexp_count("text", F.lit(PHONE_RE))
+    )
+    counts = [
+        d.agg(F.count("*").cast("long").alias("n_input")),
+        q.agg(F.count("*").cast("long").alias("n_quality")),
+        exact.agg(F.count("*").cast("long").alias("n_exact")),
+        final.agg(F.count("*").cast("long").alias("n_final")),
+        final.filter(pii_hits > 0).agg(
+            F.count("*").cast("long").alias("n_pii_rows")
+        ),
+    ]
+    return reduce(lambda a, b: a.crossJoin(b), counts)
+
+
+# ===========================================================================
 # Flagship pipeline (no SQL oracle — pandas-UDF parse; rows-only check)
 # ===========================================================================
 
@@ -1561,61 +1718,10 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "near_dup_clusters",
-    """
-    WITH RECURSIVE t AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-        CASE WHEN len(toks) >= 3
-             THEN list_transform(range(1, len(toks) - 1),
-                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-             ELSE [] END AS shingles
-      FROM t
-    ), sig AS (
-      SELECT doc_id,
-        [list_min(list_transform(shingles, s -> md5('0:' || s))),
-         list_min(list_transform(shingles, s -> md5('1:' || s))),
-         list_min(list_transform(shingles, s -> md5('2:' || s))),
-         list_min(list_transform(shingles, s -> md5('3:' || s))),
-         list_min(list_transform(shingles, s -> md5('4:' || s))),
-         list_min(list_transform(shingles, s -> md5('5:' || s))),
-         list_min(list_transform(shingles, s -> md5('6:' || s))),
-         list_min(list_transform(shingles, s -> md5('7:' || s)))] AS s
-      FROM sh
-    ), bands AS (
-      SELECT doc_id, b.band_idx,
-             md5(s[b.band_idx*2 + 1] || '|' || s[b.band_idx*2 + 2]) AS band_hash
-      FROM sig, (SELECT unnest(range(4)) AS band_idx) b
-      WHERE s[1] IS NOT NULL
-    ), ranked AS (
-      SELECT doc_id,
-        lag(doc_id) OVER (PARTITION BY band_idx, band_hash ORDER BY doc_id) AS prev
-      FROM bands
-    ), cand AS (
-      SELECT DISTINCT prev AS id_a, doc_id AS id_b FROM ranked WHERE prev IS NOT NULL
-    ), dsh AS (
-      SELECT doc_id, list_distinct(shingles) AS sh FROM sh
-    ), verified AS (
-      SELECT id_a, id_b FROM cand
-      JOIN dsh a ON a.doc_id = cand.id_a
-      JOIN dsh b ON b.doc_id = cand.id_b
-      WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-            greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6)
-            >= 0.5
-    ), edges AS (
-      SELECT id_a AS u, id_b AS v FROM verified
-      UNION
-      SELECT id_b AS u, id_a AS v FROM verified
-    ), nodes AS (
-      SELECT DISTINCT u AS node FROM edges
-    ), reach AS (
-      SELECT node, node AS m FROM nodes
-      UNION
-      SELECT e.u AS node, r.m FROM edges e JOIN reach r ON e.v = r.node
-    )
+    f"""
+    WITH RECURSIVE {_near_dup_ctes("documents")}
     SELECT node AS doc_id, min(m)::BIGINT AS component, (node = min(m)) AS keep
-    FROM reach GROUP BY node ORDER BY doc_id
+    FROM nd_reach GROUP BY node ORDER BY doc_id
     """,
 )
 def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -399,3 +399,15 @@ def test_png_media_decode_features(spark):
         assert feats[i]["channels"] == 3
         assert feats[i]["magic"] == "89504e47"
         assert len(feats[i]["embedding"]) == 8
+
+
+def test_curation_funnel_monotone(spark):
+    """The curation funnel's stages only ever remove rows — per-stage
+    counts must be monotonically non-increasing, and the PII audit is a
+    subset of the final set."""
+    from blogparser_spark.queries import curation_funnel
+
+    row = curation_funnel(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_input"] >= row["n_quality"] >= row["n_exact"] >= row["n_final"]
+    assert 0 <= row["n_pii_rows"] <= row["n_final"]
+    assert row["n_final"] > 0  # the funnel must not drain the corpus
