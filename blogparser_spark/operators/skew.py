@@ -48,8 +48,13 @@ def salted_repartition(
 
 
 def range_partition_for_windows(
-    df: DataFrame, num_partitions: int, key_col: str = "conv_id", order_col: str = "turn_idx"
+    df: DataFrame, num_partitions: int, key_col: str = "conv_id"
 ) -> DataFrame:
-    """Pre-shuffle for per-conv windows: range partitioning samples the key
-    distribution, isolating hot convs instead of hash-colliding them."""
-    return df.repartitionByRange(num_partitions, F.col(key_col), F.col(order_col))
+    """Pre-shuffle for per-conv windows: range partitioning on the KEY
+    ALONE samples the key distribution, isolating hot convs instead of
+    hash-colliding them — and RangePartitioning(key) satisfies the
+    window's clustering requirement, so the window reuses it (one
+    exchange total, plan-asserted in test_skew). Adding the order column
+    to the range keys would split keys across boundary partitions and
+    force a second hash exchange."""
+    return df.repartitionByRange(num_partitions, F.col(key_col))

@@ -78,3 +78,29 @@ def test_hot_conv_window_ranks_correct(spark):
     feats = turn_features(df).filter(F.col("conv_id") == "conv-hot")
     got = [r["turn_no"] for r in feats.orderBy("turn_idx").collect()]
     assert got == list(range(1, 3001))
+
+
+def test_range_partition_reused_by_window(spark):
+    """range_partition_for_windows must be REUSED by the per-conv window:
+    exactly one exchange (the range one), no hashpartitioning — the
+    property that lets a hot conv get a partition to itself instead of
+    hash-colliding with other convs."""
+    from blogparser_spark.operators.aggregate import turn_features
+    from blogparser_spark.operators.skew import range_partition_for_windows
+
+    df = _skewed_df(spark, n_hot=200, n_cold_convs=5, turns_each=10)
+    pre = range_partition_for_windows(df, 8)
+    plan = (
+        turn_features(pre)._jdf.queryExecution().executedPlan().toString()
+    )  # noqa: SLF001
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning" not in plan
+    # and ranks stay exact
+    got = [
+        r["turn_no"]
+        for r in turn_features(pre)
+        .filter(F.col("conv_id") == "conv-hot")
+        .orderBy("turn_idx")
+        .collect()
+    ]
+    assert got == list(range(1, 201))
