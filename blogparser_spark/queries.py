@@ -1246,14 +1246,17 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
 
 
-@_q(
-    "quality_scores",
-    """
-    WITH t AS (
+
+def _quality_feature_ctes(base: str, t: str = "qt", f: str = "qf") -> str:
+    """Shared quality-feature CTE pair over a (doc_id, text) base — the
+    SINGLE source of the oracle-side stopword list and feature columns,
+    consumed by both quality_scores and curation_funnel so the two cannot
+    drift."""
+    return f"""{t} AS (
       SELECT doc_id, text,
         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
-      FROM documents
-    ), f AS (
+      FROM {base}
+    ), {f} AS (
       SELECT doc_id, text, toks,
         greatest(len(toks), 1) AS n,
         len(list_filter(toks, x -> list_contains(
@@ -1263,16 +1266,25 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         length(regexp_replace(text, '[^A-Za-zÀ-ɏ一-鿿]', '', 'g'))::DOUBLE /
           greatest(length(text), 1) AS alpha_ratio,
         list_aggregate(list_transform(toks, x -> length(x)::DOUBLE), 'sum') AS tok_len_sum
-      FROM t
-    )
+      FROM {t}
+    )"""
+
+
+_QUALITY_SCORE_SQL = """round(0.3 * (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END)
+          + 0.3 * (CASE WHEN tok_len_sum / n BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
+          + 0.2 * (least(n_stop::DOUBLE / n * 4, 1.0))
+          + 0.2 * alpha_ratio, 6)"""
+
+
+@_q(
+    "quality_scores",
+    f"""
+    WITH {_quality_feature_ctes("documents")}
     SELECT doc_id,
       round(n_stop::DOUBLE / n, 6) AS stopword_ratio,
       round(alpha_ratio, 6) AS alpha_ratio,
-      round(0.3 * (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END)
-          + 0.3 * (CASE WHEN tok_len_sum / n BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
-          + 0.2 * least(n_stop::DOUBLE / n * 4, 1.0)
-          + 0.2 * alpha_ratio, 6) AS quality
-    FROM f
+      {_QUALITY_SCORE_SQL} AS quality
+    FROM qf
     """,
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1533,27 +1545,9 @@ def _funnel_sql() -> str:
     from blogparser_spark.dataops.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
 
     return f"""
-    WITH RECURSIVE qt AS (
-      SELECT doc_id, text,
-        list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
-      FROM documents
-    ), qf AS (
-      SELECT doc_id, text,
-        greatest(len(toks), 1) AS n,
-        len(list_filter(toks, x -> list_contains(
-          ['a','and','das','dans','de','den','der','des','die','el','ein','eine','en','es',
-           'est','et','for','in','is','it','la','le','les','los','mit','of','que','that',
-           'the','to','un','una','und','une','von','y'], x))) AS n_stop,
-        length(regexp_replace(text, '[^A-Za-zÀ-ɏ一-鿿]', '', 'g'))::DOUBLE /
-          greatest(length(text), 1) AS alpha_ratio,
-        list_aggregate(list_transform(toks, x -> length(x)::DOUBLE), 'sum') AS tls
-      FROM qt
-    ), quality AS (
+    WITH RECURSIVE {_quality_feature_ctes("documents")}, quality AS (
       SELECT doc_id, text FROM qf
-      WHERE round(0.3 * (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END)
-                + 0.3 * (CASE WHEN tls / n BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
-                + 0.2 * least(n_stop::DOUBLE / n * 4, 1.0)
-                + 0.2 * alpha_ratio, 6) >= 0.8
+      WHERE {_QUALITY_SCORE_SQL} >= 0.8
     ), surv AS (
       SELECT doc_id, text FROM (
         SELECT doc_id, text, row_number() OVER (
