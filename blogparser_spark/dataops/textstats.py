@@ -166,6 +166,60 @@ def _with_quality_from(df: DataFrame, c: Column, feats: Column) -> DataFrame:
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_bigram_cutoff: float = 0.18,
+    dup_trigram_cutoff: float = 0.30,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1, the
+    public repetition filters), adapted to word n-grams:
+
+      top_bigram_frac  — occurrences of the most frequent bigram / bigrams
+      dup_trigram_frac — fraction of trigram occurrences that are repeats
+                         (1 - distinct/total)
+      repetitive       — either fraction over its cutoff → drop candidate
+
+    Shape: explode n-grams → groupBy (id, gram) count → groupBy id. Per
+    CLAUDE.md rule 1 the per-token work is explode + codegen + partial
+    hash agg, NOT array HOFs — both aggregations map-side combine, so the
+    shuffles carry per-partition partial counts keyed by doc. Docs too
+    short to form an n-gram contribute 0 fractions (explode_outer keeps
+    the row; the NULL gram group is excluded from the fractions)."""
+    from blogparser_spark.dataops.dedup import shingles
+
+    def _gram_stats(n: int, top: str, dup: str) -> DataFrame:
+        g = df.select(
+            F.col(id_col), F.explode_outer(shingles(F.col(text_col), n)).alias("g")
+        )
+        per_gram = g.groupBy(id_col, "g").agg(F.count("*").alias("cnt"))
+        total = F.sum(F.when(F.col("g").isNotNull(), F.col("cnt")).otherwise(0))
+        n_distinct = F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0))
+        top_cnt = F.max(F.when(F.col("g").isNotNull(), F.col("cnt")).otherwise(0))
+        return per_gram.groupBy(id_col).agg(
+            F.round(top_cnt / F.greatest(total, F.lit(1)), 6).alias(top),
+            F.round(
+                (total - n_distinct) / F.greatest(total, F.lit(1)), 6
+            ).alias(dup),
+        )
+
+    bi = _gram_stats(2, "top_bigram_frac", "_dup_bigram_frac").drop(
+        "_dup_bigram_frac"
+    )
+    tri = _gram_stats(3, "_top_trigram_frac", "dup_trigram_frac").drop(
+        "_top_trigram_frac"
+    )
+    return (
+        bi.join(tri, id_col)
+        .withColumn(
+            "repetitive",
+            (F.col("top_bigram_frac") > top_bigram_cutoff)
+            | (F.col("dup_trigram_frac") > dup_trigram_cutoff),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercase text (stable under incidental whitespace edits — the rolling

@@ -1773,3 +1773,92 @@ def pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_stage(t)
     enriched = enrich(parsed, spark)
     return agg_ops.sink_counts(enriched).withColumnRenamed("n", "n_rows")
+
+
+# ===========================================================================
+# Temporal join + repetition quality (round-3 additions)
+# ===========================================================================
+
+
+@_q(
+    "events_asof_enrich",
+    """
+    WITH cfg0 AS (
+      SELECT user_id, ts, round(value, 6) AS cfg_value,
+             row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_id % 13 = 0
+    ), cfg AS (SELECT user_id, ts, cfg_value FROM cfg0 WHERE rn = 1)
+    SELECT e.event_id, e.user_id, e.ts, c.ts AS asof_ts, c.cfg_value
+    FROM events e ASOF LEFT JOIN cfg c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of temporal join: every event picks up the most recent "config"
+    row (a deterministic sub-stream of events) at or before its timestamp,
+    per user. The union+window form costs ONE shuffle on user_id — no
+    (event × config) pair materialization — and its tie semantics
+    (right row at exactly left.ts is visible) are DuckDB's ASOF JOIN
+    semantics, which is the oracle."""
+    from blogparser_spark.operators.asof import asof_join, latest_per_key_ts
+
+    e = _events(spark, sf_dir)
+    cfg = e.filter(F.col("event_id") % 13 == 0).select(
+        "user_id", "ts", F.round("value", 6).alias("cfg_value"), "event_id"
+    )
+    cfg = latest_per_key_ts(cfg, ["user_id"], "ts", "event_id").drop("event_id")
+    return asof_join(
+        e.select("event_id", "user_id", "ts"), cfg, ["user_id"], "ts"
+    ).select("event_id", "user_id", "ts", "asof_ts", "cfg_value")
+
+
+@_q(
+    "repetition_flags",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), bi AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        ELSE [CAST(NULL AS VARCHAR)] END) AS g
+      FROM toks
+    ), tri AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        THEN list_transform(range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        ELSE [CAST(NULL AS VARCHAR)] END) AS g
+      FROM toks
+    ), bistat AS (
+      SELECT doc_id,
+        round(max(CASE WHEN g IS NOT NULL THEN cnt ELSE 0 END) /
+              greatest(sum(CASE WHEN g IS NOT NULL THEN cnt ELSE 0 END), 1), 6)
+          AS top_bigram_frac
+      FROM (SELECT doc_id, g, count(*) AS cnt FROM bi GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ), tristat AS (
+      SELECT doc_id,
+        round((sum(CASE WHEN g IS NOT NULL THEN cnt ELSE 0 END) -
+               sum(CASE WHEN g IS NOT NULL THEN 1 ELSE 0 END)) /
+              greatest(sum(CASE WHEN g IS NOT NULL THEN cnt ELSE 0 END), 1), 6)
+          AS dup_trigram_frac
+      FROM (SELECT doc_id, g, count(*) AS cnt FROM tri GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.top_bigram_frac, t.dup_trigram_frac,
+           CAST(b.top_bigram_frac > 0.18 OR t.dup_trigram_frac > 0.30 AS INT)
+             AS repetitive
+    FROM bistat b JOIN tristat t USING (doc_id)
+    """,
+)
+def repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-bigram and duplicate-trigram
+    fractions) as drop-candidate flags — explode → partial hash agg, no
+    array HOFs in the hot path (CLAUDE.md rule 1)."""
+    out = textstats.repetition_signals(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        F.col("repetitive").cast("int").alias("repetitive"),
+    )

@@ -194,6 +194,31 @@ def test_quality_and_fingerprint(docs):
     assert fp[0] != fp[2]
 
 
+def test_repetition_signals(spark):
+    from blogparser_spark.dataops.textstats import repetition_signals
+
+    rows = [
+        (0, "a b a b a b a b"),        # one bigram everywhere
+        (1, "one two three four five six seven"),  # all distinct
+        (2, "word"),                    # too short for any n-gram
+        (3, "x y z x y z x y z x y z"),  # repeating trigram block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert len(out) == 4  # explode_outer keeps the gramless doc
+    # doc 0: bigrams = [ab, ba, ab, ba, ab, ba, ab] → top 'a b' 4/7
+    assert out[0]["top_bigram_frac"] == round(4 / 7, 6)
+    assert out[0]["repetitive"] is True
+    # doc 1: every gram unique → dup fraction 0, top = 1/n
+    assert out[1]["dup_trigram_frac"] == 0.0
+    assert out[1]["repetitive"] is False
+    assert out[2]["top_bigram_frac"] == 0.0 and out[2]["dup_trigram_frac"] == 0.0
+    assert out[2]["repetitive"] is False
+    # doc 3: 10 trigram occurrences, 3 distinct → dup 7/10
+    assert out[3]["dup_trigram_frac"] == round(7 / 10, 6)
+    assert out[3]["repetitive"] is True
+
+
 def test_connected_components_chain(spark):
     from blogparser_spark.dataops.dedup import connected_components
 
