@@ -1,0 +1,216 @@
+"""Corpus-curation operators a training-data pipeline needs beyond dedup:
+benchmark decontamination, deterministic stratified sampling (with
+temperature-derived rates), and token-budget sequence packing.
+
+Scale design (100 TB):
+  - decontamination: the benchmark side is bounded by construction (eval
+    suites are at most ~10^7 n-grams), so its distinct n-gram hashes are
+    BROADCAST; the corpus side explodes to n-grams but aggregates straight
+    back to one row per doc with a map-side partial agg — the only shuffle
+    is the per-doc count agg keyed on doc_id.
+  - stratified sampling: zero shuffles. The keep/drop decision is a pure
+    per-row predicate on md5(salt, id) compared against a per-stratum hex
+    threshold — deterministic (re-runs and backfills pick identical rows),
+    engine-portable (the DuckDB oracle runs the same expression), and
+    evaluated inside the scan stage.
+  - packing: the running-total window runs per (stratum, shard) where shard
+    is a bounded id-range block — state per window partition is one counter
+    over a bounded row count, never a global sort. Production packers work
+    the same way: locality within a shard, no cross-shard ordering claim.
+
+All hashing is md5 hex so every operator has an exact DuckDB oracle
+(same convention as dataops/dedup.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from blogparser_spark.dataops.dedup import shingles
+from blogparser_spark.dataops.textstats import tokens
+
+DECONTAM_N = 13  # GPT-3 appendix C / Llama eval-overlap convention
+SAMPLE_KEY_HEXLEN = 8  # 32 bits of the md5 — plenty for per-mille rates
+
+
+# ------------------------------------------------------------ decontaminate ---
+
+
+def benchmark_ngram_set(
+    benchmark: DataFrame, text_col: str = "text", n: int = DECONTAM_N
+) -> DataFrame:
+    """Distinct md5 hashes of the benchmark's word n-grams — the (small,
+    broadcastable) contamination reference set, one column `gram_hash`."""
+    return (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("gram_hash"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DECONTAM_N,
+) -> DataFrame:
+    """Per-doc benchmark-overlap stats: how many of the doc's word n-gram
+    occurrences also appear anywhere in `benchmark`. A single shared n-gram
+    marks the doc contaminated (the GPT-3 13-gram collision rule); the
+    fraction is kept for threshold-based policies.
+
+    Docs too short to form an n-gram survive with zero counts
+    (explode_outer keeps the row; the NULL gram contributes nothing).
+    Plan: explode → broadcast left-join on the 16-byte gram hash →
+    groupBy(id) partial agg. The corpus is never shuffled on text.
+    """
+    bench = F.broadcast(benchmark_ngram_set(benchmark, text_col, n))
+    grams = docs.select(
+        F.col(id_col), F.explode_outer(shingles(F.col(text_col), n)).alias("g")
+    ).withColumn("gram_hash", F.md5("g"))
+    joined = grams.join(
+        bench.withColumn("_hit", F.lit(1)), "gram_hash", "left"
+    )
+    total = F.count(F.col("g"))
+    hits = F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+    return joined.groupBy(id_col).agg(
+        total.alias("n_ngrams"),
+        hits.alias("n_contaminated"),
+        F.round(hits / F.greatest(total, F.lit(1)), 6).alias("contaminated_frac"),
+        (hits >= 1).alias("contaminated"),
+    )
+
+
+# ------------------------------------------------------- stratified sampling ---
+
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """Keep-rate → lowercase hex threshold for the first SAMPLE_KEY_HEXLEN
+    md5 chars. A row is kept iff its hex key sorts strictly below the
+    threshold, so rate>=1 maps to 'g' (every hex digit < 'g' — keep all)
+    and rate<=0 to '0' (nothing sorts below '0' among 8-char keys)."""
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return "0"
+    return format(int(rate * 16**SAMPLE_KEY_HEXLEN), f"0{SAMPLE_KEY_HEXLEN}x")
+
+
+def sample_key(id_col: Column, salt: str = "sample") -> Column:
+    """Deterministic per-row uniform key: first 8 hex chars of
+    md5('<salt>:<id>'). Same expression exists verbatim in DuckDB."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))),
+        1,
+        SAMPLE_KEY_HEXLEN,
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling: keep a row iff its
+    md5 sample key sorts below the stratum's hex threshold. No shuffle, no
+    RNG state — reruns, retries, and two clusters of different sizes all
+    select the identical row set, which is what makes downstream exact
+    dedup of a resumed sampling job unnecessary.
+
+    `rates` maps stratum value → keep rate in [0, 1]; strata not listed get
+    `default_rate`. Thresholds ride in a literal map (bounded: strata are
+    enum-like), so the predicate is pure codegen in the scan stage."""
+    pairs: list[Column] = []
+    for k, v in sorted(rates.items()):
+        pairs += [F.lit(k), F.lit(rate_to_hex_threshold(v))]
+    thr = (
+        F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(strata_col)),
+            F.lit(rate_to_hex_threshold(default_rate)),
+        )
+        if pairs
+        else F.lit(rate_to_hex_threshold(default_rate))
+    )
+    return df.filter(sample_key(F.col(id_col), salt) < thr)
+
+
+def temperature_rates(
+    df: DataFrame, strata_col: str = "lang", alpha: float = 0.5
+) -> dict[str, float]:
+    """Per-stratum keep rates realizing multinomial temperature sampling
+    (expected kept count ∝ count^alpha, the multilingual-LM resampling
+    rule): rate_s = (count_s / count_min)^(alpha-1), so the smallest
+    stratum keeps everything and larger strata are downsampled toward
+    balance as alpha → 0; alpha = 1 keeps everything everywhere.
+
+    Driver-side by design: the per-stratum count agg returns one row per
+    stratum (bounded, enum-like), the one .collect() this module allows.
+    """
+    counts = {
+        r["s"]: r["c"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    if not counts:
+        return {}
+    c_min = min(counts.values())
+    return {
+        s: min(1.0, math.pow(c / c_min, alpha - 1.0)) for s, c in counts.items()
+    }
+
+
+# ----------------------------------------------------------- sequence packing ---
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_size: int | None = None,
+) -> DataFrame:
+    """Assign docs to fixed-token-budget training sequences ("packs") by a
+    deterministic linear scan: within each (stratum, shard) partition,
+    docs are taken in id order and a doc belongs to the pack its starting
+    token offset falls in (pack_id = tokens-before-it / budget). Docs
+    longer than the budget own the pack at their start offset — the
+    downstream writer decides whether to truncate or overflow.
+
+    `shard_size` bounds the window partition to an id-range block of that
+    width (pack ids don't chain across shards); None packs per stratum in
+    one window — fine at test scale, but at 10^12 rows pass a shard width
+    so no single window partition exceeds executor memory."""
+    shard = (
+        (F.col(id_col) / F.lit(shard_size)).cast("long")
+        if shard_size
+        else F.lit(0).cast("long")
+    )
+    out = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        shard.alias("shard"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(strata_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return out.select(
+        id_col,
+        strata_col,
+        "shard",
+        "n_tokens",
+        F.floor(cum_before / budget).alias("pack_id"),
+        (cum_before % budget).alias("pack_pos"),
+    )

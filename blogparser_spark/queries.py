@@ -1862,3 +1862,113 @@ def repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_trigram_frac",
         F.col("repetitive").cast("int").alias("repetitive"),
     )
+
+
+# ===========================================================================
+# Corpus curation: decontamination, stratified sampling, sequence packing
+# ===========================================================================
+
+
+@_q(
+    "benchmark_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+        THEN list_transform(range(1, len(w) - 3),
+                            i -> array_to_string(w[i:i+4], ' '))
+        ELSE [CAST(NULL AS VARCHAR)] END) AS g
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0 AND g IS NOT NULL
+    )
+    SELECT s.doc_id,
+      CAST(sum(CASE WHEN s.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_ngrams,
+      CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_contaminated,
+      round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) /
+            greatest(sum(CASE WHEN s.g IS NOT NULL THEN 1 ELSE 0 END), 1), 6)
+        AS contaminated_frac,
+      CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) >= 1 AS INT)
+        AS contaminated
+    FROM sh s LEFT JOIN bench b USING (g)
+    GROUP BY s.doc_id
+    """,
+)
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 13-gram collision rule at n=5
+    for this corpus's short docs): every doc's word-5-gram occurrences are
+    checked against the distinct 5-grams of a benchmark split (docs with
+    doc_id % 17 == 0 stand in for the eval suite). The benchmark n-gram
+    hash set is BROADCAST — the corpus never shuffles on text, only the
+    per-doc count agg shuffles, keyed on doc_id."""
+    from blogparser_spark.dataops.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    out = decontaminate(docs, bench, n=5)
+    return out.select(
+        "doc_id",
+        "n_ngrams",
+        "n_contaminated",
+        "contaminated_frac",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+@_q(
+    "stratified_sample_langs",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'en' THEN '40000000' WHEN 'es' THEN '80000000'
+                ELSE 'g' END
+    """,
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: the dominant language keeps
+    25%, es keeps 50%, tail languages keep everything — the keep/drop
+    decision is substr(md5('sample:'||id),1,8) < per-stratum hex threshold,
+    a pure scan-stage predicate (no shuffle, no RNG state; identical row
+    set on any cluster size or retry)."""
+    from blogparser_spark.dataops.curation import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(docs, {"en": 0.25, "es": 0.5}).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@_q(
+    "token_pack_bins",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, CAST(doc_id // 200 AS BIGINT) AS shard,
+        CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS INT)
+          AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, shard, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM t
+    )
+    SELECT doc_id, lang, shard, n_tokens,
+      CAST(cb // 256 AS BIGINT) AS pack_id,
+      CAST(cb % 256 AS BIGINT) AS pack_pos
+    FROM c
+    """,
+)
+def token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: per (lang, 200-id shard), docs are
+    scanned in id order and assigned the pack their starting token offset
+    falls in (budget 256). The shard key bounds every window partition —
+    the 10^12-row version of this is the same plan with a wider shard."""
+    from blogparser_spark.dataops.curation import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget=256, shard_size=200
+    )

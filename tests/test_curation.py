@@ -1,0 +1,124 @@
+"""Tests for curation operators: decontamination, stratified sampling,
+sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_decontaminate(spark):
+    from blogparser_spark.dataops.curation import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "we saw the quick brown fox jumps over it"),  # overlap
+            (1, "completely fresh words only here today"),     # clean
+            (2, "too short"),                                  # < n tokens
+            (3, "the quick brown fox jumps the quick brown fox jumps"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3).collect()}
+    assert len(out) == 4  # short doc survives with zeros
+    # doc 0: 9 tokens → 7 trigrams, 3 of them inside the bench 5-gram window
+    assert out[0]["n_ngrams"] == 7 and out[0]["n_contaminated"] == 3
+    assert out[0]["contaminated"] is True
+    assert out[1]["n_contaminated"] == 0 and out[1]["contaminated"] is False
+    assert out[2]["n_ngrams"] == 0 and out[2]["contaminated"] is False
+    assert out[2]["contaminated_frac"] == 0.0
+    # doc 3: every trigram occurrence that exists in bench counts per occurrence
+    assert out[3]["n_contaminated"] > out[0]["n_contaminated"]
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from blogparser_spark.dataops.curation import decontaminate
+
+    bench = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = (
+        decontaminate(docs, bench, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_deterministic_and_calibrated(spark):
+    from blogparser_spark.dataops.curation import stratified_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("ja").alias("lang"),
+    )
+    rates = {"en": 0.25, "ja": 1.0}
+    a = stratified_sample(df, rates)
+    ids1 = sorted(r["doc_id"] for r in a.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(df, rates).collect())
+    assert ids1 == ids2  # deterministic
+    kept_en = a.filter("lang = 'en'").count()
+    assert abs(kept_en - 500) < 90  # 2000 * 0.25, ±>4σ
+    assert a.filter("lang = 'ja'").count() == 2000  # rate 1.0 keeps all
+    # rate 0 keeps nothing; unlisted stratum gets default_rate
+    assert stratified_sample(df, {"en": 0.0}, default_rate=0.0).count() == 0
+    assert (
+        stratified_sample(df, {"en": 0.0}, default_rate=1.0).count() == 2000
+    )
+    # no shuffle: pure filter, zero exchanges
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_temperature_rates(spark):
+    from blogparser_spark.dataops.curation import temperature_rates
+
+    df = spark.createDataFrame(
+        [("en",)] * 900 + [("ja",)] * 100 + [("de",)] * 10, "lang string"
+    )
+    r1 = temperature_rates(df, alpha=1.0)
+    assert r1 == {"en": 1.0, "ja": 1.0, "de": 1.0}
+    r = temperature_rates(df, alpha=0.5)
+    assert r["de"] == 1.0  # smallest stratum keeps everything
+    assert r["de"] > r["ja"] > r["en"]  # bigger → more downsampled
+    # expected kept counts move toward balance: c_s * rate_s ∝ sqrt(c_s)
+    assert abs((900 * r["en"]) / (100 * r["ja"]) - 3.0) < 1e-9
+
+
+def test_pack_sequences(spark):
+    from blogparser_spark.dataops.curation import pack_sequences
+
+    rows = [
+        (0, "en", "w " * 60),   # 60 tokens → pack 0, pos 0
+        (1, "en", "w " * 60),   # starts at 60 → pack 0
+        (2, "en", "w " * 60),   # starts at 120 → pack 1 (budget 100)
+        (3, "en", "w " * 250),  # oversized doc: owns pack at its start
+        (4, "en", "w " * 10),   # starts at 430 → pack 4
+        (5, "ja", "w " * 10),   # other stratum restarts at 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=100).collect()}
+    assert out[0]["pack_id"] == 0 and out[0]["pack_pos"] == 0
+    assert out[1]["pack_id"] == 0 and out[1]["pack_pos"] == 60
+    assert out[2]["pack_id"] == 1 and out[2]["pack_pos"] == 20
+    assert out[3]["pack_id"] == 1 and out[3]["pack_pos"] == 80
+    assert out[4]["pack_id"] == 4 and out[4]["pack_pos"] == 30
+    assert out[5]["pack_id"] == 0 and out[5]["pack_pos"] == 0
+
+
+def test_pack_sequences_sharded(spark):
+    from blogparser_spark.dataops.curation import pack_sequences
+
+    rows = [(i, "en", "w " * 30) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, budget=100, shard_size=5).collect()
+    }
+    # shard boundary at id 5 restarts the running total
+    assert out[4]["shard"] == 0 and out[5]["shard"] == 1
+    assert out[5]["pack_id"] == 0 and out[5]["pack_pos"] == 0
+    assert out[9]["pack_pos"] == out[4]["pack_pos"]
