@@ -214,3 +214,64 @@ def pack_sequences(
         F.floor(cum_before / budget).alias("pack_id"),
         (cum_before % budget).alias("pack_pos"),
     )
+
+
+# -------------------------------------------------------------- epoch shuffle ---
+
+
+def epoch_shuffle_key(id_col: Column, epoch: int) -> Column:
+    """Deterministic per-epoch shuffle key: md5('epoch<e>:<id>'). Unique
+    per id (md5 of distinct strings), reshuffled by changing the epoch —
+    the training-export global shuffle without RNG state."""
+    return F.md5(F.concat(F.lit(f"epoch{epoch}:"), id_col.cast("string")))
+
+
+def epoch_shuffle_rank(
+    df: DataFrame,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global training order for an epoch WITHOUT a single-reducer sort:
+
+      1. range-partition on the epoch shuffle key (sampled boundaries —
+         the same exchange a global orderBy plans),
+      2. row_number per physical partition (each partition sorts locally),
+      3. per-partition row counts (one tiny row per partition) cumsum into
+         offsets, broadcast back, rank = local rank + offset.
+
+    The rank depends only on the total key order (keys are unique), not on
+    where the sampled boundaries fall, so the output is deterministic and
+    equal to row_number() over a global ORDER BY key — which is the DuckDB
+    oracle. No stage ever holds more than one partition's rows.
+    """
+    key = epoch_shuffle_key(F.col(id_col), epoch)
+    d = df.withColumn("shuffle_key", key)
+    if num_partitions:
+        d = d.repartitionByRange(num_partitions, "shuffle_key")
+    else:
+        d = d.repartitionByRange("shuffle_key")
+    d = d.withColumn("_pid", F.spark_partition_id())
+    local = Window.partitionBy("_pid").orderBy("shuffle_key")
+    d = d.withColumn("_lrank", F.row_number().over(local))
+    offsets = (
+        d.groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn("shuffle_rank", (F.col("_lrank") + F.col("_offset")))
+        .drop("_pid", "_lrank")
+    )

@@ -1972,3 +1972,27 @@ def token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         _docs(spark, sf_dir), budget=256, shard_size=200
     )
+
+
+@_q(
+    "training_shuffle_order",
+    """
+    SELECT doc_id,
+      md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+      CAST(row_number() OVER (
+        ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR))) AS BIGINT)
+        AS shuffle_rank
+    FROM documents
+    """,
+)
+def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-1 training shuffle: global rank in
+    md5('epoch1:'||id) order via range partition + per-partition
+    row_number + broadcast offsets — the scalable equivalent of
+    row_number() OVER (ORDER BY key), which is the oracle. No stage holds
+    more than one partition's rows; re-running (or resuming) an epoch
+    export reproduces the identical order."""
+    from blogparser_spark.dataops.curation import epoch_shuffle_rank
+
+    out = epoch_shuffle_rank(_docs(spark, sf_dir), epoch=1, num_partitions=8)
+    return out.select("doc_id", "shuffle_key", "shuffle_rank")

@@ -122,3 +122,25 @@ def test_pack_sequences_sharded(spark):
     assert out[4]["shard"] == 0 and out[5]["shard"] == 1
     assert out[5]["pack_id"] == 0 and out[5]["pack_pos"] == 0
     assert out[9]["pack_pos"] == out[4]["pack_pos"]
+
+
+def test_epoch_shuffle_rank(spark):
+    from blogparser_spark.dataops.curation import epoch_shuffle_rank
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = epoch_shuffle_rank(df, epoch=1, num_partitions=8)
+    rows = out.select("doc_id", "shuffle_key", "shuffle_rank").collect()
+    # ranks are a permutation of 1..n
+    assert sorted(r["shuffle_rank"] for r in rows) == list(range(1, 501))
+    # rank order == key order (the global ORDER BY equivalence)
+    by_rank = [r["shuffle_key"] for r in sorted(rows, key=lambda r: r["shuffle_rank"])]
+    assert by_rank == sorted(by_rank)
+    # a different epoch produces a different permutation
+    other = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in epoch_shuffle_rank(df, epoch=2, num_partitions=8).collect()
+    }
+    assert other != {r["doc_id"]: r["shuffle_rank"] for r in rows}
+    # the exchange is a range partition (global-sort shape), never 1 reducer
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
