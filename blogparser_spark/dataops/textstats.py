@@ -9,7 +9,7 @@ boundary. Filters composed from these columns push down to the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # whitespace tokens: documents payloads are space-separated words
@@ -181,37 +181,54 @@ def repetition_signals(
                          (1 - distinct/total)
       repetitive       — either fraction over its cutoff → drop candidate
 
-    Shape: explode n-grams → groupBy (id, gram) count → groupBy id. Per
-    CLAUDE.md rule 1 the per-token work is explode + codegen + partial
-    hash agg, NOT array HOFs — both aggregations map-side combine, so the
-    shuffles carry per-partition partial counts keyed by doc. Docs too
-    short to form an n-gram contribute 0 fractions (explode_outer keeps
-    the row; the NULL gram group is excluded from the fractions)."""
-    from blogparser_spark.dataops.dedup import shingles
+    Shape — ONE pass, all codegen (CLAUDE.md rule 1: explode → native fns
+    → partial hash aggs, no array HOFs, no join): posexplode the tokens
+    once, build both gram sizes relationally with lead() over the per-doc
+    window, stack() them into (n, gram) rows, then groupBy (id, n, gram)
+    count → groupBy id. The narrow side is range-partitioned on the doc id
+    BEFORE the fan-out (rule 4: a single-file scan would otherwise explode
+    on one core) and RangePartitioning(id) satisfies the window's
+    clustering requirement, so the window reuses that one exchange. Docs
+    too short to form an n-gram contribute 0 fractions (posexplode_outer
+    keeps the row; NULL grams are excluded from the fractions)."""
+    from blogparser_spark.operators.skew import range_partition_for_windows
 
-    def _gram_stats(n: int, top: str, dup: str) -> DataFrame:
-        g = df.select(
-            F.col(id_col), F.explode_outer(shingles(F.col(text_col), n)).alias("g")
-        )
-        per_gram = g.groupBy(id_col, "g").agg(F.count("*").alias("cnt"))
-        total = F.sum(F.when(F.col("g").isNotNull(), F.col("cnt")).otherwise(0))
-        n_distinct = F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0))
-        top_cnt = F.max(F.when(F.col("g").isNotNull(), F.col("cnt")).otherwise(0))
-        return per_gram.groupBy(id_col).agg(
-            F.round(top_cnt / F.greatest(total, F.lit(1)), 6).alias(top),
-            F.round(
-                (total - n_distinct) / F.greatest(total, F.lit(1)), 6
-            ).alias(dup),
-        )
-
-    bi = _gram_stats(2, "top_bigram_frac", "_dup_bigram_frac").drop(
-        "_dup_bigram_frac"
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    t = range_partition_for_windows(df, parts, id_col).select(
+        F.col(id_col), F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "w")
     )
-    tri = _gram_stats(3, "_top_trigram_frac", "dup_trigram_frac").drop(
-        "_top_trigram_frac"
+    win = Window.partitionBy(id_col).orderBy("pos")
+    l1, l2 = F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+    g = t.select(
+        F.col(id_col),
+        F.when(l1.isNotNull(), F.concat_ws(" ", F.col("w"), l1)).alias("g2"),
+        F.when(l2.isNotNull(), F.concat_ws(" ", F.col("w"), l1, l2)).alias("g3"),
+    )
+    per = (
+        g.select(F.col(id_col), F.expr("stack(2, 2, g2, 3, g3) AS (n, g)"))
+        .groupBy(id_col, "n", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def _s(n: int, expr: Column) -> Column:
+        live = (F.col("n") == n) & F.col("g").isNotNull()
+        return F.sum(F.when(live, expr).otherwise(0))
+
+    top_cnt = F.max(
+        F.when((F.col("n") == 2) & F.col("g").isNotNull(), F.col("cnt")).otherwise(0)
     )
     return (
-        bi.join(tri, id_col)
+        per.groupBy(id_col)
+        .agg(
+            F.round(
+                top_cnt / F.greatest(_s(2, F.col("cnt")), F.lit(1)), 6
+            ).alias("top_bigram_frac"),
+            F.round(
+                (_s(3, F.col("cnt")) - _s(3, F.lit(1)))
+                / F.greatest(_s(3, F.col("cnt")), F.lit(1)),
+                6,
+            ).alias("dup_trigram_frac"),
+        )
         .withColumn(
             "repetitive",
             (F.col("top_bigram_frac") > top_bigram_cutoff)
