@@ -1996,3 +1996,104 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = epoch_shuffle_rank(_docs(spark, sf_dir), epoch=1, num_partitions=8)
     return out.select("doc_id", "shuffle_key", "shuffle_rank")
+
+
+_EXPORT_SQL = f"""
+    WITH {_quality_feature_ctes("documents")}, quality AS (
+      SELECT doc_id, text FROM qf WHERE {_QUALITY_SCORE_SQL} >= 0.8
+    ), toks2 AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+        THEN list_transform(range(1, len(w) - 3),
+                            i -> array_to_string(w[i:i+4], ' '))
+        ELSE [CAST(NULL AS VARCHAR)] END) AS g
+      FROM toks2
+    ), bench AS (
+      SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0 AND g IS NOT NULL
+    ), contam AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (g)
+    ), clean AS (
+      SELECT q.doc_id, q.text, d.lang
+      FROM quality q JOIN documents d USING (doc_id)
+      WHERE q.doc_id NOT IN (SELECT doc_id FROM contam)
+    ), sampled AS (
+      SELECT * FROM clean
+      WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        CASE lang WHEN 'en' THEN '80000000' ELSE 'g' END
+    ), ranked AS (
+      SELECT doc_id, lang, text,
+        CAST(row_number() OVER (
+          ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR))) AS BIGINT)
+          AS shuffle_rank
+      FROM sampled
+    ), base AS (
+      SELECT doc_id, lang, shuffle_rank,
+        CAST((shuffle_rank - 1) // 64 AS BIGINT) AS shard,
+        CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS INT)
+          AS n_tokens
+      FROM ranked
+    ), c AS (
+      SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+        ORDER BY shuffle_rank
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM base
+    )
+    SELECT doc_id, lang, shuffle_rank, shard, n_tokens,
+      CAST(cb // 256 AS BIGINT) AS pack_id, CAST(cb % 256 AS BIGINT) AS pack_pos
+    FROM c
+"""
+
+
+@_q("training_export_manifest", _EXPORT_SQL)
+def training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-export composition in one plan: quality gate
+    (score >= 0.8) → benchmark decontamination (5-gram collision vs the
+    doc_id%17 eval split) → deterministic stratified sampling (en keeps
+    50%) → epoch-1 global shuffle rank → token-budget packing within
+    64-row rank shards. Every stage is the already-oracled operator; the
+    oracle here is their SQL composition, so stage drift anywhere breaks
+    this query. All joins are id-keyed or broadcast; the only full sort
+    is range-partitioned."""
+    from pyspark.sql import Window as W
+
+    from blogparser_spark.dataops.curation import (
+        decontaminate,
+        epoch_shuffle_rank,
+        stratified_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    qd = textstats.with_quality(docs).filter(F.col("quality") >= 0.8)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    keep = (
+        decontaminate(qd.select("doc_id", "text"), bench, n=5)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = qd.select("doc_id", "text", "lang").join(keep, "doc_id")
+    samp = stratified_sample(clean, {"en": 0.5})
+    ranked = epoch_shuffle_rank(samp, epoch=1, num_partitions=8)
+    base = ranked.select(
+        "doc_id",
+        "lang",
+        "shuffle_rank",
+        ((F.col("shuffle_rank") - 1) / F.lit(64)).cast("long").alias("shard"),
+        F.size(textstats.tokens(F.col("text"))).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("shuffle_rank")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cb = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "lang",
+        "shuffle_rank",
+        "shard",
+        "n_tokens",
+        F.floor(cb / 256).alias("pack_id"),
+        (cb % 256).alias("pack_pos"),
+    )
