@@ -512,3 +512,80 @@ def simhash_band_candidates(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def _simhash_halves() -> Column:
+    sh = F.col("simhash")
+    return F.array(
+        F.struct(F.lit(0).alias("band_idx"), F.floor(sh / F.lit(2**16)).alias("band_val")),
+        F.struct(F.lit(1).alias("band_idx"), (sh % F.lit(2**16)).alias("band_val")),
+    )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """SimHash half-band buckets → chained candidate pairs (id_a, id_b),
+    id_a < id_b. Same shape as lsh_candidate_pairs: lag() over the
+    (band, id) window links consecutive bucket members — O(1) per-row
+    state, linear pair count even when a degenerate corpus funnels every
+    doc into one bucket. Pass `signatures` (from simhash_df) to share one
+    signature computation with the verify stage; at 100 TB signatures are
+    a write-once column, not recomputed per stage."""
+    from pyspark.sql import Window
+
+    sig = signatures if signatures is not None else simhash_df(df, text_col, id_col)
+    bands = (
+        sig.select(F.col(id_col), F.explode(_simhash_halves()).alias("b"))
+        .select(id_col, "b.band_idx", "b.band_val")
+    )
+    w = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
+    return (
+        bands.withColumn("_prev", F.lag(id_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+
+
+def verify_pairs_hamming(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    max_distance: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Hamming verification of SimHash candidate pairs: popcount of
+    the XOR of the two 32-bit signatures, keeping pairs ≤ max_distance.
+    A half-band collision guarantees nothing about the OTHER half —
+    clustering unverified half-band candidates would merge documents up
+    to 16 bits apart. The join is pairs ⋈ signatures twice on the id —
+    linear in candidate count, all inside whole-stage codegen
+    (bit_count is a native expression, no UDF)."""
+    a = signatures.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sh_a"))
+    b = signatures.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sh_b"))
+    ham = F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))).cast("int")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_verified_pairs(
+    df: DataFrame,
+    max_distance: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end SimHash near-dup pairs: signatures → half-band chained
+    candidates → exact Hamming verify (mirrors the MinHash path's
+    candidates → exact-Jaccard shape). One signature plan feeds both
+    stages."""
+    sig = simhash_df(df, text_col, id_col)
+    pairs = simhash_candidate_pairs(df, text_col, id_col, signatures=sig)
+    return verify_pairs_hamming(pairs, sig, max_distance, id_col)

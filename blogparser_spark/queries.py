@@ -972,6 +972,55 @@ def simhash_band_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "simhash_verified_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        list_distinct(list_filter(string_split(lower(text), ' '), x -> x != '')) AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, md5(unnest(toks)) AS h FROM t
+    ), votes AS (
+      SELECT doc_id, r.b,
+        sum(2 * (((strpos('0123456789abcdef', substr(h, (r.b // 4)::INT + 1, 1)) - 1)
+                  >> (3 - (r.b % 4))::INT) & 1) - 1) AS vote
+      FROM tok, (SELECT unnest(range(32)) AS b) r
+      GROUP BY doc_id, r.b
+    ), sh AS MATERIALIZED (
+      SELECT doc_id,
+        sum(CASE WHEN vote > 0 THEN (1::BIGINT << (31 - b)::INT) ELSE 0 END)::BIGINT AS simhash
+      FROM votes GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band_idx, simhash // 65536 AS band_val FROM sh
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, simhash % 65536 AS band_val FROM sh
+    ), chained AS (
+      SELECT lag(doc_id) OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) AS id_a,
+             doc_id AS id_b
+      FROM bands
+    ), pairs AS (
+      SELECT DISTINCT id_a, id_b FROM chained WHERE id_a IS NOT NULL
+    )
+    SELECT p.id_a::BIGINT AS id_a, p.id_b::BIGINT AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM pairs p JOIN sh a ON p.id_a = a.doc_id JOIN sh b ON p.id_b = b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_verified_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with EXACT Hamming verification: half-band
+    chained candidates (linear, never all-pairs) filtered to popcount(xor)
+    ≤ 3 over the full 32-bit signatures — the SimHash mirror of the MinHash
+    path's candidates → exact-Jaccard verify (dedup.simhash_verified_pairs)."""
+    out = dedup.simhash_verified_pairs(_docs(spark, sf_dir), max_distance=3)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "hamming",
+    )
+
+
+@_q(
     "media_frame_sample",
     """
     WITH media AS (

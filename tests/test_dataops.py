@@ -262,6 +262,42 @@ def test_near_dup_verify_blocks_lsh_false_positives(spark):
     assert (0, 2) in kept  # J(0,2) ≈ 0.55 — real near-dup survives
 
 
+def test_simhash_verify_blocks_half_band_false_positives(spark):
+    """A half-band collision bounds the Hamming distance of ONE half at 0
+    and says nothing about the other — the exact popcount(xor) verify must
+    reject candidates whose full-signature distance exceeds the budget."""
+    from blogparser_spark.dataops.dedup import (
+        simhash_candidate_pairs,
+        simhash_df,
+        verify_pairs_hamming,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 0
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # one-token change
+        (3, "totally different words about other topics entirely now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = simhash_df(df)
+    sh = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+
+    cands = {(r["id_a"], r["id_b"])
+             for r in simhash_candidate_pairs(df, signatures=sig).collect()}
+    assert (0, 1) in cands  # identical signature collides on both halves
+
+    # force-feed the far pair too: verify must keep only true near-dups
+    pairs = spark.createDataFrame(
+        sorted(cands | {(0, 3)}), "id_a long, id_b long"
+    )
+    kept = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in verify_pairs_hamming(pairs, sig, max_distance=3).collect()}
+    assert kept[(0, 1)] == 0
+    assert (0, 3) not in kept  # far doc rejected by the exact distance
+    for (a, b), h in kept.items():
+        assert h == bin(sh[a] ^ sh[b]).count("1") <= 3
+
+
 def test_connected_components_chain_iterations(spark):
     """Min-label propagation + pointer jumping over a 5-node chain:
     converges in ~log2(diameter) propagating rounds (2 here) + 1 no-change
