@@ -259,11 +259,17 @@ def epoch_shuffle_rank(
         .agg(F.count("*").alias("_n"))
         .withColumn(
             "_offset",
+            # one row per physical partition (≤ a few thousand at any
+            # scale) — the single-group cumsum is over that tiny frame,
+            # never the data. pmod(_pid, 1) is a constant the optimizer
+            # can't fold away, so the partition spec stays non-empty and
+            # Spark's global-window warning (accurate for real data,
+            # irrelevant here) doesn't fire
             F.coalesce(
                 F.sum("_n").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
+                    Window.partitionBy(F.pmod(F.col("_pid"), F.lit(1)))
+                    .orderBy("_pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
