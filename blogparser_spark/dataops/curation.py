@@ -281,3 +281,52 @@ def epoch_shuffle_rank(
         .withColumn("shuffle_rank", (F.col("_lrank") + F.col("_offset")))
         .drop("_pid", "_lrank")
     )
+
+
+# ---------------------------------------------------------- boilerplate turns ---
+
+
+def boilerplate_flags(
+    df: DataFrame,
+    min_groups: int = 3,
+    text_col: str = "text",
+    group_col: str = "conv_id",
+) -> DataFrame:
+    """Cross-group repeated-content flags — the transcripts analog of C4's
+    repeated-line filter: a turn whose NORMALIZED text occurs in >=
+    min_groups distinct conversations is boilerplate (canned greetings,
+    templated tool banners), not content. Appends (text_hash, n_groups,
+    is_boilerplate) to every input row.
+
+    Scale design: the decision is keyed on md5 of the normalized text —
+    the shuffle carries (hash, group) pairs, map-side-distinct collapses
+    each partition's repeats before the exchange, and the per-hash count
+    is a partial agg. The join back to rows is hash-keyed (uniform 32-byte
+    keys, no skew: a degenerate hash held by millions of rows still joins
+    against ONE flag row, and AQE splits the probe side). Nothing is
+    collected; no all-pairs anywhere. C4 reference: Raffel et al. 2020
+    §2.2 ("three-sentence span" dedup across documents).
+    """
+    norm = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+    d = df.withColumn("text_hash", norm)
+    counts = (
+        d.select("text_hash", group_col)
+        .distinct()
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_groups"))
+    )
+    return (
+        d.join(counts, "text_hash")
+        .withColumn("is_boilerplate", F.col("n_groups") >= F.lit(min_groups))
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    min_groups: int = 3,
+    text_col: str = "text",
+    group_col: str = "conv_id",
+) -> DataFrame:
+    """Rows that survive the boilerplate gate, original schema preserved."""
+    flagged = boilerplate_flags(df, min_groups, text_col, group_col)
+    return flagged.filter(~F.col("is_boilerplate")).select(*df.columns)

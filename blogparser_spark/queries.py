@@ -1021,6 +1021,52 @@ def simhash_verified_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "boilerplate_turn_flags",
+    """
+    WITH t AS (
+      SELECT doc_id, source AS conv_id,
+        CASE WHEN doc_id % 7 = 0 THEN 'Hello!  How can I help you today?'
+             WHEN doc_id % 11 = 0 THEN 'This conversation was closed by the tool.'
+             WHEN doc_id % 13 = 0 THEN 'within-conv repeat ' || source
+             ELSE text END AS text
+      FROM documents
+    ), h AS (
+      SELECT doc_id, conv_id,
+        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash
+      FROM t
+    ), c AS (
+      SELECT text_hash, count(DISTINCT conv_id)::BIGINT AS n_groups
+      FROM h GROUP BY text_hash
+    )
+    SELECT h.doc_id, h.text_hash, c.n_groups, c.n_groups >= 3 AS is_boilerplate
+    FROM h JOIN c USING (text_hash)
+    """,
+)
+def boilerplate_turn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation boilerplate detection (C4-style repeated-content
+    filter, curation.boilerplate_flags): canned turns injected at
+    doc_id%7 / %11 recur across ≥3 conversations and get flagged; the
+    %13 text repeats only WITHIN its conversation and must survive."""
+    from blogparser_spark.dataops.curation import boilerplate_flags
+
+    d = _docs(spark, sf_dir)
+    canned = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("Hello!  How can I help you today?"))
+        .when(F.col("doc_id") % 11 == 0,
+              F.lit("This conversation was closed by the tool."))
+        .when(F.col("doc_id") % 13 == 0,
+              F.concat(F.lit("within-conv repeat "), F.col("source")))
+        .otherwise(F.col("text"))
+    )
+    t = d.select(
+        "doc_id", F.col("source").alias("conv_id"), canned.alias("text")
+    )
+    return boilerplate_flags(t, min_groups=3).select(
+        "doc_id", "text_hash", "n_groups", "is_boilerplate"
+    )
+
+
+@_q(
     "media_frame_sample",
     """
     WITH media AS (

@@ -144,3 +144,34 @@ def test_epoch_shuffle_rank(spark):
     # the exchange is a range partition (global-sort shape), never 1 reducer
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan
+
+
+def test_boilerplate_flags(spark):
+    """Cross-conv repeated text is boilerplate; within-conv repeats and
+    unique turns are not; normalization folds case/whitespace variants of
+    the same canned text into one hash."""
+    from blogparser_spark.dataops.curation import boilerplate_flags, strip_boilerplate
+
+    rows = [
+        ("c1", 0, "Hello! How can I help you today?"),
+        ("c2", 0, "hello!  how can I help you   today?"),  # variant, same norm
+        ("c3", 0, "Hello! How can I help you today?"),
+        ("c1", 1, "my unique question about spark"),
+        ("c4", 0, "repeated inside one conv only"),
+        ("c4", 1, "repeated inside one conv only"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {(r["conv_id"], r["turn_idx"]): r
+           for r in boilerplate_flags(df, min_groups=3).collect()}
+    assert out[("c1", 0)]["is_boilerplate"] is True
+    assert out[("c2", 0)]["is_boilerplate"] is True  # normalization folded it
+    assert out[("c1", 0)]["text_hash"] == out[("c2", 0)]["text_hash"]
+    assert out[("c1", 0)]["n_groups"] == 3
+    assert out[("c1", 1)]["is_boilerplate"] is False
+    # repeats confined to one conversation are content, not boilerplate
+    assert out[("c4", 0)]["is_boilerplate"] is False
+    assert out[("c4", 0)]["n_groups"] == 1
+
+    kept = strip_boilerplate(df, min_groups=3)
+    assert kept.columns == df.columns  # original schema preserved
+    assert kept.count() == 3
