@@ -355,3 +355,82 @@ def embedding_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "sim")
     )
+
+
+# ----------------------------------------------------------------- k-means ---
+
+
+def _assign_to_centroids(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+) -> DataFrame:
+    """Max-cosine assignment against a driver-held centroid list (k·d
+    doubles — bounded, like the matmul path's query constant). The
+    centroid side rides in as a broadcast literal DataFrame; cosine is
+    round-6 with lowest-cid tie-break (the engine-portable convention
+    every similarity oracle here uses)."""
+    spark = vecs.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, [float(x) for x in cv]) for cid, cv in centroids],
+        f"cid long, cv array<double>",
+    ).withColumn("cn", norm(F.col("cv")))
+    scored = vecs.join(F.broadcast(cdf)).withColumn(
+        "csim", _pair_cosine(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(F.col(id_col), F.col("cid").alias("cell"), F.col("csim").alias("cell_sim"))
+    )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of the deterministic first-k IVF centroids —
+    distributed k-means the way MLlib runs it: per iteration, one scan
+    assigns vectors to their max-cosine centroid (broadcast k×d literal),
+    one posexplode → groupBy(cell, pos) partial agg computes the new
+    per-coordinate means, and only the k×d aggregated means are collected
+    to the driver for the next round. Nothing proportional to the corpus
+    ever leaves the executors; per-iteration driver state is k·d doubles.
+
+    Determinism / oracle portability: new centroid components round to 6
+    decimals before the next assignment (absorbs summation-order drift
+    between engines), ties break to the lowest cid, and a cell that loses
+    all members keeps its previous centroid (MLlib's convention).
+
+    Returns the final (id, cell, cell_sim) assignment as a lazy plan over
+    the refined centroids.
+    """
+    init = (
+        df.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cv"))
+        .collect()
+    )
+    centroids = {int(r["cid"]): list(r["cv"]) for r in init}
+    vecs = df.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v")).withColumn(
+        "vn", norm(F.col("v"))
+    )
+    for _ in range(iters):
+        assigned = _assign_to_centroids(vecs, sorted(centroids.items()), id_col)
+        means = (
+            vecs.join(assigned.select(id_col, "cell"), id_col)
+            .select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("c"))
+            .collect()
+        )
+        upd: dict[int, dict[int, float]] = {}
+        for r in means:
+            upd.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["c"])
+        for cid, comp in upd.items():
+            centroids[cid] = [comp[i] for i in range(len(comp))]
+        # cells absent from `upd` (emptied) keep their previous centroid
+    return _assign_to_centroids(vecs, sorted(centroids.items()), id_col)

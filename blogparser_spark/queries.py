@@ -1190,6 +1190,62 @@ def ivf_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.assign_ivf_cells(_emb(spark, sf_dir), n_cells=8)
 
 
+def _kmeans_iter_sql(prev: str, this: str, it: int) -> str:
+    """One Lloyd round as DuckDB CTEs: assign to `prev` centroids (round-6
+    cosine, lowest-cid tie-break), per-coordinate round-6 mean per cell,
+    emptied cells carry the previous centroid — exactly
+    similarity.kmeans_refine's iteration contract."""
+    cos = _COS.format(a="e.v", b="c.cv")
+    return f"""
+    a{it} AS MATERIALIZED (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+          row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY round({cos}, 6) DESC, c.cid
+          ) AS r
+        FROM e CROSS JOIN {prev} c
+      ) WHERE r = 1
+    ), u{it} AS (
+      SELECT a.cell, i.i, round(avg(e.v[i.i]), 6) AS c
+      FROM a{it} a JOIN e USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+      GROUP BY a.cell, i.i
+    ), {this} AS MATERIALIZED (
+      SELECT cell AS cid, list(c ORDER BY i) AS cv FROM u{it} GROUP BY cell
+      UNION ALL
+      SELECT cid, cv FROM {prev}
+      WHERE cid NOT IN (SELECT DISTINCT cell FROM a{it})
+    )"""
+
+
+_KMEANS_SQL = f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents0 AS MATERIALIZED (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+    ),{_kmeans_iter_sql("cents0", "cents1", 1)},{_kmeans_iter_sql("cents1", "cents2", 2)}
+    SELECT vec_id, cid AS cell, csim AS cell_sim FROM (
+      SELECT e.vec_id, c.cid,
+        round({_COS.format(a="e.v", b="c.cv")}, 6) AS csim,
+        row_number() OVER (
+          PARTITION BY e.vec_id
+          ORDER BY round({_COS.format(a="e.v", b="c.cv")}, 6) DESC, c.cid
+        ) AS r
+      FROM e CROSS JOIN cents2 c
+    ) WHERE r = 1
+"""
+
+
+@_q("kmeans_refined_cells", _KMEANS_SQL)
+def kmeans_refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (2 rounds, MLlib shape): per round one
+    assignment scan against a broadcast k×d centroid literal + one
+    posexplode partial-agg mean; only k·d aggregated doubles ever reach
+    the driver (similarity.kmeans_refine)."""
+    return similarity.kmeans_refine(_emb(spark, sf_dir), n_cells=8, iters=2)
+
+
 # shared oracle fragment: IVF cell assignment (centroids = 8 lowest vec_ids)
 _IVF_CELLS = f"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

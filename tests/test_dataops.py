@@ -165,6 +165,44 @@ def test_embedding_near_dups(spark):
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(2, 3)}
 
 
+def test_kmeans_refine_improves_and_handles_empty_cells(spark):
+    """Lloyd rounds must not regress the mean cosine-to-centroid of the
+    first-k init, must be deterministic, and a centroid that loses every
+    member (vec 3 is identical to vec 0, so it assigns to the lower cid)
+    keeps its previous centroid instead of crashing the round."""
+    from blogparser_spark.dataops.similarity import assign_ivf_cells, kmeans_refine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    init = {r["vec_id"]: r["cell_sim"]
+            for r in assign_ivf_cells(emb, n_cells=4).collect()}
+    out = kmeans_refine(emb, n_cells=4, iters=2).collect()
+    assert len(out) == len(init)
+    mean_init = sum(init.values()) / len(init)
+    mean_ref = sum(r["cell_sim"] for r in out) / len(out)
+    assert mean_ref >= mean_init - 1e-9
+    again = kmeans_refine(emb, n_cells=4, iters=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.7, 0.7, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),  # dup of 0 → cell 3 empties in round 1
+        (4, [0.9, 0.1, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cells = {r["vec_id"]: r["cell"]
+             for r in kmeans_refine(df, n_cells=4, iters=2).collect()}
+    # round 1: the duplicate ties to the lower cid, so cell 3 loses every
+    # member and must carry its previous centroid [1,0,0,0] instead of
+    # crashing; round 2: cell 0's centroid has drifted toward vec 4, so the
+    # carried centroid is now the strict max-cosine for vecs 0 and 3 and
+    # legitimately recaptures them — the MLlib carryover semantics, not a
+    # dead cell
+    assert cells[0] == cells[3] == 3
+    assert cells[4] == 0 and cells[1] == 1 and cells[2] == 2
+
+
 # -------------------------------------------------------------- textstats ---
 
 
