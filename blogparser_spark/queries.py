@@ -1294,6 +1294,76 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ann_recall_eval",
+    f"""
+    WITH {_IVF_CELLS},
+    exactq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    exacts AS (
+      SELECT q.qid, x.vec_id AS nid,
+        round({_COS.format(a="q.qv", b="x.v")}, 6) AS sim
+      FROM e x JOIN exactq q ON x.vec_id != q.qid
+    ),
+    exact AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r
+        FROM exacts
+      ) WHERE r <= 5
+    ),
+    abase AS (
+      SELECT e.vec_id AS nid, cells.cell AS ncell, e.v AS nv
+      FROM e JOIN cells ON e.vec_id = cells.vec_id
+    ),
+    aq AS (
+      SELECT e.vec_id AS qid, cells.cell AS qcell, e.v AS qv
+      FROM e JOIN cells ON e.vec_id = cells.vec_id WHERE e.vec_id < 5
+    ),
+    asims AS (
+      SELECT aq.qid, abase.nid,
+        round({_COS.format(a="aq.qv", b="abase.nv")}, 6) AS sim
+      FROM abase JOIN aq ON abase.ncell = aq.qcell AND abase.nid != aq.qid
+    ),
+    approx AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r
+        FROM asims
+      ) WHERE r <= 5
+    )
+    SELECT exact.qid, count(*)::BIGINT AS n_exact,
+      sum(CASE WHEN approx.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+      round(sum(CASE WHEN approx.nid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+            / count(*), 6) AS recall
+    FROM exact LEFT JOIN approx USING (qid, nid)
+    GROUP BY exact.qid
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF nprobe=1 probe against the exact matmul top-k,
+    per query — the evaluation loop a real deployment runs to tune
+    n_cells/nprobe. One plan: both rankings + a left join on (qid, nid) +
+    a per-qid partial agg; nothing leaves the executors but 5 rows."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.brute_force_topk_matmul(emb, n_queries=5, k=5).select(
+        "qid", "nid"
+    )
+    approx = similarity.ivf_topk(emb, n_queries=5, k=5, n_cells=8).select(
+        "qid", "nid", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(approx, ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+@_q(
     "embedding_near_dup_pairs",
     f"""
     WITH {_IVF_CELLS},
