@@ -259,6 +259,7 @@ def write_ivf_partitioned(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> None:
     """Materialize the ANN-at-scale layout: the corpus written PARTITIONED
     BY its IVF cell (cell assignment happens once, at write time) plus the
@@ -266,17 +267,32 @@ def write_ivf_partitioned(
     column and the scan prunes to 1/n_cells of the files — the claim the
     module docstring makes is demonstrated by ivf_probe_partitioned's
     PartitionFilters plan assertion (tests/test_plans.py). Iceberg would
-    express the same thing as a partition transform on cell."""
-    cells = assign_ivf_cells(df, n_cells, id_col, vec_col)
+    express the same thing as a partition transform on cell.
+
+    `refine_iters` > 0 runs that many Lloyd rounds (kmeans_centroids)
+    before assignment, so the layout's cells are the REFINED quantizer —
+    better-balanced partitions and higher probe recall for the same
+    nprobe. The centroid file always stores the vectors the assignment
+    actually used, so ivf_probe_partitioned stays consistent either way."""
+    if refine_iters > 0:
+        cents = kmeans_centroids(df, n_cells, refine_iters, id_col, vec_col)
+        cells = _assign_to_centroids(
+            _kmeans_vecs(df, id_col, vec_col), cents, id_col
+        )
+        cent_rows = [(cid, [float(x) for x in cv]) for cid, cv in cents]
+        cent_df = df.sparkSession.createDataFrame(
+            cent_rows, f"{id_col} long, {vec_col} array<double>"
+        )
+    else:
+        cells = assign_ivf_cells(df, n_cells, id_col, vec_col)
+        cent_df = df.filter(F.col(id_col) < n_cells).select(id_col, vec_col)
     (
         df.join(cells.select(id_col, "cell"), id_col)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/corpus")
     )
-    df.filter(F.col(id_col) < n_cells).select(id_col, vec_col).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/centroids")
+    cent_df.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def ivf_probe_partitioned(
@@ -386,13 +402,19 @@ def _assign_to_centroids(
     )
 
 
-def kmeans_refine(
+def _kmeans_vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v")).withColumn(
+        "vn", norm(F.col("v"))
+    )
+
+
+def kmeans_centroids(
     df: DataFrame,
     n_cells: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+) -> list[tuple[int, list[float]]]:
     """Lloyd refinement of the deterministic first-k IVF centroids —
     distributed k-means the way MLlib runs it: per iteration, one scan
     assigns vectors to their max-cosine centroid (broadcast k×d literal),
@@ -406,18 +428,15 @@ def kmeans_refine(
     between engines), ties break to the lowest cid, and a cell that loses
     all members keeps its previous centroid (MLlib's convention).
 
-    Returns the final (id, cell, cell_sim) assignment as a lazy plan over
-    the refined centroids.
-    """
+    Returns the refined centroids as a sorted (cid, vector) list — the
+    write-time input for an IVF layout (write_ivf_partitioned)."""
     init = (
         df.filter(F.col(id_col) < n_cells)
         .select(F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cv"))
         .collect()
     )
     centroids = {int(r["cid"]): list(r["cv"]) for r in init}
-    vecs = df.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v")).withColumn(
-        "vn", norm(F.col("v"))
-    )
+    vecs = _kmeans_vecs(df, id_col, vec_col)
     for _ in range(iters):
         assigned = _assign_to_centroids(vecs, sorted(centroids.items()), id_col)
         means = (
@@ -433,4 +452,18 @@ def kmeans_refine(
         for cid, comp in upd.items():
             centroids[cid] = [comp[i] for i in range(len(comp))]
         # cells absent from `upd` (emptied) keep their previous centroid
-    return _assign_to_centroids(vecs, sorted(centroids.items()), id_col)
+    return sorted(centroids.items())
+
+
+def kmeans_refine(
+    df: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final (id, cell, cell_sim) assignment against kmeans_centroids —
+    a lazy plan over the refined centroid literal (see kmeans_centroids
+    for the iteration contract and scale design)."""
+    cents = kmeans_centroids(df, n_cells, iters, id_col, vec_col)
+    return _assign_to_centroids(_kmeans_vecs(df, id_col, vec_col), cents, id_col)

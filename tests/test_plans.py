@@ -131,3 +131,43 @@ def test_ivf_partitioned_probe_prunes_and_matches(spark, tmp_path):
         .collect()
     ]
     assert got == want
+
+
+def test_ivf_refined_layout_consistent(spark, tmp_path):
+    """A layout written with refine_iters>0 must store the REFINED
+    centroids (the ones assignment used), partition by the refined cells,
+    and keep probes self-consistent: every probed row's stored cell is the
+    argmax-cosine cell under the stored centroid file."""
+    from blogparser_spark.dataops.similarity import (
+        ivf_probe_partitioned,
+        kmeans_centroids,
+        kmeans_refine,
+        write_ivf_partitioned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    layout = str(tmp_path / "ivf_refined")
+    write_ivf_partitioned(emb, layout, n_cells=4, refine_iters=2)
+
+    stored = {
+        r["vec_id"]: list(r["embedding"])
+        for r in spark.read.parquet(f"{layout}/centroids").collect()
+    }
+    want_cents = dict(kmeans_centroids(emb, n_cells=4, iters=2))
+    assert stored == {cid: [float(x) for x in cv] for cid, cv in want_cents.items()}
+
+    corpus_cells = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(f"{layout}/corpus").select("vec_id", "cell").collect()
+    }
+    want_cells = {r["vec_id"]: r["cell"]
+                  for r in kmeans_refine(emb, n_cells=4, iters=2).collect()}
+    assert corpus_cells == want_cells
+
+    qid = 8
+    qvec = [float(x) for x in emb.filter(emb.vec_id == qid).collect()[0]["embedding"]]
+    probe = ivf_probe_partitioned(spark, layout, qvec, k=3, nprobe=2, exclude_id=qid)
+    rows = probe.collect()
+    assert 0 < len(rows) <= 3
+    sims = [r["sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
