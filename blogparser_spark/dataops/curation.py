@@ -131,8 +131,10 @@ def stratified_sample(
     for k, v in sorted(rates.items()):
         pairs += [F.lit(k), F.lit(rate_to_hex_threshold(v))]
     thr = (
+        # try_element_at: missing stratum → NULL → default rate, with no
+        # ANSI MAP_KEY_DOES_NOT_EXIST in ANSI-on sessions
         F.coalesce(
-            F.element_at(F.create_map(*pairs), F.col(strata_col)),
+            F.try_element_at(F.create_map(*pairs), F.col(strata_col)),
             F.lit(rate_to_hex_threshold(default_rate)),
         )
         if pairs
@@ -230,56 +232,60 @@ def epoch_shuffle_rank(
     df: DataFrame,
     epoch: int = 0,
     id_col: str = "doc_id",
-    num_partitions: int | None = None,
+    prefix_len: int = 2,
 ) -> DataFrame:
     """Global training order for an epoch WITHOUT a single-reducer sort:
 
-      1. range-partition on the epoch shuffle key (sampled boundaries —
-         the same exchange a global orderBy plans),
-      2. row_number per physical partition (each partition sorts locally),
-      3. per-partition row counts (one tiny row per partition) cumsum into
+      1. bucket on the first `prefix_len` hex chars of the shuffle key —
+         a DETERMINISTIC range partition (bucket order is key order,
+         because the bucket is a key prefix; md5 keys make buckets
+         uniform). 16^prefix_len buckets: 256 at the default, raise to 5-6
+         at 10^12 rows so one bucket's rows fit an executor sort,
+      2. row_number per bucket (each bucket sorts locally),
+      3. per-bucket row counts (one tiny row per bucket) cumsum into
          offsets, broadcast back, rank = local rank + offset.
 
-    The rank depends only on the total key order (keys are unique), not on
-    where the sampled boundaries fall, so the output is deterministic and
-    equal to row_number() over a global ORDER BY key — which is the DuckDB
-    oracle. No stage ever holds more than one partition's rows.
+    Unlike repartitionByRange — whose SAMPLED boundaries differ between
+    independent executions, so the offsets branch and the main branch
+    only agree while Spark happens to reuse the exchange — the prefix
+    bucket is a pure function of the row. Both branches compute it
+    independently and always agree; correctness does not depend on
+    ReusedExchange surviving the plan. The result equals row_number()
+    over a global ORDER BY key — the DuckDB oracle. No stage ever holds
+    more than one bucket's rows.
     """
     key = epoch_shuffle_key(F.col(id_col), epoch)
-    d = df.withColumn("shuffle_key", key)
-    if num_partitions:
-        d = d.repartitionByRange(num_partitions, "shuffle_key")
-    else:
-        d = d.repartitionByRange("shuffle_key")
-    d = d.withColumn("_pid", F.spark_partition_id())
-    local = Window.partitionBy("_pid").orderBy("shuffle_key")
+    d = df.withColumn("shuffle_key", key).withColumn(
+        "_bkt",
+        F.conv(F.substring("shuffle_key", 1, prefix_len), 16, 10).cast("long"),
+    )
+    local = Window.partitionBy("_bkt").orderBy("shuffle_key")
     d = d.withColumn("_lrank", F.row_number().over(local))
     offsets = (
-        d.groupBy("_pid")
+        d.groupBy("_bkt")
         .agg(F.count("*").alias("_n"))
         .withColumn(
             "_offset",
-            # one row per physical partition (≤ a few thousand at any
-            # scale) — the single-group cumsum is over that tiny frame,
-            # never the data. pmod(_pid, 1) is a constant the optimizer
-            # can't fold away, so the partition spec stays non-empty and
-            # Spark's global-window warning (accurate for real data,
-            # irrelevant here) doesn't fire
+            # one row per bucket (16^prefix_len) — the single-group cumsum
+            # is over that tiny frame, never the data. pmod(_bkt, 1) is a
+            # constant the optimizer can't fold away, so the partition
+            # spec stays non-empty and Spark's global-window warning
+            # (accurate for real data, irrelevant here) doesn't fire
             F.coalesce(
                 F.sum("_n").over(
-                    Window.partitionBy(F.pmod(F.col("_pid"), F.lit(1)))
-                    .orderBy("_pid")
+                    Window.partitionBy(F.pmod(F.col("_bkt"), F.lit(1)))
+                    .orderBy("_bkt")
                     .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
         )
-        .select("_pid", "_offset")
+        .select("_bkt", "_offset")
     )
     return (
-        d.join(F.broadcast(offsets), "_pid")
+        d.join(F.broadcast(offsets), "_bkt")
         .withColumn("shuffle_rank", (F.col("_lrank") + F.col("_offset")))
-        .drop("_pid", "_lrank")
+        .drop("_bkt", "_lrank")
     )
 
 
@@ -306,9 +312,15 @@ def boilerplate_flags(
     against ONE flag row, and AQE splits the probe side). Nothing is
     collected; no all-pairs anywhere. C4 reference: Raffel et al. 2020
     §2.2 ("three-sentence span" dedup across documents).
+
+    The normalization is dedup._norm — the SAME key exact-dedup groups on,
+    so curation_funnel-style compositions can't drift between the two.
+    NULL text hashes to NULL; the left join keeps such rows (n_groups 0,
+    is_boilerplate false) so the row contract holds for every input row.
     """
-    norm = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
-    d = df.withColumn("text_hash", norm)
+    from blogparser_spark.dataops.dedup import _norm
+
+    d = df.withColumn("text_hash", F.md5(_norm(F.col(text_col))))
     counts = (
         d.select("text_hash", group_col)
         .distinct()
@@ -316,7 +328,8 @@ def boilerplate_flags(
         .agg(F.count("*").alias("n_groups"))
     )
     return (
-        d.join(counts, "text_hash")
+        d.join(counts, "text_hash", "left")
+        .withColumn("n_groups", F.coalesce(F.col("n_groups"), F.lit(0)))
         .withColumn("is_boilerplate", F.col("n_groups") >= F.lit(min_groups))
     )
 

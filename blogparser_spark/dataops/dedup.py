@@ -488,14 +488,9 @@ def simhash_band_candidates(
     BUCKET_IDS_CAP (bounded per-group state on degenerate corpora)."""
     from pyspark.sql import Window
 
-    sh = F.col("simhash")
-    halves = F.array(
-        F.struct(F.lit(0).alias("band_idx"), F.floor(sh / F.lit(2**16)).alias("band_val")),
-        F.struct(F.lit(1).alias("band_idx"), (sh % F.lit(2**16)).alias("band_val")),
-    )
     bands = (
         simhash_df(df, text_col, id_col)
-        .select(F.col(id_col), F.explode(halves).alias("b"))
+        .select(F.col(id_col), F.explode(_simhash_halves()).alias("b"))
         .select(id_col, "b.band_idx", "b.band_val")
     )
     w = Window.partitionBy("band_idx", "band_val").orderBy(id_col)

@@ -137,7 +137,9 @@ def lemma_of(term: Column) -> Column:
         m = F.create_map(
             *[F.lit(x) for sfx_rep in rules.items() for x in sfx_rep]
         )
-        rep = F.element_at(m, F.substring(term, -length, length))  # NULL: no rule
+        # try_element_at: NULL (not an ANSI error) when no rule has this
+        # suffix — the library surface must work in ANSI-on sessions too
+        rep = F.try_element_at(m, F.substring(term, -length, length))
         stem = F.substring(term, F.lit(1), F.length(term) - length)
         # concat(NULL) propagates: no rule at this length → try the next
         cands.append(

@@ -260,14 +260,26 @@ def _sel_in(
 
 def _content_entry(
     needle: str, attr: str | None, tag: str | None
-) -> tuple[str, re.Pattern[str], ElementPattern]:
+) -> tuple[str, re.Pattern[str], ElementPattern, re.Pattern[str]]:
+    """(needle, lazy, balanced, selfclose). The lazy fast path captures
+    (open tag, inner, close tag) so the vectorized caller can verify the
+    close tag actually matches the open — for alternation tags
+    (div|main|section) and the wildcard itemprop entry, the first close
+    token the lazy regex accepts may belong to a DIFFERENT element, which
+    the balanced matcher would not close on. `selfclose` probes for a
+    self-closed open of this selector (<div …/>): such an element is
+    EMPTY under tree construction, so any row containing one defers to
+    the balanced matcher rather than letting the lazy regex read through
+    it."""
     mid = (r"[^>]*" + attr) if attr else ""
     close = tag if tag is not None else _TAGNAME
+    tagpat = tag or _TAGNAME
     lazy = re.compile(
-        "<(?i:" + (tag or _TAGNAME) + r")\b" + mid
-        + r"[^>]*>([\s\S]*?)</(?i:" + close + r")\s*>"
+        "<((?i:" + tagpat + r"))\b" + mid
+        + r"[^>]*>([\s\S]*?)</((?i:" + close + r"))\s*>"
     )
-    return needle, lazy, _el_re(attr, tag)
+    selfclose = re.compile("<(?i:" + tagpat + r")\b" + mid + r"[^>]*/\s*>")
+    return needle, lazy, _el_re(attr, tag), selfclose
 
 
 def _div_class(needle: str, cls: str):
@@ -279,7 +291,9 @@ def _any_id(needle: str, el_id: str):
 
 
 # mirrors contentSelectors order, parser/content.go:24-40, then main, body
-CONTENT_PATTERNS: list[tuple[str, re.Pattern[str], ElementPattern]] = [
+CONTENT_PATTERNS: list[
+    tuple[str, re.Pattern[str], ElementPattern, re.Pattern[str]]
+] = [
     _div_class("article-body-inner", "article-body-inner"),
     _div_class("skin-entrybody", "skin-entryBody"),
     _div_class("articletext", "articleText"),

@@ -137,7 +137,9 @@ def pick_date(candidates: Column) -> Column:
     the first parseable one (unparseable candidates fall through — mirrors
     the per-candidate validation in parser/date.go:20-90)."""
     parsed = F.transform(candidates, lambda s: try_parse_date(s))
-    return F.element_at(F.filter(parsed, lambda t: t.isNotNull()), 1)
+    # try_element_at: no parseable candidate → NULL, not an ANSI
+    # INVALID_ARRAY_INDEX on the empty filtered array
+    return F.try_element_at(F.filter(parsed, lambda t: t.isNotNull()), F.lit(1))
 
 
 # ------------------------------------------------------------------ tags ---

@@ -138,24 +138,37 @@ def _extract_content_vec(s: pd.Series, lower: pd.Series | None = None) -> pd.Ser
     Each pattern runs only on rows whose lowercase text contains its literal
     needle (C-speed scan) — at ~10× the speed of letting the backtracking
     regex discover the absence itself. The lazy regex is the vectorized
-    fast path, valid exactly when its captured inner holds no markup (the
-    first close tag IS the balanced close then); rows whose capture holds
-    markup — a nested same-name tag could truncate it — and rows where the
-    open tag matched but no close followed (unclosed container: the DOM
-    auto-closes at end of body) recompute through the BALANCED
-    ElementPattern. Priority order is unchanged: a row is settled by the
-    first pattern that yields a valid candidate."""
+    fast path, valid exactly when its captured inner holds no markup, the
+    close tag it stopped at names the SAME element the open tag opened,
+    and the row holds no self-closed open of the selector (such an element
+    is empty; the lazy regex would read through it). Any other row — inner
+    with markup (nested same-name tag could truncate), open/close tag
+    mismatch (alternation and wildcard selectors), self-closed opens, or
+    an open with no close at all (unclosed container: the DOM auto-closes
+    at end of body) — recomputes through the BALANCED ElementPattern.
+    Priority order is unchanged: a row is settled by the first pattern
+    that yields a valid candidate."""
     if lower is None:
         lower = s.str.lower()
     out = pd.Series(pd.NA, index=s.index, dtype="object")
     has_markup = lower.str.contains("<", regex=False)
-    for needle, lazy, ep in P.CONTENT_PATTERNS:
+    for needle, lazy, ep, selfclose in P.CONTENT_PATTERNS:
         need = out.isna() & has_markup & lower.str.contains(needle, regex=False)
         if not need.any():
             continue
         sub = s.where(need)
-        raw = sub.str.extract(lazy, expand=False)
+        ext = sub.str.extract(lazy)  # (open tag, inner, close tag)
+        raw = ext[1]
         suspect = raw.str.contains("<", regex=False).eq(True)
+        # the lazy close token must CLOSE the lazy open: for alternation /
+        # wildcard tags the first acceptable close may belong to another
+        # element entirely (<div id=…>…</main>) — balanced semantics defer
+        suspect = suspect | (
+            ext[0].str.lower().ne(ext[2].str.lower()) & raw.notna()
+        )
+        # a self-closed open of this selector is an EMPTY element; the lazy
+        # regex would read through it to an unrelated close tag
+        suspect = suspect | (need & sub.str.contains(selfclose).eq(True))
         na = raw.isna() & need
         if na.any():  # unclosed-container probe only when a row needs it
             suspect = suspect | (na & sub.str.contains(ep.probe).eq(True))
@@ -187,13 +200,21 @@ def _clean_content_vec(s: pd.Series) -> pd.Series:
         "位：", regex=False
     )
     sub = s.where(dirty)
-    c = sub.str.replace(P.HTML_COMMENT, "", regex=True)
+    # tag/comment/rank deletions can only act on rows with markup or a rank
+    # marker; quote/ampersand-only rows (most tool-output payloads) take
+    # ONLY the entity re-encode pass below, not four no-op regex scans
+    markupish = sub.str.contains("<", regex=False).eq(True) | sub.str.contains(
+        "位：", regex=False
+    ).eq(True)
+    m = sub.where(markupish)
+    c = m.str.replace(P.HTML_COMMENT, "", regex=True)
     c = c.str.replace(P.RANK_MARKER, "", regex=True)
     c = c.str.replace(P.BLOCK_TAGS, "", regex=True)
     c = c.str.replace(P.STRAY_BLOCK_CLOSE, "", regex=True)
+    c = c.combine_first(sub)  # dirty-but-markup-free rows pass through
     # needle gates from the ORIGINAL text: removals only delete content, so
     # an absent needle stays absent — the initial mask is removal-stable
-    low0 = sub.str.lower()
+    low0 = m.str.lower()
     for needle, pat in P.GLOBAL_REMOVE_PATTERNS:
         mask = low0.str.contains(needle, regex=False).eq(True)
         if not mask.any():

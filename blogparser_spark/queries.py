@@ -2215,7 +2215,7 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     export reproduces the identical order."""
     from blogparser_spark.dataops.curation import epoch_shuffle_rank
 
-    out = epoch_shuffle_rank(_docs(spark, sf_dir), epoch=1, num_partitions=8)
+    out = epoch_shuffle_rank(_docs(spark, sf_dir), epoch=1)
     return out.select("doc_id", "shuffle_key", "shuffle_rank")
 
 
@@ -2295,7 +2295,7 @@ def training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = qd.select("doc_id", "text", "lang").join(keep, "doc_id")
     samp = stratified_sample(clean, {"en": 0.5})
-    ranked = epoch_shuffle_rank(samp, epoch=1, num_partitions=8)
+    ranked = epoch_shuffle_rank(samp, epoch=1)
     base = ranked.select(
         "doc_id",
         "lang",

@@ -66,7 +66,14 @@ def _enrich_events(
     (user_id,) = key
     cfg_ts, cfg_value = state.get if state.exists else (None, None)
     out: dict[str, list] = {c: [] for c in ENRICHED_SCHEMA.fieldNames()}
-    for pdf in pdfs:
+    # ONE sort over the whole micro-batch group: a key larger than the
+    # Arrow chunk size (spark.sql.execution.arrow.maxRecordsPerBatch)
+    # arrives as several pdfs, and sorting each chunk independently would
+    # let a late-chunk config apply only after earlier-chunk events that
+    # it should precede by (ts, side) order
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         ts_ns = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64")
         pdf = pdf.assign(tsns=ts_ns)
         # (ts, side) order: 'cfg' < 'event' makes an equal-ts config visible

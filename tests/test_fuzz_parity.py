@@ -64,6 +64,12 @@ CONTAINERS = [
     "<article>lead<article>inner</article>{body}</article>",
     '<DIV class="entry-content">{body}</DIV>',
     '<div class="entry-content">{body}',  # unclosed: auto-close at EOF
+    # lazy-fast-path adversaries: a mismatched close for an alternation
+    # selector, a wildcard (itemprop) open closed by a different tag, and
+    # a self-closed open before a later real close
+    '<div id="content">{body}</main>mismatch tail',
+    '<span itemprop="articleBody">{body}</div>',
+    '<div class="entry-content"/>{body}</div>',
 ]
 
 

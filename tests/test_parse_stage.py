@@ -67,3 +67,27 @@ def test_stable_turn_ordering(parsed, transcripts):
         for r in transcripts.select("conv_id", "turn_idx", "text").collect()
     )
     assert got == want
+
+
+def test_content_fast_path_defers_to_balanced_semantics():
+    """The vectorized lazy fast path must agree with the balanced oracle on
+    its three blind spots: an alternation selector closed by a DIFFERENT
+    tag, the wildcard itemprop selector closed by a different tag, and a
+    self-closed open followed by a later real close."""
+    import pandas as pd
+
+    from blogparser_spark.operators.parse import _extract_content_vec
+    from blogparser_spark.oracle import pyref
+
+    pad = "word " * 40  # ≥100 bytes of plain body
+    payloads = [
+        f'<div id="content">{pad}</main>tail after mismatched close {pad}',
+        f'<span itemprop="articleBody">{pad}</div>trailing {pad}',
+        f'<div class="entry-content"/>{pad}</div>extra {pad}',
+        f"<DIV id='content'>{pad}</SECTION>cased mismatch {pad}",
+    ]
+    got = _extract_content_vec(pd.Series(payloads))
+    for i, p in enumerate(payloads):
+        want = pyref.extract_content(p)
+        g = got.iloc[i]
+        assert (pd.isna(g) and want is None) or g == want, (i, g, want)

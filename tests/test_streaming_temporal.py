@@ -94,3 +94,44 @@ def test_streaming_asof_matches_batch_twin(spark, tmp_path):
     # from state carried over from batch 1's config
     assert got[5]["cfg_value"] == 30.0
     assert got[1]["cfg_value"] is None and got[6]["cfg_value"] is None
+
+
+def test_enrich_events_spans_arrow_chunks():
+    """A key whose micro-batch group arrives as MULTIPLE Arrow chunks must
+    still apply (ts, side) order across the whole group: a config in a
+    later chunk with an earlier ts precedes events from earlier chunks.
+    Drives _enrich_events directly with a chunked iterator (the
+    applyInPandasWithState delivery shape for groups larger than
+    spark.sql.execution.arrow.maxRecordsPerBatch)."""
+    import pandas as pd
+
+    from blogparser_spark.streaming.temporal import _enrich_events
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.stored = v
+
+    # chunk 1: events at t=5,6; chunk 2: the config at t=1
+    c1 = pd.DataFrame(
+        {
+            "user_id": ["u1", "u1"],
+            "ts": [pd.Timestamp("2024-01-01 00:05"), pd.Timestamp("2024-01-01 00:06")],
+            "side": ["event", "event"],
+            "event_id": [1, 2],
+            "value": [0.0, 0.0],
+        }
+    )
+    c2 = pd.DataFrame(
+        {
+            "user_id": ["u1"],
+            "ts": [pd.Timestamp("2024-01-01 00:01")],
+            "side": ["cfg"],
+            "event_id": [0],
+            "value": [42.0],
+        }
+    )
+    out = pd.concat(list(_enrich_events(("u1",), iter([c1, c2]), FakeState())))
+    by_event = {int(r.event_id): r.cfg_value for r in out.itertuples()}
+    assert by_event == {1: 42.0, 2: 42.0}  # the earlier-ts cfg applies to both

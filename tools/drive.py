@@ -91,3 +91,26 @@ jb = bucketed_join(spark, "t_b", "s_b", "conv_id")
 pl = jb._jdf.queryExecution().executedPlan().toString()
 print("bucketed join rows:", jb.count(), "no-exchange:", "Exchange" not in pl)
 print("DRIVE6 OK")
+
+# late-round-3 surfaces: Lloyd-refined IVF layout, SimHash exact-Hamming
+# verify, cross-conv boilerplate removal, deterministic epoch shuffle
+from blogparser_spark.dataops.similarity import kmeans_refine
+from blogparser_spark.dataops.dedup import simhash_verified_pairs
+from blogparser_spark.dataops.curation import epoch_shuffle_rank, strip_boilerplate
+
+print("kmeans cells:", kmeans_refine(emb, n_cells=4, iters=2).count())
+with tempfile.TemporaryDirectory() as td:
+    lay = os.path.join(td, "ivf_r")
+    write_ivf_partitioned(emb, lay, n_cells=4, refine_iters=2)
+    qv = [float(x) for x in emb.filter("vec_id = 9").collect()[0]["embedding"]]
+    print("refined ivf probe:", ivf_probe_partitioned(spark, lay, qv, k=3, exclude_id=9).count())
+print("simhash verified pairs:", simhash_verified_pairs(docs, max_distance=8).count())
+from pyspark.sql import functions as _F
+turns = docs.select("doc_id", _F.col("source").alias("conv_id"),
+                    _F.when(_F.col("doc_id") % 5 == 0, "canned greeting").otherwise(_F.col("text")).alias("text"))
+print("boilerplate survivors:", strip_boilerplate(turns, min_groups=3).count())
+r1 = {r["doc_id"]: r["shuffle_rank"] for r in epoch_shuffle_rank(docs.select("doc_id"), epoch=3).collect()}
+r2 = {r["doc_id"]: r["shuffle_rank"] for r in epoch_shuffle_rank(docs.select("doc_id"), epoch=3).collect()}
+assert r1 == r2 and sorted(r1.values()) == list(range(1, len(r1) + 1))
+print("epoch shuffle deterministic:", len(r1))
+print("DRIVE8 OK")
