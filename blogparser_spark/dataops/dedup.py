@@ -584,3 +584,24 @@ def simhash_verified_pairs(
     sig = simhash_df(df, text_col, id_col)
     pairs = simhash_candidate_pairs(df, text_col, id_col, signatures=sig)
     return verify_pairs_hamming(pairs, sig, max_distance, id_col)
+
+
+def simhash_near_dup_clusters(
+    df: DataFrame,
+    max_distance: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stats: dict | None = None,
+) -> DataFrame:
+    """SimHash end-to-end dedup decision, mirroring near_dup_clusters'
+    MinHash shape: half-band chained candidates → exact Hamming verify →
+    connected components → (doc_id, component, keep). Only
+    Hamming-verified pairs cluster, so a half-band collision can never
+    drop a document; survivor = the component's minimum id."""
+    pairs = simhash_verified_pairs(df, max_distance, text_col, id_col)
+    comps = connected_components(pairs.select("id_a", "id_b"), stats=stats)
+    return comps.select(
+        F.col("node").alias(id_col),
+        "component",
+        (F.col("node") == F.col("component")).alias("keep"),
+    )

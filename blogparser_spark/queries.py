@@ -1021,6 +1021,68 @@ def simhash_verified_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "simhash_near_dup_clusters",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+        list_distinct(list_filter(string_split(lower(text), ' '), x -> x != '')) AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, md5(unnest(toks)) AS h FROM t
+    ), votes AS (
+      SELECT doc_id, r.b,
+        sum(2 * (((strpos('0123456789abcdef', substr(h, (r.b // 4)::INT + 1, 1)) - 1)
+                  >> (3 - (r.b % 4))::INT) & 1) - 1) AS vote
+      FROM tok, (SELECT unnest(range(32)) AS b) r
+      GROUP BY doc_id, r.b
+    ), sh AS MATERIALIZED (
+      SELECT doc_id,
+        sum(CASE WHEN vote > 0 THEN (1::BIGINT << (31 - b)::INT) ELSE 0 END)::BIGINT AS simhash
+      FROM votes GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band_idx, simhash // 65536 AS band_val FROM sh
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, simhash % 65536 AS band_val FROM sh
+    ), chained AS (
+      SELECT lag(doc_id) OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) AS id_a,
+             doc_id AS id_b
+      FROM bands
+    ), pairs AS (
+      SELECT DISTINCT id_a, id_b FROM chained WHERE id_a IS NOT NULL
+    ), verified AS (
+      SELECT p.id_a, p.id_b
+      FROM pairs p JOIN sh a ON p.id_a = a.doc_id JOIN sh b ON p.id_b = b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ), nodes AS (
+      SELECT DISTINCT u AS node FROM edges
+    ), reach AS (
+      SELECT node, node AS m FROM nodes
+      UNION
+      SELECT e.u AS node, r.m FROM edges e JOIN reach r ON e.v = r.node
+    )
+    SELECT node::BIGINT AS doc_id, min(m)::BIGINT AS component,
+           (node = min(m)) AS keep
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def simhash_near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash half-bands → chained pairs → exact-Hamming verify →
+    connected components → survivor flags — the SimHash twin of
+    near_dup_clusters, same iterative pointer-jumping CC on the Spark
+    side, same recursive-closure oracle shape."""
+    out = dedup.simhash_near_dup_clusters(_docs(spark, sf_dir), max_distance=3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        "keep",
+    ).orderBy("doc_id")
+
+
+@_q(
     "boilerplate_turn_flags",
     """
     WITH t AS (

@@ -510,3 +510,24 @@ def test_curation_funnel_monotone(spark):
     assert row["n_input"] >= row["n_quality"] >= row["n_exact"] >= row["n_final"]
     assert 0 <= row["n_pii_rows"] <= row["n_final"]
     assert row["n_final"] > 0  # the funnel must not drain the corpus
+
+
+def test_simhash_near_dup_clusters(spark):
+    """Hamming-verified pairs cluster; the far document stays out even
+    though it may share a half-band; survivor = min id per component."""
+    from blogparser_spark.dataops.dedup import simhash_near_dup_clusters
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "completely different text about other topics entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats: dict = {}
+    out = {r["doc_id"]: r
+           for r in simhash_near_dup_clusters(df, max_distance=3, stats=stats).collect()}
+    assert out[0]["component"] == out[1]["component"]
+    assert out[0]["keep"] is True and out[1]["keep"] is False
+    assert 3 not in out  # never paired within distance 3
+    assert stats["iterations"] >= 1
