@@ -231,7 +231,25 @@ def run_headline(
     return timings, cold, n_turns
 
 
+def _host_bw_gbps() -> float:
+    """Memory-bandwidth canary (GB/s of a 10 MB memcpy): the sandbox HOST's
+    page provisioning swings 10-100× over time (BASELINE.md noise note) —
+    recording it alongside the timings lets a reader separate code
+    regressions from host windows."""
+    import numpy as np
+    import time as _t
+
+    a = np.ones(10_000_000, dtype=np.uint8)
+    best = 0.0
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        a.copy()
+        best = max(best, 0.01 / (_t.perf_counter() - t0))
+    return round(best, 2)
+
+
 def one_run(cpus: int, sf_dir: str) -> dict:
+    bw = _host_bw_gbps()
     spark = _bench_spark(cpus, f"bench-{cpus}")
     spark.sparkContext.setLogLevel("ERROR")
     timings, cold, n_turns = run_headline(spark, sf_dir)
@@ -246,6 +264,7 @@ def one_run(cpus: int, sf_dir: str) -> dict:
         "n_turns": n_turns,
         "turns_per_sec_pipeline": round(n_turns / timings["q_pipeline"], 1),
         "cpus": cpus,
+        "host_bw_gbps": bw,
     }
     spark.stop()
     return result
@@ -310,8 +329,9 @@ def scaling_run(sf_dir: str, rounds: int = 2) -> dict:
     global TURNS_PER_DOC
     TURNS_PER_DOC = int(os.environ.get("SPARK_GRAFT_TURNS_PER_DOC", "1000"))
     lo, hi = 4, 16
-    lo_runs, hi_runs = [], []
+    lo_runs, hi_runs, bw = [], [], []
     for _ in range(rounds):
+        bw.append(_host_bw_gbps())
         lo_runs.append(pipeline_throughput(lo, sf_dir, repeats=2))
         hi_runs.append(pipeline_throughput(hi, sf_dir, repeats=2))
     best_lo = max(r["turns_per_sec"] for r in lo_runs)
@@ -330,6 +350,7 @@ def scaling_run(sf_dir: str, rounds: int = 2) -> dict:
             "core_ratio": hi / lo,
             "efficiency": round(eff, 3),
             "per_round_efficiency": pair_effs,
+            "host_bw_gbps_per_round": bw,
         }
     }
 

@@ -260,13 +260,15 @@ def _sel_in(
 
 def _content_entry(
     needle: str, attr: str | None, tag: str | None
-) -> tuple[str, re.Pattern[str], ElementPattern, re.Pattern[str]]:
-    """(needle, lazy, balanced, selfclose). The lazy fast path captures
-    (open tag, inner, close tag) so the vectorized caller can verify the
-    close tag actually matches the open — for alternation tags
-    (div|main|section) and the wildcard itemprop entry, the first close
-    token the lazy regex accepts may belong to a DIFFERENT element, which
-    the balanced matcher would not close on. `selfclose` probes for a
+) -> tuple[str, re.Pattern[str], ElementPattern, re.Pattern[str], bool]:
+    """(needle, lazy, balanced, selfclose, multi). For multi-tag selectors
+    (alternations like div|main|section, and the wildcard itemprop entry)
+    the lazy fast path captures (open tag, inner, close tag) so the
+    vectorized caller can verify the close tag actually matches the open —
+    the first close token the lazy regex accepts may belong to a DIFFERENT
+    element, which the balanced matcher would not close on; fixed-tag
+    selectors keep the cheap single-capture form (their open and close
+    necessarily name the same element). `selfclose` probes for a
     self-closed open of this selector (<div …/>): such an element is
     EMPTY under tree construction, so any row containing one defers to
     the balanced matcher rather than letting the lazy regex read through
@@ -274,12 +276,22 @@ def _content_entry(
     mid = (r"[^>]*" + attr) if attr else ""
     close = tag if tag is not None else _TAGNAME
     tagpat = tag or _TAGNAME
-    lazy = re.compile(
-        "<((?i:" + tagpat + r"))\b" + mid
-        + r"[^>]*>([\s\S]*?)</((?i:" + close + r"))\s*>"
-    )
+    multi = tag is None or "|" in tag
+    if multi:
+        # capture open+close tag names so the caller can verify identity
+        lazy = re.compile(
+            "<((?i:" + tagpat + r"))\b" + mid
+            + r"[^>]*>([\s\S]*?)</((?i:" + close + r"))\s*>"
+        )
+    else:
+        # fixed tag: open and close necessarily name the same element —
+        # single capture keeps the vectorized extract on the cheap path
+        lazy = re.compile(
+            "<(?i:" + tagpat + r")\b" + mid
+            + r"[^>]*>([\s\S]*?)</(?i:" + close + r")\s*>"
+        )
     selfclose = re.compile("<(?i:" + tagpat + r")\b" + mid + r"[^>]*/\s*>")
-    return needle, lazy, _el_re(attr, tag), selfclose
+    return needle, lazy, _el_re(attr, tag), selfclose, multi
 
 
 def _div_class(needle: str, cls: str):
@@ -292,7 +304,7 @@ def _any_id(needle: str, el_id: str):
 
 # mirrors contentSelectors order, parser/content.go:24-40, then main, body
 CONTENT_PATTERNS: list[
-    tuple[str, re.Pattern[str], ElementPattern, re.Pattern[str]]
+    tuple[str, re.Pattern[str], ElementPattern, re.Pattern[str], bool]
 ] = [
     _div_class("article-body-inner", "article-body-inner"),
     _div_class("skin-entrybody", "skin-entryBody"),

@@ -152,23 +152,33 @@ def _extract_content_vec(s: pd.Series, lower: pd.Series | None = None) -> pd.Ser
         lower = s.str.lower()
     out = pd.Series(pd.NA, index=s.index, dtype="object")
     has_markup = lower.str.contains("<", regex=False)
-    for needle, lazy, ep, selfclose in P.CONTENT_PATTERNS:
+    # one cheap pregate for the per-pattern self-close probes: a row
+    # without "/ >" anywhere cannot contain a self-closed open of ANY
+    # selector, so the pattern-specific regex only runs on rows that might
+    has_slashgt = lower.str.contains(r"/\s*>", regex=True)
+    for needle, lazy, ep, selfclose, multi in P.CONTENT_PATTERNS:
         need = out.isna() & has_markup & lower.str.contains(needle, regex=False)
         if not need.any():
             continue
         sub = s.where(need)
-        ext = sub.str.extract(lazy)  # (open tag, inner, close tag)
-        raw = ext[1]
-        suspect = raw.str.contains("<", regex=False).eq(True)
-        # the lazy close token must CLOSE the lazy open: for alternation /
-        # wildcard tags the first acceptable close may belong to another
-        # element entirely (<div id=…>…</main>) — balanced semantics defer
-        suspect = suspect | (
-            ext[0].str.lower().ne(ext[2].str.lower()) & raw.notna()
-        )
+        if multi:
+            # alternation/wildcard tags capture (open, inner, close): the
+            # lazy close token must CLOSE the lazy open — the first
+            # acceptable close may belong to another element entirely
+            # (<div id=…>…</main>) — balanced semantics defer
+            ext = sub.str.extract(lazy)
+            raw = ext[1]
+            suspect = raw.str.contains("<", regex=False).eq(True) | (
+                ext[0].str.lower().ne(ext[2].str.lower()) & raw.notna()
+            )
+        else:
+            raw = sub.str.extract(lazy, expand=False)
+            suspect = raw.str.contains("<", regex=False).eq(True)
         # a self-closed open of this selector is an EMPTY element; the lazy
         # regex would read through it to an unrelated close tag
-        suspect = suspect | (need & sub.str.contains(selfclose).eq(True))
+        sc = need & has_slashgt
+        if sc.any():
+            suspect = suspect | (sc & sub.str.contains(selfclose).eq(True))
         na = raw.isna() & need
         if na.any():  # unclosed-container probe only when a row needs it
             suspect = suspect | (na & sub.str.contains(ep.probe).eq(True))

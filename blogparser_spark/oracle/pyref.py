@@ -88,7 +88,7 @@ def extract_content(text: str) -> str | None:
     same-name tag inside the container no longer truncates the candidate,
     parser/content.go:42-66); per-candidate normalize + byte-length gate
     (parser/content.go:16-113)."""
-    for _needle, _lazy, ep, _selfclose in P.CONTENT_PATTERNS:
+    for _needle, _lazy, ep, _selfclose, _multi in P.CONTENT_PATTERNS:
         inner = ep.search_inner(text)
         if inner is not None:
             candidate = normalize_html(inner)
