@@ -467,3 +467,224 @@ def kmeans_refine(
     for the iteration contract and scale design)."""
     cents = kmeans_centroids(df, n_cells, iters, id_col, vec_col)
     return _assign_to_centroids(_kmeans_vecs(df, id_col, vec_col), cents, id_col)
+
+
+# ---------------------------------------------------- product quantization ---
+#
+# PQ splits each d-dim vector into m contiguous subvectors and quantizes each
+# subspace independently against its own ksub-entry codebook, so a vector is
+# stored as m small integers instead of d floats. With d=64 float32 and
+# m=4/ksub=16 that is 256 bytes -> 4 codes (4 bytes; 2 bytes packed at 4 bits)
+# — the memory lever that lets a 100-TB embedding corpus fit an ANN serving
+# tier. Queries score compressed codes via an asymmetric-distance LUT
+# (Jégou et al., "Product Quantization for Nearest Neighbor Search", TPAMI
+# 2011): per query, an m×ksub table of exact subvector distances is built
+# once driver-side, and every corpus vector's approximate distance is just m
+# table lookups + a sum — no decompression, no per-pair O(d) math.
+#
+# Determinism / oracle portability: distances use the expanded L2 form
+# |v|² + |c|² − 2·v·c rounded to 6 decimals (same association order in numpy
+# and the DuckDB oracle), argmin ties break to the lowest code id (numpy's
+# first-minimum == SQL's ORDER BY dist, code), Lloyd means round to 6 before
+# the next round, and a (sub, code) cell that loses all members keeps its
+# previous codeword — the same conventions as kmeans_centroids above.
+
+
+def _pq_codebook_np(codebooks: list[tuple[int, int, list[float]]]):
+    """(sub, code, vec) rows -> C[m, ksub, dsub] float64 (dense by construction:
+    init covers every (sub, code) and emptied cells keep their codeword)."""
+    import numpy as np
+
+    m = max(s for s, _, _ in codebooks) + 1
+    ksub = max(c for _, c, _ in codebooks) + 1
+    dsub = len(codebooks[0][2])
+    C = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for s, c, v in codebooks:
+        C[s, c] = v
+    return C
+
+
+def _pq_assign_codes(C, V):
+    """codes[n, m] for V[n, m, dsub] against C[m, ksub, dsub]: expanded-L2
+    rounded to 6, first-minimum (= lowest code) per subspace."""
+    import numpy as np
+
+    codes = np.empty((V.shape[0], C.shape[0]), dtype=np.int64)
+    for s in range(C.shape[0]):
+        v2 = np.einsum("ij,ij->i", V[:, s, :], V[:, s, :])
+        c2 = np.einsum("ij,ij->i", C[s], C[s])
+        d = np.round(v2[:, None] + c2[None, :] - 2.0 * (V[:, s, :] @ C[s].T), 6)
+        codes[:, s] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, list[float]]]:
+    """Train per-subspace PQ codebooks distributed, MLlib-Lloyd style: init
+    is the deterministic first-ksub vectors' subvectors; each round is one
+    mapInPandas assignment scan (one (batch × ksub) matmul per subspace —
+    BLAS, join-free) emitting (sub, code, pos, val) for a partial-agg mean,
+    and only m·ksub·dsub aggregated doubles reach the driver. At 100 TB one
+    trains on a sample (PQ codebooks need ~100k vectors, not the corpus);
+    the scan shape is unchanged. Returns sorted (sub, code, codeword)."""
+    import numpy as np
+
+    init = (
+        df.filter(F.col(id_col) < ksub)
+        .select(F.col(id_col).alias("code"), _dvec(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    dim = len(init[0]["v"])
+    dsub = dim // m
+    cb: dict[tuple[int, int], list[float]] = {}
+    for r in init:
+        for s in range(m):
+            cb[(s, int(r["code"]))] = list(r["v"][s * dsub : (s + 1) * dsub])
+
+    vecs = df.select(id_col, vec_col)
+    for _ in range(iters):
+        C = _pq_codebook_np(sorted((s, c, v) for (s, c), v in cb.items()))
+
+        def emit(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64).reshape(
+                    len(pdf), m, dsub
+                )
+                codes = _pq_assign_codes(C, V)
+                out = {
+                    "sub": np.repeat(
+                        np.tile(np.arange(m), len(pdf)), dsub
+                    ),
+                    "code": np.repeat(codes.ravel(), dsub),
+                    "pos": np.tile(np.arange(dsub), len(pdf) * m),
+                    "val": V.ravel(),
+                }
+                yield pd.DataFrame(out)
+
+        means = (
+            vecs.mapInPandas(emit, "sub int, code long, pos int, val double")
+            .groupBy("sub", "code", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("c"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            upd.setdefault((int(r["sub"]), int(r["code"])), {})[int(r["pos"])] = float(
+                r["c"]
+            )
+        for key, comp in upd.items():
+            cb[key] = [comp[i] for i in range(dsub)]
+        # (sub, code) cells absent from `upd` keep their previous codeword
+    return sorted((s, c, v) for (s, c), v in cb.items())
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — one matmul per subspace per Arrow batch
+    against the closed-over codebook constant; join-free, single scan,
+    output is m ints per row (the 64× compression artifact)."""
+    import numpy as np
+
+    C = _pq_codebook_np(codebooks)
+    m, _, dsub = C.shape
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64).reshape(
+                len(pdf), m, dsub
+            )
+            codes = _pq_assign_codes(C, V)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": [c.tolist() for c in codes]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        enc, f"{id_col} long, codes array<long>"
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    n_queries: int = 5,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over PQ codes by asymmetric distance: per query an
+    m×ksub LUT of exact subvector L2 terms (round-6) is built driver-side
+    (m·ksub·n_queries doubles — bounded like the matmul path's query
+    constant); each Arrow batch encodes its vectors, scores every query as
+    m LUT lookups + a sum, and emits only its LOCAL top-k — the shuffle
+    carries ≤ k·n_partitions·n_queries rows, never n_corpus·n_queries.
+    Ascending distance, ties to the lowest nid, self-match excluded."""
+    import numpy as np
+
+    C = _pq_codebook_np(codebooks)
+    m, ksub, dsub = C.shape
+    q_rows = (
+        df.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .collect()
+    )
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([list(r["qv"]) for r in q_rows], dtype=np.float64).reshape(
+        len(q_rows), m, dsub
+    )
+    # LUT[q, s, c] = round6(|q_s|^2 + |c_sc|^2 - 2 q_s . c_sc)
+    lut = np.empty((len(q_rows), m, ksub), dtype=np.float64)
+    for s in range(m):
+        q2 = np.einsum("ij,ij->i", Q[:, s, :], Q[:, s, :])
+        c2 = np.einsum("ij,ij->i", C[s], C[s])
+        lut[:, s, :] = np.round(
+            q2[:, None] + c2[None, :] - 2.0 * (Q[:, s, :] @ C[s].T), 6
+        )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64).reshape(
+                len(pdf), m, dsub
+            )
+            codes = _pq_assign_codes(C, V)
+            rows = []
+            for qi, qid in enumerate(qids):
+                # adist[n] = round6(sum_s LUT[qi, s, codes[n, s]])
+                d = np.round(
+                    lut[qi, np.arange(m)[None, :], codes].sum(axis=1), 6
+                )
+                mask = ids != qid
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                order = np.lexsort((ids[cand], d[cand]))
+                for i in cand[order[:k]]:
+                    rows.append((int(qid), int(ids[i]), float(d[i])))
+            if rows:
+                yield pd.DataFrame(rows, columns=["qid", "nid", "adist"])
+
+    local = df.select(id_col, vec_col).mapInPandas(
+        score, "qid long, nid long, adist double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("nid"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "adist")
+    )

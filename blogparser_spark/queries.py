@@ -1308,6 +1308,136 @@ def kmeans_refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_refine(_emb(spark, sf_dir), n_cells=8, iters=2)
 
 
+# --- product quantization (m=4 subspaces × ksub=16 codes over dim 64) -------
+# Shared oracle fragment replaying similarity.pq_train's single Lloyd round:
+# subvector slices, deterministic init codebook (lowest 16 vec_ids), round-6
+# expanded-L2 assignment with lowest-code tie-break, round-6 per-coordinate
+# means, emptied (sub, code) cells keeping their previous codeword.
+
+_PQ_L2 = (
+    "round(list_dot_product({a}, {a}) + list_dot_product({b}, {b}) "
+    "- 2*list_dot_product({a}, {b}), 6)"
+)
+
+_PQ_CB1 = f"""
+    e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sv AS MATERIALIZED (
+      SELECT e.vec_id, s.sub, (e.v)[(s.sub*16+1):((s.sub+1)*16)] AS sv
+      FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+    ), cb0 AS MATERIALIZED (
+      SELECT sub, vec_id AS code, sv AS cw FROM sv WHERE vec_id < 16
+    ), a1 AS MATERIALIZED (
+      SELECT vec_id, sub, code FROM (
+        SELECT sv.vec_id, sv.sub, c.code,
+          row_number() OVER (
+            PARTITION BY sv.vec_id, sv.sub
+            ORDER BY {_PQ_L2.format(a="sv.sv", b="c.cw")} ASC, c.code ASC
+          ) AS r
+        FROM sv JOIN cb0 c ON sv.sub = c.sub
+      ) WHERE r = 1
+    ), u1 AS (
+      SELECT a.sub, a.code, i.i, round(avg(sv.sv[i.i]), 6) AS c
+      FROM a1 a JOIN sv ON a.vec_id = sv.vec_id AND a.sub = sv.sub
+      CROSS JOIN (SELECT unnest(range(1, 17)) AS i) i
+      GROUP BY a.sub, a.code, i.i
+    ), cb1 AS MATERIALIZED (
+      SELECT sub, code, list(c ORDER BY i) AS cw FROM u1 GROUP BY sub, code
+      UNION ALL
+      SELECT sub, code, cw FROM cb0
+      WHERE NOT EXISTS (
+        SELECT 1 FROM a1 WHERE a1.sub = cb0.sub AND a1.code = cb0.code
+      )
+    ), codes AS MATERIALIZED (
+      SELECT vec_id, sub, code FROM (
+        SELECT sv.vec_id, sv.sub, c.code,
+          row_number() OVER (
+            PARTITION BY sv.vec_id, sv.sub
+            ORDER BY {_PQ_L2.format(a="sv.sv", b="c.cw")} ASC, c.code ASC
+          ) AS r
+        FROM sv JOIN cb1 c ON sv.sub = c.sub
+      ) WHERE r = 1
+    )
+"""
+
+
+@_q(
+    "pq_train_codebooks",
+    f"""
+    WITH {_PQ_CB1}
+    SELECT sub, code, i.i - 1 AS pos, cw[i.i] AS c
+    FROM cb1 CROSS JOIN (SELECT unnest(range(1, 17)) AS i) i
+    """,
+)
+def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training (Jégou et al. 2011), one
+    distributed Lloyd round per subspace: a mapInPandas assignment scan
+    (one BLAS matmul per subspace per Arrow batch) feeds a partial-agg
+    mean; only m·ksub·dsub = 1024 doubles reach the driver. Emitted
+    unnested (sub, code, pos, c) so the comparison is numeric, not
+    string-formatted."""
+    cb = similarity.pq_train(_emb(spark, sf_dir), m=4, ksub=16, iters=1)
+    rows = [
+        (s, c, pos, comp) for s, c, cw in cb for pos, comp in enumerate(cw)
+    ]
+    return spark.createDataFrame(rows, "sub long, code long, pos long, c double")
+
+
+@_q(
+    "pq_encode_codes",
+    f"""
+    WITH {_PQ_CB1}
+    SELECT vec_id, string_agg(code::VARCHAR, '-' ORDER BY sub) AS codes
+    FROM codes GROUP BY vec_id
+    """,
+)
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: every 64-dim float vector compressed to m=4 codebook
+    ids (256 bytes → 4 — the memory lever for a 100-TB ANN tier). Join-free
+    single scan; codes joined to a string for engine-neutral comparison."""
+    cb = similarity.pq_train(_emb(spark, sf_dir), m=4, ksub=16, iters=1)
+    enc = similarity.pq_encode(_emb(spark, sf_dir), cb)
+    return enc.select(
+        "vec_id",
+        F.concat_ws(
+            "-", F.transform(F.col("codes"), lambda c: c.cast("string"))
+        ).alias("codes"),
+    )
+
+
+@_q(
+    "pq_adc_topk",
+    f"""
+    WITH {_PQ_CB1},
+    q AS (SELECT vec_id AS qid, sub, sv FROM sv WHERE vec_id < 5),
+    lut AS (
+      SELECT q.qid, c.sub, c.code, {_PQ_L2.format(a="q.sv", b="c.cw")} AS d
+      FROM q JOIN cb1 c ON q.sub = c.sub
+    ),
+    adc AS (
+      SELECT l.qid, cd.vec_id AS nid, round(sum(l.d), 6) AS adist
+      FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+      WHERE cd.vec_id != l.qid
+      GROUP BY l.qid, cd.vec_id
+    )
+    SELECT qid, rank, nid, adist FROM (
+      SELECT qid, nid, adist,
+        row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query an m×ksub LUT of
+    exact subvector L2 terms is built once driver-side; each corpus vector
+    scores as m table lookups + a sum — no decompression, no per-pair O(d)
+    math — and each Arrow batch ships only its local top-k into the global
+    merge (the matmul path's shuffle bound, ≤ k·parts·queries rows)."""
+    emb = _emb(spark, sf_dir)
+    cb = similarity.pq_train(emb, m=4, ksub=16, iters=1)
+    return similarity.pq_adc_topk(emb, cb, n_queries=5, k=5)
+
+
 # shared oracle fragment: IVF cell assignment (centroids = 8 lowest vec_ids)
 _IVF_CELLS = f"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -531,3 +531,83 @@ def test_simhash_near_dup_clusters(spark):
     assert out[0]["keep"] is True and out[1]["keep"] is False
     assert 3 not in out  # never paired within distance 3
     assert stats["iterations"] >= 1
+
+
+# --------------------------------------------------- product quantization ---
+
+
+def test_pq_train_shapes_and_determinism(spark):
+    from blogparser_spark.dataops.similarity import pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb1 = pq_train(emb, m=4, ksub=8, iters=1)
+    cb2 = pq_train(emb, m=4, ksub=8, iters=1)
+    assert cb1 == cb2  # fully deterministic: init, assignment, round-6 means
+    assert len(cb1) == 4 * 8
+    assert all(len(cw) == 16 for _, _, cw in cb1)  # dim 64 / m 4
+    # at least one codeword moved off its init vector (the Lloyd round did work)
+    init = {
+        (s, int(r["vec_id"])): [float(x) for x in r["embedding"]][s * 16 : (s + 1) * 16]
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+        for s in range(4)
+    }
+    assert any(cb != [round(x, 6) for x in init[(s, c)]] for s, c, cb in cb1)
+
+
+def test_pq_encode_and_adc_topk_match_python_oracle(spark):
+    """ADC distances recomputed purely in numpy from the SAME codebook must
+    reproduce the Spark pipeline exactly (round-6 LUT terms, round-6 sums,
+    ascending-distance lowest-nid order, self excluded)."""
+    import numpy as np
+
+    from blogparser_spark.dataops.similarity import (
+        _pq_assign_codes,
+        _pq_codebook_np,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_train(emb, m=4, ksub=8, iters=1)
+    enc = {r["vec_id"]: r["codes"] for r in pq_encode(emb, cb).collect()}
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64).reshape(
+        len(rows), 4, 16
+    )
+    C = _pq_codebook_np(cb)
+    codes = _pq_assign_codes(C, V)
+    assert all((codes[i] == enc[int(ids[i])]).all() for i in range(len(ids)))
+    assert codes.max() < 8 and codes.min() >= 0
+
+    got = pq_adc_topk(emb, cb, n_queries=3, k=4).collect()
+    want = []
+    for qi in range(3):
+        qs = V[ids == qi][0]
+        lut = np.empty((4, 8))
+        for s in range(4):
+            q2 = qs[s] @ qs[s]
+            c2 = np.einsum("ij,ij->i", C[s], C[s])
+            lut[s] = np.round(q2 + c2 - 2.0 * (C[s] @ qs[s]), 6)
+        d = np.round(lut[np.arange(4)[None, :], codes].sum(axis=1), 6)
+        cand = [(float(d[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != qi]
+        for rank, (dist, nid) in enumerate(sorted(cand)[:4], 1):
+            want.append((qi, rank, nid, dist))
+    assert sorted((r["qid"], r["rank"], r["nid"], r["adist"]) for r in got) == sorted(
+        want
+    )
+
+
+def test_pq_train_keeps_codeword_for_emptied_cell(spark):
+    """A degenerate corpus (every vector identical) assigns everything to
+    code 0 per subspace; codes 1..ksub-1 lose all members and must keep
+    their init codewords rather than vanish or zero out."""
+    from blogparser_spark.dataops.similarity import pq_train
+
+    rows = [(i, [1.0, 2.0] * 4) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, m=2, ksub=4, iters=1)
+    assert len(cb) == 2 * 4
+    # all init vectors identical -> every codeword survives as that vector
+    assert all(cw == [1.0, 2.0, 1.0, 2.0] for _, _, cw in cb)

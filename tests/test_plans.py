@@ -171,3 +171,16 @@ def test_ivf_refined_layout_consistent(spark, tmp_path):
     assert 0 < len(rows) <= 3
     sims = [r["sim"] for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_pq_adc_shuffles_only_local_topk(spark):
+    """pq_adc_topk scores compressed codes via LUT lookups inside
+    mapInPandas and ships only local top-k rows to the global window —
+    no join operator anywhere in the plan."""
+    from blogparser_spark.dataops.similarity import pq_adc_topk, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_train(emb, m=4, ksub=8, iters=1)
+    plan = _plan(pq_adc_topk(emb, cb, 3, 3))
+    assert "Join" not in plan
+    assert "MapInPandas" in plan

@@ -114,3 +114,15 @@ r2 = {r["doc_id"]: r["shuffle_rank"] for r in epoch_shuffle_rank(docs.select("do
 assert r1 == r2 and sorted(r1.values()) == list(range(1, len(r1) + 1))
 print("epoch shuffle deterministic:", len(r1))
 print("DRIVE8 OK")
+
+# product quantization: train -> encode -> ADC top-k on the same embeddings
+from blogparser_spark.dataops.similarity import pq_train, pq_encode, pq_adc_topk
+
+cb = pq_train(emb, m=4, ksub=8, iters=1)
+assert len(cb) == 32 and all(len(cw) == 16 for _, _, cw in cb)
+codes = pq_encode(emb, cb)
+assert codes.selectExpr("max(array_max(codes)) m").collect()[0]["m"] < 8
+adc = pq_adc_topk(emb, cb, n_queries=3, k=3)
+apl = adc._jdf.queryExecution().executedPlan().toString()
+print("pq adc rows:", adc.count(), "join-free:", "Join" not in apl)
+print("DRIVE9 OK")
