@@ -225,6 +225,14 @@ def run_headline(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"), 10, 10
         ).count(),
     )
+    # PQ serving path: codebooks are a train-once offline artifact, so they
+    # are built OUTSIDE timing; the benched plan is encode+ADC-LUT top-k
+    # over compressed codes (the 64×-smaller-read scale lever)
+    from blogparser_spark.dataops.similarity import pq_adc_topk, pq_train
+
+    _emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _pq_cb = pq_train(_emb_df, m=4, ksub=16, iters=1)
+    bench("q_pq_adc", lambda: pq_adc_topk(_emb_df, _pq_cb, 10, 10).count())
     bench("q_window", lambda: conv_window_stats(spark, sf_dir).collect())
     bench("q_sessionize", lambda: events_sessionize(spark, sf_dir).count())
     bench("q_pricing", lambda: pricing_rollup(spark, sf_dir).collect())

@@ -688,3 +688,92 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid", "adist")
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells: DataFrame | None = None,
+    codebooks: list[tuple[int, int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ — the two scale levers composed the way billion-scale ANN
+    indexes (FAISS IVFPQ) do it: the coarse quantizer prunes the SCAN
+    (each query reads only its own cell; with a write_ivf_partitioned
+    layout that is partition pruning, 1/n_cells of the files) and product
+    quantization shrinks what the scan READS (m codes per vector instead
+    of d floats — with d=64 f32, 64×). Scoring is the pq_adc_topk kernel
+    with a per-query cell mask: LUT lookups + a sum per surviving row,
+    local top-k per Arrow batch, ≤ k·parts·queries rows shuffled into the
+    global merge. Approximate on both axes by design (cell recall ×
+    quantization error); ann_recall_eval's pattern applies for tuning."""
+    import numpy as np
+
+    if cells is None:
+        cells = assign_ivf_cells(df, n_cells, id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_train(df, m, ksub, iters, id_col, vec_col)
+    C = _pq_codebook_np(codebooks)
+    m, ksub, dsub = C.shape
+    with_cell = df.join(cells.select(id_col, "cell"), id_col)
+    q_rows = (
+        with_cell.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col("cell").alias("qcell"),
+            F.col(vec_col).alias("qv"),
+        )
+        .collect()
+    )
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    qcells = np.array([r["qcell"] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([list(r["qv"]) for r in q_rows], dtype=np.float64).reshape(
+        len(q_rows), m, dsub
+    )
+    lut = np.empty((len(q_rows), m, ksub), dtype=np.float64)
+    for s in range(m):
+        q2 = np.einsum("ij,ij->i", Q[:, s, :], Q[:, s, :])
+        c2 = np.einsum("ij,ij->i", C[s], C[s])
+        lut[:, s, :] = np.round(
+            q2[:, None] + c2[None, :] - 2.0 * (Q[:, s, :] @ C[s].T), 6
+        )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            row_cells = pdf["cell"].to_numpy()
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64).reshape(
+                len(pdf), m, dsub
+            )
+            codes = _pq_assign_codes(C, V)
+            rows = []
+            for qi, qid in enumerate(qids):
+                cand = np.nonzero((row_cells == qcells[qi]) & (ids != qid))[0]
+                if len(cand) == 0:
+                    continue
+                d = np.round(
+                    lut[qi, np.arange(m)[None, :], codes[cand]].sum(axis=1), 6
+                )
+                order = np.lexsort((ids[cand], d))
+                for oi in order[:k]:
+                    rows.append((int(qid), int(ids[cand[oi]]), float(d[oi])))
+            if rows:
+                yield pd.DataFrame(rows, columns=["qid", "nid", "adist"])
+
+    local = with_cell.select(id_col, "cell", vec_col).mapInPandas(
+        score, "qid long, nid long, adist double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("nid"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "adist")
+    )

@@ -1438,6 +1438,55 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(emb, cb, n_queries=5, k=5)
 
 
+@_q(
+    "ivfpq_topk",
+    f"""
+    WITH {_PQ_CB1},
+    ic AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    icscored AS (
+      SELECT e.vec_id, ic.cid,
+        round({_COS.format(a="e.v", b="ic.cv")}, 6) AS csim
+      FROM e CROSS JOIN ic
+    ),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS r
+        FROM icscored
+      ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS qid, sub, sv FROM sv WHERE vec_id < 5),
+    lut AS (
+      SELECT q.qid, c.sub, c.code, {_PQ_L2.format(a="q.sv", b="c.cw")} AS d
+      FROM q JOIN cb1 c ON q.sub = c.sub
+    ),
+    qc AS (SELECT vec_id AS qid, cell AS qcell FROM cells WHERE vec_id < 5),
+    adc AS (
+      SELECT l.qid, cd.vec_id AS nid, round(sum(l.d), 6) AS adist
+      FROM codes cd
+      JOIN cells nc ON nc.vec_id = cd.vec_id
+      JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+      JOIN qc ON qc.qid = l.qid
+      WHERE nc.cell = qc.qcell AND cd.vec_id != l.qid
+      GROUP BY l.qid, cd.vec_id
+    )
+    SELECT qid, rank, nid, adist FROM (
+      SELECT qid, nid, adist,
+        row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """,
+)
+def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS-shape): coarse cells prune the SCAN (own-cell probe =
+    partition pruning on a write-time layout), PQ codes shrink what it
+    READS (64× smaller rows), ADC LUT scoring with local top-k — both
+    scale levers in one plan (similarity.ivfpq_topk)."""
+    return similarity.ivfpq_topk(
+        _emb(spark, sf_dir), n_queries=5, k=5, n_cells=8, m=4, ksub=16, iters=1
+    )
+
+
 # shared oracle fragment: IVF cell assignment (centroids = 8 lowest vec_ids)
 _IVF_CELLS = f"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -611,3 +611,53 @@ def test_pq_train_keeps_codeword_for_emptied_cell(spark):
     assert len(cb) == 2 * 4
     # all init vectors identical -> every codeword survives as that vector
     assert all(cw == [1.0, 2.0, 1.0, 2.0] for _, _, cw in cb)
+
+
+def test_ivfpq_topk_composes_cells_and_codes(spark):
+    """IVF-PQ = own-cell probe scored by ADC codes: every hit must share
+    the query's coarse cell, and distances must equal the pure-numpy
+    recompute of LUT sums over that cell's members."""
+    import numpy as np
+
+    from blogparser_spark.dataops.similarity import (
+        _pq_assign_codes,
+        _pq_codebook_np,
+        assign_ivf_cells,
+        ivfpq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = ivfpq_topk(emb, n_queries=3, k=4, n_cells=4, m=4, ksub=8).collect()
+    cells = {
+        r["vec_id"]: r["cell"] for r in assign_ivf_cells(emb, n_cells=4).collect()
+    }
+    cb = pq_train(emb, m=4, ksub=8, iters=1)
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64).reshape(
+        len(rows), 4, 16
+    )
+    C = _pq_codebook_np(cb)
+    codes = _pq_assign_codes(C, V)
+
+    for r in got:
+        assert cells[r["nid"]] == cells[r["qid"]]
+    want = []
+    for qi in range(3):
+        qs = V[ids == qi][0]
+        lut = np.empty((4, 8))
+        for s in range(4):
+            c2 = np.einsum("ij,ij->i", C[s], C[s])
+            lut[s] = np.round(qs[s] @ qs[s] + c2 - 2.0 * (C[s] @ qs[s]), 6)
+        d = np.round(lut[np.arange(4)[None, :], codes].sum(axis=1), 6)
+        cand = [
+            (float(d[i]), int(ids[i]))
+            for i in range(len(ids))
+            if ids[i] != qi and cells[int(ids[i])] == cells[qi]
+        ]
+        for rank, (dist, nid) in enumerate(sorted(cand)[:4], 1):
+            want.append((qi, rank, nid, dist))
+    assert sorted((r["qid"], r["rank"], r["nid"], r["adist"]) for r in got) == sorted(
+        want
+    )

@@ -125,4 +125,6 @@ assert codes.selectExpr("max(array_max(codes)) m").collect()[0]["m"] < 8
 adc = pq_adc_topk(emb, cb, n_queries=3, k=3)
 apl = adc._jdf.queryExecution().executedPlan().toString()
 print("pq adc rows:", adc.count(), "join-free:", "Join" not in apl)
+from blogparser_spark.dataops.similarity import ivfpq_topk
+print("ivfpq rows:", ivfpq_topk(emb, n_queries=3, k=3, n_cells=4, m=4, ksub=8).count())
 print("DRIVE9 OK")
