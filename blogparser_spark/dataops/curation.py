@@ -289,6 +289,73 @@ def epoch_shuffle_rank(
     )
 
 
+def quality_budget_selection(
+    df: DataFrame,
+    budget: int,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy corpus selection under a global token budget: take documents
+    in (quality DESC, id ASC) order until the budget is exhausted — "fill a
+    10B-token training budget with the best docs". Adds `tokens_before`
+    (global prefix token sum over that order) and `selected`
+    (tokens_before + n_tokens <= budget, 1/0).
+
+    Like epoch_shuffle_rank, the global prefix sum runs WITHOUT a
+    single-reducer sort: bucket on quantized quality
+    (floor((1-q)·n_buckets) — monotone in the sort key and a pure function
+    of the row, so the offsets branch and the main branch always agree
+    regardless of exchange reuse), cumsum locally per bucket, then add the
+    broadcast cumsum of per-bucket token totals (one tiny row per bucket).
+    Raise n_buckets at 10^12 rows so one bucket's rows fit an executor
+    sort. Quality is a round-6 score (textstats.with_quality), so bucket
+    arithmetic is reproducible; ties after rounding break by id."""
+    b = F.least(
+        F.greatest(
+            F.floor((F.lit(1.0) - F.col(quality_col)) * n_buckets), F.lit(0)
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    d = df.withColumn("_bkt", b)
+    local = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.desc(quality_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "_lb", F.coalesce(F.sum(tokens_col).over(local), F.lit(0))
+    )
+    offsets = (
+        d.groupBy("_bkt")
+        .agg(F.sum(tokens_col).alias("_tn"))
+        .withColumn(
+            "_offset",
+            # tiny frame: one row per bucket (see epoch_shuffle_rank for the
+            # pmod partition-spec rationale)
+            F.coalesce(
+                F.sum("_tn").over(
+                    Window.partitionBy(F.pmod(F.col("_bkt"), F.lit(1)))
+                    .orderBy("_bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bkt", "_offset")
+    )
+    return (
+        d.join(F.broadcast(offsets), "_bkt")
+        .withColumn("tokens_before", F.col("_lb") + F.col("_offset"))
+        .withColumn(
+            "selected",
+            (F.col("tokens_before") + F.col(tokens_col) <= budget).cast("long"),
+        )
+        .drop("_bkt", "_lb", "_offset")
+    )
+
+
 # ---------------------------------------------------------- boilerplate turns ---
 
 

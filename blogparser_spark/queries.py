@@ -2437,6 +2437,46 @@ def token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "quality_budget_selection",
+    f"""
+    WITH {_quality_feature_ctes("documents")},
+    qq AS (
+      SELECT doc_id, {_QUALITY_SCORE_SQL} AS quality,
+        CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM qf
+    ),
+    c AS (
+      SELECT doc_id, quality, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS tokens_before
+      FROM qq
+    )
+    SELECT doc_id, quality, n_tokens, tokens_before,
+      CAST(CASE WHEN tokens_before + n_tokens <= 12000 THEN 1 ELSE 0 END
+        AS BIGINT) AS selected
+    FROM c
+    """,
+)
+def quality_budget_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget corpus selection: documents taken in
+    (quality DESC, doc_id) order until a 12k-token budget fills — the
+    "best docs first" counterpart of temperature sampling. The global
+    prefix sum is the bucketed two-pass (no single-reducer sort); the
+    oracle is the same prefix sum as one window."""
+    from blogparser_spark.dataops.curation import quality_budget_selection
+
+    d = textstats.with_quality(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "quality",
+        F.size(textstats.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return quality_budget_selection(d, budget=12000).select(
+        "doc_id", "quality", "n_tokens", "tokens_before", "selected"
+    )
+
+
+@_q(
     "training_shuffle_order",
     """
     SELECT doc_id,

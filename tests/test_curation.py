@@ -228,3 +228,35 @@ def test_library_surface_survives_ansi_on(spark):
         assert got[0]["d"] is None  # empty parse set → NULL, no error
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_quality_budget_selection_greedy_prefix(spark):
+    """The bucketed two-pass prefix sum must equal the naive global
+    (quality DESC, id ASC) scan: selection is a strict greedy prefix of
+    that order, including ties broken by id and docs straddling bucket
+    boundaries."""
+    from blogparser_spark.dataops.curation import quality_budget_selection
+
+    rows = [
+        # (id, quality, n_tokens) — includes a quality tie (3 vs 4) and
+        # values on both sides of the 1/64-wide bucket boundaries
+        (0, 1.0, 5),
+        (1, 0.984375, 4),   # exactly (1-q)*64 = 1.0 -> bucket 1
+        (2, 0.984374, 6),
+        (3, 0.75, 3),
+        (4, 0.75, 10),      # tie with 3 -> id order
+        (5, 0.2, 2),
+        (6, 0.0, 7),        # (1-q)*64 = 64 -> clamps to bucket 63
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, quality double, n_tokens long")
+    got = {
+        r["doc_id"]: (r["tokens_before"], r["selected"])
+        for r in quality_budget_selection(df, budget=18).collect()
+    }
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    run = 0
+    for i, q, n in order:
+        assert got[i] == (run, 1 if run + n <= 18 else 0)
+        run += n
+    # greedy prefix: 0(5) 1(4) 2(6) -> 15, 3(+3)=18 fits, 4 overflows
+    assert [i for i, (_, s) in sorted(got.items()) if s] == [0, 1, 2, 3]

@@ -109,6 +109,12 @@ from pyspark.sql import functions as _F
 turns = docs.select("doc_id", _F.col("source").alias("conv_id"),
                     _F.when(_F.col("doc_id") % 5 == 0, "canned greeting").otherwise(_F.col("text")).alias("text"))
 print("boilerplate survivors:", strip_boilerplate(turns, min_groups=3).count())
+from blogparser_spark.dataops.curation import quality_budget_selection
+from blogparser_spark.dataops.textstats import with_quality, tokens as _toks
+qb = with_quality(docs).select("doc_id", "quality", _F.size(_toks(_F.col("text"))).cast("long").alias("n_tokens"))
+sel = quality_budget_selection(qb, budget=60)
+assert sel.filter("selected = 1").count() >= 1
+print("budget selection:", sel.count())
 r1 = {r["doc_id"]: r["shuffle_rank"] for r in epoch_shuffle_rank(docs.select("doc_id"), epoch=3).collect()}
 r2 = {r["doc_id"]: r["shuffle_rank"] for r in epoch_shuffle_rank(docs.select("doc_id"), epoch=3).collect()}
 assert r1 == r2 and sorted(r1.values()) == list(range(1, len(r1) + 1))
