@@ -456,6 +456,92 @@ def verify_pairs_jaccard(
     )
 
 
+def incremental_dedup_probe(
+    corpus_df: DataFrame,
+    new_df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without rescanning
+    corpus×corpus: the batch's LSH bands (small side — broadcast) join the
+    corpus bands on (band_idx, band_hash), and only the surviving
+    candidates get exact-Jaccard verification. Returns
+    (corpus_id, new_id, jaccard ≥ threshold).
+
+    At 100 TB the corpus bands are a write-once artifact
+    (write_minhash_index: bucketed on band_hash), so a daily-batch probe
+    reads the index in place — broadcast probe for small batches, or a
+    bucket-aligned join (probe_minhash_index) where only the NEW side
+    exchanges when the batch outgrows broadcast. Ids must be disjoint
+    across the two inputs (they are, for any append-style ingest)."""
+    cb = minhash_bands(corpus_df, text_col, id_col).withColumnRenamed(
+        id_col, "corpus_id"
+    )
+    nb = minhash_bands(new_df, text_col, id_col).withColumnRenamed(id_col, "new_id")
+    cand = (
+        cb.join(F.broadcast(nb), ["band_idx", "band_hash"])
+        .select("corpus_id", "new_id")
+        .distinct()
+    )
+    pairs = cand.select(
+        F.col("corpus_id").alias("id_a"), F.col("new_id").alias("id_b")
+    )
+    both = corpus_df.select(id_col, text_col).unionByName(
+        new_df.select(id_col, text_col)
+    )
+    return verify_pairs_jaccard(both, pairs, threshold, text_col, id_col).select(
+        F.col("id_a").alias("corpus_id"), F.col("id_b").alias("new_id"), "jaccard"
+    )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the corpus's LSH band relation as a table BUCKETED on
+    (band_idx, band_hash) — the write-once dedup index incremental batches
+    probe. Bucketing moves the corpus-side shuffle to write time: a probe
+    join on exactly the bucket keys reads bucket i against bucket i, so
+    only the new batch exchanges (probe_minhash_index's plan assertion)."""
+    from blogparser_spark.operators.storage import write_bucketed
+
+    write_bucketed(
+        minhash_bands(df, text_col, id_col),
+        table,
+        bucket_col=["band_idx", "band_hash"],
+        n_buckets=n_buckets,
+        sort_col=None,
+    )
+
+
+def probe_minhash_index(
+    spark,
+    table: str,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate (corpus_id, new_id) pairs from a write_minhash_index
+    table for a batch too big to broadcast: the join keys are exactly the
+    index's bucket columns (band_idx, band_hash), so the index side has NO
+    Exchange — Catalyst reuses the bucketed output partitioning and only
+    the new batch shuffles. Feed the result to verify_pairs_jaccard before
+    acting on it."""
+    idx = spark.table(table).withColumnRenamed(id_col, "corpus_id")
+    nb = minhash_bands(new_df, text_col, id_col).withColumnRenamed(
+        id_col, "new_id"
+    )
+    return (
+        idx.join(nb, ["band_idx", "band_hash"])
+        .select("corpus_id", "new_id")
+        .distinct()
+    )
+
+
 def near_dup_clusters(
     df: DataFrame,
     text_col: str = "text",

@@ -19,15 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_col: str = "conv_id",
+    bucket_col: str | list[str] = "conv_id",
     n_buckets: int = 16,
     sort_col: str | None = "turn_idx",
     mode: str = "overwrite",
 ) -> None:
     """Write a bucketed (and optionally sort-within-bucket) managed table.
     Sorting by the secondary key makes window scans over (bucket_col,
-    sort_col) read pre-ordered data."""
-    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    sort_col) read pre-ordered data. A multi-column bucket key must match
+    the downstream join keys exactly for the exchange-free plan (Catalyst
+    requires the join keys to cover every bucket column)."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = df.write.mode(mode).bucketBy(n_buckets, cols[0], *cols[1:])
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.format("parquet").saveAsTable(table)

@@ -2191,6 +2191,43 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "incremental_dedup_probe",
+    f"""
+    WITH RECURSIVE {_near_dup_ctes("documents")},
+    ip_cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, n.doc_id AS new_id
+      FROM nd_bands c JOIN nd_bands n
+        ON c.band_idx = n.band_idx AND c.band_hash = n.band_hash
+      WHERE c.doc_id < 400 AND n.doc_id >= 400
+    ),
+    ip_j AS (
+      SELECT corpus_id, new_id,
+        round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+          greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6)
+          AS jaccard
+      FROM ip_cand
+      JOIN nd_dsh a ON a.doc_id = ip_cand.corpus_id
+      JOIN nd_dsh b ON b.doc_id = ip_cand.new_id
+    )
+    SELECT corpus_id, new_id, jaccard FROM ip_j WHERE jaccard >= 0.5
+    """,
+)
+def incremental_dedup_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the last 100 doc_ids play a freshly-ingested
+    batch probed against the first 400 as the existing corpus — batch
+    bands broadcast against corpus bands, exact-Jaccard verify on the
+    candidates only. The corpus is never self-joined; at 100 TB the
+    corpus bands are the write-once bucketed index
+    (dedup.write_minhash_index / probe_minhash_index)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.incremental_dedup_probe(
+        docs.filter(F.col("doc_id") < 400),
+        docs.filter(F.col("doc_id") >= 400),
+        threshold=0.5,
+    )
+
+
+@_q(
     "pipeline_sink_counts",
     """
     WITH t AS (

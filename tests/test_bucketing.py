@@ -37,3 +37,58 @@ def test_bucketed_join_has_no_exchange(spark, transcripts):
 
     spark.sql("DROP TABLE IF EXISTS turns_b")
     spark.sql("DROP TABLE IF EXISTS stats_b")
+
+
+def test_minhash_index_probe_exchanges_only_new_side(spark):
+    """An incremental dedup probe against the write-once bucketed band
+    index must exchange ONLY the new batch: the index side's bucketed
+    output partitioning already satisfies the band_hash join distribution."""
+    from blogparser_spark.dataops.dedup import (
+        incremental_dedup_probe,
+        minhash_bands,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    write_minhash_index(corpus, "mh_idx_b", n_buckets=4)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = probe_minhash_index(spark, "mh_idx_b", new)
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        # the bucketed relation must actually be read bucketed...
+        assert "Bucketed: true" in plan, plan
+        joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+        assert joins == 1, plan
+        # ...and contribute no Exchange: nothing between the join and the
+        # index FileScan may shuffle (the new side, whose bands are
+        # computed per batch, legitimately exchanges)
+        lines = plan.splitlines()
+        scan_i = next(
+            i for i, l in enumerate(lines) if "FileScan" in l and "mh_idx_b" in l
+        )
+        join_i = next(i for i in range(scan_i, -1, -1) if "Join" in lines[i])
+        assert not any("Exchange" in l for l in lines[join_i:scan_i]), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # candidate-set equivalence with the broadcast probe path
+    cb = minhash_bands(corpus).withColumnRenamed("doc_id", "corpus_id")
+    nb = minhash_bands(new).withColumnRenamed("doc_id", "new_id")
+    expect = (
+        cb.join(nb, ["band_idx", "band_hash"]).select("corpus_id", "new_id").distinct()
+    )
+    assert cand.exceptAll(expect).count() == 0
+    assert expect.exceptAll(cand).count() == 0
+
+    # end-to-end: verified pairs all cross the corpus/new boundary
+    pairs = incremental_dedup_probe(corpus, new, threshold=0.5)
+    rows = pairs.collect()
+    assert all(r["corpus_id"] < 400 <= r["new_id"] for r in rows)
+    assert all(r["jaccard"] >= 0.5 for r in rows)
+
+    spark.sql("DROP TABLE IF EXISTS mh_idx_b")
