@@ -22,7 +22,7 @@ lexicographically — same total order in any engine, no integer conversion.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from blogparser_spark.dataops.textstats import tokens
@@ -453,6 +453,60 @@ def verify_pairs_jaccard(
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def cross_doc_span_stats(
+    df: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring cross-document duplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", adapted
+    from suffix arrays to word w-gram hashing): every w-token span is
+    hashed, a span occurring in ≥2 DISTINCT documents marks its
+    occurrences duplicated, and each doc reports (n_spans, n_dup_spans,
+    dup_span_frac) — the removal mask a substring-dedup pass acts on.
+
+    Shape — the repetition_signals pattern extended with one join:
+    explode → lead()-built spans (codegen, no array HOFs) → md5 → distinct
+    (hash, doc) pairs → per-hash doc count (both aggs partial/map-side
+    combined) → hash-join occurrences back on span_hash (both sides
+    already keyed on it) → per-doc agg. Every shuffle key is a uniform
+    md5; nothing is all-pairs, so the plan survives 10^12 spans."""
+    from blogparser_spark.operators.skew import range_partition_for_windows
+
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    t = range_partition_for_windows(df, parts, id_col).select(
+        F.col(id_col), F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(win) for i in range(1, w)]
+    span = F.when(
+        leads[-1].isNotNull(), F.md5(F.concat_ws(" ", F.col("tok"), *leads))
+    )
+    occ = t.select(F.col(id_col), span.alias("span_hash"))
+    per_hash = (
+        occ.filter(F.col("span_hash").isNotNull())
+        .distinct()
+        .groupBy("span_hash")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    flagged = occ.join(per_hash, "span_hash", "left")
+    return flagged.groupBy(id_col).agg(
+        F.sum(F.when(F.col("span_hash").isNotNull(), 1).otherwise(0)).alias(
+            "n_spans"
+        ),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        F.round(
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            / F.greatest(
+                F.sum(F.when(F.col("span_hash").isNotNull(), 1).otherwise(0)),
+                F.lit(1),
+            ),
+            6,
+        ).alias("dup_span_frac"),
     )
 
 

@@ -2228,6 +2228,49 @@ def incremental_dedup_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cross_doc_span_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ), sp AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 8 THEN
+          list_transform(range(1, len(toks) - 6),
+                         i -> md5(array_to_string(toks[i:i+7], ' ')))
+        ELSE [] END AS hs
+      FROM t
+    ), occ AS (
+      SELECT doc_id, unnest(hs) AS h FROM sp
+    ), dh AS (
+      SELECT h, count(DISTINCT doc_id) AS n_docs FROM occ GROUP BY h
+    ), st AS (
+      SELECT occ.doc_id, count(*) AS n_spans,
+        sum(CASE WHEN dh.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+      FROM occ JOIN dh USING (h) GROUP BY occ.doc_id
+    )
+    SELECT t.doc_id,
+      CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+      CAST(COALESCE(st.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+      round(COALESCE(st.n_dup_spans, 0)::DOUBLE /
+            greatest(COALESCE(st.n_spans, 0), 1), 6) AS dup_span_frac
+    FROM t LEFT JOIN st USING (doc_id)
+    """,
+)
+def cross_doc_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring cross-doc duplication per document (Lee et al. 2022
+    adapted to hashed word 8-grams): the fraction of a doc's spans that
+    also occur in another document — the removal mask substring dedup acts
+    on (dedup.cross_doc_span_stats)."""
+    return dedup.cross_doc_span_stats(_docs(spark, sf_dir), w=8).select(
+        "doc_id",
+        F.col("n_spans").cast("long"),
+        F.col("n_dup_spans").cast("long"),
+        "dup_span_frac",
+    )
+
+
+@_q(
     "pipeline_sink_counts",
     """
     WITH t AS (

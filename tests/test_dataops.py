@@ -661,3 +661,32 @@ def test_ivfpq_topk_composes_cells_and_codes(spark):
     assert sorted((r["qid"], r["rank"], r["nid"], r["adist"]) for r in got) == sorted(
         want
     )
+
+
+def test_cross_doc_span_stats(spark):
+    """An 8-token span shared verbatim by two docs must flag exactly those
+    span positions in both docs; a doc with no shared span reports 0; a
+    doc shorter than the window reports 0 spans. Within-doc repeats of a
+    span that exists nowhere else must NOT count (cross-DOC duplication,
+    count(distinct doc))."""
+    from blogparser_spark.dataops.dedup import cross_doc_span_stats
+
+    shared = "a b c d e f g h"
+    rows = [
+        (0, shared + " tail0 x0 y0"),           # 4 spans, 1 shared
+        (1, "head1 " + shared + " z1"),         # 3 spans, 1 shared
+        (2, "u v w p q r s t nine ten"),        # 3 spans, none shared
+        (3, "too short"),                       # 0 spans
+        (4, "m n o m n o m n o m n o m n o m"), # self-repeats only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in cross_doc_span_stats(df, w=8).collect()}
+    assert (got[0]["n_spans"], got[0]["n_dup_spans"]) == (4, 1)
+    assert (got[1]["n_spans"], got[1]["n_dup_spans"]) == (3, 1)
+    assert (got[2]["n_spans"], got[2]["n_dup_spans"]) == (3, 0)
+    assert (got[3]["n_spans"], got[3]["n_dup_spans"]) == (0, 0)
+    assert got[3]["dup_span_frac"] == 0.0
+    # doc 4: 9 spans, all period-3 repeats of each other, but no OTHER doc
+    # holds them -> not cross-doc duplicated
+    assert got[4]["n_spans"] == 9 and got[4]["n_dup_spans"] == 0
+    assert got[0]["dup_span_frac"] == 0.25

@@ -105,9 +105,10 @@ with tempfile.TemporaryDirectory() as td:
     qv = [float(x) for x in emb.filter("vec_id = 9").collect()[0]["embedding"]]
     print("refined ivf probe:", ivf_probe_partitioned(spark, lay, qv, k=3, exclude_id=9).count())
 print("simhash verified pairs:", simhash_verified_pairs(docs, max_distance=8).count())
-from blogparser_spark.dataops.dedup import incremental_dedup_probe
+from blogparser_spark.dataops.dedup import incremental_dedup_probe, cross_doc_span_stats
 print("incremental probe pairs:", incremental_dedup_probe(
     docs.filter("doc_id < 4"), docs.filter("doc_id >= 4"), threshold=0.3).count())
+print("span stats docs:", cross_doc_span_stats(docs, w=8).count())
 from pyspark.sql import functions as _F
 turns = docs.select("doc_id", _F.col("source").alias("conv_id"),
                     _F.when(_F.col("doc_id") % 5 == 0, "canned greeting").otherwise(_F.col("text")).alias("text"))
