@@ -86,3 +86,43 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_dedup_probe(
+    spark: SparkSession,
+    input_path: str,
+    corpus_df: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Streaming ingest dedup: every micro-batch of newly-arrived documents
+    is probed against the STATIC existing corpus (dedup.incremental_dedup_probe
+    — batch bands broadcast against the corpus bands / persisted index) and
+    the verified (corpus_id, new_id, jaccard) pairs append to a parquet sink.
+    foreachBatch is the right tool: the probe is a batch-to-batch join
+    against a static side, which Structured Streaming cannot express as a
+    stateful operator but runs exactly-once-ish per micro-batch under the
+    checkpoint (batch id replays are idempotent appends of the same pairs).
+    At 100 TB the static side is the write-once bucketed band index, so each
+    micro-batch costs one batch-side band computation + a pruned probe."""
+    from blogparser_spark.dataops.dedup import incremental_dedup_probe
+
+    schema = f"{id_col} long, {text_col} string"
+    stream = spark.readStream.schema(schema).parquet(input_path)
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_dedup_probe(
+            corpus_df, batch_df, threshold, text_col, id_col
+        ).withColumn("batch_id", F.lit(batch_id))
+        pairs.write.mode("append").parquet(output_path)
+
+    q = (
+        stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

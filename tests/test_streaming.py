@@ -62,3 +62,30 @@ def test_windowed_sink_counts_shape(spark, tmp_path):
     rows = spark.sql("select * from win_counts").collect()
     assert rows and all(r["n"] > 0 for r in rows)
     assert sum(r["n"] for r in rows) == n_input
+
+
+def test_streaming_dedup_probe_matches_batch(spark, tmp_path):
+    """Micro-batched ingest dedup must find exactly the pairs the one-shot
+    batch probe finds over the same new docs, regardless of how the stream
+    chops the input into batches."""
+    from blogparser_spark.dataops.dedup import incremental_dedup_probe
+    from blogparser_spark.streaming.pipeline import run_streaming_dedup_probe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") >= 400).select("doc_id", "text")
+
+    inp = str(tmp_path / "in")
+    # two files so availableNow may deliver multiple micro-batches
+    new.filter(F.col("doc_id") < 450).write.mode("overwrite").parquet(inp)
+    new.filter(F.col("doc_id") >= 450).coalesce(1).write.mode("append").parquet(inp)
+
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    run_streaming_dedup_probe(spark, inp, corpus, out, ckpt, threshold=0.3)
+
+    streamed = spark.read.parquet(out).select("corpus_id", "new_id", "jaccard")
+    expect = incremental_dedup_probe(corpus, new, threshold=0.3)
+    assert streamed.count() > 0
+    assert streamed.exceptAll(expect).count() == 0
+    assert expect.exceptAll(streamed).count() == 0

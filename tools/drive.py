@@ -43,6 +43,11 @@ with tempfile.TemporaryDirectory() as td:
     sout, sck = os.path.join(td, "sout"), os.path.join(td, "sck")
     run_available_now(spark, inp, sout, sck)
     print("stream rows:", spark.read.parquet(sout).count())
+    from blogparser_spark.streaming.pipeline import run_streaming_dedup_probe
+    din, dout, dck = (os.path.join(td, x) for x in ("din", "dout", "dck"))
+    docs.filter("doc_id >= 4").select("doc_id", "text").write.parquet(din)
+    run_streaming_dedup_probe(spark, din, docs.filter("doc_id < 4").select("doc_id", "text"), dout, dck, threshold=0.3)
+    print("stream probe pairs:", spark.read.parquet(dout).count())
 print("media feats:", decode_features(documents_as_media(docs)).count())
 print("DRIVE2 OK")
 
