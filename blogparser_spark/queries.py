@@ -2557,6 +2557,41 @@ def quality_budget_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_token_quantiles",
+    """
+    WITH t AS (
+      SELECT lang,
+        CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS DOUBLE)
+          AS nt
+      FROM documents
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+      round(quantile_cont(nt, 0.5), 6) AS p50,
+      round(quantile_cont(nt, 0.9), 6) AS p90,
+      round(quantile_cont(nt, 0.99), 6) AS p99
+    FROM t GROUP BY lang
+    """,
+)
+def corpus_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length quantile profile (p50/p90/p99) — the
+    corpus-shape report that sizes packing budgets and truncation limits.
+    Exact interpolated percentile here for oracle parity (Spark
+    `percentile` == DuckDB `quantile_cont`); at 100 TB swap in
+    `approx_percentile` — a single-pass mergeable sketch with the same
+    groupBy shape, no extra shuffle."""
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        F.size(textstats.tokens(F.col("text"))).cast("double").alias("nt"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("nt", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("nt", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("nt", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@_q(
     "training_shuffle_order",
     """
     SELECT doc_id,
