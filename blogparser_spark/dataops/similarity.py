@@ -340,6 +340,107 @@ def ivf_probe_partitioned(
     return sims.orderBy(F.desc("sim"), F.asc("nid")).limit(k).select("nid", "sim")
 
 
+def write_ivfpq_partitioned(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the full ANN serving artifact: the corpus stored as PQ
+    CODES (m small ints per vector — 64× less data than d float32s)
+    PARTITIONED BY IVF cell, plus the tiny centroid and codebook tables
+    alongside. Both scale levers become storage properties: a probe prunes
+    partitions (reads 1/n_cells of the files) and each file holds codes,
+    not vectors. Assignment and encoding happen ONCE, at write time."""
+    cells = assign_ivf_cells(df, n_cells, id_col, vec_col)
+    cb = pq_train(df, m, ksub, iters, id_col, vec_col)
+    codes = pq_encode(df, cb, id_col, vec_col)
+    (
+        codes.join(cells.select(id_col, "cell"), id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    df.sparkSession.createDataFrame(
+        [(s, c, [float(x) for x in cw]) for s, c, cw in cb],
+        "sub long, code long, cw array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    df.filter(F.col(id_col) < n_cells).select(id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def ivfpq_probe_partitioned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 1,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Serve one ANN probe against a write_ivfpq_partitioned layout with a
+    PURE-CODEGEN plan: the query's nprobe cells are picked driver-side from
+    the tiny centroid file (round-6 cosine, lowest-cid ties — the
+    assign_ivf_cells convention), the codes scan filters cell IN (...) — a
+    partition-column predicate, so only those cells' files are read — and
+    the ADC score is m map-literal lookups (one create_map per subspace,
+    element_at on the code) summed in whole-stage codegen. No Python
+    crosses the serve path; the only Python was training, at write time.
+    Returns (nid, adist) ascending."""
+    import numpy as np
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cids = np.array([r[id_col] for r in cents], dtype=np.int64)
+    C = np.asarray([list(r[vec_col]) for r in cents], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = max(float(np.linalg.norm(q)), 1e-12)
+    csims = np.round(
+        (C @ q) / (np.maximum(np.linalg.norm(C, axis=1), 1e-12) * qn), 6
+    )
+    order = np.lexsort((cids, -csims))
+    probe_cells = [int(cids[i]) for i in order[:nprobe]]
+
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(int(r["sub"]) for r in cb_rows) + 1
+    dsub = len(q) // m
+    # LUT[s][code] = round6(|q_s|^2 + |c|^2 - 2 q_s . c) as map literals
+    luts = []
+    for s in range(m):
+        qs = q[s * dsub : (s + 1) * dsub]
+        entries: list[Column] = []
+        for r in cb_rows:
+            if int(r["sub"]) != s:
+                continue
+            cw = np.asarray(list(r["cw"]), dtype=np.float64)
+            d = round(float(qs @ qs + cw @ cw - 2.0 * (qs @ cw)), 6)
+            entries += [F.lit(int(r["code"])), F.lit(d)]
+        luts.append(F.create_map(*entries))
+
+    scan = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    if exclude_id is not None:
+        scan = scan.filter(F.col(id_col) != exclude_id)
+    adist = F.round(
+        sum(
+            F.element_at(luts[s], F.col("codes").getItem(s).cast("int"))
+            for s in range(m)
+        ),
+        6,
+    )
+    return (
+        scan.select(F.col(id_col).alias("nid"), adist.alias("adist"))
+        .orderBy(F.asc("adist"), F.asc("nid"))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

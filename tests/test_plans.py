@@ -184,3 +184,36 @@ def test_pq_adc_shuffles_only_local_topk(spark):
     plan = _plan(pq_adc_topk(emb, cb, 3, 3))
     assert "Join" not in plan
     assert "MapInPandas" in plan
+
+
+def test_ivfpq_partitioned_probe_is_pruned_and_codegen_only(spark, tmp_path):
+    """The IVF-PQ serving layout: a probe must (a) prune to the probed
+    cell's partitions, (b) score codes with NO Python evaluation node —
+    map-literal lookups in codegen — and (c) return the same neighbors as
+    the inline ivfpq_topk for the same query under nprobe=1."""
+    from blogparser_spark.dataops.similarity import (
+        ivfpq_probe_partitioned,
+        ivfpq_topk,
+        write_ivfpq_partitioned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lay = str(tmp_path / "ivfpq")
+    write_ivfpq_partitioned(emb, lay, n_cells=4, m=4, ksub=8)
+
+    qv = [float(x) for x in emb.filter("vec_id = 2").collect()[0]["embedding"]]
+    probe = ivfpq_probe_partitioned(spark, lay, qv, k=4, exclude_id=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    for py_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py_node not in plan, plan
+
+    got = [(r["nid"], r["adist"]) for r in probe.collect()]
+    inline = ivfpq_topk(emb, n_queries=3, k=4, n_cells=4, m=4, ksub=8)
+    want = [
+        (r["nid"], r["adist"])
+        for r in inline.filter("qid = 2").orderBy("rank").collect()
+    ]
+    assert got == want

@@ -140,6 +140,13 @@ assert codes.selectExpr("max(array_max(codes)) m").collect()[0]["m"] < 8
 adc = pq_adc_topk(emb, cb, n_queries=3, k=3)
 apl = adc._jdf.queryExecution().executedPlan().toString()
 print("pq adc rows:", adc.count(), "join-free:", "Join" not in apl)
-from blogparser_spark.dataops.similarity import ivfpq_topk
+from blogparser_spark.dataops.similarity import ivfpq_topk, write_ivfpq_partitioned, ivfpq_probe_partitioned
 print("ivfpq rows:", ivfpq_topk(emb, n_queries=3, k=3, n_cells=4, m=4, ksub=8).count())
+with tempfile.TemporaryDirectory() as td:
+    lay = os.path.join(td, "ivfpq")
+    write_ivfpq_partitioned(emb, lay, n_cells=4, m=4, ksub=8)
+    qv = [float(x) for x in emb.filter("vec_id = 2").collect()[0]["embedding"]]
+    pr = ivfpq_probe_partitioned(spark, lay, qv, k=3, exclude_id=2)
+    ppl = pr._jdf.queryExecution().executedPlan().toString()
+    print("ivfpq probe rows:", pr.count(), "codegen-only:", "EvalPython" not in ppl and "MapInPandas" not in ppl)
 print("DRIVE9 OK")
