@@ -226,6 +226,30 @@ def test_library_surface_survives_ansi_on(spark):
             pick_date(F.array(F.col("s"))).alias("d")
         ).collect()
         assert got[0]["d"] is None  # empty parse set → NULL, no error
+
+        # round-3 surfaces: PQ / IVF-PQ (map-literal + array indexing),
+        # budget selection (bucket arithmetic), span stats (lead windows)
+        from blogparser_spark.dataops.curation import quality_budget_selection
+        from blogparser_spark.dataops.dedup import cross_doc_span_stats
+        from blogparser_spark.dataops.similarity import (
+            ivfpq_topk,
+            pq_adc_topk,
+            pq_train,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = pq_train(emb, m=4, ksub=8, iters=1)
+        assert pq_adc_topk(emb, cb, n_queries=2, k=2).count() == 4
+        assert ivfpq_topk(emb, n_queries=2, k=2, n_cells=4, m=4, ksub=8).count() > 0
+        docs = spark.createDataFrame(
+            [(0, "a b c d e f g h i"), (1, "a b c d e f g h j"), (2, "x")],
+            "doc_id long, text string",
+        )
+        assert cross_doc_span_stats(docs, w=8).count() == 3
+        qb = spark.createDataFrame(
+            [(0, 1.0, 3), (1, 0.5, 4)], "doc_id long, quality double, n_tokens long"
+        )
+        assert quality_budget_selection(qb, budget=5).count() == 2
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
 
