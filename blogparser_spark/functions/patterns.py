@@ -592,6 +592,25 @@ TAG_NEEDLES = tuple(
 )
 TAG_ANY_RE = "|".join(re.escape(n) for n in TAG_NEEDLES)
 
+
+def _minimal_cover(needles: tuple[str, ...]) -> tuple[str, ...]:
+    """Smallest subset with the same any-of-contains semantics: a needle
+    containing another needle as a substring is redundant for the GATE
+    (any text containing the longer one contains the shorter one). The
+    per-bank extractors still check their own full needles; only the
+    batch prefilter uses this. 22 category needles reduce to 13, 27 tag
+    needles to 4 — and N literal scans beat one N-way regex alternation
+    ~3× in pandas (re has no Aho-Corasick)."""
+    out: list[str] = []
+    for n in sorted(needles, key=len):
+        if not any(m in n for m in out):
+            out.append(n)
+    return tuple(out)
+
+
+CATEGORY_GATE_NEEDLES = _minimal_cover(CATEGORY_NEEDLES)
+TAG_GATE_NEEDLES = _minimal_cover(TAG_NEEDLES)
+
 # --------------------------------------------------------------------------
 # Date (parser/date.go:20-137)
 # --------------------------------------------------------------------------

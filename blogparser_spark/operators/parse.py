@@ -319,8 +319,8 @@ def extract_udf(texts: pd.Series) -> pd.DataFrame:
             m = m | lower.str.contains(n, regex=False)
         return m
 
-    has_cat = lower.str.contains(P.CATEGORY_ANY_RE, regex=True)
-    has_tag = lower.str.contains(P.TAG_ANY_RE, regex=True)
+    has_cat = any_of(*P.CATEGORY_GATE_NEEDLES)
+    has_tag = any_of(*P.TAG_GATE_NEEDLES)
     has_date = any_of("date", "<time")  # covers pubdate/datePublished
     has_img = any_of("og:image", "twitter:image", "<img")
 
