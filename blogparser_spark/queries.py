@@ -2714,3 +2714,73 @@ def training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(cb / 256).alias("pack_id"),
         (cb % 256).alias("pack_pos"),
     )
+
+
+# --------------------------------------------------------------- HLL sketch ---
+
+_HLL_SQL = r"""
+    WITH vals AS (
+      SELECT lang, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+      FROM documents
+    ), parts AS (
+      SELECT lang, ('0x' || substr(h, 1, 2))::INT AS register, substr(h, 3, 13) AS suf
+      FROM vals
+    ), ranked AS (
+      SELECT lang, register,
+        CASE WHEN length(regexp_extract(suf, '^0*', 0)) = 13 THEN 53
+             ELSE length(regexp_extract(suf, '^0*', 0)) * 4
+                  + CASE substr(suf, length(regexp_extract(suf, '^0*', 0)) + 1, 1)
+                      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                      WHEN '7' THEN 1 ELSE 0 END + 1
+        END AS rank
+      FROM parts
+    ), regs AS (
+      SELECT lang, register, max(rank) AS max_rank FROM ranked GROUP BY 1, 2
+    ), agg AS (
+      SELECT lang, count(*)::BIGINT AS n_present,
+             (sum(1::BIGINT << (53 - max_rank))
+              + (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS s_scaled
+      FROM regs GROUP BY 1
+    ), est AS (
+      SELECT lang, n_present, s_scaled,
+             (0.7213 / (1 + 1.079 / 256)) * 256.0 * 256.0
+               * (1::BIGINT << 53) / s_scaled AS raw
+      FROM agg
+    ), ex AS (
+      SELECT lang,
+             count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')))::BIGINT
+               AS exact_distinct
+      FROM documents GROUP BY 1
+    )
+    SELECT est.lang, n_present, s_scaled,
+           round(CASE WHEN raw <= 640.0 AND n_present < 256
+                      THEN 256.0 * ln(256.0 / (256 - n_present))
+                      ELSE raw END, 6) AS hll_distinct,
+           exact_distinct
+    FROM est JOIN ex ON est.lang = ex.lang
+    ORDER BY est.lang
+"""
+
+
+@_q("hll_distinct_by_lang", _HLL_SQL)
+def hll_distinct_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang approximate distinct normalized texts via a deterministic
+    HyperLogLog sketch (p=8, md5-derived registers — dataops/sketches.py),
+    joined against the exact COUNT(DISTINCT) for calibration. The sketch
+    groupBy is a partial-aggregatable max over at most 256 registers per
+    lang, so at 10^12 turns the shuffle carries 256 rows per group instead
+    of every distinct key; the register state merges across checkpoint
+    slices and stream micro-batches (hll_merge). The oracle replays the
+    register construction, the exact-int64 scaled register sum, and the
+    small-range correction in DuckDB SQL."""
+    from blogparser_spark.dataops import sketches
+    from blogparser_spark.dataops.dedup import _norm
+
+    docs = _docs(spark, sf_dir)
+    regs = sketches.hll_registers(docs, _norm(F.col("text")), ("lang",), p=8)
+    est = sketches.hll_estimate(regs, ("lang",), p=8)
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct(_norm(F.col("text"))).alias("exact_distinct")
+    )
+    return est.join(exact, "lang").orderBy("lang")
