@@ -2784,3 +2784,46 @@ def hll_distinct_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(_norm(F.col("text"))).alias("exact_distinct")
     )
     return est.join(exact, "lang").orderBy("lang")
+
+
+# ------------------------------------------------------- segment-level dedup ---
+
+_SEGDUP_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), segs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, greatest(cast(ceil(len(toks) / 12.0) AS int), 1)),
+               i -> {'seg': i,
+                     'seg_text': array_to_string(toks[i*12+1 : i*12+12], ' ')})) AS s
+      FROM t
+    ), seg2 AS (
+      SELECT doc_id, s.seg AS seg, s.seg_text AS seg_text FROM segs
+    ), flagged AS (
+      SELECT doc_id, seg, seg_text,
+             row_number() OVER (PARTITION BY md5(seg_text) ORDER BY doc_id, seg) = 1 AS keep
+      FROM seg2
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_segs,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           coalesce(string_agg(CASE WHEN keep THEN seg_text END, ' ' ORDER BY seg), '')
+             AS clean_text
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_q("segment_dedup_docs", _SEGDUP_SQL)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document exact dedup with reassembly: every 12-word
+    segment survives only at its corpus-global first occurrence (lowest
+    (doc_id, seg)); documents are re-joined from their surviving segments
+    in original order. The Spark side computes the first-keeper as a
+    map-side-combinable min(struct) groupBy on the segment md5 (no
+    corpus-wide window sort, robust to boilerplate-heavy corpora); the
+    oracle expresses the identical semantics as a row_number window."""
+    from blogparser_spark.dataops.dedup import segment_dedup_reassemble
+
+    return segment_dedup_reassemble(_docs(spark, sf_dir), width=12)

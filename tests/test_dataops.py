@@ -690,3 +690,52 @@ def test_cross_doc_span_stats(spark):
     # holds them -> not cross-doc duplicated
     assert got[4]["n_spans"] == 9 and got[4]["n_dup_spans"] == 0
     assert got[0]["dup_span_frac"] == 0.25
+
+
+# ---------------------------------------------------------- segment dedup ---
+
+
+def test_segment_dedup_first_keeper(spark):
+    from blogparser_spark.dataops.dedup import (
+        segment_dedup_flags,
+        segment_dedup_reassemble,
+    )
+
+    seg_a = "alpha beta gamma delta"  # 4-word segments (width=4)
+    seg_b = "one two three four"
+    rows = [
+        (0, f"{seg_a} {seg_b}"),          # both segments first here
+        (1, f"{seg_b} unique words here"),  # seg_b duplicated from doc 0
+        (2, seg_a),                        # fully duplicated -> nothing kept
+        (3, ""),                           # empty text -> one empty segment
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = {
+        (r["doc_id"], r["seg"]): r["keep"]
+        for r in segment_dedup_flags(df, width=4).collect()
+    }
+    assert flags[(0, 0)] and flags[(0, 1)]
+    assert not flags[(1, 0)] and flags[(1, 1)]
+    assert not flags[(2, 0)]
+    assert flags[(3, 0)]  # '' first occurs at doc 3
+
+    out = {r["doc_id"]: r for r in segment_dedup_reassemble(df, width=4).collect()}
+    assert out[0]["clean_text"] == f"{seg_a} {seg_b}" and out[0]["n_kept"] == 2
+    assert out[1]["clean_text"] == "unique words here" and out[1]["n_kept"] == 1
+    assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["n_segs"] == 1 and out[3]["clean_text"] == ""
+
+
+def test_segment_dedup_degenerate_boilerplate(spark):
+    """Every doc is the same segment: min(struct) first-keeper combines
+    map-side, and exactly one global survivor remains."""
+    from blogparser_spark.dataops.dedup import segment_dedup_reassemble
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("same old boiler plate").alias("text")
+    )
+    out = segment_dedup_reassemble(df, width=4)
+    kept = out.agg(F.sum("n_kept")).collect()[0][0]
+    assert kept == 1
+    first = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert first["clean_text"] == "same old boiler plate"
