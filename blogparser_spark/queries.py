@@ -2827,3 +2827,75 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blogparser_spark.dataops.dedup import segment_dedup_reassemble
 
     return segment_dedup_reassemble(_docs(spark, sf_dir), width=12)
+
+
+# ------------------------------------------------- large-large join + top-k ---
+
+_ORDER_REV_SQL = """
+    WITH rev AS (
+      SELECT l_orderkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))) AS r
+      FROM lineitem
+      WHERE l_shipdate > TIMESTAMP '1995-03-15'
+      GROUP BY l_orderkey
+    ), j AS (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_orderdate,
+             CAST(rev.r AS DOUBLE) AS revenue
+      FROM rev
+      JOIN orders o ON rev.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+    ), rk AS (
+      SELECT c_mktsegment, o_orderkey, o_orderdate, revenue,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY revenue DESC, o_orderkey) AS rk
+      FROM j
+    )
+    SELECT c_mktsegment, o_orderkey, o_orderdate, revenue, rk
+    FROM rk WHERE rk <= 3 ORDER BY c_mktsegment, rk
+"""
+
+
+@_q("order_revenue_topk", _ORDER_REV_SQL)
+def order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by revenue per market segment (TPC-H Q3/Q10 blend) —
+    the large-large fact-fact join demonstrated with its scale shape:
+    lineitem is filtered (pushes to the scan) and PRE-AGGREGATED to one
+    row per orderkey BEFORE the join, so the shuffle-join probe side
+    shrinks by the lineitems-per-order factor; orders joins on the same
+    orderkey (co-partitioned sort-merge at scale; AQE may elect broadcast
+    at small SF); the customer dim is an explicit broadcast; the top-k
+    window partitions by segment with a deterministic (revenue desc,
+    orderkey) tie-break. Money is decimal-summed, cast to double only at
+    the boundary (CLAUDE.md rule 7)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        li.filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            ).alias("r")
+        )
+    )
+    j = (
+        rev.join(orders, rev["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("r").cast("double").alias("revenue"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("revenue").desc(), "o_orderkey"
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("c_mktsegment", "rk")
+    )

@@ -126,3 +126,51 @@ def run_streaming_dedup_probe(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_hll(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    group_cols: tuple[str, ...] = ("role",),
+    text_col: str = "text",
+    p: int = 8,
+) -> None:
+    """Streaming distinct-cardinality sketch: each micro-batch reduces to
+    its per-group HLL register state (at most 2^p rows per group, whatever
+    the batch size) and APPENDS it to the state sink; the live sketch is
+    the max-merge of everything appended (read_hll_state). Append + merge
+    is the right streaming shape for HLL because register max is
+    idempotent and commutative — a replayed batch id appends duplicate
+    register rows that change nothing, so the sketch is exactly correct
+    under at-least-once delivery without transactional state."""
+    from blogparser_spark.dataops import sketches
+
+    schema = transcripts_df(spark, n_convs=1, turns_per_conv=1).schema
+    stream = spark.readStream.schema(schema).parquet(input_path)
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        regs = sketches.hll_registers(batch_df, F.col(text_col), group_cols, p)
+        regs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            output_path
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_hll_state(
+    spark: SparkSession, path: str, group_cols: tuple[str, ...] = ("role",)
+) -> DataFrame:
+    """Collapse the appended per-batch register states to the live sketch."""
+    from blogparser_spark.dataops import sketches
+
+    return sketches.hll_merge(
+        spark.read.parquet(path).drop("batch_id"), group_cols=group_cols
+    )

@@ -89,3 +89,31 @@ def test_streaming_dedup_probe_matches_batch(spark, tmp_path):
     assert streamed.count() > 0
     assert streamed.exceptAll(expect).count() == 0
     assert expect.exceptAll(streamed).count() == 0
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """The merged streaming register state must equal the one-shot batch
+    sketch over the same rows, however the stream chops the input — and a
+    duplicate batch append (at-least-once replay) must not change it."""
+    from blogparser_spark.dataops import sketches
+    from blogparser_spark.sources.synthetic import transcripts_df
+    from blogparser_spark.streaming.pipeline import read_hll_state, run_streaming_hll
+
+    df = transcripts_df(spark, n_convs=30, turns_per_conv=5)
+    inp = str(tmp_path / "in")
+    df.filter(F.col("turn_idx") < 2).write.mode("overwrite").parquet(inp)
+    df.filter(F.col("turn_idx") >= 2).coalesce(1).write.mode("append").parquet(inp)
+
+    out = str(tmp_path / "hll")
+    run_streaming_hll(spark, inp, out, str(tmp_path / "ckpt"), group_cols=("role",))
+
+    merged = read_hll_state(spark, out, group_cols=("role",))
+    batch = sketches.hll_registers(df, F.col("text"), ("role",))
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in batch.collect()}
+
+    # replay-idempotence: append one batch's registers again
+    spark.read.parquet(out).limit(50).write.mode("append").parquet(out)
+    replayed = read_hll_state(spark, out, group_cols=("role",))
+    assert {tuple(r) for r in replayed.collect()} == {
+        tuple(r) for r in batch.collect()
+    }
