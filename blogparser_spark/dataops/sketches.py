@@ -162,3 +162,167 @@ def rank_py(suf: str) -> int:
     if lzc == _SUF_CHARS:
         return 53
     return lzc * 4 + _NIB_LZ[suf[lzc]] + 1
+
+
+# ---------------------------------------------------------- count-min sketch ---
+#
+# Cormode & Muthukrishnan, "An Improved Data Stream Summary: The Count-Min
+# Sketch and its Applications" (J. Algorithms 2005). A d×w counter grid
+# replaces a full per-key frequency groupBy: every occurrence increments d
+# counters (one per hash row), an item's estimate is the MIN of its d
+# counters (always ≥ the true count — overcount only, never under). The
+# state is d·w int64s per group regardless of key cardinality, the counter
+# build is a partial-aggregatable COUNT (map-side combine bounds each input
+# partition's shuffle contribution at d·w rows), and two sketches merge by
+# counter-wise ADDITION — the same slice/micro-batch rollup property as the
+# HLL registers above. Engine-portable by the module's convention: counter
+# coordinates derive from md5 hex substrings via integer/string ops only,
+# so the DuckDB oracle replays them bit-exactly.
+
+
+def _md5_mod(value: Column, salt: str, mod: int) -> Column:
+    """First 32 bits of md5(salt || value) reduced mod `mod` — the one
+    hash primitive both engines evaluate identically (Spark: conv(hex, 16,
+    10); DuckDB: ('0x' || substr)::BIGINT)."""
+    h = F.md5(F.concat(F.lit(salt), value))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % mod
+
+
+def cms_coords(value: Column, d: int = 4, w: int = 512) -> Column:
+    """array<struct<row,col>> of the d counter coordinates touched by one
+    occurrence of `value` (row j's column = first 32 md5 bits of "j:" ||
+    value, mod w)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                _md5_mod(value, f"{j}:", w).alias("col"),
+            )
+            for j in range(d)
+        ]
+    )
+
+
+def cms_counters(
+    df: DataFrame,
+    value: Column,
+    group_cols: Sequence[str] = (),
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Per-group CMS counter state: (group_cols..., row, col, cnt). Only
+    coordinates that were actually hit appear (absent ⇒ 0); the grid is
+    therefore ≤ d·w rows per group however many distinct keys the stream
+    carries — the property that makes this the 10^12-turn frequency path."""
+    return (
+        df.select(*group_cols, F.explode(cms_coords(value, d, w)).alias("rc"))
+        .select(*group_cols, F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .groupBy(*group_cols, "row", "col")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_merge(*counter_dfs: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Counter-wise addition — sketches built on disjoint slices (checkpoint
+    buckets, stream micro-batches) merge into the sketch of their union."""
+    out = counter_dfs[0]
+    for other in counter_dfs[1:]:
+        out = out.unionByName(other)
+    return out.groupBy(*group_cols, "row", "col").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    candidates: DataFrame,
+    value: Column,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Point-query the sketch for every candidate row: explode the
+    candidate's d coordinates, broadcast-join the (small, ≤ d·w-row)
+    counter state, MIN over the d rows. Candidates keep all their columns;
+    the estimate lands as `cms_est` (≥ true count by construction). The
+    join side that scales is the candidate set — the sketch is the tiny
+    side, so this is one broadcast hash join and one partial-agg min, no
+    matter how the candidates were produced (at scale: per-partition local
+    top-k survivors, not a full distinct)."""
+    cand = candidates.withColumn("_rc", F.explode(cms_coords(value, d, w)))
+    joined = cand.join(
+        F.broadcast(counters),
+        (F.col("_rc.row") == counters["row"]) & (F.col("_rc.col") == counters["col"]),
+        "left",
+    )
+    keep = [c for c in candidates.columns]
+    return (
+        joined.groupBy(*keep)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est"))
+    )
+
+
+# --------------------------------------------------------------- bloom filter ---
+#
+# Bloom (CACM 1970) membership filter as a relation: the bitset is the set
+# of DISTINCT positions hit by n_hashes md5-derived hashes of each build-side
+# key — ≤ n_bits rows however many keys went in (the distinct is map-side
+# combinable). The probe side tests membership with UNROLLED
+# array_contains(bits, pos_j) conjuncts against a one-row broadcast array —
+# pure whole-stage codegen, no explode, no shuffle on the probe side, no
+# false negatives (guaranteed), false positives bounded by the classic
+# (1 - e^{-kn/m})^k. The 100-TB use: drop non-matching fact rows BEFORE the
+# shuffle of a fact⋈dim join whose dim key set is too large to broadcast as
+# an exact hash set but whose n_bits-position bloom is a few KB — the same
+# idea Spark's runtime-filter bloom pushdown (spark.sql.optimizer.runtime.
+# bloomFilter.enabled) applies inside Catalyst; this form is explicit,
+# reusable across jobs, and engine-portable for the oracle.
+
+
+def bloom_bits(
+    df: DataFrame,
+    key: Column,
+    n_hashes: int = 3,
+    n_bits: int = 4096,
+) -> DataFrame:
+    """Build-side bitset: one `pos` row per DISTINCT bit position set by
+    the keys (hash j's position = first 32 md5 bits of "b<j>:" || key,
+    mod n_bits)."""
+    pos = F.array(*[_md5_mod(key, f"b{j}:", n_bits) for j in range(n_hashes)])
+    return df.select(F.explode(pos).alias("pos")).distinct()
+
+
+def bloom_test(
+    key: Column,
+    bits_col: Column,
+    n_hashes: int = 3,
+    n_bits: int = 4096,
+) -> Column:
+    """Membership predicate against a bitset ARRAY column: n_hashes
+    UNROLLED array_contains conjuncts (not a higher-order forall — those
+    run interpreted, CLAUDE.md rule 1). True ⇒ maybe-member; false ⇒
+    definitely absent."""
+    test = None
+    for j in range(n_hashes):
+        c = F.array_contains(bits_col, _md5_mod(key, f"b{j}:", n_bits))
+        test = c if test is None else (test & c)
+    return test
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    key: Column,
+    bits: DataFrame,
+    n_hashes: int = 3,
+    n_bits: int = 4096,
+) -> DataFrame:
+    """Keep fact rows whose key passes the bloom. The bitset collapses to a
+    ONE-ROW sorted array (≤ n_bits ints) that rides in as a broadcast
+    nested-loop side; the membership test is n_hashes array_contains
+    conjuncts — codegen-native, evaluated at the scan, so rejected rows
+    never reach the downstream join's shuffle."""
+    barr = bits.agg(F.sort_array(F.collect_set("pos")).alias("_bloom_bits"))
+    return (
+        fact.join(F.broadcast(barr))
+        .filter(bloom_test(key, F.col("_bloom_bits"), n_hashes, n_bits))
+        .drop("_bloom_bits")
+    )

@@ -2899,3 +2899,140 @@ def order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("c_mktsegment", "rk")
     )
+
+
+# ------------------------------------------------------------ count-min sketch ---
+
+_CMS_SQL = """
+    WITH coords AS (
+      SELECT user_id, j.r AS row,
+             ('0x' || substr(md5(j.r::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT % 64 AS col
+      FROM events, (SELECT unnest(range(2)) AS r) j
+    ), counters AS (
+      SELECT row, col, count(*)::BIGINT AS cnt FROM coords GROUP BY 1, 2
+    ), exact AS (
+      SELECT user_id, count(*)::BIGINT AS exact_n FROM events GROUP BY 1
+    ), est AS (
+      SELECT e.user_id, e.exact_n, min(coalesce(c.cnt, 0))::BIGINT AS cms_est
+      FROM exact e
+      CROSS JOIN (SELECT unnest(range(2)) AS r) j
+      LEFT JOIN counters c
+        ON c.row = j.r
+       AND c.col = ('0x' || substr(md5(j.r::VARCHAR || ':' || e.user_id::VARCHAR), 1, 8))::BIGINT % 64
+      GROUP BY 1, 2
+    ), tot AS (SELECT count(*)::BIGINT AS n_tot FROM events)
+    SELECT user_id, exact_n, cms_est, (cms_est - exact_n)::BIGINT AS overcount
+    FROM est, tot
+    WHERE cms_est * 175 >= n_tot
+    ORDER BY user_id
+"""
+
+
+@_q("cms_user_event_counts", _CMS_SQL)
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-user event frequencies via a deterministic count-min
+    sketch (d=2, w=64 — deliberately undersized so hash collisions are real
+    and the no-undercount invariant is visible in `overcount`), audited
+    against the exact groupBy count. The counter build is a map-side-
+    combinable COUNT over ≤ d·w coordinates (dataops/sketches.py), the
+    state merges by addition across slices/micro-batches, and the point
+    query is a broadcast join of the tiny counter grid — at 10^12 turns
+    this replaces a full per-key frequency shuffle with 128 counters.
+    Reported: users whose estimated share is ≥ 1/175 of the stream (the
+    sketch-side decision), with exact count and overcount for calibration.
+    The oracle replays the md5-derived coordinates bit-exactly in DuckDB."""
+    from blogparser_spark.dataops import sketches
+
+    ev = _events(spark, sf_dir)
+    key = F.col("user_id").cast("string")
+    counters = sketches.cms_counters(ev, key, (), d=2, w=64)
+    exact = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("exact_n"))
+    est = sketches.cms_estimate(counters, exact, key, d=2, w=64)
+    tot = ev.agg(F.count("*").cast("bigint").alias("n_tot"))
+    return (
+        est.join(F.broadcast(tot))
+        .filter(F.col("cms_est") * 175 >= F.col("n_tot"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------- bloom filter ---
+
+_BLOOM_SQL = """
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), bits AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5('b' || j.h::VARCHAR || ':' || c_custkey::VARCHAR), 1, 8))::BIGINT % 1024 AS pos
+      FROM dim, (SELECT unnest(range(3)) AS h) j
+    ), blist AS (SELECT list(pos ORDER BY pos) AS bits FROM bits),
+    f AS (
+      SELECT o_orderstatus,
+        (list_contains(bits, ('0x' || substr(md5('b0:' || o_custkey::VARCHAR), 1, 8))::BIGINT % 1024)
+         AND list_contains(bits, ('0x' || substr(md5('b1:' || o_custkey::VARCHAR), 1, 8))::BIGINT % 1024)
+         AND list_contains(bits, ('0x' || substr(md5('b2:' || o_custkey::VARCHAR), 1, 8))::BIGINT % 1024)) AS pass,
+        o_custkey IN (SELECT c_custkey FROM dim) AS truem
+      FROM orders, blist
+    )
+    SELECT o_orderstatus,
+      count(*)::BIGINT AS n_orders,
+      sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+      sum(CASE WHEN truem THEN 1 ELSE 0 END)::BIGINT AS n_true,
+      sum(CASE WHEN pass AND NOT truem THEN 1 ELSE 0 END)::BIGINT AS n_false_pos
+    FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("bloom_semijoin_audit", _BLOOM_SQL)
+def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning audited per order status: the
+    'BUILDING'-segment customer keys build a 1024-bit / 3-hash bloom
+    (dataops/sketches.py) whose bitset rides to the fact scan as a ONE-ROW
+    broadcast array; membership is three unrolled array_contains conjuncts
+    in whole-stage codegen — no explode, no shuffle on the fact side. The
+    audit joins the exact semijoin truth per row: n_pass ≥ n_true always
+    (no false negatives — the bloom guarantee), n_false_pos is what the
+    downstream join would have shuffled for nothing without the filter. At
+    100 TB this is the explicit, reusable form of Catalyst's runtime bloom
+    pushdown: the fact rows that can't match die at the scan instead of
+    crossing the join shuffle."""
+    from blogparser_spark.dataops import sketches
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    bits = sketches.bloom_bits(dim, F.col("c_custkey").cast("string"), 3, 1024)
+    barr = bits.agg(F.sort_array(F.collect_set("pos")).alias("_bloom_bits"))
+    flagged = (
+        orders.join(F.broadcast(barr))
+        .withColumn(
+            "pass",
+            sketches.bloom_test(
+                F.col("o_custkey").cast("string"), F.col("_bloom_bits"), 3, 1024
+            ),
+        )
+        .join(
+            F.broadcast(dim.select(F.col("c_custkey").alias("_dim_key"))),
+            F.col("o_custkey") == F.col("_dim_key"),
+            "left",
+        )
+        .withColumn("truem", F.col("_dim_key").isNotNull())
+    )
+    return (
+        flagged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("bigint").alias("n_pass"),
+            F.sum(F.when(F.col("truem"), 1).otherwise(0)).cast("bigint").alias("n_true"),
+            F.sum(F.when(F.col("pass") & ~F.col("truem"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -76,3 +76,79 @@ def test_hll_accuracy_p8(spark):
     est = sketches.hll_estimate(sketches.hll_registers(df, F.col("text"))).collect()[0]
     # p=8 -> relative stderr ~1.04/sqrt(256) = 6.5%; 3 sigma bound
     assert abs(est["hll_distinct"] - n) / n < 0.20
+
+
+# ---------------------------------------------------------- count-min sketch ---
+
+
+def test_cms_never_undercounts_and_collisions_overcount(spark):
+    # zipf-ish frequencies over 120 keys forced into a 2x32 grid: collisions
+    # are certain, so some estimate MUST overcount; none may undercount
+    rows = [(f"k{i}",) for i in range(120) for _ in range(1 + (i % 7))]
+    df = spark.createDataFrame(rows, "k string")
+    counters = sketches.cms_counters(df, F.col("k"), d=2, w=32)
+    exact = df.groupBy("k").agg(F.count("*").cast("bigint").alias("exact_n"))
+    est = sketches.cms_estimate(counters, exact, F.col("k"), d=2, w=32).collect()
+    assert len(est) == 120
+    assert all(r["cms_est"] >= r["exact_n"] for r in est)
+    assert any(r["cms_est"] > r["exact_n"] for r in est)
+
+
+def test_cms_exact_when_grid_is_roomy(spark):
+    # 10 keys in a 4x512 grid: P(any collision) is negligible by birthday
+    # bound with these fixed md5 coords -> min over 4 rows is exact
+    df = spark.createDataFrame([(f"key-{i}",) for i in range(10) for _ in range(3)], "k string")
+    counters = sketches.cms_counters(df, F.col("k"), d=4, w=512)
+    cand = df.select("k").distinct()
+    est = sketches.cms_estimate(counters, cand, F.col("k"), d=4, w=512).collect()
+    assert all(r["cms_est"] == 3 for r in est)
+
+
+def test_cms_merge_is_addition(spark):
+    a = spark.createDataFrame([(f"x{i % 9}",) for i in range(100)], "k string")
+    b = spark.createDataFrame([(f"x{i % 13}",) for i in range(80)], "k string")
+    merged = sketches.cms_merge(
+        sketches.cms_counters(a, F.col("k"), d=2, w=64),
+        sketches.cms_counters(b, F.col("k"), d=2, w=64),
+    )
+    direct = sketches.cms_counters(a.unionByName(b), F.col("k"), d=2, w=64)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_cms_grouped_state_is_bounded(spark):
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"v{i}") for i in range(900)], "g string, k string"
+    )
+    counters = sketches.cms_counters(df, F.col("k"), ("g",), d=2, w=16)
+    per_group = counters.groupBy("g").count().collect()
+    # 900/3 = 300 distinct keys per group but the grid caps state at d*w = 32
+    assert all(r["count"] <= 32 for r in per_group)
+
+
+# --------------------------------------------------------------- bloom filter ---
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    dim = spark.range(100, 160).select(F.col("id").cast("string").alias("k"))
+    fact = spark.range(0, 1000).select(F.col("id").alias("fid"), F.col("id").cast("string").alias("k"))
+    bits = sketches.bloom_bits(dim, F.col("k"), n_hashes=3, n_bits=512)
+    kept = sketches.bloom_prefilter(fact, F.col("k"), bits, n_hashes=3, n_bits=512)
+    kept_ids = {r["fid"] for r in kept.collect()}
+    # every true member passes
+    assert set(range(100, 160)) <= kept_ids
+    # and the filter actually prunes most non-members (512 bits / 60 keys
+    # / 3 hashes -> fpp ~ (1 - e^{-180/512})^3 ~ 2.6%)
+    assert len(kept_ids) < 200
+
+
+def test_bloom_prefilter_plan_is_broadcast_no_fact_shuffle(spark):
+    # the bitset must ride to the fact as a broadcast one-row side; the
+    # fact itself must not shuffle (the whole point of pre-join pruning)
+    dim = spark.range(0, 50).select(F.col("id").cast("string").alias("k"))
+    fact = spark.range(0, 500).select(F.col("id").cast("string").alias("k"))
+    bits = sketches.bloom_bits(dim, F.col("k"))
+    kept = sketches.bloom_prefilter(fact, F.col("k"), bits)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

@@ -150,3 +150,23 @@ with tempfile.TemporaryDirectory() as td:
     ppl = pr._jdf.queryExecution().executedPlan().toString()
     print("ivfpq probe rows:", pr.count(), "codegen-only:", "EvalPython" not in ppl and "MapInPandas" not in ppl)
 print("DRIVE9 OK")
+
+# sketches: HLL estimate, CMS point queries, bloom pre-join pruning
+from blogparser_spark.dataops import sketches as SK
+
+hll = SK.hll_estimate(SK.hll_registers(docs, _F.col("text"))).collect()[0]
+assert hll["hll_distinct"] > 0
+cms = SK.cms_counters(docs, _F.col("source"), d=2, w=64)
+cand = docs.groupBy("source").agg(_F.count("*").cast("bigint").alias("exact_n"))
+est = SK.cms_estimate(cms, cand, _F.col("source"), d=2, w=64).collect()
+assert est and all(r["cms_est"] >= r["exact_n"] for r in est)
+print("cms sources:", len(est))
+dimk = docs.filter("doc_id % 3 = 0").select(_F.col("doc_id").cast("string").alias("k"))
+bbits = SK.bloom_bits(dimk, _F.col("k"), n_hashes=3, n_bits=512)
+kept = SK.bloom_prefilter(
+    docs.select(_F.col("doc_id").cast("string").alias("k")), _F.col("k"), bbits,
+    n_hashes=3, n_bits=512)
+nk = kept.count()
+assert nk >= dimk.count()
+print("bloom kept:", nk)
+print("DRIVE10 OK")
