@@ -143,6 +143,56 @@ def stratified_sample(
     return df.filter(sample_key(F.col(id_col), salt) < thr)
 
 
+ES_KEY_HEXLEN = 13  # 52 bits of md5 → u ∈ (0, 1] exact in a double
+
+
+def weighted_sample_key(
+    id_col: Column, weight: Column, salt: str = "wsample"
+) -> Column:
+    """Efraimidis–Spirakis exponential key ("Weighted random sampling with
+    a reservoir", IPL 2006): each row gets key = ln(u) / w with u uniform
+    in (0, 1]; the global top-n by key IS a weighted sample without
+    replacement (selection probability ∝ w). u derives from md5 — 13 hex
+    chars = an exact 52-bit integer, (u_int + 1) / 2^52 — so the sample is
+    deterministic across reruns, backfills, and engines (the DuckDB oracle
+    evaluates the same expression). Rounded to 6 so both engines order by
+    an identical key."""
+    u_int = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))),
+            1,
+            ES_KEY_HEXLEN,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (u_int + F.lit(1)).cast("double") / F.lit(float(1 << 52))
+    return F.round(F.log(u) / weight.cast("double"), 6)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sample of n rows without replacement: orderBy(key desc,
+    id).limit(n), which Spark compiles to TakeOrderedAndProject —
+    per-partition LOCAL top-n, then an n-row merge on the driver; no
+    global sort shuffle, no RNG state, identical row set at any
+    parallelism (the two-cluster-size reproducibility stratified_sample
+    gives Bernoulli sampling, extended to weight-proportional selection).
+    Rows with weight ≤ 0 are never sampled (ES is undefined there)."""
+    key = weighted_sample_key(F.col(id_col), F.col(weight_col), salt)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .limit(n)
+    )
+
+
 def temperature_rates(
     df: DataFrame, strata_col: str = "lang", alpha: float = 0.5
 ) -> dict[str, float]:

@@ -1,0 +1,122 @@
+"""Bigram language-model quality scoring — the CCNet idea (Wenzek et al.,
+"CCNet: Extracting High Quality Monolingual Datasets from Web Crawl Data",
+LREC 2020: train a small LM, keep low-perplexity documents) with the LM
+itself trained distributed ON the corpus, so no external model artifact is
+needed and every number is reproducible from the input table.
+
+Model: add-one-smoothed bigram probabilities
+    P(w2 | w1) = (c(w1,w2) + 1) / (c(w1·) + V)
+where c(w1·) is the CONTEXT count (bigrams starting with w1 — derivable
+from the bigram table itself, no second scan) and V the token vocabulary.
+A document's score is the mean log-probability of its bigrams; perplexity
+is exp(-mean).
+
+Shape / scale (the repetition_signals pattern, CLAUDE.md rule 1):
+  - bigrams are built relationally — posexplode once, lead() over the
+    per-doc window (range-partitioned on the id BEFORE the fan-out, rule
+    4), never an array HOF;
+  - counting is two partial hash aggs: (w1, w2) then w1 — shuffle keyed on
+    bigram vocabulary, not token volume;
+  - scoring joins the count tables back BROADCAST (a web-scale bigram
+    table above the broadcast threshold would bucket-join on w1 instead —
+    the tables are still corpus-vocabulary-sized, orders of magnitude
+    below token volume) and partial-aggregates straight back to one row
+    per doc.
+
+Determinism / oracle portability: counts are exact ints; each bigram's
+log-probability is a function of three ints rounded to 6 decimals; the
+per-doc mean and perplexity round to 6 (module convention — functions of
+exact integers, round-6 absorbs libm ulp skew between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from blogparser_spark.dataops.textstats import tokens
+
+
+def doc_token_stream(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, w) lowercase token stream, range-partitioned on the id so
+    the downstream per-doc window reuses the exchange (rule 4: a
+    single-file scan's fan-out must not inherit 1 partition)."""
+    from blogparser_spark.operators.skew import range_partition_for_windows
+
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    return range_partition_for_windows(df, parts, id_col).select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "w"),
+    )
+
+
+def doc_bigrams(stream: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, w1, w2) one row per bigram occurrence via lead() over the
+    per-doc window — relational, codegen-native, no array HOF."""
+    win = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        stream.select(
+            F.col(id_col),
+            F.col("w").alias("w1"),
+            F.lead("w").over(win).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+
+
+def bigram_lm(bigrams: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train: (w1, w2, cnt2) and the context table (w1, cnt1) where cnt1 =
+    Σ_w2 cnt2 — derived from the bigram counts, no extra corpus scan. Both
+    are partial hash aggs keyed on (bigram) vocabulary."""
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("cnt2"))
+    c1 = c2.groupBy("w1").agg(F.sum("cnt2").cast("bigint").alias("cnt1"))
+    return c2, c1
+
+
+def score_with_lm(
+    bigrams: DataFrame,
+    c2: DataFrame,
+    c1: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc mean bigram log-probability against a trained LM. LEFT
+    joins + coalesce(0) so documents with bigrams/contexts UNSEEN at
+    training time still score (the add-one smoothing is exactly what makes
+    that finite) — the path a held-out corpus takes. `vocab` is a one-row
+    (vocab bigint) DataFrame riding in broadcast."""
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("cnt2"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.coalesce(F.col("cnt1"), F.lit(0)) + F.col("vocab")).cast("double")
+        ),
+        6,
+    )
+    return (
+        bigrams.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .join(F.broadcast(vocab))
+        .select(F.col(id_col), lp.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+            F.round(F.exp(-F.avg("lp")), 6).alias("ppl"),
+        )
+    )
+
+
+def lm_quality_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-scored corpus: train the bigram LM on `df` and score every
+    document of `df` against it (the CCNet in-domain calibration run).
+    Returns (id, n_bigrams, avg_logprob, ppl); docs with < 2 tokens have
+    no bigrams and are absent (nothing to score)."""
+    stream = doc_token_stream(df, text_col, id_col)
+    bg = doc_bigrams(stream, id_col)
+    c2, c1 = bigram_lm(bg)
+    vocab = stream.agg(F.countDistinct("w").cast("bigint").alias("vocab"))
+    return score_with_lm(bg, c2, c1, vocab, id_col)

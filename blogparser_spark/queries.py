@@ -3036,3 +3036,96 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ----------------------------------------------------- weighted sampling (ES) ---
+
+_WSAMPLE_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), x -> x != ''))::BIGINT
+               AS weight_tokens
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, weight_tokens,
+             round(ln((('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 13))::BIGINT + 1)
+                      / 4503599627370496.0) / weight_tokens, 6) AS es_key
+      FROM t WHERE weight_tokens > 0
+    )
+    SELECT row_number() OVER (ORDER BY es_key DESC, doc_id) AS rank,
+           doc_id, weight_tokens, es_key
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT 50
+"""
+
+
+@_q("weighted_sample_docs", _WSAMPLE_SQL)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count-weighted sample of 50 documents via deterministic
+    Efraimidis–Spirakis exponential keys (dataops/curation.py): key =
+    ln(md5-uniform)/weight, global top-n by key = weighted sample without
+    replacement. The plan is TakeOrderedAndProject (plan-asserted in
+    test_curation) — per-partition local top-n merged on the driver, so at
+    10^12 rows the driver sees n·partitions candidates, never a global
+    sort shuffle; reruns and different cluster sizes select the identical
+    row set. The oracle evaluates the same key expression in DuckDB."""
+    from blogparser_spark.dataops import curation, textstats
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(textstats.tokens(F.lower(F.col("text"))))
+        .cast("bigint")
+        .alias("weight_tokens"),
+    )
+    top = curation.weighted_sample(d, "weight_tokens", 50)
+    w = Window.orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "weight_tokens", "es_key"
+    )
+
+
+# ------------------------------------------------- bigram-LM quality scoring ---
+
+_LMPPL_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
+      FROM documents
+    ), b2 AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk), 1)),
+                                     i -> {'w1': tk[i], 'w2': tk[i+1]})) AS u
+        FROM t
+      )
+    ), c2 AS (
+      SELECT w1, w2, count(*)::BIGINT AS cnt2 FROM b2 GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, sum(cnt2)::BIGINT AS cnt1 FROM c2 GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT w)::BIGINT AS vocab
+      FROM (SELECT unnest(tk) AS w FROM t)
+    ), lp AS (
+      SELECT doc_id,
+             round(ln((cnt2 + 1.0) / (cnt1 + vocab)), 6) AS lp
+      FROM b2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(lp), 6) AS avg_logprob,
+           round(exp(-avg(lp)), 6) AS ppl
+    FROM lp GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("lm_perplexity_scores", _LMPPL_SQL)
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scores (Wenzek et al. 2020): an add-one
+    bigram LM is TRAINED on the corpus distributed (lead()-built bigrams,
+    two partial hash aggs keyed on bigram vocabulary — dataops/lm.py) and
+    every document is scored by its mean bigram log-probability +
+    perplexity. Count tables join back broadcast; at 10^12 turns the LM
+    tables stay vocabulary-sized while the token volume only ever flows
+    through map-side partial aggs. The oracle replays the identical
+    integer counts and round-6 log math in DuckDB."""
+    from blogparser_spark.dataops import lm
+
+    return lm.lm_quality_scores(_docs(spark, sf_dir)).orderBy("doc_id")

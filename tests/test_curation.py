@@ -284,3 +284,49 @@ def test_quality_budget_selection_greedy_prefix(spark):
         run += n
     # greedy prefix: 0(5) 1(4) 2(6) -> 15, 3(+3)=18 fits, 4 overflows
     assert [i for i, (_, s) in sorted(got.items()) if s] == [0, 1, 2, 3]
+
+
+# ------------------------------------------------- ES weighted sampling ---
+
+
+def test_weighted_sample_deterministic_across_parallelism(spark):
+    from blogparser_spark.dataops.curation import weighted_sample
+
+    rows = [(i, 1 + (i % 10)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = weighted_sample(df.repartition(2), "w", 20).collect()
+    b = weighted_sample(df.repartition(16), "w", 20).collect()
+    assert [(r["doc_id"], r["es_key"]) for r in a] == [
+        (r["doc_id"], r["es_key"]) for r in b
+    ]
+    assert len(a) == 20
+
+
+def test_weighted_sample_drops_nonpositive_and_favors_heavy(spark):
+    from blogparser_spark.dataops.curation import weighted_sample
+
+    # ids 0-99 weight 1, ids 100-119 weight 1000, id 200 weight 0
+    rows = [(i, 1) for i in range(100)] + [(i, 1000) for i in range(100, 120)] + [(200, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample(df, "w", 20).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 200 not in ids
+    # with a 1000:1 weight ratio the heavy block should dominate the sample
+    assert sum(1 for i in ids if 100 <= i < 120) >= 15
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from blogparser_spark.dataops.curation import weighted_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    plan = (
+        weighted_sample(df, "w", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # local top-n + driver merge, not a global sort shuffle
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -739,3 +739,50 @@ def test_segment_dedup_degenerate_boilerplate(spark):
     assert kept == 1
     first = out.filter(F.col("doc_id") == 0).collect()[0]
     assert first["clean_text"] == "same old boiler plate"
+
+
+# --------------------------------------------------- bigram-LM scoring ---
+
+
+def test_lm_scores_hand_example(spark):
+    import math
+
+    from blogparser_spark.dataops import lm
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in lm.lm_quality_scores(df).collect()}
+    # V=3; c1(a)=3, c1(b)=1; P(b|a)=(2+1)/(3+3), P(a|b)=(1+1)/(1+3), P(c|a)=(1+1)/(3+3)
+    lp_ab = round(math.log(3 / 6), 6)
+    lp_ba = round(math.log(2 / 4), 6)
+    lp_ac = round(math.log(2 / 6), 6)
+    d1_avg = round((2 * lp_ab + lp_ba) / 3, 6)
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["avg_logprob"] == d1_avg
+    assert got[1]["ppl"] == round(math.exp(-(2 * lp_ab + lp_ba) / 3), 6)
+    assert got[2]["n_bigrams"] == 1
+    assert got[2]["avg_logprob"] == lp_ac
+    # single-token / empty docs produce no bigrams -> absent
+    df2 = spark.createDataFrame([(3, "solo"), (4, "")], "doc_id long, text string")
+    assert lm.lm_quality_scores(df2).count() == 0
+
+
+def test_lm_scores_unseen_bigrams_via_smoothing(spark):
+    import math
+
+    from blogparser_spark.dataops import lm
+    from pyspark.sql import functions as F
+
+    train = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    stream = lm.doc_token_stream(train)
+    bg = lm.doc_bigrams(stream)
+    c2, c1 = lm.bigram_lm(bg)
+    vocab = stream.agg(F.countDistinct("w").cast("bigint").alias("vocab"))  # V=2
+    held = spark.createDataFrame([(9, "b b z")], "doc_id long, text string")
+    hbg = lm.doc_bigrams(lm.doc_token_stream(held))
+    got = lm.score_with_lm(hbg, c2, c1, vocab).collect()[0]
+    # (b,b): cnt2=0, c1(b)=1 -> ln(1/3); (b,z): cnt2=0, c1(b)=1 -> ln(1/3)
+    lp = round(math.log(1 / 3), 6)
+    assert got["n_bigrams"] == 2
+    assert got["avg_logprob"] == round((lp + lp) / 2, 6)

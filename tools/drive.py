@@ -170,3 +170,18 @@ nk = kept.count()
 assert nk >= dimk.count()
 print("bloom kept:", nk)
 print("DRIVE10 OK")
+
+# ES weighted sampling + bigram-LM perplexity scoring
+from blogparser_spark.dataops.curation import weighted_sample
+from blogparser_spark.dataops import lm as LM
+
+wdf = docs.select("doc_id", _F.greatest(_F.length("text") % 17, _F.lit(1)).alias("w"))
+ws = weighted_sample(wdf, "w", 12)
+assert ws.count() == 12
+wpl = ws._jdf.queryExecution().executedPlan().toString()
+print("weighted sample top-n local:", "TakeOrderedAndProject" in wpl)
+scores = LM.lm_quality_scores(docs)
+row = scores.orderBy("doc_id").first()
+assert row["n_bigrams"] >= 1 and row["ppl"] > 0
+print("lm scored docs:", scores.count())
+print("DRIVE11 OK")
