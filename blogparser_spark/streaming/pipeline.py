@@ -174,3 +174,61 @@ def read_hll_state(
     return sketches.hll_merge(
         spark.read.parquet(path).drop("batch_id"), group_cols=group_cols
     )
+
+
+def run_streaming_cms(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    key_col: str = "tool",
+    group_cols: tuple[str, ...] = (),
+    d: int = 2,
+    w: int = 64,
+) -> None:
+    """Streaming frequency sketch: each micro-batch reduces to its count-min
+    counter grid (≤ d·w rows per group whatever the batch size) and APPENDS
+    it tagged with the batch id. Unlike the HLL above, CMS merges by
+    ADDITION, which is NOT idempotent — a replayed batch must not
+    double-count. foreachBatch re-delivers a batch with the SAME batch_id
+    and (deterministic sketch) identical counter rows, so read_cms_state
+    restores exactly-once semantics relationally: it first collapses
+    duplicate (batch_id, group, row, col) deliveries with max(cnt) —
+    a no-op on the identical replays, by construction — and only then
+    sums across batch ids. No transactional sink needed."""
+    from blogparser_spark.dataops import sketches
+
+    schema = transcripts_df(spark, n_convs=1, turns_per_conv=1).schema
+    stream = spark.readStream.schema(schema).parquet(input_path)
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        counters = sketches.cms_counters(
+            batch_df, F.col(key_col).cast("string"), group_cols, d, w
+        )
+        counters.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(output_path)
+
+    q = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cms_state(
+    spark: SparkSession, path: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Collapse appended per-batch counter states to the live sketch:
+    dedup replayed deliveries per batch_id (max = the identical row), then
+    counter-wise addition across batches (cms_merge semantics)."""
+    per_batch = (
+        spark.read.parquet(path)
+        .groupBy(*group_cols, "batch_id", "row", "col")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    return per_batch.groupBy(*group_cols, "row", "col").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )

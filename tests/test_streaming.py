@@ -117,3 +117,35 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     assert {tuple(r) for r in replayed.collect()} == {
         tuple(r) for r in batch.collect()
     }
+
+
+def test_streaming_cms_matches_batch_and_replay_dedup(spark, tmp_path):
+    """The summed streaming counter state must equal the one-shot batch CMS
+    over the same rows, and a replayed batch delivery (same batch_id,
+    identical counter rows) must not double-count — addition is not
+    idempotent, so read_cms_state's per-batch dedup is what restores
+    exactly-once."""
+    from blogparser_spark.dataops import sketches
+    from blogparser_spark.sources.synthetic import transcripts_df
+    from blogparser_spark.streaming.pipeline import read_cms_state, run_streaming_cms
+
+    df = transcripts_df(spark, n_convs=30, turns_per_conv=5)
+    inp = str(tmp_path / "in")
+    df.filter(F.col("turn_idx") < 2).write.mode("overwrite").parquet(inp)
+    df.filter(F.col("turn_idx") >= 2).coalesce(1).write.mode("append").parquet(inp)
+
+    out = str(tmp_path / "cms")
+    run_streaming_cms(spark, inp, out, str(tmp_path / "ckpt"), key_col="tool")
+
+    merged = read_cms_state(spark, out)
+    batch = sketches.cms_counters(df, F.col("tool").cast("string"), d=2, w=64)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in batch.collect()}
+
+    # at-least-once replay: re-deliver one whole batch's counter rows
+    state = spark.read.parquet(out)
+    first_bid = state.agg(F.min("batch_id")).collect()[0][0]
+    state.filter(F.col("batch_id") == first_bid).write.mode("append").parquet(out)
+    replayed = read_cms_state(spark, out)
+    assert {tuple(r) for r in replayed.collect()} == {
+        tuple(r) for r in batch.collect()
+    }

@@ -185,3 +185,18 @@ row = scores.orderBy("doc_id").first()
 assert row["n_bigrams"] >= 1 and row["ppl"] > 0
 print("lm scored docs:", scores.count())
 print("DRIVE11 OK")
+
+# streaming CMS: append per-batch counters, read = dedup-then-sum
+from blogparser_spark.streaming.pipeline import run_streaming_cms, read_cms_state
+from blogparser_spark.sources.synthetic import transcripts_df as _tdf
+
+with tempfile.TemporaryDirectory() as td:
+    sdf = _tdf(spark, n_convs=10, turns_per_conv=4)
+    sin = os.path.join(td, "in"); sout = os.path.join(td, "cms")
+    sdf.write.mode("overwrite").parquet(sin)
+    run_streaming_cms(spark, sin, sout, os.path.join(td, "ck"), key_col="tool")
+    live = read_cms_state(spark, sout)
+    ref = SK.cms_counters(sdf, _F.col("tool").cast("string"), d=2, w=64)
+    assert {tuple(r) for r in live.collect()} == {tuple(r) for r in ref.collect()}
+    print("streaming cms counters:", live.count())
+print("DRIVE12 OK")
