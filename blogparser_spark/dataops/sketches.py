@@ -326,3 +326,81 @@ def bloom_prefilter(
         .filter(bloom_test(key, F.col("_bloom_bits"), n_hashes, n_bits))
         .drop("_bloom_bits")
     )
+
+
+# ------------------------------------------------------------- Misra–Gries ---
+#
+# Misra & Gries ("Finding repeated elements", Sci. Comp. Prog. 1982) heavy-
+# hitter summaries, in the MERGEABLE form of Agarwal et al. ("Mergeable
+# Summaries", PODS 2012): each partition keeps at most k weighted counters;
+# merging adds counts and subtracts the (k+1)-th largest so the summary
+# stays at k entries. The surviving counts are LOWER bounds with total
+# error ≤ n/(k+1) per partition, so any key whose global count exceeds
+# N/(k+1) (N = total rows) is GUARANTEED to survive in at least one
+# partition summary — however the input was partitioned. That makes this
+# the scale-safe CANDIDATE GENERATOR for cms_estimate: ≤ k rows per
+# partition are shuffled (never the key universe), candidates are a
+# superset of every guaranteed-heavy key, and the CMS point query then
+# assigns each candidate its (over-)estimate. The candidate SET depends on
+# partition boundaries (only its guaranteed subset is stable), so this is
+# deliberately NOT a driver-oracle query — the guarantee is property-
+# tested across partitionings instead.
+
+
+def mg_candidates(
+    df: DataFrame,
+    value: Column,
+    k: int = 64,
+    key_type: str = "string",
+) -> DataFrame:
+    """Heavy-hitter candidates (key, lb): per-partition Misra–Gries with k
+    counters (pandas value_counts per Arrow batch — vectorized, no per-row
+    Python — merged into the partition summary with the subtract-(k+1)-th
+    prune), then a global groupBy SUM of the surviving lower bounds. Output
+    is ≤ k·n_partitions rows pre-aggregation; every key with global count
+    > N/(k+1) is present."""
+    import pandas as pd
+
+    col_name = "_mg_v"
+
+    def per_part(batches):
+        counters = pd.Series(dtype="float64")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vc = pdf[col_name].value_counts()
+            counters = counters.add(vc, fill_value=0.0)
+            if len(counters) > k:
+                thresh = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - thresh
+                counters = counters[counters > 0]
+        if len(counters):
+            yield pd.DataFrame(
+                {"key": counters.index, "lb": counters.astype("int64").to_numpy()}
+            )
+
+    local = df.select(value.alias(col_name)).mapInPandas(
+        per_part, f"key {key_type}, lb long"
+    )
+    return local.groupBy("key").agg(F.sum("lb").cast("bigint").alias("lb"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value: Column,
+    min_count: int,
+    k: int = 64,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """The composed scale path: Misra–Gries candidates (bounded shuffle,
+    guaranteed superset of keys with count > N/(k+1)) point-queried against
+    the CMS (no-undercount estimates), filtered to cms_est ≥ min_count.
+    Because CMS never undercounts and MG never misses a guaranteed-heavy
+    key, every key with true count ≥ max(min_count, N/(k+1) + 1) is in the
+    output; extras are bounded by the CMS overcount. Neither side ever
+    shuffles the key universe."""
+    cand = mg_candidates(df, value, k)
+    counters = cms_counters(df, value, (), d, w)
+    est = cms_estimate(counters, cand, F.col("key"), d, w)
+    return est.filter(F.col("cms_est") >= min_count).select("key", "lb", "cms_est")

@@ -152,3 +152,45 @@ def test_bloom_prefilter_plan_is_broadcast_no_fact_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+# ---------------------------------------------------------------- Misra–Gries ---
+
+
+def test_mg_guarantee_across_partitionings(spark):
+    # 3 heavy keys (600/300/150 of N=1440) + 390 singletons; with k=16 the
+    # guarantee covers every key with count > N/(k+1) = 84.7 — the heavies
+    # must survive HOWEVER the input is partitioned
+    rows = (
+        [("hot",)] * 600 + [("warm",)] * 300 + [("mild",)] * 150
+        + [(f"cold{i}",) for i in range(390)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    for parts in (1, 3, 16):
+        cand = sketches.mg_candidates(df.repartition(parts), F.col("k"), k=16)
+        keys = {r["key"] for r in cand.collect()}
+        assert {"hot", "warm", "mild"} <= keys, parts
+        # bounded output: at most k entries per partition survive
+        assert cand.count() <= 16 * parts
+
+
+def test_mg_lower_bounds_never_exceed_truth(spark):
+    rows = [(f"k{i % 12}",) for i in range(480)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    cand = {r["key"]: r["lb"] for r in sketches.mg_candidates(df, F.col("k"), k=8).collect()}
+    assert all(lb <= 40 for lb in cand.values())
+
+
+def test_heavy_hitters_composed_recovers_exact_set(spark):
+    # heavy_hitters = MG candidates -> CMS estimates >= min_count; with a
+    # roomy CMS grid the estimates are exact, so the output set equals the
+    # exact >= min_count set whatever the partitioning
+    rows = (
+        [("a",)] * 200 + [("b",)] * 120 + [("c",)] * 60
+        + [(f"z{i}",) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {r["key"]: r["cms_est"] for r in
+           sketches.heavy_hitters(df, F.col("k"), min_count=100, k=32).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"] >= 200 and got["b"] >= 120

@@ -200,3 +200,13 @@ with tempfile.TemporaryDirectory() as td:
     assert {tuple(r) for r in live.collect()} == {tuple(r) for r in ref.collect()}
     print("streaming cms counters:", live.count())
 print("DRIVE12 OK")
+
+# Misra-Gries candidates composed with CMS into bounded-shuffle heavy hitters
+# (k=32 > the ~20 distinct sources: uniform keys would all prune at k<n —
+# correct MG behavior, none exceeds N/(k+1) — so size k to the guarantee)
+hh = SK.heavy_hitters(
+    docs.select(_F.col("source").alias("k")), _F.col("k"), min_count=5, k=32)
+rows_hh = hh.collect()
+assert rows_hh and all(r["cms_est"] >= r["lb"] for r in rows_hh)
+print("heavy hitters:", len(rows_hh))
+print("DRIVE13 OK")
