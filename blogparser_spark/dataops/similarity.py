@@ -878,3 +878,138 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid", "adist")
     )
+
+
+# --- signed-random-projection LSH (Charikar SRP) ----------------------------
+
+SRP_BITS = 16  # sign bits per signature
+SRP_BANDS = 4  # bands of SRP_BITS // SRP_BANDS bits each
+SRP_DIM = 64  # embedding dimensionality of the corpus tables
+
+
+def srp_hyperplanes(n_bits: int = SRP_BITS, dim: int = SRP_DIM) -> list[list[float]]:
+    """Deterministic 'random' hyperplanes: component (b, d) is md5-derived
+    uniform in [-0.5, 0.5). Seed-free so the DuckDB oracle derives the SAME
+    values in SQL (`CAST('0x'||substr(md5('srp:b:d'),1,8) AS BIGINT)`); at
+    scale the n_bits × dim matrix is a tiny closure constant shipped to each
+    Python worker — the manual analog of a broadcast variable."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"srp:{b}:{d}".encode()).hexdigest()[:8], 16) / 2.0**32
+            - 0.5
+            for d in range(dim)
+        ]
+        for b in range(n_bits)
+    ]
+
+
+def srp_band_values(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = SRP_BITS,
+    n_bands: int = SRP_BANDS,
+    dim: int = SRP_DIM,
+) -> DataFrame:
+    """SRP-LSH signatures as (id, band_idx, band_val): the sign bits of
+    n_bits random projections (Charikar, STOC 2002 — P[bit agree] =
+    1 - angle/pi), packed into n_bands integer band keys (bit i contributes
+    1 << (i % band_bits) to band i // band_bits).
+
+    This is the EMBEDDING-space twin of the text-side MinHash-LSH / SimHash
+    band families (dedup.py): same band-bucket shuffle shape, but the
+    similarity preserved is cosine, so it scales embedding near-dup search
+    the way IVF cells scale top-k. Kernel: ONE BLAS matmul per Arrow batch
+    (V @ H.T) — no per-pair work, no join; projections are rounded to 6
+    decimals before the sign test so Spark and the SQL oracle agree
+    bit-for-bit. Band keys are near-uniform (md5-derived hyperplanes), so
+    the (band_idx, band_val) shuffle has no planner-visible skew.
+
+    `dim` is a MAXIMUM: each batch slices the hyperplane matrix to its own
+    vector width (hyperplane component (b, d) depends only on (b, d), so a
+    lower-dimensional corpus uses a deterministic prefix — no re-seeding)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    band_bits = n_bits // n_bands
+    H = np.asarray(srp_hyperplanes(n_bits, dim), dtype=np.float64)
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bands_udf(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray(v.tolist(), dtype=np.float64)
+        S = np.round(V @ H[:, : V.shape[1]].T, 6)
+        bits = (S >= 0.0).astype(np.int64).reshape(len(V), n_bands, band_bits)
+        return pd.Series(list(bits @ weights))
+
+    return df.select(
+        F.col(id_col), bands_udf(_dvec(F.col(vec_col))).alias("_bands")
+    ).select(
+        id_col, F.posexplode("_bands").alias("band_idx", "band_val")
+    )
+
+
+def srp_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """SRP band buckets → chained candidate pairs (id_a, id_b), id_a < id_b.
+    Same bounded shape as dedup.lsh_candidate_pairs: lag() over the
+    (band_idx, band_val, id) window links consecutive bucket members — O(1)
+    per-row state, pair count linear in bucket size even on a degenerate
+    corpus where every vector lands in one bucket."""
+    sig = (
+        signatures
+        if signatures is not None
+        else srp_band_values(df, id_col, vec_col)
+    )
+    w = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
+    return (
+        sig.withColumn("_prev", F.lag(id_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def srp_verified_pairs(
+    df: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP candidates → EXACT cosine verification (≥ threshold): the
+    embedding-space analog of dedup.verify_pairs_jaccard — an LSH false
+    positive can never survive into the output. Norms are computed once per
+    ROW before the two id-keyed joins; the per-PAIR dot runs in the batched
+    numpy kernel (dot_udf). Linear in candidate count, never all-pairs."""
+    pairs = srp_candidate_pairs(df, id_col, vec_col)
+    base = df.select(
+        F.col(id_col), _dvec(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cos_sim",
+            _pair_cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

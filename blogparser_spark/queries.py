@@ -3129,3 +3129,75 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blogparser_spark.dataops import lm
 
     return lm.lm_quality_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ===========================================================================
+# SRP-LSH over embeddings (dataops.similarity, round 3)
+# ===========================================================================
+
+# Shared oracle fragment: the deterministic hyperplane table and round-6
+# sign-bit band packing — the exact math of similarity.srp_band_values
+# (md5-derived hyperplanes mean DuckDB derives the SAME floats in SQL).
+_SRP_BANDS_SQL = """
+    h AS MATERIALIZED (
+      SELECT b.b, d.d,
+        CAST('0x'||substr(md5('srp:'||b.b||':'||d.d),1,8) AS BIGINT)
+          / 4294967296.0 - 0.5 AS hv
+      FROM (SELECT unnest(range(16)) AS b) b
+      CROSS JOIN (SELECT unnest(range(64)) AS d) d
+    ), ev AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), proj AS (
+      SELECT ev.vec_id, h.b, round(sum(ev.v[h.d + 1] * h.hv), 6) AS s
+      FROM ev CROSS JOIN h GROUP BY ev.vec_id, h.b
+    ), srp_bands AS MATERIALIZED (
+      SELECT vec_id, CAST(b // 4 AS INT) AS band_idx,
+        sum(CASE WHEN s >= 0 THEN 1 ELSE 0 END * (1 << CAST(b % 4 AS INT)))
+          ::BIGINT AS band_val
+      FROM proj GROUP BY vec_id, b // 4
+    )"""
+
+
+@_q(
+    "srp_signatures",
+    f"""
+    WITH {_SRP_BANDS_SQL}
+    SELECT vec_id, band_idx, band_val FROM srp_bands
+    """,
+)
+def srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH signatures (Charikar, STOC 2002) — the
+    embedding-space twin of the MinHash/SimHash band families: 16 sign bits
+    from one BLAS matmul per Arrow batch, packed into 4 integer band keys.
+    Cosine-similar vectors agree on whole bands, so near-dup search becomes
+    a (band_idx, band_val) bucket join — never all-pairs. The oracle derives
+    the identical md5-seeded hyperplanes in SQL and replays the round-6
+    sign test bit-for-bit."""
+    return similarity.srp_band_values(_emb(spark, sf_dir))
+
+
+@_q(
+    "srp_verified_pairs",
+    f"""
+    WITH {_SRP_BANDS_SQL}, cand AS (
+      SELECT DISTINCT prev AS id_a, vec_id AS id_b FROM (
+        SELECT vec_id, lag(vec_id) OVER (
+          PARTITION BY band_idx, band_val ORDER BY vec_id
+        ) AS prev
+        FROM srp_bands
+      ) WHERE prev IS NOT NULL
+    )
+    SELECT id_a, id_b,
+      round({_COS.format(a="a.v", b="b.v")}, 6) AS cos_sim
+    FROM cand JOIN ev a ON a.vec_id = id_a JOIN ev b ON b.vec_id = id_b
+    WHERE round({_COS.format(a="a.v", b="b.v")}, 6) >= 0.25
+    """,
+)
+def srp_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP band buckets → chained candidate pairs (lag() over the bucket
+    window — bounded state, linear pair count) → EXACT cosine verification
+    (≥ 0.25): the embedding-space analog of the verify-before-cluster rule
+    on the text side (dedup.verify_pairs_jaccard) — an LSH false positive
+    never reaches the output. Norms precomputed per row; per-pair dots run
+    in the batched numpy kernel."""
+    return similarity.srp_verified_pairs(_emb(spark, sf_dir), threshold=0.25)

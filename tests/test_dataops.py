@@ -786,3 +786,65 @@ def test_lm_scores_unseen_bigrams_via_smoothing(spark):
     lp = round(math.log(1 / 3), 6)
     assert got["n_bigrams"] == 2
     assert got["avg_logprob"] == round((lp + lp) / 2, 6)
+
+
+def test_srp_signatures_shape_and_determinism(emb):
+    from blogparser_spark.dataops.similarity import srp_band_values
+
+    sig = srp_band_values(emb, dim=16).collect()
+    assert len(sig) == 40 * 4  # n_bands rows per vector
+    assert all(0 <= r["band_val"] < 16 for r in sig)  # 4-bit band packing
+    again = srp_band_values(emb, dim=16).collect()
+    assert sorted(map(tuple, sig)) == sorted(map(tuple, again))
+
+
+def test_srp_similar_vectors_share_bands(spark):
+    from blogparser_spark.dataops.similarity import srp_band_values
+
+    # a near-identical pair must agree on every band; an orthogonal pair
+    # is (with these hyperplanes) distinguishable on at least one band
+    rows = [
+        (0, [1.0, 0.2, -0.3, 0.7] * 4),
+        (1, [1.001, 0.2, -0.3, 0.7] * 4),
+        (2, [-1.0, 5.0, 0.3, -0.7] * 4),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sig = {(r["vec_id"], r["band_idx"]): r["band_val"]
+           for r in srp_band_values(df, dim=16).collect()}
+    assert all(sig[(0, b)] == sig[(1, b)] for b in range(4))
+    assert any(sig[(0, b)] != sig[(2, b)] for b in range(4))
+
+
+def test_srp_pairs_bounded_on_degenerate_corpus(spark):
+    from blogparser_spark.dataops.similarity import (
+        srp_candidate_pairs,
+        srp_verified_pairs,
+    )
+
+    # every vector identical -> one bucket per band; chained pairs stay
+    # linear (n-1), never the quadratic all-pairs blowup
+    rows = [(i, [0.5, -0.25, 1.0, 0.125] * 4) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = srp_candidate_pairs(df).collect()
+    assert len(pairs) == 29
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    verified = srp_verified_pairs(df, threshold=0.9).collect()
+    assert len(verified) == 29
+    assert all(r["cos_sim"] == 1.0 for r in verified)
+
+
+def test_srp_verify_rejects_false_positives(spark):
+    from blogparser_spark.dataops.similarity import srp_verified_pairs
+
+    # ids 0/1 near-identical (always bucketed together, cos ~1); id 2 is a
+    # decoy that may share a band by chance but can never pass the verify
+    rows = [
+        (0, [1.0, 0.2, -0.3, 0.7] * 4),
+        (1, [1.001, 0.2, -0.3, 0.7] * 4),
+        (2, [-1.0, -0.2, 0.3, -0.7] * 4),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["id_a"], r["id_b"]): r["cos_sim"]
+           for r in srp_verified_pairs(df, threshold=0.5).collect()}
+    assert (0, 1) in out and out[(0, 1)] >= 0.999
+    assert all(2 not in k for k in out)

@@ -210,3 +210,15 @@ rows_hh = hh.collect()
 assert rows_hh and all(r["cms_est"] >= r["lb"] for r in rows_hh)
 print("heavy hitters:", len(rows_hh))
 print("DRIVE13 OK")
+
+# SRP-LSH over embeddings: signatures -> chained candidates -> exact-cosine
+# verify (the embedding-space LSH family; matmul kernel, bounded buckets)
+from blogparser_spark.dataops import similarity as SIM
+
+emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+sig = SIM.srp_band_values(emb)
+assert sig.count() == emb.count() * SIM.SRP_BANDS
+vp = SIM.srp_verified_pairs(emb, threshold=0.25).collect()
+assert all(r["cos_sim"] >= 0.25 and r["id_a"] < r["id_b"] for r in vp)
+print("srp verified pairs:", len(vp))
+print("DRIVE14 OK")
