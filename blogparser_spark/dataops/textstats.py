@@ -243,3 +243,45 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     hash analog with cross-engine-identical md5)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: top-k terms by
+    tf · (ln((N+1)/(df+1)) + 1) (smoothed idf, round-6), ties broken by
+    term ascending. Emits (id, rank, term, tf, score).
+
+    Shape — three partial hash aggs and one co-keyed join, no all-pairs:
+    explode → (doc, term) counts (map-side combined) → per-term document
+    frequency derived FROM the tf table (already one row per (doc, term),
+    so df is a count, not a count-distinct) → join back on `term`, both
+    sides already keyed on it → corpus size N attached as a broadcast
+    1-row aggregate (no driver-side collect) → per-doc top-k window.
+    Every shuffle key is a term or a doc id; at 10^12 turns the only
+    wide state is the vocabulary-sized df table."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n = df.agg(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "_idf",
+            F.round(
+                F.log((F.col("_n") + F.lit(1.0)) / (F.col("_df") + F.lit(1.0)))
+                + F.lit(1.0),
+                6,
+            ),
+        )
+        .withColumn("score", F.round(F.col("tf") * F.col("_idf"), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "score")
+    )

@@ -3201,3 +3201,40 @@ def srp_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never reaches the output. Norms precomputed per row; per-pair dots run
     in the batched numpy kernel."""
     return similarity.srp_verified_pairs(_emb(spark, sf_dir), threshold=0.25)
+
+
+@_q(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS _df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS _n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+        round(tf.tf * round(ln((_n + 1.0) / (_df + 1.0)) + 1.0, 6), 6) AS score
+      FROM tf JOIN dfreq USING (term), n
+    )
+    SELECT doc_id, rank, term, tf, score FROM (
+      SELECT doc_id, term, tf, score,
+        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (top-3 terms by smoothed
+    tf·idf): the classic corpus-statistics enrichment a training-data
+    pipeline runs for topic routing and quality filters. All-relational —
+    two partial hash aggs (doc,term)/(term), one term-keyed join, corpus
+    size N as a broadcast 1-row aggregate (never a driver collect), per-doc
+    top-k window; the only vocabulary-wide state is the df table."""
+    from blogparser_spark.dataops import textstats
+
+    return textstats.tfidf_top_terms(_docs(spark, sf_dir), k=3)

@@ -848,3 +848,34 @@ def test_srp_verify_rejects_false_positives(spark):
            for r in srp_verified_pairs(df, threshold=0.5).collect()}
     assert (0, 1) in out and out[(0, 1)] >= 0.999
     assert all(2 not in k for k in out)
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from blogparser_spark.dataops.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana"),
+            (1, "banana cherry"),
+            (2, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+
+    def idf(df_):
+        return round(math.log(4.0 / (df_ + 1.0)) + 1.0, 6)
+
+    # doc 0: apple tf=2 df=1 beats banana tf=1 df=2
+    assert out[(0, 1)] == ("apple", 2, round(2 * idf(1), 6))
+    assert out[(0, 2)] == ("banana", 1, round(1 * idf(2), 6))
+    # doc 1: equal tf=1, df=2 for both -> tie broken by term asc
+    assert out[(1, 1)][0] == "banana" and out[(1, 2)][0] == "cherry"
+    # doc 2: cherry tf=3 dominates; durian df=1 outranks nothing else
+    assert out[(2, 1)] == ("cherry", 3, round(3 * idf(2), 6))
+    assert out[(2, 2)] == ("durian", 1, round(1 * idf(1), 6))
