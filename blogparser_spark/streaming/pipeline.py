@@ -232,3 +232,41 @@ def read_cms_state(
     return per_batch.groupBy(*group_cols, "row", "col").agg(
         F.sum("cnt").cast("bigint").alias("cnt")
     )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Event-time session windows via Spark's native stateful
+    `session_window` operator: each event opens [ts, ts+gap) and the state
+    store MERGES overlapping windows per key as events arrive, so
+    out-of-order events (within the watermark) extend or BRIDGE sessions —
+    the streaming twin of the batch lag()-running-sum sessionize
+    (queries.events_sessionize), which a foreachBatch port could never get
+    right across micro-batch boundaries.
+
+    Semantics: successive events merge iff their gap < `gap` (the batch
+    twin breaks on diff > gap; the two differ only at exact-gap equality).
+    session_end is last_event + gap (window end), not last_event.
+
+    With a watermark, sessions whose end precedes it are emitted and their
+    state EVICTED (append mode — bounded state at 10^12 turns); pass
+    watermark=None only with complete-mode sinks (state retains every
+    session — test harnesses, not production)."""
+    s = stream.withWatermark(ts_col, watermark) if watermark else stream
+    return (
+        s.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )

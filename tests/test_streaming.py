@@ -149,3 +149,109 @@ def test_streaming_cms_matches_batch_and_replay_dedup(spark, tmp_path):
     assert {tuple(r) for r in replayed.collect()} == {
         tuple(r) for r in batch.collect()
     }
+
+
+def test_streaming_sessionize_matches_batch_semantics(spark, tmp_path):
+    """session_window must produce exactly the sessions the batch
+    lag()-running-sum rule produces (merge iff gap < 30 min), including a
+    session BRIDGED by an event that arrives between two others."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from blogparser_spark.streaming.pipeline import streaming_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user a: 0,10,25 one session; 90,100 a second
+        ("a", ts(0)), ("a", ts(10)), ("a", ts(25)), ("a", ts(90)), ("a", ts(100)),
+        # user b: 0 and 40 split (gap 40 > 30); 55 bridges back onto 40
+        ("b", ts(0)), ("b", ts(40)), ("b", ts(55)),
+        # user c: single event
+        ("c", ts(5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    inp = str(tmp_path / "sess_in")
+    df.write.mode("overwrite").parquet(inp)
+
+    stream = spark.readStream.schema(df.schema).parquet(inp)
+    agg = streaming_sessionize(stream, gap="30 minutes", watermark=None)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("select * from sessions").collect()
+    }
+
+    # batch twin: break when gap >= 30 min (session_window merges iff < gap)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    brk = F.when(
+        prev.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev) >= 1800), 1
+    ).otherwise(0)
+    sess = (
+        df.withColumn(
+            "sid", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count("*").alias("n"))
+    )
+    batch = {
+        (r["user_id"], r["s"], r["e"] + dt.timedelta(minutes=30)): r["n"]
+        for r in sess.collect()
+    }
+    assert streamed == batch
+    assert ("b", ts(40), ts(85)) in streamed  # 55 bridged onto 40: one session
+    assert streamed[("a", ts(0), ts(55))] == 3
+
+
+def test_streaming_sessionize_append_evicts_closed_sessions(spark, tmp_path):
+    """Production path: with a watermark, a session whose end precedes the
+    watermark is EMITTED (append mode) and its state evicted; open sessions
+    stay in state. Two single-file micro-batches advance the watermark."""
+    import datetime as dt
+    import time
+
+    from blogparser_spark.streaming.pipeline import streaming_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    inp = str(tmp_path / "sess_app")
+    df1 = spark.createDataFrame(
+        [("a", t0), ("a", t0 + dt.timedelta(minutes=10))],
+        "user_id string, ts timestamp",
+    )
+    df1.coalesce(1).write.mode("overwrite").parquet(inp)
+    time.sleep(1.1)  # distinct mtime so the file source orders batch 2 last
+    spark.createDataFrame(
+        [("z", t0 + dt.timedelta(hours=10))], "user_id string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    agg = streaming_sessionize(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from sessions_append").collect()
+    # a's session (end t0+40m) closed once the watermark reached t0+9h;
+    # z's session is still open in state, so append emits nothing for it
+    assert [(r["user_id"], r["n_events"]) for r in rows] == [("a", 2)]
+    assert rows[0]["session_start"] == t0
+    assert rows[0]["session_end"] == t0 + dt.timedelta(minutes=40)

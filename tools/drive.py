@@ -222,3 +222,28 @@ vp = SIM.srp_verified_pairs(emb, threshold=0.25).collect()
 assert all(r["cos_sim"] >= 0.25 and r["id_a"] < r["id_b"] for r in vp)
 print("srp verified pairs:", len(vp))
 print("DRIVE14 OK")
+
+# TF-IDF keywords + native session_window streaming sessionize
+from blogparser_spark.dataops.textstats import tfidf_top_terms
+
+kw = tfidf_top_terms(docs.select("doc_id", "text"), k=3)
+assert kw.groupBy("doc_id").count().agg(_F.max("count")).first()[0] <= 3
+print("tfidf rows:", kw.count())
+
+from blogparser_spark.streaming.pipeline import streaming_sessionize
+
+with tempfile.TemporaryDirectory() as td:
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sin = os.path.join(td, "ev")
+    ev.select("user_id", "ts").write.mode("overwrite").parquet(sin)
+    st = spark.readStream.schema("user_id long, ts timestamp").parquet(sin)
+    q = (
+        streaming_sessionize(st, gap="30 minutes", watermark=None)
+        .writeStream.format("memory").queryName("drv_sessions")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    n = spark.sql("select count(*) c from drv_sessions").first()["c"]
+    assert n > 0
+    print("streamed sessions:", n)
+print("DRIVE15 OK")
