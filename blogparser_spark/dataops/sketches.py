@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Column
+from pyspark.sql import DataFrame, Column, Window
 from pyspark.sql import functions as F
 
 # Leading zero bits inside the first NONZERO hex nibble ('0' handled by the
@@ -404,3 +404,101 @@ def heavy_hitters(
     counters = cms_counters(df, value, (), d, w)
     est = cms_estimate(counters, cand, F.col("key"), d, w)
     return est.filter(F.col("cms_est") >= min_count).select("key", "lb", "cms_est")
+
+
+# --- DDSketch-style relative-error quantile sketch ---------------------------
+#
+# Masson, Lee, Rim, "DDSketch: a fast and fully-mergeable quantile sketch
+# with relative-error guarantees" (VLDB 2019). Bucket i holds values with
+# ceil(log_gamma(x)) = i, gamma = (1+alpha)/(1-alpha); the bucket midpoint
+# 2·gamma^i/(gamma+1) is within relative error alpha of every member. The
+# sketch state is (bucket, count) pairs: counts SUM, so it partial-aggregates
+# map-side, merges across slices / micro-batches, and the per-group state is
+# O(log(max/min)/alpha) buckets regardless of row count — the quantile
+# counterpart of the HLL/CMS/MG family above, and the scale path next to the
+# exact percentile_disc oracle query (corpus_token_quantiles).
+#
+# Engine portability: the only floats are log(x)/log(gamma) (rounded to 6
+# before ceil) and the final midpoint (rounded to 6), the round-6-of-libm
+# convention every other cross-engine query here uses; counts and ranks are
+# exact integers. gamma is formatted from ONE Python double into both the
+# Column literal and the SQL text, so both engines parse the identical value.
+
+DD_ALPHA = 0.01
+
+
+def dd_gamma(alpha: float = DD_ALPHA) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_histogram(
+    df: DataFrame,
+    value: Column,
+    group_cols: Sequence[str] = (),
+    alpha: float = DD_ALPHA,
+) -> DataFrame:
+    """(group_cols…, bucket, cnt) log-bucket histogram over POSITIVE values
+    (non-positive rows are dropped — DDSketch's positive store). One partial
+    hash agg; bucket keys are small ints, no skew."""
+    g = dd_gamma(alpha)
+    bucket = F.ceil(F.round(F.log(value.cast("double")) / F.lit(_math_log(g)), 6))
+    return (
+        df.filter(value > 0)
+        .groupBy(*group_cols, bucket.cast("long").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _math_log(x: float) -> float:
+    import math
+
+    return math.log(x)
+
+
+def dd_merge(
+    *hists: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge = bucket-wise count sum (full mergeability: sketch(A ∪ B) ==
+    merge(sketch(A), sketch(B)) EXACTLY, not approximately)."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy(*group_cols, "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def dd_quantiles(
+    hist: DataFrame,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    group_cols: Sequence[str] = (),
+    alpha: float = DD_ALPHA,
+) -> DataFrame:
+    """Quantile read-out: for each q, the first bucket whose cumulative
+    count reaches rank floor(q·(n-1))+1, reported as the bucket midpoint
+    2·gamma^i/(gamma+1) (round-6) — within relative error alpha of the
+    exact order statistic. Relational: one window cumsum per group ordered
+    by bucket, one broadcast q-literal explode, one min-per-(group, q) agg."""
+    g = dd_gamma(alpha)
+    gcols = [F.col(c) for c in group_cols]
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*gcols)
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(wn))
+    )
+    qlit = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    hit = cum.select(*gcols, "bucket", "cum", "n", qlit).filter(
+        F.col("cum") >= F.floor(F.col("q") * (F.col("n") - 1)) + 1
+    )
+    first = hit.groupBy(*gcols, "q").agg(F.min("bucket").alias("bucket"))
+    est = F.round(
+        F.lit(2.0) * F.pow(F.lit(g), F.col("bucket")) / F.lit(g + 1.0), 6
+    )
+    return first.withColumn("est", est)

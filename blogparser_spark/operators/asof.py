@@ -100,3 +100,53 @@ def asof_join(
         *[F.col(_PAYLOAD)[c].alias(c) for c in r_val_cols],
     )
     return out
+
+
+def range_join_points_in_intervals(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Point-in-interval range join (event.ts BETWEEN interval.[start, end],
+    inclusive): the OTHER temporal-join primitive Spark's API lacks (as-of
+    covers "latest state before"; this covers "which windows contain" —
+    campaign attribution, maintenance-window tagging, SLA bucketing).
+
+    A naive `points CROSS JOIN intervals ON BETWEEN` is a nested-loop over
+    n_points × n_intervals — Catalyst can't hash an inequality. The
+    distributed shape: quantize the time axis into fixed buckets; each
+    INTERVAL explodes into every bucket it overlaps (ceil(len/bucket) rows —
+    intervals are few and short relative to the corpus), each POINT maps to
+    exactly ONE bucket, and the equi-join on the bucket key feeds the exact
+    BETWEEN filter. A qualifying pair meets in precisely the point's bucket,
+    so the output needs NO dedup; a non-overlapping pair is never
+    materialized. Shuffle key = time bucket: at 10^12 events choose
+    bucket_seconds so a bucket's points fit an executor (calendar-uniform
+    load), and a hot bucket is exactly the shape AQE skew-join splitting
+    handles (it splits oversized partitions of an equi-join by size).
+
+    Returns points ⋈ intervals columns (inner); name collisions other than
+    the join inputs' own are the caller's to resolve."""
+    bs_us = F.lit(int(bucket_seconds) * 1_000_000)
+    p = points.withColumn(
+        "_b", F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / bs_us)
+    )
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / bs_us),
+                F.floor(F.unix_micros(F.col(end_col).cast("timestamp")) / bs_us),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "_b")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_b")
+    )

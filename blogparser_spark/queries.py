@@ -3238,3 +3238,97 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blogparser_spark.dataops import textstats
 
     return textstats.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+# gamma literals for the DDSketch oracle — formatted from the SAME Python
+# double the Column expressions use, so both engines parse identical values
+_DD_G = __import__("math").exp(0.0) * (1.01 / 0.99)
+_DD_LG = __import__("math").log(_DD_G)
+
+
+@_q(
+    "dd_quantile_sketch",
+    f"""
+    WITH h AS (
+      SELECT lang,
+        CAST(ceil(round(ln(CAST(n_chars AS DOUBLE)) / {_DD_LG!r}, 6)) AS BIGINT)
+          AS bucket,
+        count(*)::BIGINT AS cnt
+      FROM documents WHERE n_chars > 0 GROUP BY 1, 2
+    ), c AS (
+      SELECT lang, bucket,
+        sum(cnt) OVER (PARTITION BY lang ORDER BY bucket)::BIGINT AS cum,
+        sum(cnt) OVER (PARTITION BY lang)::BIGINT AS n
+      FROM h
+    ), qq AS (
+      SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                     CAST(0.99 AS DOUBLE)]) AS q
+    )
+    SELECT lang, q, min(bucket) AS bucket,
+      round(2.0 * pow({_DD_G!r}, min(bucket)) / {_DD_G + 1.0!r}, 6) AS est
+    FROM c CROSS JOIN qq
+    WHERE cum >= floor(q * (n - 1)) + 1
+    GROUP BY lang, q
+    """,
+)
+def dd_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch relative-error quantiles (Masson et al., VLDB 2019) of
+    per-document length by language: the MERGEABLE scale path next to the
+    exact percentile_disc query (corpus_token_quantiles) — per-group state
+    is O(log(max/min)/alpha) buckets whose counts sum map-side, so the
+    same sketch merges across checkpoint slices and stream micro-batches
+    while an exact percentile needs the full value multiset. Bucket
+    midpoints are within 1% (alpha) of the exact order statistic."""
+    from blogparser_spark.dataops import sketches
+
+    d = _docs(spark, sf_dir)
+    hist = sketches.dd_histogram(d, F.col("n_chars"), ("lang",))
+    return sketches.dd_quantiles(hist, (0.5, 0.9, 0.99), ("lang",))
+
+
+@_q(
+    "campaign_attribution",
+    """
+    WITH c AS (
+      SELECT i AS campaign_id,
+        TIMESTAMP '2024-01-01' + i * INTERVAL 3 DAY AS start_ts,
+        TIMESTAMP '2024-01-01' + i * INTERVAL 3 DAY + INTERVAL 4 DAY AS end_ts
+      FROM (SELECT unnest(range(10)) AS i)
+    )
+    SELECT campaign_id, count(*)::BIGINT AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN c ON e.ts BETWEEN c.start_ts AND c.end_ts
+    GROUP BY campaign_id
+    """,
+)
+def campaign_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (asof.range_join_points_in_intervals):
+    10 deterministic OVERLAPPING campaign windows (3-day stride, 4-day
+    length — boundary events attribute to two campaigns) joined to events
+    via the bucketed interval join — intervals explode into day buckets,
+    each event equi-joins on its ONE bucket, the exact BETWEEN filters —
+    never the nested-loop inequality join. Decimal value sums for exact
+    cross-engine equality."""
+    from blogparser_spark.operators.asof import range_join_points_in_intervals
+
+    e = _events(spark, sf_dir)
+    ts_type = e.schema["ts"].dataType
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    camps = spark.range(10).select(
+        F.col("id").alias("campaign_id"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 3 * 86400)
+        .cast(ts_type)
+        .alias("start_ts"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 3 * 86400 + 4 * 86400)
+        .cast(ts_type)
+        .alias("end_ts"),
+    )
+    joined = range_join_points_in_intervals(
+        e.select("event_id", "ts", "value"), camps
+    )
+    return joined.groupBy("campaign_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )

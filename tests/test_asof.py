@@ -91,3 +91,75 @@ def test_asof_join_composite_key(spark):
     )
     out = asof_join(left, right, ["k1", "k2"], "ts").collect()
     assert len(out) == 1 and out[0]["v"] == 7.0  # (a,y) is a different key
+
+
+def test_range_join_matches_between_reference(spark):
+    """Bucketed interval join == the naive BETWEEN join, including a pair
+    whose interval spans many buckets (must appear exactly ONCE — the
+    point-bucket meet guarantees no dup) and boundary-inclusive semantics."""
+    import datetime as dt
+
+    from blogparser_spark.operators.asof import range_join_points_in_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    points = spark.createDataFrame(
+        [(i, ts(h)) for i, h in enumerate([0, 5, 23, 24, 50, 100, 240])],
+        "event_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (0, ts(0), ts(24)),    # inclusive both ends: hits 0,5,23,24
+            (1, ts(20), ts(60)),   # overlaps interval 0: 23,24,50 double-attribute
+            (2, ts(0), ts(239)),   # spans 10 day-buckets: pairs must stay unique
+            (3, ts(300), ts(310)), # empty window
+        ],
+        "iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in range_join_points_in_intervals(points, intervals).collect()
+    )
+    ref = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in points.crossJoin(intervals)
+        .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") <= F.col("end_ts")))
+        .collect()
+    )
+    assert got == ref
+    assert (0, 0) in got and (3, 1) in got and (3, 0) in got  # double attribution
+    assert got.count((5, 2)) == 1  # long interval: exactly once
+    assert all(iv != 3 for _, iv in got)
+
+
+def test_range_join_bucket_size_invariant(spark):
+    """Result set is independent of the quantization (bucket_seconds is a
+    performance knob, not a semantics knob)."""
+    import datetime as dt
+
+    from blogparser_spark.operators.asof import range_join_points_in_intervals
+
+    t0 = dt.datetime(2024, 3, 1)
+    points = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=37 * i)) for i in range(40)],
+        "event_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (j, t0 + dt.timedelta(hours=3 * j), t0 + dt.timedelta(hours=3 * j + 5))
+            for j in range(6)
+        ],
+        "iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    out = {}
+    for bs in (3600, 86400, 60):
+        out[bs] = sorted(
+            (r["event_id"], r["iv_id"])
+            for r in range_join_points_in_intervals(
+                points, intervals, bucket_seconds=bs
+            ).collect()
+        )
+    assert out[3600] == out[86400] == out[60] and out[3600]

@@ -217,3 +217,29 @@ def test_ivfpq_partitioned_probe_is_pruned_and_codegen_only(spark, tmp_path):
         for r in inline.filter("qid = 2").orderBy("rank").collect()
     ]
     assert got == want
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The bucketed interval join must plan as a hash EQUI-join on the
+    bucket key (broadcastable small side) — never the nested-loop join a
+    raw BETWEEN predicate forces."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from blogparser_spark.operators.asof import range_join_points_in_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(hours=i)) for i in range(48)],
+        "event_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(j, t0 + dt.timedelta(days=j), t0 + dt.timedelta(days=j + 2)) for j in range(3)],
+        "iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    plan = _plan(
+        range_join_points_in_intervals(points, F.broadcast(intervals))
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

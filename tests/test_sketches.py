@@ -194,3 +194,75 @@ def test_heavy_hitters_composed_recovers_exact_set(spark):
            sketches.heavy_hitters(df, F.col("k"), min_count=100, k=32).collect()}
     assert set(got) == {"a", "b"}
     assert got["a"] >= 200 and got["b"] >= 120
+
+
+# ---------------------------------------------------------------- ddsketch --
+
+
+def test_dd_histogram_merge_is_exact(spark):
+    """Full mergeability: sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    bucket-for-bucket, count-for-count — the property that lets the sketch
+    combine across checkpoint slices and micro-batches."""
+    from blogparser_spark.dataops.sketches import dd_histogram, dd_merge
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    whole = dd_histogram(docs, F.col("n_chars"), ("lang",))
+    merged = dd_merge(
+        dd_histogram(a, F.col("n_chars"), ("lang",)),
+        dd_histogram(b, F.col("n_chars"), ("lang",)),
+        group_cols=("lang",),
+    )
+    assert {tuple(r) for r in whole.collect()} == {tuple(r) for r in merged.collect()}
+
+
+def test_dd_quantiles_within_relative_error(spark):
+    """Every sketch estimate must be within alpha (1%) relative error of the
+    exact order statistic it targets — DDSketch's guarantee."""
+    from blogparser_spark.dataops.sketches import dd_histogram, dd_quantiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hist = dd_histogram(docs, F.col("n_chars"))
+    qs = (0.5, 0.9, 0.99)
+    est = {r["q"]: r["est"] for r in dd_quantiles(hist, qs).collect()}
+
+    vals = sorted(r["n_chars"] for r in docs.select("n_chars").collect())
+    for q in qs:
+        exact = vals[int(q * (len(vals) - 1))]
+        assert abs(est[q] - exact) <= 0.0101 * exact, (q, est[q], exact)
+
+
+def test_dd_histogram_partitioning_invariant(spark):
+    """The sketch is a pure aggregation: any repartitioning of the input
+    yields the identical state (unlike MG candidates, which are
+    partition-dependent by design)."""
+    from blogparser_spark.dataops.sketches import dd_histogram
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    one = dd_histogram(docs.coalesce(1), F.col("n_chars"), ("lang",))
+    many = dd_histogram(docs.repartition(16), F.col("n_chars"), ("lang",))
+    assert {tuple(r) for r in one.collect()} == {tuple(r) for r in many.collect()}
+
+
+def test_dd_drops_nonpositive_and_hand_bucket(spark):
+    import math
+
+    from blogparser_spark.dataops.sketches import (
+        dd_gamma,
+        dd_histogram,
+        dd_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(0,), (-5,), (100,), (100,), (200,)], "v int"
+    )
+    hist = dd_histogram(df, F.col("v"))
+    rows = {r["bucket"]: r["cnt"] for r in hist.collect()}
+    g = dd_gamma()
+    b100 = math.ceil(round(math.log(100.0) / math.log(g), 6))
+    b200 = math.ceil(round(math.log(200.0) / math.log(g), 6))
+    assert rows == {b100: 2, b200: 1}  # 0 and -5 dropped
+    med = {r["q"]: r for r in dd_quantiles(hist, (0.5,)).collect()}[0.5]
+    assert med["bucket"] == b100
+    assert abs(med["est"] - 100.0) <= 1.01  # midpoint within alpha of 100

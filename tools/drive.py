@@ -247,3 +247,34 @@ with tempfile.TemporaryDirectory() as td:
     assert n > 0
     print("streamed sessions:", n)
 print("DRIVE15 OK")
+
+# DDSketch mergeable quantiles: slice-sketch-merge == whole-corpus sketch
+from blogparser_spark.dataops.sketches import dd_histogram, dd_merge, dd_quantiles
+
+dd_a = dd_histogram(docs.filter(_F.col("doc_id") % 2 == 0), _F.col("n_chars"), ("lang",))
+dd_b = dd_histogram(docs.filter(_F.col("doc_id") % 2 == 1), _F.col("n_chars"), ("lang",))
+dd_w = dd_histogram(docs, _F.col("n_chars"), ("lang",))
+assert {tuple(r) for r in dd_merge(dd_a, dd_b, group_cols=("lang",)).collect()} == \
+       {tuple(r) for r in dd_w.collect()}
+qs = dd_quantiles(dd_w, (0.5, 0.99), ("lang",)).collect()
+assert qs and all(r["est"] > 0 for r in qs)
+print("dd quantiles:", len(qs))
+print("DRIVE16 OK")
+
+# point-in-interval range join: campaign windows over the events stream
+import datetime as _dt
+
+from blogparser_spark.operators.asof import range_join_points_in_intervals
+
+ev2 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+_t0 = _dt.datetime(2024, 1, 1)
+camps = spark.createDataFrame(
+    [(j, _t0 + _dt.timedelta(days=3 * j), _t0 + _dt.timedelta(days=3 * j + 4))
+     for j in range(10)],
+    "campaign_id long, start_ts timestamp, end_ts timestamp",
+)
+att = range_join_points_in_intervals(ev2.select("event_id", "ts"), camps)
+n_att = att.count()
+assert n_att > ev2.count()  # overlapping windows double-attribute
+print("attributed pairs:", n_att)
+print("DRIVE17 OK")
