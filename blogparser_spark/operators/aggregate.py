@@ -62,3 +62,70 @@ def summary_hist(df: DataFrame, bucket: int = SUMMARY_HIST_BUCKET) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel progression: for each user, the earliest time each
+    step was completed, where step i must occur STRICTLY AFTER that user's
+    step i-1 completion (the sequential-pattern semantics of funnel
+    analytics — a click logged before the first view does not convert).
+    Returns (user, step_idx, step, step_ts); a user appears through their
+    deepest reached step only.
+
+    Shape: per step, one type-filtered min-agg over a 3-column projection
+    plus one user-keyed equi-join against the previous step's (user, ts) —
+    len(steps) linear passes, every agg partial/map-side combined, every
+    join key the user id. No window over the full event history and no
+    per-user event collection, so a hot user costs one comparison per
+    event, not a sort — the 10^12-event-safe shape."""
+    base = df.select(user_col, type_col, ts_col)
+    prev: DataFrame | None = None
+    outs = []
+    for i, s in enumerate(steps):
+        e = base.filter(F.col(type_col) == s)
+        if prev is None:
+            cur = e.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        else:
+            cur = (
+                e.join(
+                    prev.select(user_col, F.col("_t").alias("_prev")), user_col
+                )
+                .filter(F.col(ts_col) > F.col("_prev"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t"))
+            )
+        outs.append(
+            cur.select(
+                F.col(user_col),
+                F.lit(i).alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col("_t").alias("step_ts"),
+            )
+        )
+        prev = cur
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step_idx, step, n_users) rollup of funnel_steps — the per-stage
+    conversion counts."""
+    return (
+        funnel_steps(df, steps, user_col, ts_col, type_col)
+        .groupBy("step_idx", "step")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -3332,3 +3332,38 @@ def campaign_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@_q(
+    "event_funnel",
+    """
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s1 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s0 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1
+    )
+    SELECT 0 AS step_idx, 'view' AS step, count(*)::BIGINT AS n_users FROM s0
+    UNION ALL
+    SELECT 1, 'click', count(*)::BIGINT FROM s1
+    UNION ALL
+    SELECT 2, 'purchase', count(*)::BIGINT FROM s2
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analytics (view → click → purchase, each step
+    strictly after the user's previous step): per-stage converted-user
+    counts via aggregate.funnel_counts — len(steps) filtered min-aggs +
+    user-keyed joins, no full-history window, no per-user event
+    collection."""
+    from blogparser_spark.operators.aggregate import funnel_counts
+
+    return funnel_counts(_events(spark, sf_dir)).withColumn(
+        "step_idx", F.col("step_idx").cast("int")
+    )

@@ -120,3 +120,38 @@ def test_summary_hist_matches_oracle(enriched, transcripts):
         (len(s) // 50) * 50 for *_, s in _oracle_rows(transcripts) if s is not None
     )
     assert got == dict(want)
+
+
+def test_funnel_strict_ordering(spark):
+    """A step only converts when it happens strictly after the user's
+    previous step; deeper steps require the full chain."""
+    import datetime as dt
+
+    from blogparser_spark.operators.aggregate import funnel_counts, funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1 full ordered funnel
+        (1, "view", ts(0)), (1, "click", ts(5)), (1, "purchase", ts(9)),
+        # u2: click BEFORE first view -> click never converts; purchase ignored
+        (2, "click", ts(0)), (2, "view", ts(1)), (2, "purchase", ts(2)),
+        # u3: view then click, purchase before click -> stops at click
+        (3, "view", ts(0)), (3, "purchase", ts(1)), (3, "click", ts(2)),
+        # u4: never viewed
+        (4, "click", ts(0)), (4, "purchase", ts(1)),
+        # u5: click at exactly the view instant -> strict > excludes it,
+        # a later click converts
+        (5, "view", ts(0)), (5, "click", ts(0)), (5, "click", ts(3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    counts = {r["step"]: r["n_users"] for r in funnel_counts(df).collect()}
+    assert counts == {"view": 4, "click": 3, "purchase": 1}
+    steps = {
+        (r["user_id"], r["step"]): r["step_ts"] for r in funnel_steps(df).collect()
+    }
+    assert steps[(5, "click")] == ts(3)  # simultaneous click excluded
+    assert (2, "click") not in steps and (3, "purchase") not in steps

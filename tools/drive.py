@@ -278,3 +278,12 @@ n_att = att.count()
 assert n_att > ev2.count()  # overlapping windows double-attribute
 print("attributed pairs:", n_att)
 print("DRIVE17 OK")
+
+# sequential funnel over the events log
+from blogparser_spark.operators.aggregate import funnel_counts
+
+fc = {r["step"]: r["n_users"] for r in funnel_counts(ev2).collect()}
+assert set(fc) == {"view", "click", "purchase"}
+assert fc["view"] >= fc["click"] >= fc["purchase"] > 0
+print("funnel:", fc)
+print("DRIVE18 OK")
