@@ -91,3 +91,46 @@ def read_sink(
         if v is not None:
             df = df.filter(F.col(k) == v)
     return df
+
+
+def compact_routed_sink(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    files_per_sink: int = 1,
+) -> dict:
+    """Small-files compaction of a routed parquet sink: re-cluster every
+    sink partition's fragments into `files_per_sink` files, preserving the
+    partition layout (readers keep pruning).
+
+    Why it exists at 10^12 turns: incremental/streaming appends write ≥1
+    file per touched sink per micro-batch, so a sink accretes thousands of
+    KB-sized fragments and every read pays a per-file open + footer parse.
+    Compaction is ONE scan → the same bounded-salt repartition write_routed
+    uses (each sink lands in exactly `files_per_sink` writer buckets) → a
+    partitioned write to `dest_path`. Writing to a NEW location keeps the
+    operation crash-safe on a plain filesystem — the swap (rename or
+    repointing readers) is the caller's atomic step; on Iceberg the same
+    maintenance is its transactional `rewrite_data_files` and this helper
+    is unneeded. Returns {files_before, files_after, rows} so jobs can
+    log/alert on fragmentation ratios."""
+    import os
+
+    def _nfiles(p: str) -> int:
+        return sum(
+            1
+            for root, _, names in os.walk(p)
+            for n in names
+            if n.endswith(".parquet")
+        )
+
+    df = spark.read.parquet(src_path)
+    rows = df.count()
+    salt = F.pmod(F.hash(F.col("conv_id")), F.lit(max(files_per_sink, 1)))
+    out = df.repartition(*[F.col(k) for k in SINK_KEYS], salt)
+    out.write.mode("overwrite").partitionBy(*SINK_KEYS).parquet(dest_path)
+    return {
+        "files_before": _nfiles(src_path),
+        "files_after": _nfiles(dest_path),
+        "rows": rows,
+    }

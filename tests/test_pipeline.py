@@ -155,3 +155,44 @@ def test_funnel_strict_ordering(spark):
     }
     assert steps[(5, "click")] == ts(3)  # simultaneous click excluded
     assert (2, "click") not in steps and (3, "purchase") not in steps
+
+
+def test_compact_routed_sink(spark, tmp_path):
+    """Compaction collapses a fragmented sink to files_per_sink files per
+    partition, keeps every row, and preserves the pruning layout."""
+    import os
+
+    from blogparser_spark.operators.enrich import enrich
+    from blogparser_spark.operators.parse import parse_stage
+    from blogparser_spark.operators.route import (
+        compact_routed_sink,
+        read_sink,
+        with_sink_id,
+        write_routed,
+    )
+    from blogparser_spark.sources.synthetic import transcripts_df
+
+    df = with_sink_id(enrich(parse_stage(transcripts_df(spark, n_convs=30, turns_per_conv=4))))
+    n_rows = df.count()
+    src = str(tmp_path / "frag")
+    # three micro-batch-style appends fragment every touched sink
+    third = F.pmod(F.hash("conv_id"), F.lit(3))
+    write_routed(df.filter(third == 0), src)
+    write_routed(df.filter(third == 1), src, mode="append")
+    write_routed(df.filter(third == 2), src, mode="append")
+    dest = str(tmp_path / "compact")
+    stats = compact_routed_sink(spark, src, dest, files_per_sink=1)
+
+    assert stats["rows"] == n_rows
+    assert stats["files_after"] < stats["files_before"]
+    # exactly one file per leaf partition dir
+    for root, dirs, names in os.walk(dest):
+        if not dirs:
+            assert sum(1 for n in names if n.endswith(".parquet")) == 1, root
+    # row-set equality and intact partition pruning
+    a = spark.read.parquet(src).select("conv_id", "turn_idx", "parse_status")
+    b = spark.read.parquet(dest).select("conv_id", "turn_idx", "parse_status")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    pruned = read_sink(spark, dest, parse_status="ok")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "parse_status" in plan.split("PartitionFilters")[1].split("]")[0]

@@ -287,3 +287,17 @@ assert set(fc) == {"view", "click", "purchase"}
 assert fc["view"] >= fc["click"] >= fc["purchase"] > 0
 print("funnel:", fc)
 print("DRIVE18 OK")
+
+# sink compaction: 2-append fragmentation -> bounded files, rows preserved
+from blogparser_spark.operators.route import compact_routed_sink
+
+with tempfile.TemporaryDirectory() as td:
+    frag = os.path.join(td, "frag")
+    half = _F.pmod(_F.hash("conv_id"), _F.lit(2))
+    routed_df = with_sink_id(enriched)
+    write_routed(routed_df.filter(half == 0), frag)
+    write_routed(routed_df.filter(half == 1), frag, mode="append")
+    st = compact_routed_sink(spark, frag, os.path.join(td, "cmp"))
+    assert st["files_after"] < st["files_before"] and st["rows"] == routed_df.count()
+    print("compaction:", st)
+print("DRIVE19 OK")
