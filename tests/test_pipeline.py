@@ -196,3 +196,34 @@ def test_compact_routed_sink(spark, tmp_path):
     pruned = read_sink(spark, dest, parse_status="ok")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "parse_status" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_apply_retention_deletes(spark, tmp_path):
+    """Tombstoned conversations vanish entirely; everything else survives
+    byte-identical; the rewrite keeps the partition layout."""
+    from blogparser_spark.operators.enrich import enrich
+    from blogparser_spark.operators.parse import parse_stage
+    from blogparser_spark.operators.route import (
+        apply_retention_deletes,
+        with_sink_id,
+        write_routed,
+    )
+    from blogparser_spark.sources.synthetic import transcripts_df
+
+    df = with_sink_id(enrich(parse_stage(transcripts_df(spark, n_convs=20, turns_per_conv=4))))
+    src = str(tmp_path / "sink")
+    write_routed(df, src)
+    gone = spark.read.parquet(src).select("conv_id").distinct().limit(3)
+    gone_ids = {r["conv_id"] for r in gone.collect()}
+
+    dest = str(tmp_path / "scrubbed")
+    stats = apply_retention_deletes(spark, src, dest, gone)
+
+    out = spark.read.parquet(dest)
+    assert stats["rows_before"] == stats["rows_deleted"] + stats["rows_after"]
+    assert stats["rows_deleted"] > 0
+    assert out.filter(F.col("conv_id").isin(gone_ids)).count() == 0
+    kept_src = spark.read.parquet(src).filter(~F.col("conv_id").isin(gone_ids))
+    cols = ["conv_id", "turn_idx", "parse_status", "sink_id"]
+    assert kept_src.select(cols).exceptAll(out.select(cols)).count() == 0
+    assert out.select(cols).exceptAll(kept_src.select(cols)).count() == 0

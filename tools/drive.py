@@ -301,3 +301,15 @@ with tempfile.TemporaryDirectory() as td:
     assert st["files_after"] < st["files_before"] and st["rows"] == routed_df.count()
     print("compaction:", st)
 print("DRIVE19 OK")
+
+# retention deletes: tombstoned convs physically removed, survivors intact
+from blogparser_spark.operators.route import apply_retention_deletes
+
+with tempfile.TemporaryDirectory() as td:
+    sink = os.path.join(td, "sink")
+    write_routed(with_sink_id(enriched), sink)
+    tomb = spark.read.parquet(sink).select("conv_id").distinct().limit(2)
+    st = apply_retention_deletes(spark, sink, os.path.join(td, "scrubbed"), tomb)
+    assert st["rows_deleted"] > 0 and st["rows_before"] == st["rows_deleted"] + st["rows_after"]
+    print("retention:", st)
+print("DRIVE20 OK")
