@@ -139,3 +139,78 @@ def run_profiles_available_now(
         .filter(F.col("_r") == 1)
         .drop("_r", "batch_id")
     )
+
+
+# --------------------------------------------------------------- funnel ----
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("step_idx", LongType()),
+        StructField("step", StringType()),
+        StructField("step_ts", TimestampType()),
+    ]
+)
+
+# one epoch-ns slot per step; -1 = not reached (flat, null-free state row)
+FUNNEL_STATE_SCHEMA = StructType(
+    [StructField(f"t{i}", LongType()) for i in range(len(FUNNEL_STEPS))]
+)
+
+
+def _update_funnel(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel progression (the streaming twin of
+    aggregate.funnel_steps): completed step times persist in state; each
+    batch advances the deepest incomplete step greedily over ts-sorted
+    events (step i completes at the first steps[i] event strictly after
+    step i-1's time — identical to the batch min-ts chain when each user's
+    events arrive in event-time order across batches). Vectorized: one
+    masked min per step, no per-row Python."""
+    (user,) = key
+    t = list(state.get) if state.exists else [-1] * len(FUNNEL_STEPS)
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    ts_ns = pd.to_datetime(batch["ts"]).astype("datetime64[ns]").astype("int64")
+    types = batch["event_type"]
+    new: list[tuple[int, str, int]] = []
+    for i, s in enumerate(FUNNEL_STEPS):
+        if t[i] >= 0:
+            continue  # earlier batches carry strictly smaller ts: final
+        mask = types == s
+        if i:
+            mask &= ts_ns > t[i - 1]
+        if not mask.any():
+            break  # deeper steps need this one first
+        t[i] = int(ts_ns[mask].min())
+        new.append((i, s, t[i]))
+    state.update(tuple(t))
+    if new:
+        yield pd.DataFrame(
+            {
+                "user_id": [user] * len(new),
+                "step_idx": [i for i, _, _ in new],
+                "step": [s for _, s, _ in new],
+                "step_ts": [pd.Timestamp(ns) for _, _, ns in new],
+            }
+        )
+
+
+def streaming_funnel(events_stream: DataFrame) -> DataFrame:
+    """Streaming funnel completions: emits (user, step_idx, step, step_ts)
+    exactly once per newly completed step (append semantics — each step of
+    each user is emitted in the micro-batch that completes it). State is
+    len(steps) longs per user — O(1), 10^9-user-safe."""
+    return (
+        events_stream.select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -313,3 +313,25 @@ with tempfile.TemporaryDirectory() as td:
     assert st["rows_deleted"] > 0 and st["rows_before"] == st["rows_deleted"] + st["rows_after"]
     print("retention:", st)
 print("DRIVE20 OK")
+
+# streaming funnel: stateful step progression == batch min-ts chain
+from blogparser_spark.operators.aggregate import funnel_steps
+from blogparser_spark.streaming.stateful import streaming_funnel
+
+with tempfile.TemporaryDirectory() as td:
+    sin = os.path.join(td, "ev")
+    ev2.select("user_id", "event_type", "ts").coalesce(1).write.mode(
+        "overwrite").parquet(sin)
+    st = spark.readStream.schema("user_id long, event_type string, ts timestamp").parquet(sin)
+    q = (streaming_funnel(st).writeStream.format("memory").queryName("drv_funnel")
+         .outputMode("append").option("checkpointLocation", os.path.join(td, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql(
+        "select user_id, step_idx, step from drv_funnel").collect()}
+    want = {tuple(r) for r in funnel_steps(
+        ev2, user_col="user_id", ts_col="ts", type_col="event_type"
+    ).select("user_id", "step_idx", "step").collect()}
+    assert got == want
+    print("streaming funnel steps:", len(got))
+print("DRIVE21 OK")
