@@ -1,0 +1,104 @@
+"""Dataset diffing: validate a pipeline change by comparing its output
+against the incumbent's, at corpus scale, in one pass.
+
+The shadow-deployment question at 10^12 turns is never "are they equal"
+(they won't be) but "how many rows changed, which columns, and which keys
+do I sample to inspect". A driver-side collect-and-compare cannot answer
+it; this operator computes the full audit in ONE co-partitioned full-outer
+join + one aggregate:
+
+  - presence:  only_left / only_right row counts (keys added/removed),
+  - equality:  changed vs equal counts over the compared columns,
+  - blame:     per-column null-safe mismatch counts (`diff_<col>`).
+
+Shuffle cost is the join on the key columns — the minimum for any exact
+row-level comparison; with both sides bucketed on the key
+(operators/storage.py) even that Exchange disappears. Comparisons are
+null-safe (`<=>`), so NULL→value and value→NULL count as changes, and all
+counting is map-side combinable."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def diff_datasets(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """One-row audit: n_only_left, n_only_right, n_changed, n_equal, and a
+    diff_<col> mismatch count per compared column (matched rows only)."""
+    ks = list(keys)
+    la = left.select(
+        *ks,
+        F.lit(1).alias("_in_l"),
+        *[F.col(c).alias(f"_l_{c}") for c in compare_cols],
+    )
+    rb = right.select(
+        *ks,
+        F.lit(1).alias("_in_r"),
+        *[F.col(c).alias(f"_r_{c}") for c in compare_cols],
+    )
+    j = la.join(rb, ks, "full_outer")
+    matched = F.col("_in_l").isNotNull() & F.col("_in_r").isNotNull()
+    col_neq = {
+        c: ~F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}")) for c in compare_cols
+    }
+    any_neq = F.lit(False)
+    for e in col_neq.values():
+        any_neq = any_neq | e
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return j.agg(
+        cnt(F.col("_in_r").isNull()).alias("n_only_left"),
+        cnt(F.col("_in_l").isNull()).alias("n_only_right"),
+        cnt(matched & any_neq).alias("n_changed"),
+        cnt(matched & ~any_neq).alias("n_equal"),
+        *[
+            cnt(matched & col_neq[c]).alias(f"diff_{c}")
+            for c in compare_cols
+        ],
+    )
+
+
+def diff_sample_keys(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    n: int = 20,
+) -> DataFrame:
+    """The inspection companion: deterministic first-n changed/added/removed
+    keys (ordered by the key columns) with a status column — what a human
+    actually opens after reading the counts."""
+    ks = list(keys)
+    la = left.select(
+        *ks,
+        F.lit(1).alias("_in_l"),
+        *[F.col(c).alias(f"_l_{c}") for c in compare_cols],
+    )
+    rb = right.select(
+        *ks,
+        F.lit(1).alias("_in_r"),
+        *[F.col(c).alias(f"_r_{c}") for c in compare_cols],
+    )
+    j = la.join(rb, ks, "full_outer")
+    neq = F.lit(False)
+    for c in compare_cols:
+        neq = neq | ~F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}"))
+    status = (
+        F.when(F.col("_in_r").isNull(), F.lit("only_left"))
+        .when(F.col("_in_l").isNull(), F.lit("only_right"))
+        .when(neq, F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*ks, "status")
+        .orderBy(*ks)
+        .limit(n)
+    )

@@ -3393,3 +3393,36 @@ def retention_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@_q(
+    "shadow_diff_audit",
+    """
+    SELECT
+      sum(CASE WHEN event_id % 7 = 3 THEN 1 ELSE 0 END)::BIGINT AS n_only_left,
+      0::BIGINT AS n_only_right,
+      sum(CASE WHEN event_id % 7 != 3 AND event_id % 5 = 0
+               THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+      sum(CASE WHEN event_id % 7 != 3 AND event_id % 5 != 0
+               THEN 1 ELSE 0 END)::BIGINT AS n_equal,
+      sum(CASE WHEN event_id % 7 != 3 AND event_id % 5 = 0
+               THEN 1 ELSE 0 END)::BIGINT AS diff_value
+    FROM events
+    """,
+)
+def shadow_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shadow-deployment diff (operators/diff.py): the candidate pipeline's
+    output is the incumbent's with every 7th event dropped and every 5th
+    value bumped — the audit must report exactly those removal/change
+    counts from ONE full-outer join + one aggregate, never a driver-side
+    compare. The oracle states the same counts arithmetically."""
+    from blogparser_spark.operators.diff import diff_datasets
+
+    e = _events(spark, sf_dir).select("event_id", "value")
+    candidate = e.filter(F.col("event_id") % 7 != 3).withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 5 == 0, F.round(F.col("value") + 1.0, 2)
+        ).otherwise(F.col("value")),
+    )
+    return diff_datasets(e, candidate, keys=["event_id"], compare_cols=["value"])

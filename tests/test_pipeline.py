@@ -227,3 +227,31 @@ def test_apply_retention_deletes(spark, tmp_path):
     cols = ["conv_id", "turn_idx", "parse_status", "sink_id"]
     assert kept_src.select(cols).exceptAll(out.select(cols)).count() == 0
     assert out.select(cols).exceptAll(kept_src.select(cols)).count() == 0
+
+
+def test_diff_datasets_and_sample_keys(spark):
+    """Null-safe diffing: value→NULL counts as changed; added/removed keys
+    split into only_right/only_left; sample keys name the culprits."""
+    from blogparser_spark.operators.diff import diff_datasets, diff_sample_keys
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", None), (4, "w", 4.0)],
+        "id long, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 9.0), (3, "z", 3.0), (5, "new", 5.0)],
+        "id long, s string, v double",
+    )
+    row = diff_datasets(a, b, keys=["id"], compare_cols=["s", "v"]).first()
+    assert row["n_only_left"] == 1 and row["n_only_right"] == 1  # ids 4 / 5
+    assert row["n_changed"] == 2  # id 2 (value), id 3 (NULL -> 3.0)
+    assert row["n_equal"] == 1
+    assert row["diff_s"] == 0 and row["diff_v"] == 2
+
+    sample = {
+        (r["id"], r["status"])
+        for r in diff_sample_keys(a, b, ["id"], ["s", "v"]).collect()
+    }
+    assert sample == {
+        (2, "changed"), (3, "changed"), (4, "only_left"), (5, "only_right")
+    }

@@ -335,3 +335,17 @@ with tempfile.TemporaryDirectory() as td:
     assert got == want
     print("streaming funnel steps:", len(got))
 print("DRIVE21 OK")
+
+# shadow diff: candidate = incumbent minus 1/7 of rows, 1/5 values bumped
+from blogparser_spark.operators.diff import diff_datasets
+
+base_ev = ev2.select("event_id", "value")
+cand = base_ev.filter(_F.col("event_id") % 7 != 3).withColumn(
+    "value",
+    _F.when(_F.col("event_id") % 5 == 0, _F.round(_F.col("value") + 1.0, 2))
+    .otherwise(_F.col("value")),
+)
+dr = diff_datasets(base_ev, cand, keys=["event_id"], compare_cols=["value"]).first()
+assert dr["n_only_left"] > 0 and dr["n_only_right"] == 0 and dr["n_changed"] == dr["diff_value"]
+print("shadow diff:", dict(zip(dr.__fields__, dr)))
+print("DRIVE22 OK")
