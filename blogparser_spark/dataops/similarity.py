@@ -1013,3 +1013,28 @@ def srp_verified_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def srp_near_dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Embedding-space end-to-end dedup decision, completing the family
+    symmetry (MinHash → near_dup_clusters, SimHash →
+    simhash_near_dup_clusters, SRP → this): band-bucket chained candidates
+    → EXACT cosine verify (≥ threshold) → pointer-jumping connected
+    components → (id, component, keep). Only verified pairs cluster, so an
+    SRP band collision can never drop a vector; survivor = the component's
+    minimum id."""
+    from blogparser_spark.dataops.dedup import connected_components
+
+    pairs = srp_verified_pairs(df, threshold, id_col, vec_col)
+    comps = connected_components(pairs.select("id_a", "id_b"), stats=stats)
+    return comps.select(
+        F.col("node").alias(id_col),
+        "component",
+        (F.col("node") == F.col("component")).alias("keep"),
+    )

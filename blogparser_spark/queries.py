@@ -3426,3 +3426,47 @@ def shadow_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("value")),
     )
     return diff_datasets(e, candidate, keys=["event_id"], compare_cols=["value"])
+
+
+@_q(
+    "srp_near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SRP_BANDS_SQL}, cand AS (
+      SELECT DISTINCT prev AS id_a, vec_id AS id_b FROM (
+        SELECT vec_id, lag(vec_id) OVER (
+          PARTITION BY band_idx, band_val ORDER BY vec_id
+        ) AS prev
+        FROM srp_bands
+      ) WHERE prev IS NOT NULL
+    ), verified AS (
+      SELECT id_a, id_b
+      FROM cand JOIN ev a ON a.vec_id = id_a JOIN ev b ON b.vec_id = id_b
+      WHERE round({_COS.format(a="a.v", b="b.v")}, 6) >= 0.25
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ), nodes AS (
+      SELECT DISTINCT u AS node FROM edges
+    ), reach AS (
+      SELECT node, node AS m FROM nodes
+      UNION
+      SELECT e.u AS node, r.m FROM edges e JOIN reach r ON e.v = r.node
+    )
+    SELECT node::BIGINT AS vec_id, min(m)::BIGINT AS component,
+           (node = min(m)) AS keep
+    FROM reach GROUP BY node ORDER BY vec_id
+    """,
+)
+def srp_near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP bands → chained pairs → exact-cosine verify → connected
+    components → survivor flags: the EMBEDDING-space member of the
+    near-dup-clusters family (MinHash and SimHash twins above), same
+    iterative pointer-jumping CC on the Spark side, same
+    recursive-closure oracle shape."""
+    out = similarity.srp_near_dup_clusters(_emb(spark, sf_dir), threshold=0.25)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+        "keep",
+    ).orderBy("vec_id")

@@ -879,3 +879,23 @@ def test_tfidf_top_terms_hand_computed(spark):
     # doc 2: cherry tf=3 dominates; durian df=1 outranks nothing else
     assert out[(2, 1)] == ("cherry", 3, round(3 * idf(2), 6))
     assert out[(2, 2)] == ("durian", 1, round(1 * idf(1), 6))
+
+
+def test_srp_near_dup_clusters_end_to_end(spark):
+    from blogparser_spark.dataops.similarity import srp_near_dup_clusters
+
+    # two tight clusters + an isolated vector (never clustered)
+    rows = [
+        (0, [1.0, 0.2, -0.3, 0.7] * 4),
+        (1, [1.001, 0.2, -0.3, 0.7] * 4),
+        (2, [0.999, 0.201, -0.3, 0.7] * 4),
+        (10, [-1.0, 5.0, 0.3, -0.7] * 4),
+        (11, [-1.001, 5.0, 0.3, -0.7] * 4),
+        (20, [0.0, 0.0, 1.0, 0.0] * 4),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: (r["component"], r["keep"])
+           for r in srp_near_dup_clusters(df, threshold=0.9).collect()}
+    assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
+    assert out[10] == (10, True) and out[11] == (10, False)
+    assert 20 not in out  # isolated vectors never enter the edge set

@@ -220,7 +220,9 @@ sig = SIM.srp_band_values(emb)
 assert sig.count() == emb.count() * SIM.SRP_BANDS
 vp = SIM.srp_verified_pairs(emb, threshold=0.25).collect()
 assert all(r["cos_sim"] >= 0.25 and r["id_a"] < r["id_b"] for r in vp)
-print("srp verified pairs:", len(vp))
+cl = SIM.srp_near_dup_clusters(emb, threshold=0.25)
+assert cl.filter("keep AND vec_id != component").count() == 0
+print("srp verified pairs:", len(vp), "| cluster rows:", cl.count())
 print("DRIVE14 OK")
 
 # TF-IDF keywords + native session_window streaming sessionize
