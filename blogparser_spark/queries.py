@@ -3470,3 +3470,61 @@ def srp_near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("long").alias("component"),
         "keep",
     ).orderBy("vec_id")
+
+
+@_q(
+    "shipping_priority_topk",
+    """
+    WITH rev AS (
+      SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+          AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-06-01'
+        AND l.l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY 1, 2, 3
+    )
+    SELECT l_orderkey, revenue, o_orderdate, o_orderpriority, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rank
+      FROM rev
+    ) WHERE rank <= 10
+    """,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the canonical dim ⋈ fact ⋈ fact chain: the filtered
+    customer segment broadcasts into orders (filter pushed to both scans),
+    the surviving orders hash-join lineitem on the fact key, revenue
+    partial-aggregates map-side as exact decimals, and the global top-10 is
+    a rank window over the (small) aggregated set with a deterministic
+    revenue/orderkey tie-break. Exactly the join-reordering / broadcast /
+    pushdown surface Catalyst+AQE owns at 100 TB."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > "1998-06-01"
+    )
+    dec = lambda name: F.col(name).cast("decimal(18,2)")  # noqa: E731
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rank")
+    )

@@ -243,3 +243,17 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shipping_priority_join_strategy(spark):
+    """The Q3-shaped chain must broadcast the filtered dim, hash-join the
+    fact-fact edge, and push both date filters into the parquet scans."""
+    from blogparser_spark.queries import shipping_priority_topk
+
+    df = shipping_priority_topk(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("o_orderdate" in s for s in pushed)
+    assert any("l_shipdate" in s for s in pushed)
