@@ -460,3 +460,29 @@ def strip_boilerplate(
     """Rows that survive the boilerplate gate, original schema preserved."""
     flagged = boilerplate_flags(df, min_groups, text_col, group_col)
     return flagged.filter(~F.col("is_boilerplate")).select(*df.columns)
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: a `split` column derived
+    ONLY from md5(salt:id), so it is (a) deterministic across runs,
+    engines, partitionings, and re-shuffles of the corpus, (b) disjoint
+    and exhaustive by construction, and (c) stable under corpus growth —
+    adding documents never moves an existing document between splits (the
+    property a random split or any count-based split lacks, and the reason
+    eval contamination creeps into retrained models). Pure codegen: one
+    md5 + comparisons, no shuffle, filter on `split` pushes down."""
+    key = sample_key(F.col(id_col), salt)
+    t_val = rate_to_hex_threshold(val_frac)
+    t_test = rate_to_hex_threshold(val_frac + test_frac)
+    return df.withColumn(
+        "split",
+        F.when(key < t_val, F.lit("val"))
+        .when(key < t_test, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

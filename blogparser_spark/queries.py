@@ -3528,3 +3528,33 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rank")
     )
+
+
+@_q(
+    "dataset_split_counts",
+    f"""
+    WITH s AS (
+      SELECT lang,
+        CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{__import__("blogparser_spark.dataops.curation", fromlist=["c"]).rate_to_hex_threshold(0.1)}' THEN 'val'
+             WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{__import__("blogparser_spark.dataops.curation", fromlist=["c"]).rate_to_hex_threshold(0.2)}' THEN 'test'
+             ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*)::BIGINT AS n FROM s GROUP BY 1, 2
+    """,
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-keyed train/val/test split (curation.dataset_split)
+    rolled up per language: engine-portable (same md5 thresholds in the
+    oracle), shuffle-free assignment, and growth-stable — adding documents
+    never reassigns existing ones, the property that keeps eval sets
+    uncontaminated across retrains."""
+    from blogparser_spark.dataops import curation
+
+    return (
+        curation.dataset_split(_docs(spark, sf_dir))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+    )

@@ -330,3 +330,25 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     # local top-n + driver merge, not a global sort shuffle
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_dataset_split_disjoint_stable_and_growth_invariant(spark):
+    from blogparser_spark.dataops.curation import dataset_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dataset_split(docs)
+    # exhaustive + disjoint by construction: one split value per row
+    n = docs.count()
+    assert out.count() == n
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # ~10% each with md5-uniform keys (loose bound at n=500)
+    assert 0.04 * n < counts["val"] < 0.2 * n
+    assert 0.04 * n < counts["test"] < 0.2 * n
+    # growth-stable: assignments on a SUBSET are identical to the full run
+    sub = dataset_split(docs.filter(F.col("doc_id") < 100))
+    full = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    assert all(full[r["doc_id"]] == r["split"]
+               for r in sub.select("doc_id", "split").collect())

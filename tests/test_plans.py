@@ -257,3 +257,15 @@ def test_shipping_priority_join_strategy(spark):
     pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
     assert any("o_orderdate" in s for s in pushed)
     assert any("l_shipdate" in s for s in pushed)
+
+
+def test_global_topk_uses_take_ordered_not_full_sort(spark):
+    """orderBy+limit must plan as TakeOrderedAndProject (each partition
+    forwards only k rows) — the native bounded global top-k; a full Sort
+    before the limit would shuffle the whole corpus."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from pyspark.sql import functions as F
+
+    plan = _plan(events.orderBy(F.desc("value"), "event_id").limit(10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -351,3 +351,12 @@ dr = diff_datasets(base_ev, cand, keys=["event_id"], compare_cols=["value"]).fir
 assert dr["n_only_left"] > 0 and dr["n_only_right"] == 0 and dr["n_changed"] == dr["diff_value"]
 print("shadow diff:", dict(zip(dr.__fields__, dr)))
 print("DRIVE22 OK")
+
+# deterministic dataset split: disjoint, exhaustive, subset-invariant
+from blogparser_spark.dataops.curation import dataset_split
+
+sp = dataset_split(docs)
+assert sp.count() == docs.count()
+assert {r["split"] for r in sp.select("split").distinct().collect()} == {"train", "val", "test"}
+print("split counts:", {r["split"]: r["n"] for r in sp.groupBy("split").agg(_F.count("*").alias("n")).collect()})
+print("DRIVE23 OK")
