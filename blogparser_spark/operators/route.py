@@ -124,15 +124,21 @@ def compact_routed_sink(
             if n.endswith(".parquet")
         )
 
+    from pyspark.sql import Observation
+
     df = spark.read.parquet(src_path)
-    rows = df.count()
     salt = F.pmod(F.hash(F.col("conv_id")), F.lit(max(files_per_sink, 1)))
-    out = df.repartition(*[F.col(k) for k in SINK_KEYS], salt)
+    # the row count rides the write pass as an observe() metric — stats
+    # cost no second scan of the corpus
+    obs = Observation("compact_rows")
+    out = df.observe(obs, F.count(F.lit(1)).alias("rows")).repartition(
+        *[F.col(k) for k in SINK_KEYS], salt
+    )
     out.write.mode("overwrite").partitionBy(*SINK_KEYS).parquet(dest_path)
     return {
         "files_before": _nfiles(src_path),
         "files_after": _nfiles(dest_path),
-        "rows": rows,
+        "rows": int(obs.get["rows"]),
     }
 
 
@@ -154,14 +160,24 @@ def apply_retention_deletes(
     deletion requests, not data; Spark broadcasts under the threshold or
     via the explicit hint here) → partitioned write. The anti-join never
     shuffles the corpus; a 10^12-row sink pays exactly one read+write, the
-    minimum possible for physical deletion on immutable files. Returns
-    {rows_before, rows_deleted, rows_after} for the audit manifest."""
-    df = spark.read.parquet(src_path)
-    rows_before = df.count()
+    minimum possible for physical deletion on immutable files — both audit
+    counts ride that pass as observe() metrics (before the join / before
+    the writer), no extra scan. Returns {rows_before, rows_deleted,
+    rows_after} for the audit manifest."""
+    from pyspark.sql import Observation
+
+    obs_in = Observation("retention_in")
+    obs_out = Observation("retention_out")
+    df = spark.read.parquet(src_path).observe(
+        obs_in, F.count(F.lit(1)).alias("rows")
+    )
     tomb = tombstones.select(F.col(key_col)).distinct()
-    kept = df.join(F.broadcast(tomb), key_col, "left_anti")
+    kept = df.join(F.broadcast(tomb), key_col, "left_anti").observe(
+        obs_out, F.count(F.lit(1)).alias("rows")
+    )
     kept.write.mode("overwrite").partitionBy(*SINK_KEYS).parquet(dest_path)
-    rows_after = spark.read.parquet(dest_path).count()
+    rows_before = int(obs_in.get["rows"])
+    rows_after = int(obs_out.get["rows"])
     return {
         "rows_before": rows_before,
         "rows_deleted": rows_before - rows_after,
