@@ -3558,3 +3558,73 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n"))
     )
+
+
+@_q(
+    "fk_integrity_audit",
+    """
+    SELECT 'orders->customer' AS relation,
+      (SELECT count(*) FROM orders)::BIGINT AS n_child,
+      (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      )::BIGINT AS n_orphans,
+      round((SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        / greatest((SELECT count(*) FROM orders), 1), 6) AS orphan_frac
+    UNION ALL
+    SELECT 'lineitem->orders',
+      (SELECT count(*) FROM lineitem)::BIGINT,
+      (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      )::BIGINT,
+      round((SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        / greatest((SELECT count(*) FROM lineitem), 1), 6)
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (dataops/profile.py): orphaned-FK counts
+    for orders→customer and lineitem→orders as ONE lazy plan per relation
+    (left join against distinct parent keys + one aggregate) unioned into
+    the audit table — the pre-ingest data-quality gate, never a driver-side
+    row inspection."""
+    from blogparser_spark.dataops.profile import fk_audit
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return fk_audit(
+        [
+            (o, c, "o_custkey", "c_custkey", "orders->customer"),
+            (li, o, "l_orderkey", "o_orderkey", "lineitem->orders"),
+        ]
+    )
+
+
+@_q(
+    "column_null_profile",
+    """
+    WITH a AS (
+      SELECT count(*)::BIGINT AS n_rows,
+        sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT AS n0,
+        sum(CASE WHEN event_type IS NOT NULL AND trim(event_type) = ''
+                 THEN 1 ELSE 0 END)::BIGINT AS b0,
+        sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n1,
+        sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS n2,
+        sum(CASE WHEN props IS NOT NULL AND trim(props) = ''
+                 THEN 1 ELSE 0 END)::BIGINT AS b2
+      FROM events
+    )
+    SELECT 'event_type' AS col, n_rows, n0 AS n_null, b0 AS n_blank FROM a
+    UNION ALL SELECT 'value', n_rows, n1, 0::BIGINT FROM a
+    UNION ALL SELECT 'props', n_rows, n2, b2 FROM a
+    """,
+)
+def column_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/blank profiling over events — one aggregate for all
+    columns, unpivoted in-plan to audit rows (dataops/profile.py)."""
+    from blogparser_spark.dataops.profile import null_blank_profile
+
+    return null_blank_profile(
+        _events(spark, sf_dir), ["event_type", "value", "props"]
+    )

@@ -899,3 +899,31 @@ def test_srp_near_dup_clusters_end_to_end(spark):
     assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
     assert out[10] == (10, True) and out[11] == (10, False)
     assert 20 not in out  # isolated vectors never enter the edge set
+
+
+def test_fk_orphans_and_null_profile(spark):
+    from blogparser_spark.dataops.profile import fk_audit, null_blank_profile
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 3), (13, None)], "id long, fk long"
+    )
+    audit = {
+        r["relation"]: (r["n_child"], r["n_orphans"], r["orphan_frac"])
+        for r in fk_audit([(child, parent, "fk", "pk", "c->p")]).collect()
+    }
+    # fk=3 has no parent; fk=NULL never matches a key -> both orphaned
+    assert audit["c->p"] == (4, 2, 0.5)
+
+    prof = {
+        r["col"]: (r["n_rows"], r["n_null"], r["n_blank"])
+        for r in null_blank_profile(
+            spark.createDataFrame(
+                [("a", 1.0), ("", None), (None, 3.0), ("  ", 4.0)],
+                "s string, v double",
+            ),
+            ["s", "v"],
+        ).collect()
+    }
+    assert prof["s"] == (4, 1, 2)  # "" and "  " are blank, None is null
+    assert prof["v"] == (4, 1, 0)  # non-string: blanks always 0

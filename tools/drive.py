@@ -360,3 +360,15 @@ assert sp.count() == docs.count()
 assert {r["split"] for r in sp.select("split").distinct().collect()} == {"train", "val", "test"}
 print("split counts:", {r["split"]: r["n"] for r in sp.groupBy("split").agg(_F.count("*").alias("n")).collect()})
 print("DRIVE23 OK")
+
+# data-quality gates: schema-wide FK audit + null/blank profile
+from blogparser_spark.dataops.profile import fk_audit, null_blank_profile
+
+ordrs = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+fk = {r["relation"]: r["orphan_frac"] for r in fk_audit(
+    [(ordrs, cust, "o_custkey", "c_custkey", "orders->customer")]).collect()}
+np_rows = null_blank_profile(docs, ["text", "lang"]).collect()
+assert set(fk) == {"orders->customer"} and len(np_rows) == 2
+print("fk audit:", fk, "| profiled cols:", [r["col"] for r in np_rows])
+print("DRIVE24 OK")
