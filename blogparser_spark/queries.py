@@ -3628,3 +3628,34 @@ def column_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return null_blank_profile(
         _events(spark, sf_dir), ["event_type", "value", "props"]
     )
+
+
+@_q(
+    "props_json_rollup",
+    """
+    SELECT event_type,
+      count(*)::BIGINT AS n,
+      min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+      max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+      sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+      sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END)
+        ::BIGINT AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def props_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload rollup: the `props` JSON column parsed
+    IN-PLAN with get_json_object (JVM JSON path evaluation inside
+    whole-stage codegen — no Python, no pre-flattening ETL) feeding a
+    partial hash agg. The log-pipeline reality check: telemetry payloads
+    are ragged JSON, and the engine must aggregate over paths without a
+    schema migration. Missing-path counts ride the same aggregate."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
