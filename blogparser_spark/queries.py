@@ -3659,3 +3659,83 @@ def props_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("n_missing"),
     )
+
+
+@_q(
+    "rolling_event_stats",
+    """
+    SELECT user_id, event_id,
+      count(*) OVER w ::BIGINT AS n_1h,
+      round(avg(value) OVER w, 6) AS avg_1h
+    FROM (
+      SELECT user_id, event_id, value,
+        epoch_us(ts) AS us
+      FROM events
+    )
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY us
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def rolling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding window — the window flavor tumbling/session
+    coverage doesn't exercise: each event's trailing-1-hour per-user
+    count/mean via `rangeBetween` on event-time microseconds (value-based
+    frame, not row-based; one shuffle+sort per user partition, the same
+    cost as any per-user window at 10^12 events). Rolling rates are the
+    bread-and-butter anomaly signal of a telemetry pipeline."""
+    e = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+    )
+
+
+@_q(
+    "sink_rollup_hierarchy",
+    """
+    WITH t AS (
+      SELECT event_type, CAST(user_id % 4 AS VARCHAR) AS user_bucket, value
+      FROM events
+    )
+    SELECT coalesce(event_type, '<all>') AS event_type,
+      coalesce(user_bucket, '<all>') AS user_bucket,
+      count(*)::BIGINT AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM t GROUP BY ROLLUP (event_type, user_bucket)
+    """,
+)
+def sink_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (type → type×bucket → grand total in
+    ONE pass — Catalyst expands the grouping sets into a single shuffle,
+    not three scans): the multi-dimensional reporting rollup every sink
+    dashboard wants, with decimal-exact money sums."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        (F.col("user_id") % 4).cast("string").alias("user_bucket"),
+        "value",
+    )
+    return (
+        e.rollup("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("user_bucket"), F.lit("<all>")).alias("user_bucket"),
+            "n",
+            "total_value",
+        )
+    )
