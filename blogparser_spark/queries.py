@@ -3739,3 +3739,30 @@ def sink_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@_q(
+    "event_type_pivot",
+    """
+    SELECT CAST(user_id % 4 AS VARCHAR) AS user_bucket,
+      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+      sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+    FROM events GROUP BY 1
+    """,
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an EXPLICIT value list — the form that stays
+    one pass at scale: Catalyst rewrites it to one hash agg with per-value
+    conditional counts (exactly the oracle's CASE sums); omitting the list
+    would trigger a driver-side distinct scan first. Wide per-entity
+    feature rows are the export shape feature stores ask for."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy((F.col("user_id") % 4).cast("string").alias("user_bucket"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )

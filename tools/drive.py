@@ -372,3 +372,18 @@ np_rows = null_blank_profile(docs, ["text", "lang"]).collect()
 assert set(fk) == {"orders->customer"} and len(np_rows) == 2
 print("fk audit:", fk, "| profiled cols:", [r["col"] for r in np_rows])
 print("DRIVE24 OK")
+
+# JSONL source-boundary error isolation: corrupt lines become routed rows
+from blogparser_spark.sources.jsonl import read_transcripts_jsonl, route_source_errors
+
+with tempfile.TemporaryDirectory() as td:
+    feed = os.path.join(td, "feed.jsonl")
+    with open(feed, "w") as f:
+        f.write('{"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi", '
+                '"tool": "search", "ts": "2024-01-01T00:00:00.000Z"}\n')
+        f.write("NOT JSON\n")
+    r = route_source_errors(read_transcripts_jsonl(spark, feed)).cache()
+    stat = {x["source_status"]: 1 for x in r.select("source_status").distinct().collect()}
+    assert set(stat) == {"ok", "source_error"} and r.count() == 2
+    print("jsonl quarantine ok")
+print("DRIVE25 OK")
