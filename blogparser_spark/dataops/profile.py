@@ -47,6 +47,8 @@ def fk_audit(
     """Union of fk_orphan_counts over (child, parent, child_key, parent_key,
     relation) tuples — one audit table for the whole schema, still one lazy
     plan."""
+    if not pairs:
+        raise ValueError("fk_audit needs at least one (child, parent, …) pair")
     out = None
     for child, parent, ck, pk, rel in pairs:
         row = fk_orphan_counts(child, parent, ck, pk, rel)

@@ -933,6 +933,10 @@ def srp_band_values(
     import numpy as np
     from pyspark.sql.types import ArrayType, LongType
 
+    if n_bits % n_bands:
+        raise ValueError(
+            f"n_bits ({n_bits}) must divide evenly into n_bands ({n_bands})"
+        )
     band_bits = n_bits // n_bands
     H = np.asarray(srp_hyperplanes(n_bits, dim), dtype=np.float64)
     weights = 1 << np.arange(band_bits, dtype=np.int64)

@@ -456,14 +456,23 @@ def _math_log(x: float) -> float:
 
 
 def dd_merge(
-    *hists: DataFrame, group_cols: Sequence[str] = ()
+    *hists: DataFrame, group_cols: Sequence[str] | None = None
 ) -> DataFrame:
     """Merge = bucket-wise count sum (full mergeability: sketch(A ∪ B) ==
-    merge(sketch(A), sketch(B)) EXACTLY, not approximately)."""
+    merge(sketch(A), sketch(B)) EXACTLY, not approximately). Group columns
+    default to whatever non-(bucket, cnt) columns the inputs carry, so a
+    grouped histogram can never be silently collapsed across its groups by
+    an omitted group_cols argument."""
+    cols = hists[0].columns
+    for h in hists[1:]:
+        if h.columns != cols:
+            raise ValueError(f"histogram schemas differ: {cols} vs {h.columns}")
+    inferred = [c for c in cols if c not in ("bucket", "cnt")]
+    gcols = list(group_cols) if group_cols is not None else inferred
     out = hists[0]
     for h in hists[1:]:
         out = out.unionByName(h)
-    return out.groupBy(*group_cols, "bucket").agg(
+    return out.groupBy(*gcols, "bucket").agg(
         F.sum("cnt").cast("bigint").alias("cnt")
     )
 

@@ -123,9 +123,20 @@ def funnel_counts(
     type_col: str = "event_type",
 ) -> DataFrame:
     """(step_idx, step, n_users) rollup of funnel_steps — the per-stage
-    conversion counts."""
-    return (
+    conversion counts. Every declared step is reported, including steps no
+    user reached (n_users = 0): a funnel readout with silently missing
+    stages misreads as a narrower funnel, and the SQL oracle counts empty
+    stages as zero rows too."""
+    reached = (
         funnel_steps(df, steps, user_col, ts_col, type_col)
         .groupBy("step_idx", "step")
-        .agg(F.count("*").alias("n_users"))
+        .agg(F.count("*").alias("_n"))
+    )
+    frame = df.sparkSession.createDataFrame(
+        [(i, s) for i, s in enumerate(steps)], "step_idx int, step string"
+    )
+    return frame.join(reached, ["step_idx", "step"], "left").select(
+        "step_idx",
+        "step",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_users"),
     )

@@ -15,24 +15,26 @@ Shuffle cost is the join on the key columns — the minimum for any exact
 row-level comparison; with both sides bucketed on the key
 (operators/storage.py) even that Exchange disappears. Comparisons are
 null-safe (`<=>`), so NULL→value and value→NULL count as changes, and all
-counting is map-side combinable."""
+counting is map-side combinable. The counts (diff_datasets) and the sample
+keys (diff_sample_keys) share ONE join/compare builder, so their semantics
+can never drift apart."""
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def diff_datasets(
+def _compared(
     left: DataFrame,
     right: DataFrame,
     keys: Sequence[str],
     compare_cols: Sequence[str],
-) -> DataFrame:
-    """One-row audit: n_only_left, n_only_right, n_changed, n_equal, and a
-    diff_<col> mismatch count per compared column (matched rows only)."""
+) -> tuple[DataFrame, Column, dict[str, Column]]:
+    """(full-outer joined frame, matched predicate, per-column null-safe
+    inequality) — the single source of the diff semantics."""
     ks = list(keys)
     la = left.select(
         *ks,
@@ -49,15 +51,31 @@ def diff_datasets(
     col_neq = {
         c: ~F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}")) for c in compare_cols
     }
-    any_neq = F.lit(False)
+    return j, matched, col_neq
+
+
+def _any_neq(col_neq: dict[str, Column]) -> Column:
+    out = F.lit(False)
     for e in col_neq.values():
-        any_neq = any_neq | e
+        out = out | e
+    return out
+
+
+def diff_datasets(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """One-row audit: n_only_left, n_only_right, n_changed, n_equal, and a
+    diff_<col> mismatch count per compared column (matched rows only)."""
+    j, matched, col_neq = _compared(left, right, keys, compare_cols)
     cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
     return j.agg(
         cnt(F.col("_in_r").isNull()).alias("n_only_left"),
         cnt(F.col("_in_l").isNull()).alias("n_only_right"),
-        cnt(matched & any_neq).alias("n_changed"),
-        cnt(matched & ~any_neq).alias("n_equal"),
+        cnt(matched & _any_neq(col_neq)).alias("n_changed"),
+        cnt(matched & ~_any_neq(col_neq)).alias("n_equal"),
         *[
             cnt(matched & col_neq[c]).alias(f"diff_{c}")
             for c in compare_cols
@@ -75,30 +93,16 @@ def diff_sample_keys(
     """The inspection companion: deterministic first-n changed/added/removed
     keys (ordered by the key columns) with a status column — what a human
     actually opens after reading the counts."""
-    ks = list(keys)
-    la = left.select(
-        *ks,
-        F.lit(1).alias("_in_l"),
-        *[F.col(c).alias(f"_l_{c}") for c in compare_cols],
-    )
-    rb = right.select(
-        *ks,
-        F.lit(1).alias("_in_r"),
-        *[F.col(c).alias(f"_r_{c}") for c in compare_cols],
-    )
-    j = la.join(rb, ks, "full_outer")
-    neq = F.lit(False)
-    for c in compare_cols:
-        neq = neq | ~F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}"))
+    j, _matched, col_neq = _compared(left, right, keys, compare_cols)
     status = (
         F.when(F.col("_in_r").isNull(), F.lit("only_left"))
         .when(F.col("_in_l").isNull(), F.lit("only_right"))
-        .when(neq, F.lit("changed"))
+        .when(_any_neq(col_neq), F.lit("changed"))
     )
     return (
         j.withColumn("status", status)
         .filter(F.col("status").isNotNull())
-        .select(*ks, "status")
-        .orderBy(*ks)
+        .select(*keys, "status")
+        .orderBy(*keys)
         .limit(n)
     )

@@ -37,6 +37,14 @@ def _iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _sink_salt(files_per_sink: int):
+    """Bounded writer salt: each sink's rows land in exactly
+    `files_per_sink` buckets keyed on conv_id — the ONE definition both the
+    fan-out writer and the compactor cluster by, so their file layouts can
+    never drift apart."""
+    return F.pmod(F.hash(F.col("conv_id")), F.lit(max(files_per_sink, 1)))
+
+
 def write_routed(
     df: DataFrame,
     path_or_table: str,
@@ -57,7 +65,7 @@ def write_routed(
     use_iceberg = fmt == "iceberg" or (fmt is None and _iceberg_available(spark))
     # images is an internal array<struct>; sinks carry the flat record
     out = df.drop("images")
-    salt = F.pmod(F.hash(F.col("conv_id")), F.lit(max(files_per_sink, 1)))
+    salt = _sink_salt(files_per_sink)
     out = out.repartition(*[F.col(k) for k in SINK_KEYS], salt)
     if use_iceberg:
         (
@@ -127,7 +135,7 @@ def compact_routed_sink(
     from pyspark.sql import Observation
 
     df = spark.read.parquet(src_path)
-    salt = F.pmod(F.hash(F.col("conv_id")), F.lit(max(files_per_sink, 1)))
+    salt = _sink_salt(files_per_sink)
     # the row count rides the write pass as an observe() metric — stats
     # cost no second scan of the corpus
     obs = Observation("compact_rows")

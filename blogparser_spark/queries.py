@@ -3402,11 +3402,12 @@ def retention_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       sum(CASE WHEN event_id % 7 = 3 THEN 1 ELSE 0 END)::BIGINT AS n_only_left,
       0::BIGINT AS n_only_right,
       sum(CASE WHEN event_id % 7 != 3 AND event_id % 5 = 0
-               THEN 1 ELSE 0 END)::BIGINT AS n_changed,
-      sum(CASE WHEN event_id % 7 != 3 AND event_id % 5 != 0
+                AND value IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+      sum(CASE WHEN event_id % 7 != 3
+                AND (event_id % 5 != 0 OR value IS NULL)
                THEN 1 ELSE 0 END)::BIGINT AS n_equal,
       sum(CASE WHEN event_id % 7 != 3 AND event_id % 5 = 0
-               THEN 1 ELSE 0 END)::BIGINT AS diff_value
+                AND value IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS diff_value
     FROM events
     """,
 )

@@ -154,9 +154,12 @@ FUNNEL_OUT_SCHEMA = StructType(
     ]
 )
 
-# one epoch-ns slot per step; -1 = not reached (flat, null-free state row)
+# progress counter + one epoch-ns slot per step (slots ≥ n_done are
+# meaningless placeholders — an explicit counter, not a sign sentinel, so
+# pre-1970 event times work and NaT can never fake completion)
 FUNNEL_STATE_SCHEMA = StructType(
-    [StructField(f"t{i}", LongType()) for i in range(len(FUNNEL_STEPS))]
+    [StructField("n_done", LongType())]
+    + [StructField(f"t{i}", LongType()) for i in range(len(FUNNEL_STEPS))]
 )
 
 
@@ -169,24 +172,31 @@ def _update_funnel(
     events (step i completes at the first steps[i] event strictly after
     step i-1's time — identical to the batch min-ts chain when each user's
     events arrive in event-time order across batches). Vectorized: one
-    masked min per step, no per-row Python."""
+    masked min per step, no per-row Python. Null event times are dropped
+    (the batch twin's min()/comparison semantics ignore them too)."""
     (user,) = key
-    t = list(state.get) if state.exists else [-1] * len(FUNNEL_STEPS)
+    if state.exists:
+        got = list(state.get)
+        n_done, t = int(got[0]), got[1:]
+    else:
+        n_done, t = 0, [0] * len(FUNNEL_STEPS)
     batch = pd.concat(list(pdfs), ignore_index=True)
-    ts_ns = pd.to_datetime(batch["ts"]).astype("datetime64[ns]").astype("int64")
-    types = batch["event_type"]
+    ts = pd.to_datetime(batch["ts"])
+    valid = ts.notna()
+    ts_ns = ts[valid].astype("datetime64[ns]").astype("int64")
+    types = batch["event_type"][valid]
     new: list[tuple[int, str, int]] = []
-    for i, s in enumerate(FUNNEL_STEPS):
-        if t[i] >= 0:
-            continue  # earlier batches carry strictly smaller ts: final
+    for i in range(n_done, len(FUNNEL_STEPS)):
+        s = FUNNEL_STEPS[i]
         mask = types == s
         if i:
             mask &= ts_ns > t[i - 1]
         if not mask.any():
             break  # deeper steps need this one first
         t[i] = int(ts_ns[mask].min())
+        n_done = i + 1
         new.append((i, s, t[i]))
-    state.update(tuple(t))
+    state.update((n_done, *t))
     if new:
         yield pd.DataFrame(
             {

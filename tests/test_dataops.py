@@ -908,6 +908,10 @@ def test_fk_orphans_and_null_profile(spark):
     child = spark.createDataFrame(
         [(10, 1), (11, 1), (12, 3), (13, None)], "id long, fk long"
     )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fk_audit([])
     audit = {
         r["relation"]: (r["n_child"], r["n_orphans"], r["orphan_frac"])
         for r in fk_audit([(child, parent, "fk", "pk", "c->p")]).collect()

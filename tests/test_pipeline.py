@@ -150,6 +150,10 @@ def test_funnel_strict_ordering(spark):
     df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
     counts = {r["step"]: r["n_users"] for r in funnel_counts(df).collect()}
     assert counts == {"view": 4, "click": 3, "purchase": 1}
+    # a step NO user reaches is still reported, with an explicit zero
+    zeroed = {r["step"]: r["n_users"] for r in
+              funnel_counts(df, steps=("view", "click", "signup")).collect()}
+    assert zeroed == {"view": 4, "click": 3, "signup": 0}
     steps = {
         (r["user_id"], r["step"]): r["step_ts"] for r in funnel_steps(df).collect()
     }
