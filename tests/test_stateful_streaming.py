@@ -117,3 +117,50 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     }
     assert any((u, i) not in early_steps for u, i, _, _ in streamed)
     assert early_steps  # batch 1 made progress too
+
+
+def test_streaming_funnel_ignores_null_ts_and_stays_exactly_once(spark, tmp_path):
+    """A NULL event time must neither complete a step nor corrupt state
+    into re-emission (the NaT → int64-min pitfall): two batches, the first
+    carrying a null-ts click, must yield each step at most once and only
+    from real timestamps."""
+    import datetime as dt
+
+    from blogparser_spark.streaming.stateful import streaming_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    inp = str(tmp_path / "in")
+    b1 = spark.createDataFrame(
+        [(1, "view", t0), (1, "click", None)],
+        "user_id long, event_type string, ts timestamp",
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(inp)
+    import time
+
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(1, "click", t0 + dt.timedelta(minutes=5))],
+        "user_id long, event_type string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1).parquet(inp)
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_nat")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["user_id"], r["step_idx"], r["step"], r["step_ts"])
+        for r in spark.sql("select * from funnel_nat").collect()
+    )
+    assert rows == [
+        (1, 0, "view", t0),
+        (1, 1, "click", t0 + dt.timedelta(minutes=5)),  # null-ts click ignored
+    ]
