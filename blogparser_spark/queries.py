@@ -3767,3 +3767,35 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0)
     )
+
+
+@_q(
+    "value_decile_profile",
+    """
+    WITH d AS (
+      SELECT event_type, value,
+        ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+          AS decile
+      FROM events
+    )
+    SELECT event_type, decile, count(*)::BIGINT AS n,
+      round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM d GROUP BY event_type, decile
+    """,
+)
+def value_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile decile bucketing per event type (deterministic tie-break on
+    event_id) rolled up to per-decile count/lo/hi — the distribution
+    profile dashboards bin by. One window + one partial agg, both keyed on
+    event_type."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
