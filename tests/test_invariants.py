@@ -1,0 +1,131 @@
+"""Cross-input invariants for the round-3 operator families, checked over
+seeded randomized corpora (plain pytest loops — one Spark job per trial is
+what makes hypothesis-per-example impractical here; the generator seeds are
+fixed so failures replay)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+
+def _random_events(spark, seed, n=300, users=20):
+    rng = random.Random(seed)
+    t0 = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "signup", "error"]
+    rows = [
+        (
+            i,
+            rng.randrange(users),
+            rng.choice(types),
+            t0 + dt.timedelta(seconds=rng.randrange(0, 10**6)),
+            round(rng.uniform(0, 100), 2),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+
+
+def test_funnel_counts_monotone_nonincreasing(spark):
+    """Deeper funnel stages can never have MORE converters — for any input."""
+    from blogparser_spark.operators.aggregate import funnel_counts
+
+    for seed in (1, 7, 42):
+        ev = _random_events(spark, seed)
+        counts = {
+            r["step_idx"]: r["n_users"] for r in funnel_counts(ev).collect()
+        }
+        assert set(counts) == {0, 1, 2}  # every declared step reported
+        assert counts[0] >= counts[1] >= counts[2] >= 0, (seed, counts)
+
+
+def test_diff_conservation_laws(spark):
+    """With unique keys, the audit counts must tile both inputs exactly:
+    left = only_left + changed + equal; right = only_right + changed +
+    equal; and no per-column blame count can exceed n_changed... for any
+    perturbation."""
+    from blogparser_spark.operators.diff import diff_datasets
+
+    for seed in (3, 9):
+        rng = random.Random(seed)
+        left = _random_events(spark, seed)
+        right = (
+            left.filter(F.col("event_id") % rng.randrange(2, 6) != 0)
+            .withColumn(
+                "value",
+                F.when(
+                    F.col("event_id") % rng.randrange(2, 5) == 1,
+                    F.round(F.col("value") * 2 + 1, 2),
+                ).otherwise(F.col("value")),
+            )
+        )
+        r = diff_datasets(
+            left, right, keys=["event_id"], compare_cols=["value", "event_type"]
+        ).first()
+        n_left, n_right = left.count(), right.count()
+        assert r["n_only_left"] + r["n_changed"] + r["n_equal"] == n_left
+        assert r["n_only_right"] + r["n_changed"] + r["n_equal"] == n_right
+        assert 0 <= r["diff_value"] <= r["n_changed"]
+        assert 0 <= r["diff_event_type"] <= r["n_changed"]
+        assert r["diff_event_type"] == 0  # event_type never perturbed
+
+
+def test_ddsketch_guarantee_on_adversarial_values(spark):
+    """The alpha relative-error bound must hold even for values planted at
+    log-bucket boundaries and across 6 orders of magnitude."""
+    from blogparser_spark.dataops.sketches import (
+        dd_gamma,
+        dd_histogram,
+        dd_quantiles,
+    )
+
+    g = dd_gamma()
+    vals = []
+    # boundary-adjacent values: gamma^k and its neighbors
+    for k in (1, 50, 200, 400):
+        v = g**k
+        vals += [v * 0.999999, v, v * 1.000001]
+    vals += [10**e for e in range(0, 7)]
+    vals += [random.Random(5).uniform(1, 10**6) for _ in range(200)]
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    qs = (0.1, 0.5, 0.9, 0.99)
+    est = {r["q"]: r["est"] for r in dd_quantiles(dd_histogram(df, F.col("v")), qs).collect()}
+    svals = sorted(vals)
+    for q in qs:
+        exact = svals[int(q * (len(svals) - 1))]
+        assert abs(est[q] - exact) <= 0.0101 * exact + 1e-9, (q, est[q], exact)
+
+
+def test_srp_collision_probability_tracks_cosine(spark):
+    """Charikar's guarantee, statistically: high-cosine pairs must share
+    strictly more bands than near-orthogonal pairs on random data."""
+    import numpy as np
+
+    from blogparser_spark.dataops.similarity import srp_band_values
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16))
+    near = base + rng.normal(scale=0.05, size=base.shape)  # cos ~ 0.999
+    far = rng.normal(size=base.shape)  # cos ~ 0
+    rows = (
+        [(i, base[i].tolist()) for i in range(40)]
+        + [(100 + i, near[i].tolist()) for i in range(40)]
+        + [(200 + i, far[i].tolist()) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sig = {
+        (r["vec_id"], r["band_idx"]): r["band_val"]
+        for r in srp_band_values(df, dim=16).collect()
+    }
+    near_share = sum(
+        sig[(i, b)] == sig[(100 + i, b)] for i in range(40) for b in range(4)
+    )
+    far_share = sum(
+        sig[(i, b)] == sig[(200 + i, b)] for i in range(40) for b in range(4)
+    )
+    assert near_share > 0.8 * 160  # near-duplicates agree on most bands
+    assert far_share < 0.5 * near_share  # orthogonal pairs collide far less
