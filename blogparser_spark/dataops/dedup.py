@@ -837,3 +837,88 @@ def segment_dedup_reassemble(
         )
         .orderBy(id_col)
     )
+
+
+# ------------------------------------------------------- winnowing (MOSS) ---
+
+WINNOW_K = 8  # chars per k-gram (the rolling-hash unit)
+WINNOW_W = 4  # window: every w consecutive k-grams contribute >= 1 print
+WINNOW_DF_CAP = 50  # stop-fingerprints: shared by more docs than this are noise
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of the
+    normalized text, keep the MINIMUM hash of every w-gram window, dedup.
+    Guarantees: any shared substring of length >= k + w - 1 between two
+    documents yields at least one shared fingerprint, and the kept set is
+    a ~2/(w+1) fraction of positions — a sparse, alignment-free signature
+    that (unlike MinHash's bag-of-shingles) localizes WHERE the overlap is.
+
+    Kernel: the classic formulation rolls a Rabin-Karp hash in O(1) per
+    position; relationally the same signature is one posexplode over
+    positions + substring + md5-prefix (cross-engine integer, the SRP
+    derivation trick) + a min() over a ROWS sliding window per doc — all
+    codegen, shuffle keyed on the doc id only. Emits (id, fingerprint,
+    pos) with pos = the position of each kept minimum."""
+    norm = _norm(F.col(text_col))
+    t = df.select(F.col(id_col), norm.alias("_t")).filter(
+        F.length("_t") >= k
+    )
+    pos = t.select(
+        id_col,
+        F.col("_t"),
+        F.explode(F.sequence(F.lit(1), F.length("_t") - k + 1)).alias("pos"),
+    )
+    kh = F.conv(F.substring(F.md5(F.substring(F.col("_t"), F.col("pos"), k)), 1, 8), 16, 10).cast(
+        "long"
+    )
+    hashed = pos.select(id_col, "pos", kh.alias("_h"))
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        hashed.withColumn("_m", F.min("_h").over(win))
+        .filter(F.col("_h") == F.col("_m"))  # this position IS a window min
+        .groupBy(id_col, F.col("_h").alias("fingerprint"))
+        .agg(F.min("pos").alias("pos"))
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    df_cap: int = WINNOW_DF_CAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing >= min_shared
+    winnowing fingerprints. Ubiquitous fingerprints (appearing in more than
+    df_cap documents — boilerplate, common words) are DROPPED before the
+    self-join, exactly MOSS's stop-fingerprint rule; that cap also bounds
+    the join: each surviving fingerprint contributes <= df_cap^2 pairs, so
+    the plan is linear in corpus size, never all-pairs."""
+    fp = winnow_fingerprints(df, k, w, text_col, id_col).select(
+        F.col(id_col), "fingerprint"
+    )
+    dfreq = fp.groupBy("fingerprint").agg(F.count("*").alias("_df"))
+    kept = fp.join(dfreq.filter(F.col("_df") <= df_cap), "fingerprint")
+    a = kept.select(F.col("fingerprint"), F.col(id_col).alias("id_a"))
+    b = kept.select(F.col("fingerprint"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

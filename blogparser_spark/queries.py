@@ -3799,3 +3799,84 @@ def value_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("hi"),
         )
     )
+
+
+# Shared winnowing oracle fragment (Schleimer et al. 2003): k=16 char
+# k-grams over whitespace-normalized lowercase text, min-hash per w=4
+# window, md5-prefix integers via the same hex-cast derivation as SRP.
+_WINNOW_FP_SQL = r"""
+    wt AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS tx
+      FROM documents
+    ), wt2 AS (
+      SELECT doc_id, tx FROM wt WHERE length(tx) >= 16
+    ), wpos AS (
+      SELECT doc_id, tx, unnest(range(1, length(tx) - 16 + 2)) AS pos FROM wt2
+    ), wh AS (
+      SELECT doc_id, pos,
+        CAST('0x'||substr(md5(substr(tx, CAST(pos AS INT), 16)),1,8) AS BIGINT)
+          AS hh
+      FROM wpos
+    ), wm AS (
+      SELECT doc_id, pos, hh,
+        min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+      FROM wh
+    ), wfp AS MATERIALIZED (
+      SELECT doc_id, hh AS fingerprint, min(pos) AS pos
+      FROM wm WHERE hh = mn GROUP BY 1, 2
+    )"""
+
+
+@_q(
+    "winnow_fingerprint_stats",
+    f"""
+    WITH {_WINNOW_FP_SQL}
+    SELECT doc_id, count(*)::BIGINT AS n_fingerprints,
+      sum(fingerprint)::BIGINT AS fp_sum,
+      min(fingerprint) AS fp_min
+    FROM wfp GROUP BY doc_id
+    """,
+)
+def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS signature) rolled up per document: any shared substring of
+    length >= k+w-1 between two documents is GUARANTEED a shared
+    fingerprint, and the kept set is a sparse ~2/(w+1) sample of positions.
+    The checksum column (exact integer sum of 32-bit prints) pins the full
+    fingerprint SET cross-engine without shipping 35k rows."""
+    from blogparser_spark.dataops import dedup
+
+    fp = dedup.winnow_fingerprints(_docs(spark, sf_dir), k=16, w=4)
+    return fp.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.sum("fingerprint").alias("fp_sum"),
+        F.min("fingerprint").alias("fp_min"),
+    )
+
+
+@_q(
+    "winnow_overlap_pairs",
+    f"""
+    WITH {_WINNOW_FP_SQL}, wdf AS (
+      SELECT fingerprint, count(*) AS dfc FROM wfp GROUP BY 1
+    ), wkept AS (
+      SELECT wfp.doc_id, wfp.fingerprint
+      FROM wfp JOIN wdf USING (fingerprint) WHERE dfc <= 10
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+    FROM wkept a JOIN wkept b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def winnow_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment-free overlap detection: document pairs sharing >= 3
+    winnowing fingerprints after MOSS's stop-fingerprint rule (prints in
+    > 10 docs dropped — which ALSO bounds the self-join to <= cap² pairs
+    per fingerprint; linear in corpus, never all-pairs)."""
+    from blogparser_spark.dataops import dedup
+
+    return dedup.winnow_overlap_pairs(
+        _docs(spark, sf_dir), min_shared=3, k=16, w=4, df_cap=10
+    )

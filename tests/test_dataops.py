@@ -931,3 +931,46 @@ def test_fk_orphans_and_null_profile(spark):
     }
     assert prof["s"] == (4, 1, 2)  # "" and "  " are blank, None is null
     assert prof["v"] == (4, 1, 0)  # non-string: blanks always 0
+
+
+def test_winnowing_guarantee_and_stop_fingerprints(spark):
+    """Schleimer et al.'s core guarantee: two documents sharing a substring
+    of length >= k + w - 1 MUST share a fingerprint; the df-cap drops
+    corpus-wide boilerplate prints; disjoint docs share nothing."""
+    from blogparser_spark.dataops.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    shared = "zqxjkvbnmwpfhdlg retcopied segment here"  # >= k+w-1 = 11 chars
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha opening words {shared} alpha tail piece"),
+            (1, f"totally different head {shared} other ending text"),
+            (2, "no overlap whatsoever in this one qwertyuiop zxcvbnm"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=8, w=4)
+    by_doc = {
+        i: {r["fingerprint"] for r in fp.filter(F.col("doc_id") == i).collect()}
+        for i in range(3)
+    }
+    assert by_doc[0] & by_doc[1]  # the guarantee
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(docs, min_shared=1, k=8, w=4).collect()
+    }
+    assert set(pairs) == {(0, 1)} and pairs[(0, 1)] >= 1
+
+    # stop rule: a print present in EVERY doc dies at df_cap below corpus size
+    many = spark.createDataFrame(
+        [(i, f"unique{i}padding {shared} trailer{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    capped = winnow_overlap_pairs(many, min_shared=1, k=8, w=4, df_cap=3)
+    shared_only = winnow_overlap_pairs(many, min_shared=1, k=8, w=4, df_cap=10)
+    assert shared_only.count() == 15  # all C(6,2) pairs share the segment
+    assert capped.count() < 15  # ubiquitous prints suppressed

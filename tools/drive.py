@@ -387,3 +387,13 @@ with tempfile.TemporaryDirectory() as td:
     assert set(stat) == {"ok", "source_error"} and r.count() == 2
     print("jsonl quarantine ok")
 print("DRIVE25 OK")
+
+# winnowing fingerprints: guarantee + bounded overlap pairs
+from blogparser_spark.dataops.dedup import winnow_fingerprints, winnow_overlap_pairs
+
+wfp = winnow_fingerprints(docs, k=16, w=4)
+assert wfp.select("doc_id").distinct().count() > 0
+wop = winnow_overlap_pairs(docs, min_shared=2, k=16, w=4, df_cap=10)
+assert all(r["id_a"] < r["id_b"] and r["n_shared"] >= 2 for r in wop.limit(50).collect())
+print("winnow prints:", wfp.count(), "| overlap pairs:", wop.count())
+print("DRIVE26 OK")
