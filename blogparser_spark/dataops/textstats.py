@@ -9,6 +9,7 @@ boundary. Filters composed from these columns push down to the parquet scan.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -285,3 +286,45 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "score")
     )
+
+
+def with_compression_ratio(
+    df: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """zlib compression ratio per document (compressed/uncompressed bytes):
+    the classic redundancy signal quality rulesets thresh on (highly
+    repetitive machine-generated text compresses far below prose; random
+    noise sits near 1). Runs as one Arrow-batched pandas UDF — zlib is
+    C-speed and deterministic for a fixed level, so the pure-Python twin
+    in the tests is byte-exact. Empty/NULL texts report ratio 1.0 (nothing
+    to judge). No SQL engine exposes zlib, so this op is pytest-verified
+    rather than DuckDB-oracled (like the streaming family)."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return 1.0
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return texts.map(one)
+
+    return df.withColumn("compression_ratio", ratio(F.col(text_col)))
+
+
+def compression_ratio_py(text: str | None, level: int = 6) -> float:
+    """Pure-Python twin of with_compression_ratio (test oracle)."""
+    import zlib
+
+    if text is None:
+        return 1.0
+    raw = text.encode("utf-8")
+    if not raw:
+        return 1.0
+    return round(len(zlib.compress(raw, level)) / len(raw), 6)

@@ -974,3 +974,27 @@ def test_winnowing_guarantee_and_stop_fingerprints(spark):
     shared_only = winnow_overlap_pairs(many, min_shared=1, k=8, w=4, df_cap=10)
     assert shared_only.count() == 15  # all C(6,2) pairs share the segment
     assert capped.count() < 15  # ubiquitous prints suppressed
+
+
+def test_compression_ratio_matches_twin_and_orders_redundancy(spark):
+    from blogparser_spark.dataops.textstats import (
+        compression_ratio_py,
+        with_compression_ratio,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam " * 200),                      # highly repetitive
+            (1, "The quick brown fox jumps over the lazy dog. " * 5),
+            (2, "k8Jq2#xZ!mP9$vL@4sW^7nB&1cY*6hT(3gR)"),  # noise-like
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["compression_ratio"], r["text"])
+           for r in with_compression_ratio(docs).collect()}
+    for i, (ratio, text) in out.items():
+        assert ratio == compression_ratio_py(text), i  # byte-exact twin
+    assert out[0][0] < out[1][0] < out[2][0]  # redundancy ordering
+    assert out[3][0] == 1.0 and out[4][0] == 1.0

@@ -397,3 +397,12 @@ wop = winnow_overlap_pairs(docs, min_shared=2, k=16, w=4, df_cap=10)
 assert all(r["id_a"] < r["id_b"] and r["n_shared"] >= 2 for r in wop.limit(50).collect())
 print("winnow prints:", wfp.count(), "| overlap pairs:", wop.count())
 print("DRIVE26 OK")
+
+# compression-ratio quality signal (Gopher-style redundancy heuristic)
+from blogparser_spark.dataops.textstats import with_compression_ratio
+
+cr = with_compression_ratio(docs.limit(50))
+rows_cr = cr.select("doc_id", "compression_ratio").collect()
+assert rows_cr and all(0.0 < r["compression_ratio"] <= 1.5 for r in rows_cr)
+print("compression ratios:", len(rows_cr))
+print("DRIVE27 OK")
