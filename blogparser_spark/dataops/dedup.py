@@ -922,3 +922,48 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def fuzzy_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("source",),
+    prefix_len: int = 40,
+    max_dist: int = 8,
+    bucket_width: int = 8,
+) -> DataFrame:
+    """Blocked fuzzy-duplicate pairs by edit distance on an ASCII-normalized
+    text prefix: levenshtein(prefix_a, prefix_b) <= max_dist within
+    (block_cols, length-bucket) blocks.
+
+    The prefix is lowercased and stripped to [a-z0-9 ] BEFORE slicing so the
+    distance is byte==char deterministic across engines (edit distance on
+    raw multi-byte text is engine-dependent). Blocking bounds the join the
+    same way ngram_jaccard_pairs does — never all-pairs. levenshtein() is a
+    codegen JVM builtin; the O(prefix_len^2) DP cost is a constant per
+    candidate pair.
+    """
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]+", ""),
+        1,
+        prefix_len,
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        key.alias("k"),
+    ).withColumn("bucket", F.floor(F.length("k") / bucket_width))
+    a, b = base.alias("a"), base.alias("b")
+    on = (F.col("a.id") < F.col("b.id")) & (F.col("a.bucket") == F.col("b.bucket"))
+    for c in block_cols:
+        on = on & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, on=on)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.k"), F.col("b.k")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

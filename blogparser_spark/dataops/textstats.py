@@ -328,3 +328,61 @@ def compression_ratio_py(text: str | None, level: int = 6) -> float:
     if not raw:
         return 1.0
     return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 30,
+) -> DataFrame:
+    """Corpus-level bigram collocations ranked by pointwise mutual
+    information: pmi = ln( p(xy) / (p(x) p(y)) ) with p from corpus-wide
+    unigram/bigram frequencies (Church & Hanks 1990).
+
+    Tokens are lowercased [a-z0-9]+ runs so the unit is engine-neutral.
+    Plan shape: one posexplode fan-out, a lead() window keyed by the doc
+    (bounded partitions — a document's token count, never the corpus),
+    then two partial hash aggs on vocab-sized grids; the totals join is a
+    broadcast of a 1-row aggregate. No all-pairs anything; 100 TB safe.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bi = toks.select(
+        F.col("tok").alias("x"), F.lead("tok").over(w).alias("y")
+    ).where(F.col("y").isNotNull())
+    uni_counts = toks.groupBy(F.col("tok").alias("x")).agg(
+        F.count("*").alias("n_x")
+    )
+    bi_counts = bi.groupBy("x", "y").agg(F.count("*").alias("n_xy"))
+    totals = toks.agg(F.count("*").alias("t_uni")).crossJoin(
+        bi.agg(F.count("*").alias("t_bi"))
+    )
+    joined = (
+        bi_counts.where(F.col("n_xy") >= min_count)
+        .join(uni_counts, "x")
+        .join(
+            uni_counts.select(F.col("x").alias("y"), F.col("n_x").alias("n_y")),
+            "y",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("n_xy") / F.col("t_bi"))
+        / ((F.col("n_x") / F.col("t_uni")) * (F.col("n_y") / F.col("t_uni")))
+    )
+    scored = joined.select(
+        F.concat_ws(" ", "x", "y").alias("bigram"),
+        F.col("n_xy").alias("n_pair"),
+        F.round(pmi, 6).alias("pmi"),
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(top_k)

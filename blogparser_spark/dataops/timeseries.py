@@ -1,0 +1,168 @@
+"""Time-series analytics over the event log: cohort retention, Markov
+transition matrices, and calendar gap-fill with last-observation-carried-
+forward — the product-analytics trio every log pipeline grows.
+
+The reference has no time-series layer (its only temporal logic is date
+parsing, parser/parser.go:120-140); these extend the aggregate stage the
+same way sessionize/funnel did.
+
+Scale notes (100 TB):
+- cohort_retention shuffles twice on user_id (min-ts agg, then the join) —
+  the same key, so AQE/co-partitioning reuses the layout; the final
+  (cohort_week, offset) grid is tiny. No window sort over the raw log.
+- event_transitions is ONE window sort per user (lead), then a partial
+  hash agg on a |types|^2 grid. Hot users are bounded by the per-user
+  event count, not the corpus.
+- gap_fill_daily aggregates to per-(type, day) BEFORE building the spine,
+  so the dense calendar join touches |types| x |days| rows, never the raw
+  log; the spine itself is a broadcast (types x bounded day range).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen week,
+    counted distinct per (cohort_week, week_offset).
+
+    Monday-start weeks (Spark and DuckDB date_trunc('week') agree).
+    """
+    cohorts = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("active_week")
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Per-user first-order Markov transitions: (src_type -> dst_type)
+    counts and conditional probability p(dst | src).
+
+    Ordering is (ts, event_id) so simultaneous events are deterministic.
+    The terminal event of each user has no successor and is dropped.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    ).where(F.col("dst_type").isNotNull())
+    counts = pairs.groupBy("src_type", "dst_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    total_w = Window.partitionBy("src_type")
+    return counts.select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(total_w), 6
+        ).alias("p_transition"),
+    )
+
+
+def gap_fill_daily(events: DataFrame) -> DataFrame:
+    """Dense per-(event_type, day) calendar: zero-filled event counts,
+    zero-filled value sums, a LOCF (last observation carried forward)
+    daily-mean value, and a running cumulative count.
+
+    The spine is sequence(min_day, max_day) exploded per event_type —
+    built from two tiny aggregates, then left-joined against the already
+    aggregated daily grid (never the raw log).
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("value_sum"),
+        F.avg("value").alias("value_avg"),
+    )
+    bounds = events.agg(
+        F.to_date(F.min("ts")).alias("min_day"),
+        F.to_date(F.max("ts")).alias("max_day"),
+    )
+    types = events.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("min_day", "max_day", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w_locf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = spine.join(daily, ["event_type", "day"], "left")
+    return filled.select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(F.coalesce("value_sum", F.lit(0.0)), 6).alias("value_sum"),
+        F.round(F.last("value_avg", ignorenulls=True).over(w_locf), 6).alias(
+            "locf_value_avg"
+        ),
+        F.sum(F.coalesce("n_events", F.lit(0))).over(w_locf).alias("cum_events"),
+    )
+
+
+def interarrival_quantiles(events: DataFrame) -> DataFrame:
+    """Per-event-type inter-arrival gap quantiles, computed on INTEGER
+    microseconds (unix_micros) so the values are engine-exact. Gaps are
+    per-user ((ts, event_id)-ordered lead), so the window partitions are
+    bounded by user history; the quantile is the exact interpolated
+    percentile for oracle parity — at 100 TB swap approx_percentile, same
+    groupBy shape."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "event_type",
+        (
+            F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    g = gaps.withColumn("gap_us", F.col("gap_us").cast("double"))
+    return g.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.5)), 6).alias("p50_us"),
+        F.round(F.percentile("gap_us", F.lit(0.9)), 6).alias("p90_us"),
+        F.round(F.max("gap_us"), 6).alias("max_us"),
+    )
+
+
+def daily_anomaly_flags(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
+    """Volume-anomaly days: per-(event_type, day) counts z-scored against
+    the type's own mean/stddev_pop (population — engine-exact formula),
+    flagged at |z| > threshold. Two passes over a |types| x |days| grid;
+    the raw log is aggregated once."""
+    daily = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(
+            (F.col("n_events") - F.avg("n_events").over(w))
+            / F.stddev_pop("n_events").over(w),
+            6,
+        ).alias("z_score"),
+    )
+    return scored.where(F.abs(F.col("z_score")) > z_threshold)

@@ -3880,3 +3880,299 @@ def winnow_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_overlap_pairs(
         _docs(spark, sf_dir), min_shared=3, k=16, w=4, df_cap=10
     )
+
+
+# ===========================================================================
+# Time-series analytics family (dataops/timeseries.py)
+# ===========================================================================
+
+
+@_q(
+    "cohort_retention",
+    """
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT user_id, date_trunc('week', ts)::DATE AS active_week FROM events
+    )
+    SELECT cohort_week,
+      (datediff('day', cohort_week, active_week) // 7)::INT AS week_offset,
+      count(DISTINCT user_id)::BIGINT AS active_users
+    FROM activity JOIN cohorts USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (first-seen week x offset). Both
+    shuffles key on user_id (min-ts agg, then the join) so the layout is
+    reused; the output grid is |weeks|^2 — tiny at any scale."""
+    from blogparser_spark.dataops import timeseries
+
+    return timeseries.cohort_retention(_events(spark, sf_dir))
+
+
+@_q(
+    "event_transitions",
+    """
+    WITH pairs AS (
+      SELECT event_type AS src_type,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS dst_type
+      FROM events
+    ), counts AS (
+      SELECT src_type, dst_type, count(*)::BIGINT AS n_transitions
+      FROM pairs WHERE dst_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src_type, dst_type, n_transitions,
+      round(n_transitions / sum(n_transitions) OVER (PARTITION BY src_type),
+            6) AS p_transition
+    FROM counts
+    """,
+)
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams,
+    (ts, event_id)-ordered for determinism. One window sort bounded by
+    per-user history, then a |types|^2 partial hash agg."""
+    from blogparser_spark.dataops import timeseries
+
+    return timeseries.event_transitions(_events(spark, sf_dir))
+
+
+@_q(
+    "gap_fill_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n_events,
+        sum(value) AS value_sum, avg(value) AS value_avg
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(ts)::DATE AS min_day, max(ts)::DATE AS max_day FROM events
+    ), spine AS (
+      SELECT t.event_type,
+        unnest(generate_series(b.min_day, b.max_day, INTERVAL 1 DAY))::DATE
+          AS day
+      FROM (SELECT DISTINCT event_type FROM events) t, bounds b
+    )
+    SELECT s.event_type, s.day,
+      coalesce(d.n_events, 0)::BIGINT AS n_events,
+      round(coalesce(d.value_sum, 0.0), 6) AS value_sum,
+      round(last_value(d.value_avg IGNORE NULLS) OVER (
+        PARTITION BY s.event_type ORDER BY s.day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        AS locf_value_avg,
+      sum(coalesce(d.n_events, 0)) OVER (
+        PARTITION BY s.event_type ORDER BY s.day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        AS cum_events
+    FROM spine s
+    LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+    """,
+)
+def gap_fill_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar gap-fill with zero-fill, LOCF daily-mean carry-forward,
+    and running cumulative counts. The spine joins the ALREADY-aggregated
+    daily grid — the raw log is touched exactly once."""
+    from blogparser_spark.dataops import timeseries
+
+    return timeseries.gap_fill_daily(_events(spark, sf_dir))
+
+
+# ===========================================================================
+# Graph analytics family (dataops/graph.py)
+# ===========================================================================
+
+_PAGERANK_SQL = """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT cust AS src, supp AS dst FROM pairs
+      UNION ALL SELECT supp AS src, cust AS dst FROM pairs
+    ), deg AS (
+      SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), nn AS (
+      SELECT count(*)::DOUBLE AS n FROM nodes
+    ), it0 AS (
+      SELECT node, (SELECT CAST(1.0 AS DOUBLE) / n FROM nn) AS rank FROM nodes
+    ), it1 AS (
+      SELECT e.dst AS node,
+        (SELECT CAST(0.15 AS DOUBLE) / n FROM nn)
+          + CAST(0.85 AS DOUBLE) * sum(r.rank / d.deg) AS rank
+      FROM edges e JOIN it0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), it2 AS (
+      SELECT e.dst AS node,
+        (SELECT CAST(0.15 AS DOUBLE) / n FROM nn)
+          + CAST(0.85 AS DOUBLE) * sum(r.rank / d.deg) AS rank
+      FROM edges e JOIN it1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), it3 AS (
+      SELECT e.dst AS node,
+        (SELECT CAST(0.15 AS DOUBLE) / n FROM nn)
+          + CAST(0.85 AS DOUBLE) * sum(r.rank / d.deg) AS rank
+      FROM edges e JOIN it2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), it4 AS (
+      SELECT e.dst AS node,
+        (SELECT CAST(0.15 AS DOUBLE) / n FROM nn)
+          + CAST(0.85 AS DOUBLE) * sum(r.rank / d.deg) AS rank
+      FROM edges e JOIN it3 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), it5 AS (
+      SELECT e.dst AS node,
+        (SELECT CAST(0.15 AS DOUBLE) / n FROM nn)
+          + CAST(0.85 AS DOUBLE) * sum(r.rank / d.deg) AS rank
+      FROM edges e JOIN it4 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )
+    SELECT node, round(rank, 6) AS rank FROM it5
+"""
+
+
+@_q("pagerank_suppliers", _PAGERANK_SQL)
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-5-iteration power-iteration PageRank over the symmetric
+    customer<->supplier bipartite graph from the order book. Each Spark
+    iteration is one edges-join-ranks shuffle + a partial sum agg with the
+    degree carried on the edge row; localCheckpoint truncates lineage so
+    the plan stays O(E) per round. The oracle unrolls the same 5
+    iterations as chained CTEs."""
+    from blogparser_spark.dataops import graph
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = graph.bipartite_edges(orders, lineitem)
+    ranks = graph.pagerank(edges, n_iter=5)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ===========================================================================
+# Collocations + fuzzy dedup + cube additions
+# ===========================================================================
+
+
+@_q(
+    "pmi_collocations",
+    """
+    WITH docs_arr AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    t -> t <> '') AS arr
+      FROM documents
+    ), uni AS (
+      SELECT unnest(arr) AS x FROM docs_arr
+    ), bi AS (
+      SELECT split_part(xy, ' ', 1) AS x, split_part(xy, ' ', 2) AS y
+      FROM (
+        SELECT unnest(list_transform(range(1, len(arr)),
+                                     i -> arr[i] || ' ' || arr[i + 1])) AS xy
+        FROM docs_arr
+      )
+    ), uni_counts AS (
+      SELECT x, count(*)::BIGINT AS n_x FROM uni GROUP BY 1
+    ), bi_counts AS (
+      SELECT x, y, count(*)::BIGINT AS n_xy FROM bi GROUP BY 1, 2
+    ), totals AS (
+      SELECT (SELECT count(*) FROM uni)::DOUBLE AS t_uni,
+             (SELECT count(*) FROM bi)::DOUBLE AS t_bi
+    )
+    SELECT x || ' ' || y AS bigram, n_xy AS n_pair,
+      round(ln((n_xy / t_bi) / ((a.n_x / t_uni) * (b.n_x / t_uni))), 6)
+        AS pmi
+    FROM bi_counts
+    JOIN uni_counts a USING (x)
+    JOIN uni_counts b ON bi_counts.y = b.x
+    CROSS JOIN totals
+    WHERE n_xy >= 5
+    ORDER BY pmi DESC, bigram ASC LIMIT 30
+    """,
+)
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram collocations by pointwise mutual information
+    (Church & Hanks 1990): one posexplode, a per-doc lead() window, two
+    vocab-sized partial aggs, broadcast totals. Top-30 by (rounded pmi,
+    bigram) so the cut is engine-deterministic."""
+    from blogparser_spark.dataops import textstats
+
+    return textstats.pmi_collocations(
+        _docs(spark, sf_dir), min_count=5, top_k=30
+    )
+
+
+@_q(
+    "fuzzy_prefix_pairs",
+    """
+    WITH base AS (
+      SELECT doc_id AS id, source,
+        substr(regexp_replace(lower(text), '[^a-z0-9 ]+', '', 'g'), 1, 40)
+          AS k
+      FROM documents
+    ), b2 AS (
+      SELECT *, length(k) // 8 AS bucket FROM base
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+      levenshtein(a.k, b.k)::INT AS edit_dist
+    FROM b2 a JOIN b2 b
+      ON a.id < b.id AND a.bucket = b.bucket AND a.source = b.source
+    WHERE levenshtein(a.k, b.k) <= 8
+    """,
+)
+def fuzzy_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-duplicate pairs by edit distance on an
+    ASCII-normalized 40-char prefix. The normalization makes
+    levenshtein byte==char deterministic across engines (DuckDB's is
+    byte-based on UTF-8); blocking on (source, length-bucket) bounds the
+    self-join exactly like ngram_jaccard_pairs."""
+    from blogparser_spark.dataops import dedup
+
+    pairs = dedup.fuzzy_prefix_pairs(
+        _docs(spark, sf_dir),
+        block_cols=("source",),
+        prefix_len=40,
+        max_dist=8,
+        bucket_width=8,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist")
+    )
+
+
+@_q(
+    "event_cube_counts",
+    """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+      coalesce(wd, -1)::INT AS wd,
+      GROUPING(event_type, wd)::INT AS gid,
+      count(*)::BIGINT AS n_events,
+      round(sum(value), 6) AS value_sum
+    FROM (SELECT event_type, isodow(ts)::INT - 1 AS wd, value FROM events)
+    GROUP BY CUBE(event_type, wd)
+    """,
+)
+def event_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets rollup over (event_type, weekday): all four
+    grouping sets in ONE pass (Spark expands to a single partial-agg plan,
+    not four scans). grouping_id bit order (first col = MSB) matches
+    DuckDB's GROUPING(). Weekday is Monday=0 on both engines
+    (Spark weekday() / DuckDB isodow()-1)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.weekday("ts").alias("wd"), "value"
+    )
+    return (
+        ev.cube("event_type", "wd")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("wd", F.lit(-1)).cast("int").alias("wd"),
+            "gid",
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -1,0 +1,207 @@
+"""Invariant + twin tests for the time-series (cohort/transitions/gap-fill),
+graph (PageRank), PMI-collocation, and fuzzy-pair families. Oracle parity
+runs separately via tools/check_oracle.py; these pin the math.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from blogparser_spark.dataops import dedup, graph, textstats, timeseries
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = []
+    base = datetime(2024, 1, 1)
+    for uid in range(12):
+        first = base + timedelta(days=uid)  # staggered cohorts
+        for j in range(1 + uid % 5):
+            rows.append(
+                (
+                    uid * 100 + j,
+                    first + timedelta(days=3 * j, seconds=j),
+                    uid,
+                    ["view", "click", "buy"][j % 3],
+                    float(j) + 0.5,
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.cache()
+    df.count()
+    return df
+
+
+def test_cohort_offset0_counts_all_cohort_users(events):
+    ret = timeseries.cohort_retention(events)
+    rows = {(r.cohort_week, r.week_offset): r.active_users for r in ret.collect()}
+    assert all(off >= 0 for (_, off) in rows)
+    # offset-0 count per cohort == users whose first week is that week
+    cohorts = (
+        events.groupBy("user_id")
+        .agg(F.to_date(F.date_trunc("week", F.min("ts"))).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    for r in cohorts:
+        assert rows[(r.w, 0)] == r["count"]
+
+
+def test_transitions_probabilities_sum_to_one(events):
+    tr = timeseries.event_transitions(events).collect()
+    n_users_with_2 = (
+        events.groupBy("user_id").count().where("count >= 2").count()
+    )
+    total_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r.n_transitions for r in tr) == total_events - n_users
+    by_src: dict[str, float] = {}
+    for r in tr:
+        by_src[r.src_type] = by_src.get(r.src_type, 0.0) + r.p_transition
+    for s, p in by_src.items():
+        assert abs(p - 1.0) < 1e-4, (s, p)
+    assert n_users_with_2 > 0  # fixture sanity
+
+
+def test_gap_fill_dense_and_cumulative(events):
+    filled = timeseries.gap_fill_daily(events)
+    n_types = events.select("event_type").distinct().count()
+    days = events.select(
+        F.to_date(F.min("ts")).alias("a"), F.to_date(F.max("ts")).alias("b")
+    ).collect()[0]
+    n_days = (days.b - days.a).days + 1
+    rows = filled.collect()
+    assert len(rows) == n_types * n_days
+    # total zero-filled counts reproduce the raw log
+    assert sum(r.n_events for r in rows) == events.count()
+    # cumulative is monotone and ends at the per-type total
+    per_type = {
+        r.event_type: r["count"]
+        for r in events.groupBy("event_type").count().collect()
+    }
+    last = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        assert r.cum_events >= last.get(r.event_type, 0)
+        last[r.event_type] = r.cum_events
+    assert last == per_type
+    # LOCF: a zero-event day carries the previous day's mean
+    by_key = {(r.event_type, r.day): r for r in rows}
+    carried = [
+        r
+        for r in rows
+        if r.n_events == 0 and r.locf_value_avg is not None
+    ]
+    assert carried, "fixture must contain gap days after a first observation"
+    for r in carried[:10]:
+        prev = by_key[(r.event_type, r.day - timedelta(days=1))]
+        assert r.locf_value_avg == prev.locf_value_avg
+
+
+def _numpy_pagerank(edge_list, n_iter=5, d=0.85):
+    nodes = sorted({s for s, _ in edge_list} | {t for _, t in edge_list})
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = {n: 0 for n in nodes}
+    for s, _ in edge_list:
+        deg[s] += 1
+    n = len(nodes)
+    r = {m: 1.0 / n for m in nodes}
+    for _ in range(n_iter):
+        nxt = {m: (1 - d) / n for m in nodes}
+        for s, t in edge_list:
+            nxt[t] += d * r[s] / deg[s]
+        r = nxt
+    return r, idx
+
+
+def test_pagerank_matches_dense_twin_and_conserves_mass(spark):
+    # path graph a-b-c-d, symmetric
+    und = [("a", "b"), ("b", "c"), ("c", "d")]
+    edge_list = und + [(t, s) for s, t in und]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r.node: r.rank for r in graph.pagerank(edges, n_iter=5).collect()}
+    want, _ = _numpy_pagerank(edge_list)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-12), k
+    assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
+    # symmetry of the path: ends equal, middles equal
+    assert math.isclose(got["a"], got["d"], rel_tol=1e-12)
+    assert math.isclose(got["b"], got["c"], rel_tol=1e-12)
+    assert got["b"] > got["a"]
+
+
+def test_bipartite_edges_symmetric(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = graph.bipartite_edges(orders, lineitem).cache()
+    n = e.count()
+    fwd = e.where(F.col("src").startswith("c")).count()
+    assert n == 2 * fwd
+    # symmetric: reversing the edge set is a fixpoint
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert e.exceptAll(rev).count() == 0
+    e.unpersist()
+
+
+def _py_pmi(texts, min_count, top_k):
+    import re
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    t_uni, t_bi = sum(uni.values()), sum(bi.values())
+    out = []
+    for (x, y), n in bi.items():
+        if n < min_count:
+            continue
+        pmi = math.log((n / t_bi) / ((uni[x] / t_uni) * (uni[y] / t_uni)))
+        out.append((f"{x} {y}", n, round(pmi, 6)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:top_k]
+
+
+def test_pmi_matches_python_twin(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox is quick and brown",
+        "a lazy dog and a quick fox met the brown fox",
+        "quick brown quick brown quick brown fox fox",
+    ] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.bigram, r.n_pair, r.pmi)
+        for r in textstats.pmi_collocations(df, min_count=3, top_k=10).collect()
+    ]
+    assert got == _py_pmi(texts, 3, 10)
+
+
+def test_fuzzy_prefix_pairs_blocked(spark):
+    rows = [
+        (1, "s1", "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "s1", "alpha betb gamma delta epsilon zeta eta theta"),  # dist 1
+        (3, "s1", "completely different words entirely here now ok"),
+        (4, "s2", "alpha beta gamma delta epsilon zeta eta theta"),  # other block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in dedup.fuzzy_prefix_pairs(
+            df, block_cols=("source",), prefix_len=40, max_dist=5
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1
+    assert all(a < b for a, b in pairs)
+    assert (1, 4) not in pairs  # cross-source blocked
+    assert (1, 3) not in pairs  # too distant

@@ -406,3 +406,29 @@ rows_cr = cr.select("doc_id", "compression_ratio").collect()
 assert rows_cr and all(0.0 < r["compression_ratio"] <= 1.5 for r in rows_cr)
 print("compression ratios:", len(rows_cr))
 print("DRIVE27 OK")
+
+# time-series + graph analytics: cohort/transitions/gap-fill, PageRank, PMI, fuzzy pairs
+from blogparser_spark.dataops import graph as _graph, timeseries as _tsx
+
+ev001 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+ret = _tsx.cohort_retention(ev001)
+tr = _tsx.event_transitions(ev001)
+gf = _tsx.gap_fill_daily(ev001)
+assert ret.count() > 0 and gf.count() > 0
+psrc = {r["src_type"]: r["p_transition"] for r in tr.collect() if r["src_type"]}
+edges_g = _graph.bipartite_edges(
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+)
+pr = _graph.pagerank(edges_g, n_iter=3)
+total_rank = pr.agg(_F.sum("rank")).first()[0]
+assert abs(total_rank - 1.0) < 1e-6, total_rank
+from blogparser_spark.dataops.textstats import pmi_collocations
+from blogparser_spark.dataops.dedup import fuzzy_prefix_pairs
+
+pmi = pmi_collocations(docs, min_count=5, top_k=10).collect()
+assert pmi and all(r["n_pair"] >= 5 for r in pmi)
+fz = fuzzy_prefix_pairs(docs, block_cols=("source",))
+print("cohort cells:", ret.count(), "| pagerank mass:", round(total_rank, 9),
+      "| top pmi:", pmi[0]["bigram"], "| fuzzy pairs:", fz.count())
+print("DRIVE28 OK")
