@@ -386,3 +386,48 @@ def pmi_collocations(
         F.round(pmi, 6).alias("pmi"),
     )
     return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(top_k)
+
+
+def inverted_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Inverted-index posting lists: term -> document frequency, total term
+    frequency, and the first `max_postings` doc ids in ascending order
+    (joined to a string so the value is engine-canonical).
+
+    Plan: explode -> per-(term, doc) partial count -> row_number window on
+    (term, id) -> per-term agg collecting ONLY the rows ranked <= cap (the
+    when() inside collect_list drops the rest as nulls BEFORE they reach
+    the aggregation buffer — bounded reduce-side state on stop-word-like
+    terms, the same discipline as the LSH bucket caps). The window and the
+    agg share the term key, so the shuffle layout is reused. df/tf remain
+    exact over ALL postings; only the sample list is capped."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    per_doc = toks.groupBy("term", "id").agg(F.count("*").alias("tf"))
+    wr = Window.partitionBy("term").orderBy("id")
+    ranked = per_doc.withColumn("rn", F.row_number().over(wr))
+    agg = ranked.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") <= max_postings, F.col("id"))
+                )
+            ),
+        ).alias("postings_head"),
+    )
+    return agg.where(F.col("df") >= min_df)

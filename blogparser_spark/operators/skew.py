@@ -58,3 +58,15 @@ def range_partition_for_windows(
     to the range keys would split keys across boundary partitions and
     force a second hash exchange."""
     return df.repartitionByRange(num_partitions, F.col(key_col))
+
+
+def salted_exact_distinct(df: DataFrame, key_cols: list[str], value_col: str) -> DataFrame:
+    """Exact count(DISTINCT value) per key without concentrating a hot
+    key's rows on one reducer: shuffle 1 keys on (key, VALUE) — the value
+    itself is a perfect salt, and map-side combine dedups within each map
+    partition before anything moves — then shuffle 2 reduces the
+    |distinct-values| rows per key to a count. A single-stage
+    count(distinct) over a hot key would put every one of its rows on one
+    task; this caps per-task input at the distinct cardinality."""
+    deduped = df.select(*key_cols, value_col).distinct()
+    return deduped.groupBy(*key_cols).agg(F.count("*").alias("n_distinct"))

@@ -4176,3 +4176,152 @@ def event_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+# ===========================================================================
+# Batch-2 analytics: interarrival, anomaly, inverted index, skew distinct,
+# winsorized stats
+# ===========================================================================
+
+
+@_q(
+    "interarrival_quantiles",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+        (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          - epoch_us(ts))::DOUBLE AS gap_us
+      FROM events
+    )
+    SELECT event_type, count(*)::BIGINT AS n_gaps,
+      round(quantile_cont(gap_us, 0.5), 6) AS p50_us,
+      round(quantile_cont(gap_us, 0.9), 6) AS p90_us,
+      round(max(gap_us), 6) AS max_us
+    FROM gaps WHERE gap_us IS NOT NULL GROUP BY event_type
+    """,
+)
+def interarrival_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival gap profile on integer microseconds
+    (engine-exact before the quantile interpolation). Per-user lead
+    window bounded by user history; exact percentile for parity,
+    approx_percentile at 100 TB."""
+    from blogparser_spark.dataops import timeseries
+
+    return timeseries.interarrival_quantiles(_events(spark, sf_dir))
+
+
+@_q(
+    "daily_anomaly_flags",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, day, n_events,
+        round((n_events - avg(n_events) OVER (PARTITION BY event_type))
+          / stddev_pop(n_events) OVER (PARTITION BY event_type), 6) AS z_score
+      FROM daily
+    )
+    SELECT * FROM s WHERE abs(z_score) > 2.0
+    """,
+)
+def daily_anomaly_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly days: per-(type, day) counts z-scored against the
+    type's own mean/stddev_pop, |z| > 2 flagged. One partial agg over the
+    raw log; the z window runs on the |types| x |days| grid."""
+    from blogparser_spark.dataops import timeseries
+
+    return timeseries.daily_anomaly_flags(_events(spark, sf_dir), z_threshold=2.0)
+
+
+@_q(
+    "inverted_postings",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id,
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '')) AS term
+      FROM documents
+    ), per_doc AS (
+      SELECT term, id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY term ORDER BY id) AS rn
+      FROM per_doc
+    )
+    SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf,
+      string_agg(CASE WHEN rn <= 20 THEN id::VARCHAR END, ',' ORDER BY id)
+        AS postings_head
+    FROM ranked GROUP BY term HAVING count(*) >= 5
+    """,
+)
+def inverted_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting lists with exact df/tf and a capped,
+    id-ascending posting sample. The cap is applied BEFORE the collect
+    (row_number filter inside the agg), so reduce-side state stays
+    bounded on stop-word terms."""
+    from blogparser_spark.dataops import textstats
+
+    return textstats.inverted_postings(
+        _docs(spark, sf_dir), min_df=5, max_postings=20
+    )
+
+
+@_q(
+    "skew_salted_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type via the explicit two-stage
+    rewrite (pre-dedup on (key, value) — the value is a perfect salt, so a
+    hot event_type's rows spread across ALL reducers; the second shuffle
+    reduces |distinct| rows per key). Same answer as count(distinct), skew-
+    proof plan (operators/skew.py:salted_exact_distinct)."""
+    from blogparser_spark.operators.skew import salted_exact_distinct
+
+    return salted_exact_distinct(
+        _events(spark, sf_dir), ["event_type"], "user_id"
+    )
+
+
+@_q(
+    "winsorized_value_stats",
+    """
+    WITH pct AS (
+      SELECT event_type,
+        quantile_cont(value, 0.05) AS p05,
+        quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, count(*)::BIGINT AS n_events,
+      round(avg(least(greatest(e.value, p.p05), p.p95)), 6) AS winsor_mean,
+      sum(CASE WHEN e.value < p.p05 OR e.value > p.p95 THEN 1 ELSE 0
+          END)::BIGINT AS n_clipped
+    FROM events e JOIN pct p ON e.event_type = p.event_type
+    GROUP BY e.event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) per-type value means — the outlier-
+    robust metric pass. The percentile table is |types| rows, broadcast
+    back onto the log; one partial agg computes clipped mean and clip
+    counts in the same pass."""
+    ev = _events(spark, sf_dir)
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    joined = ev.join(F.broadcast(pct), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg(clipped), 6).alias("winsor_mean"),
+        F.sum(
+            F.when(
+                (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")),
+                1,
+            ).otherwise(0)
+        ).alias("n_clipped"),
+    )

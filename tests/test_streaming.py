@@ -255,3 +255,60 @@ def test_streaming_sessionize_append_evicts_closed_sessions(spark, tmp_path):
     assert [(r["user_id"], r["n_events"]) for r in rows] == [("a", 2)]
     assert rows[0]["session_start"] == t0
     assert rows[0]["session_end"] == t0 + dt.timedelta(minutes=40)
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    from blogparser_spark.sources.synthetic import transcripts_df
+    from blogparser_spark.streaming.joins import request_response_pairs, split_roles
+    from blogparser_spark.streaming.pipeline import read_transcript_stream
+
+    src = transcripts_df(spark, n_convs=16, turns_per_conv=6)
+    inp = str(tmp_path / "ssj_in")
+    src.write.mode("overwrite").parquet(inp)
+
+    req_s, rsp_s = split_roles(read_transcript_stream(spark, inp))
+    joined = request_response_pairs(req_s, rsp_s)
+    out = str(tmp_path / "ssj_out")
+    (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    streamed = spark.read.parquet(out)
+
+    req_b, rsp_b = split_roles(src)
+    batch = request_response_pairs(req_b, rsp_b)
+    cols = ["conv_id", "turn_idx", "latency_us", "req_bytes", "rsp_bytes"]
+    assert streamed.count() == batch.count() > 0
+    assert streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
+    assert batch.select(cols).exceptAll(streamed.select(cols)).count() == 0
+    # every pair is a user turn answered by the NEXT turn within the lag
+    rows = streamed.collect()
+    assert all(0 <= r.latency_us <= 30 * 60 * 1_000_000 for r in rows)
+
+
+def test_stream_stream_join_lag_bound_excludes_slow_responses(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from blogparser_spark.streaming.joins import request_response_pairs
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda conv, idx, role, ts: (conv, idx, role, f"{role}-{idx}", "none", ts)
+    reqs = spark.createDataFrame(
+        [mk("c1", 0, "user", base), mk("c2", 0, "user", base)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rsps = spark.createDataFrame(
+        [
+            mk("c1", 1, "assistant", base + timedelta(minutes=5)),  # in lag
+            mk("c2", 1, "assistant", base + timedelta(hours=2)),  # beyond lag
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = request_response_pairs(reqs, rsps, max_lag="30 minutes").collect()
+    assert [r.conv_id for r in got] == ["c1"]
+    assert got[0].latency_us == 5 * 60 * 1_000_000

@@ -205,3 +205,80 @@ def test_fuzzy_prefix_pairs_blocked(spark):
     assert all(a < b for a, b in pairs)
     assert (1, 4) not in pairs  # cross-source blocked
     assert (1, 3) not in pairs  # too distant
+
+
+def test_interarrival_counts_and_max(events):
+    got = {r.event_type: r for r in timeseries.interarrival_quantiles(events).collect()}
+    # total gaps == total events - users (each user loses one terminal)
+    n = events.count() - events.select("user_id").distinct().count()
+    assert sum(r.n_gaps for r in got.values()) == n
+    for r in got.values():
+        assert r.p50_us <= r.p90_us <= r.max_us
+        assert r.p50_us > 0
+
+
+def test_daily_anomaly_flags_zscore(events):
+    import statistics
+
+    flagged = timeseries.daily_anomaly_flags(events, z_threshold=0.5).collect()
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in daily:
+        by_type.setdefault(r.event_type, []).append(r["count"])
+    want = set()
+    for t, xs in by_type.items():
+        mu = statistics.fmean(xs)
+        sd = statistics.pstdev(xs)
+        for r in daily:
+            if r.event_type == t and sd > 0 and abs((r["count"] - mu) / sd) > 0.5:
+                want.add((t, r.day))
+    assert {(r.event_type, r.day) for r in flagged} == want
+
+
+def test_inverted_postings_twin(spark):
+    from blogparser_spark.dataops import textstats as TS
+    import re
+    from collections import Counter, defaultdict
+
+    texts = {
+        0: "apple banana apple cherry",
+        1: "banana cherry cherry date",
+        2: "apple date egg banana",
+        3: "egg apple banana banana",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r.term: (r.df, r.total_tf, r.postings_head)
+        for r in TS.inverted_postings(df, min_df=2, max_postings=2).collect()
+    }
+    docs_of = defaultdict(Counter)
+    for i, t in texts.items():
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                docs_of[w][i] += 1
+    want = {}
+    for w, c in docs_of.items():
+        if len(c) >= 2:
+            ids = sorted(c)
+            want[w] = (len(c), sum(c.values()), ",".join(map(str, ids[:2])))
+    assert got == want
+
+
+def test_salted_distinct_matches_count_distinct(events):
+    from blogparser_spark.operators.skew import salted_exact_distinct
+
+    got = {
+        r.event_type: r.n_distinct
+        for r in salted_exact_distinct(events, ["event_type"], "user_id").collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -432,3 +432,27 @@ fz = fuzzy_prefix_pairs(docs, block_cols=("source",))
 print("cohort cells:", ret.count(), "| pagerank mass:", round(total_rank, 9),
       "| top pmi:", pmi[0]["bigram"], "| fuzzy pairs:", fz.count())
 print("DRIVE28 OK")
+
+# batch-2 analytics: interarrival, anomaly, inverted index, skew distinct, winsorize, stream-stream join
+from blogparser_spark.dataops.timeseries import daily_anomaly_flags, interarrival_quantiles
+from blogparser_spark.dataops.textstats import inverted_postings
+from blogparser_spark.operators.skew import salted_exact_distinct
+
+ia = interarrival_quantiles(ev001).collect()
+assert ia and all(r["p50_us"] <= r["p90_us"] <= r["max_us"] for r in ia)
+an = daily_anomaly_flags(ev001, z_threshold=1.0)
+inv = inverted_postings(docs, min_df=3, max_postings=5).collect()
+assert inv and all(len(r["postings_head"].split(",")) <= 5 for r in inv)
+sd = {r["event_type"]: r["n_distinct"] for r in salted_exact_distinct(ev001, ["event_type"], "user_id").collect()}
+from blogparser_spark.streaming.joins import request_response_pairs, split_roles
+
+# batch twin of the stream-stream join over the synthetic transcripts
+from blogparser_spark.sources.synthetic import transcripts_df as _tdf
+
+tdf = _tdf(spark, n_convs=10, turns_per_conv=6)
+pr_req, pr_rsp = split_roles(tdf)
+ssj = request_response_pairs(pr_req, pr_rsp)
+assert ssj.count() > 0 and all(r["latency_us"] >= 0 for r in ssj.limit(20).collect())
+print("interarrival types:", len(ia), "| anomalies:", an.count(), "| postings:", len(inv),
+      "| distinct:", sd, "| rr pairs:", ssj.count())
+print("DRIVE29 OK")
