@@ -25,6 +25,7 @@ All hashing is md5 hex so every operator has an exact DuckDB oracle
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -485,4 +486,37 @@ def dataset_split(
         F.when(key < t_val, F.lit("val"))
         .when(key < t_test, F.lit("test"))
         .otherwise(F.lit("train")),
+    )
+
+
+def score_normalize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    id_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group score normalization — the step before mixing quality
+    signals from different sources whose raw scales differ: percent_rank
+    (rank-based, tie-stable: equal scores share a rank on every engine)
+    and min-max scaling (NULL when the group is constant — no 0/0).
+
+    Cost: ONE shuffle + sort per group for the rank; min/max ride the same
+    window partition. percent_rank needs the group's total order, so a
+    single hot group serializes onto one task — at 100 TB either
+    normalize within finer strata or swap the rank for a DDSketch-based
+    approximate CDF lookup (dataops/sketches.py) which is two broadcast
+    passes and no sort."""
+    wo = Window.partitionBy(*group_cols).orderBy(score_col)
+    wg = Window.partitionBy(*group_cols)
+    lo, hi = F.min(score_col).over(wg), F.max(score_col).over(wg)
+    span = hi - lo
+    return df.select(
+        *group_cols,
+        *id_cols,
+        F.col(score_col),
+        F.round(F.percent_rank().over(wo), 6).alias("pct_rank"),
+        F.round(
+            F.when(span > 0, (F.col(score_col) - lo) / span.cast("double")),
+            6,
+        ).alias("minmax"),
     )

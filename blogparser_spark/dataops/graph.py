@@ -69,3 +69,47 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = DAMPING,
         )
         ranks = contrib.localCheckpoint(eager=True) if checkpoint else contrib
     return ranks
+
+
+def set_overlap_jaccard(df: DataFrame, set_col: str, member_col: str) -> DataFrame:
+    """Pairwise Jaccard similarity between the member sets of every two
+    `set_col` values (audience overlap: "how much do two event types'
+    user bases intersect").
+
+    Shape: dedup to (set, member) — ONE shuffle on the pair, map-side
+    combinable — then self-join on member to count intersections (the
+    join key is the member, so a hot member fans out |sets_it_is_in|²
+    pairs, bounded by the set-count cardinality, NOT by corpus size),
+    and a broadcast of the |sets|-row size table closes |A∪B| =
+    |A|+|B|−|A∩B|. Nothing materializes member lists; the widest
+    intermediate is (member, set_a, set_b). Pairs are emitted once
+    (a < b) and zero-intersection pairs are absent by construction."""
+    m = df.select(
+        F.col(set_col).alias("s"), F.col(member_col).alias("member")
+    ).distinct()
+    sizes = m.groupBy("s").agg(F.count("*").alias("n"))
+    a = m.select(F.col("s").alias("set_a"), "member")
+    b = m.select(F.col("s").alias("set_b"), "member")
+    inter = (
+        a.join(b, "member")
+        .where(F.col("set_a") < F.col("set_b"))
+        .groupBy("set_a", "set_b")
+        .agg(F.count("*").alias("n_intersect"))
+    )
+    sz_a = sizes.select(F.col("s").alias("set_a"), F.col("n").alias("n_a"))
+    sz_b = sizes.select(F.col("s").alias("set_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sz_a), "set_a")
+        .join(F.broadcast(sz_b), "set_b")
+    )
+    union_n = F.col("n_a") + F.col("n_b") - F.col("n_intersect")
+    return out.select(
+        "set_a",
+        "set_b",
+        "n_a",
+        "n_b",
+        "n_intersect",
+        F.round(F.col("n_intersect").cast("double") / union_n, 6).alias(
+            "jaccard"
+        ),
+    )

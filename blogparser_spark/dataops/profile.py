@@ -91,3 +91,65 @@ def null_blank_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         ]
     )
     return one.select(F.explode(structs).alias("r")).select("r.*")
+
+
+def contingency_chi2(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns: one row with (n_obs, n_rows_a, n_cols_b, dof, chi2).
+
+    The contingency table is built from ONE partial agg over the raw data;
+    marginals are re-aggregations of that |A|×|B| grid, broadcast back
+    onto it. Structural-zero cells (category pair never observed) still
+    contribute their expected count e to the statistic — rather than
+    materializing the dense grid, we use
+    Σ_all (o−e)²/e  =  Σ_observed ((o−e)²/e − e) + grand_total
+    (because Σ_all e = grand_total), so the plan never builds absent
+    cells. All inputs to the float math are exact integers, so round(…,6)
+    is engine-stable."""
+    obs = df.groupBy(col_a, col_b).agg(F.count("*").alias("o"))
+    row_t = obs.groupBy(col_a).agg(F.sum("o").alias("row_total"))
+    col_t = obs.groupBy(col_b).agg(F.sum("o").alias("col_total"))
+    grand = obs.agg(F.sum("o").alias("grand_total"))
+    cells = (
+        obs.join(F.broadcast(row_t), col_a)
+        .join(F.broadcast(col_t), col_b)
+        .crossJoin(F.broadcast(grand))
+    )
+    e = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("grand_total").cast("double")
+    )
+    term = (F.col("o") - e) * (F.col("o") - e) / e - e
+    return cells.agg(
+        F.sum("o").alias("n_obs"),
+        F.countDistinct(col_a).alias("n_rows_a"),
+        F.countDistinct(col_b).alias("n_cols_b"),
+        (
+            (F.countDistinct(col_a) - F.lit(1))
+            * (F.countDistinct(col_b) - F.lit(1))
+        ).alias("dof"),
+        F.round(F.sum(term) + F.first(F.col("grand_total")), 6).alias("chi2"),
+    )
+
+
+def categorical_entropy(
+    df: DataFrame, key_cols: Sequence[str], cat_col: str
+) -> DataFrame:
+    """Per-key Shannon entropy (nats) of a categorical column's
+    distribution, plus n_events and n_distinct.
+
+    Uses the factored form H = ln(n) − (Σ c·ln c)/n over per-(key, cat)
+    counts, so BOTH aggregation levels are plain partial-aggregatable
+    groupBys — no window, no second pass to learn n before the log. The
+    per-key reduce state is one (sum, sum, count) triple regardless of
+    category cardinality."""
+    counts = df.groupBy(*key_cols, cat_col).agg(F.count("*").alias("c"))
+    n = F.sum("c").cast("double")
+    return counts.groupBy(*key_cols).agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
+        ).alias("entropy_nats"),
+    )

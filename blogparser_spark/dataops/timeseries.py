@@ -146,6 +146,74 @@ def interarrival_quantiles(events: DataFrame) -> DataFrame:
     )
 
 
+def daily_volume_trend(events: DataFrame) -> DataFrame:
+    """Per-event-type linear trend of daily volume: least-squares slope /
+    intercept / r² of n_events over the day index.
+
+    Computed from EXACT integer moments (Σx, Σy, Σxy, Σx², Σy² as BIGINT,
+    x = days since 1970-01-01, y = daily count) rather than the built-in
+    regr_slope/regr_r2 aggregates: the built-ins accumulate floating-point
+    co-moments whose value depends on partition merge order, so a
+    round(…, 6) could flip between runs/engines; integer sums are
+    order-independent and the final division is one deterministic double
+    op. Shape: one partial agg to the |types|×|days| grid, then a partial
+    agg over it — no window, no shuffle beyond the two groupBys."""
+    daily = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("y")
+    )
+    xy = daily.select(
+        "event_type",
+        F.datediff("day", F.lit("1970-01-01")).cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    sums = xy.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    cov_n2 = n * F.col("sxy") - F.col("sx") * F.col("sy")  # n² · cov
+    varx_n2 = n * F.col("sxx") - F.col("sx") * F.col("sx")  # n² · var(x)
+    vary_n2 = n * F.col("syy") - F.col("sy") * F.col("sy")  # n² · var(y)
+    slope = cov_n2 / varx_n2
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (cov_n2 * cov_n2) / (varx_n2 * vary_n2)
+    # degenerate fits: a single day (var(x)=0) has no slope; constant y
+    # (var(y)=0) makes r² a 0/0 — NULL beats NaN/Infinity cross-engine
+    has_x = varx_n2 > 0
+    return sums.select(
+        "event_type",
+        "n_days",
+        F.round(F.when(has_x, slope), 6).alias("slope_per_day"),
+        F.round(F.when(has_x, intercept), 6).alias("intercept"),
+        F.round(F.when(has_x & (vary_n2 > 0), r2), 6).alias("r2"),
+    )
+
+
+def event_trigram_topk(events: DataFrame, k: int = 20) -> DataFrame:
+    """Sequence mining: the k most frequent per-user event-type trigrams
+    (consecutive by (ts, event_id) order). One window sort per user (the
+    same single shuffle every per-user sequence op here pays), partial agg
+    onto a ≤|types|³ grid, then a bounded global top-k
+    (TakeOrderedAndProject — no full sort). Ties at the cut break on the
+    trigram string so the LIMIT is engine-deterministic."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    counts = tri.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("trigram")
+    ).agg(F.count("*").alias("n_occurrences"))
+    return counts.orderBy(
+        F.desc("n_occurrences"), F.asc("trigram")
+    ).limit(k)
+
+
 def daily_anomaly_flags(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
     """Volume-anomaly days: per-(event_type, day) counts z-scored against
     the type's own mean/stddev_pop (population — engine-exact formula),

@@ -1,0 +1,78 @@
+"""CDC-style latest-wins state: collapse a changelog to current state per
+key, and merge a delta batch into a snapshot (the MERGE-INTO / upsert
+pattern on plain parquet, no table-format dependency).
+
+The reference is a batch re-parser (it rewrites everything each run,
+main.go's walk loop); a 10^12-turn pipeline cannot — it must fold each new
+drop of turns into the existing state. These two operators are that fold.
+
+Scale design: latest-wins is expressed as max(struct(order…, payload…))
+inside a plain groupBy — a partial-aggregatable reduction (map-side combine
+keeps one struct per key per task), NOT a row_number window, which would
+full-sort every key group just to keep one row. State per reducer key is
+one struct. merge_upsert unions snapshot+delta and runs the same
+reduction, so a merge costs exactly one shuffle on the key, and AQE
+coalesces the usually-tiny delta side's partitions.
+
+Determinism: struct comparison is field-lexicographic, so rows are ordered
+by order_cols first; payload fields participate only on full order-col
+ties. Callers should make order_cols unique per key ((ts, event_id) here)
+— then payload order never matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_state(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """One row per key: the max-(order_cols) row's order + payload columns,
+    plus n_changes (how many changelog rows the key folded)."""
+    key_set = set(key_cols)
+    if payload_cols is None:
+        payload_cols = [
+            c
+            for c in changelog.columns
+            if c not in key_set and c not in set(order_cols)
+        ]
+    packed = F.struct(
+        *[F.col(c) for c in order_cols], *[F.col(c) for c in payload_cols]
+    )
+    agg = changelog.groupBy(*key_cols).agg(
+        F.max(packed).alias("_s"), F.count("*").alias("n_changes")
+    )
+    return agg.select(
+        *key_cols,
+        *[F.col("_s")[c].alias(c) for c in [*order_cols, *payload_cols]],
+        "n_changes",
+    )
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Upsert `delta` into `snapshot`: per key the max-(order_cols) row
+    wins; on an exact order tie the delta row wins (generation tag is the
+    final tiebreak). Output schema == input schema (both sides must
+    match). New keys insert, newer rows update, older delta rows are
+    ignored — MERGE INTO semantics in one shuffle."""
+    out_cols = snapshot.columns
+    s = snapshot.withColumn("_gen", F.lit(0))
+    d = delta.withColumn("_gen", F.lit(1))
+    merged = latest_state(
+        s.unionByName(d),
+        key_cols,
+        [*order_cols, "_gen"],
+    )
+    return merged.select(*out_cols)

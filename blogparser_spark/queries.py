@@ -4325,3 +4325,225 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_clipped"),
     )
+
+
+# ===========================================================================
+# Batch-3 analytics: trend regression, trigram mining, chi-squared,
+# entropy, CDC latest-state
+# ===========================================================================
+
+
+@_q(
+    "daily_volume_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+      FROM events GROUP BY 1, 2
+    ), xy AS (
+      SELECT event_type, (day - DATE '1970-01-01')::BIGINT AS x, y FROM daily
+    ), s AS (
+      SELECT event_type, count(*)::BIGINT AS n_days,
+        sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy,
+        sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy
+      FROM xy GROUP BY 1
+    ), m AS (
+      SELECT event_type, n_days, sx, sy,
+        CAST(n_days AS DOUBLE) AS n,
+        CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS c2,
+        CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx2,
+        CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy2
+      FROM s
+    )
+    SELECT event_type, n_days,
+      round(CASE WHEN vx2 > 0 THEN c2 / vx2 END, 6) AS slope_per_day,
+      round(CASE WHEN vx2 > 0 THEN (sy - (c2 / vx2) * sx) / n END, 6)
+        AS intercept,
+      round(CASE WHEN vx2 > 0 AND vy2 > 0 THEN (c2 * c2) / (vx2 * vy2) END, 6)
+        AS r2
+    FROM m
+    """,
+)
+def daily_volume_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend of daily volume from exact integer
+    moments (order-independent — the built-in regr_* co-moment
+    accumulators are partition-order-dependent in float)."""
+    from blogparser_spark.dataops import timeseries
+
+    return timeseries.daily_volume_trend(_events(spark, sf_dir))
+
+
+@_q(
+    "event_trigram_topk",
+    """
+    WITH tri AS (
+      SELECT event_type AS e1,
+        lead(event_type, 1) OVER w AS e2,
+        lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS trigram,
+      count(*)::BIGINT AS n_occurrences
+    FROM tri WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n_occurrences DESC, trigram LIMIT 20
+    """,
+)
+def event_trigram_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 per-user event-type trigrams: one window sort per user,
+    partial agg on the <=|types|^3 grid, bounded global top-k with a
+    deterministic tie-break at the cut."""
+    from blogparser_spark.dataops import timeseries
+
+    return timeseries.event_trigram_topk(_events(spark, sf_dir), k=20)
+
+
+@_q(
+    "type_weekday_chi2",
+    """
+    WITH obs AS (
+      SELECT event_type AS a, isodow(ts)::INT - 1 AS b, count(*)::BIGINT AS o
+      FROM events GROUP BY 1, 2
+    ), rt AS (SELECT a, sum(o)::BIGINT AS row_total FROM obs GROUP BY a),
+    ct AS (SELECT b, sum(o)::BIGINT AS col_total FROM obs GROUP BY b),
+    g AS (SELECT sum(o)::BIGINT AS grand_total FROM obs),
+    cells AS (
+      SELECT a, b, o, grand_total,
+        CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+          / CAST(grand_total AS DOUBLE) AS e
+      FROM obs JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN g
+    )
+    SELECT sum(o)::BIGINT AS n_obs,
+      count(DISTINCT a)::BIGINT AS n_rows_a,
+      count(DISTINCT b)::BIGINT AS n_cols_b,
+      ((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1))::BIGINT AS dof,
+      round(sum((o - e) * (o - e) / e - e) + first(grand_total), 6) AS chi2
+    FROM cells
+    """,
+)
+def type_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test between event_type and weekday
+    (Monday=0 on both engines). Structural-zero cells enter the statistic
+    via the Sum(e) identity instead of a dense grid."""
+    from blogparser_spark.dataops.profile import contingency_chi2
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.weekday("ts").alias("wd")
+    )
+    return contingency_chi2(ev, "event_type", "wd")
+
+
+@_q(
+    "user_event_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, sum(cnt)::BIGINT AS n_events,
+      count(*)::BIGINT AS n_distinct,
+      round(ln(CAST(sum(cnt) AS DOUBLE))
+        - sum(cnt * ln(CAST(cnt AS DOUBLE))) / CAST(sum(cnt) AS DOUBLE),
+        6) AS entropy_nats
+    FROM c GROUP BY user_id
+    """,
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy (nats) of the event-type mix via the
+    factored H = ln(n) - (Sum c*ln c)/n — two plain partial aggs, constant
+    reduce state per key."""
+    from blogparser_spark.dataops.profile import categorical_entropy
+
+    return categorical_entropy(_events(spark, sf_dir), ["user_id"], "event_type")
+
+
+@_q(
+    "cdc_latest_state",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, ts, value,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events
+    )
+    SELECT user_id, epoch_us(ts) AS last_ts_us, event_id AS last_event_id,
+      event_type AS last_event_type, round(value, 6) AS last_value,
+      n_changes::BIGINT AS n_changes
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog -> current state per user: max(struct(ts, event_id,
+    payload)) in a plain groupBy (partial-aggregatable; no row_number
+    window sort). The oracle is the window formulation — same answer,
+    the groupBy is the 100-TB plan (operators/cdc.py)."""
+    from blogparser_spark.operators.cdc import latest_state
+
+    st = latest_state(
+        _events(spark, sf_dir),
+        ["user_id"],
+        ["ts", "event_id"],
+        ["event_type", "value"],
+    )
+    return st.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 6).alias("last_value"),
+        "n_changes",
+    )
+
+
+@_q(
+    "audience_overlap_jaccard",
+    """
+    WITH m AS (SELECT DISTINCT event_type AS s, user_id AS member FROM events),
+    sizes AS (SELECT s, count(*)::BIGINT AS n FROM m GROUP BY s),
+    inter AS (
+      SELECT a.s AS set_a, b.s AS set_b, count(*)::BIGINT AS n_intersect
+      FROM m a JOIN m b ON a.member = b.member AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT set_a, set_b, sa.n AS n_a, sb.n AS n_b, n_intersect,
+      round(CAST(n_intersect AS DOUBLE) / (sa.n + sb.n - n_intersect), 6)
+        AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.s = set_a
+    JOIN sizes sb ON sb.s = set_b
+    """,
+)
+def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise user-base Jaccard between event types: dedup to
+    (type, user), member-keyed self-join for intersections, broadcast
+    size table for the union — member lists never materialize
+    (graph.set_overlap_jaccard)."""
+    from blogparser_spark.dataops.graph import set_overlap_jaccard
+
+    return set_overlap_jaccard(_events(spark, sf_dir), "event_type", "user_id")
+
+
+@_q(
+    "source_score_normalize",
+    """
+    SELECT source, doc_id, strlen(text)::BIGINT AS n_bytes,
+      round(percent_rank() OVER (PARTITION BY source
+                                 ORDER BY strlen(text)), 6) AS pct_rank,
+      round(CASE WHEN max(strlen(text)) OVER w > min(strlen(text)) OVER w
+            THEN (strlen(text) - min(strlen(text)) OVER w)
+                 / (max(strlen(text)) OVER w - min(strlen(text)) OVER w)
+            END, 6) AS minmax
+    FROM documents WINDOW w AS (PARTITION BY source)
+    """,
+)
+def source_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source score normalization (percent_rank + min-max) of the
+    byte-length signal — rank-based so ties are engine-stable
+    (curation.score_normalize; DDSketch CDF lookup is the stated no-sort
+    100-TB swap)."""
+    from blogparser_spark.dataops.curation import score_normalize
+
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.octet_length("text").cast("long").alias("n_bytes")
+    )
+    return score_normalize(d, ["source"], "n_bytes", ["doc_id"])

@@ -269,3 +269,55 @@ def test_global_topk_uses_take_ordered_not_full_sort(spark):
     plan = _plan(events.orderBy(F.desc("value"), "event_id").limit(10))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_cdc_latest_state_is_partial_agg_not_window(spark):
+    """latest_state must plan as a hash aggregate with a partial max
+    (map-side combine) and NO Window node — the property that keeps
+    changelog folding one-shuffle at 10^12 rows."""
+    from blogparser_spark.operators.cdc import latest_state
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(
+        latest_state(ev, ["user_id"], ["ts", "event_id"], ["event_type", "value"])
+    )
+    assert "Window" not in plan
+    assert "partial_max" in plan and "partial_count" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_salted_exact_distinct_two_stage(spark):
+    """The skew-proof distinct: stage 1 keys on (key, value) — the hot
+    key's rows spread over all reducers — stage 2 reduces counts. Both
+    aggregates must show partial (map-side) phases."""
+    from blogparser_spark.operators.skew import salted_exact_distinct
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(salted_exact_distinct(ev, ["event_type"], "user_id"))
+    assert "partial_count" in plan
+    assert "Window" not in plan
+
+
+def test_set_overlap_sizes_broadcast(spark):
+    """set_overlap_jaccard's size tables are |sets| rows — they must
+    broadcast onto the intersection grid, never shuffle it."""
+    from blogparser_spark.dataops.graph import set_overlap_jaccard
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(set_overlap_jaccard(ev, "event_type", "user_id"))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_inverted_postings_single_key_shuffle_reuse(spark):
+    """inverted_postings' row_number window and final agg share the term
+    key: after the per-(term, doc) agg there must be exactly ONE more
+    exchange (hash on term) feeding both the window and the agg."""
+    from blogparser_spark.dataops.textstats import inverted_postings
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(inverted_postings(docs, min_df=2, max_postings=5))
+    # explode -> (term,id) agg -> term exchange -> window -> agg: the
+    # window's term-hash exchange is the last one; the final groupBy(term)
+    # reuses that partitioning (no extra exchange).
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, plan[:2000]

@@ -282,3 +282,152 @@ def test_salted_distinct_matches_count_distinct(events):
         .collect()
     }
     assert got == want
+
+
+def test_daily_volume_trend_least_squares_twin(events):
+    got = {r.event_type: r for r in timeseries.daily_volume_trend(events).collect()}
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    pts: dict[str, list[tuple[int, int]]] = {}
+    epoch = __import__("datetime").date(1970, 1, 1)
+    for r in daily:
+        pts.setdefault(r.event_type, []).append(((r.day - epoch).days, r["count"]))
+    for t, xs in pts.items():
+        n = len(xs)
+        sx = sum(x for x, _ in xs)
+        sy = sum(y for _, y in xs)
+        sxy = sum(x * y for x, y in xs)
+        sxx = sum(x * x for x, _ in xs)
+        syy = sum(y * y for _, y in xs)
+        c2 = n * sxy - sx * sy
+        vx2 = n * sxx - sx * sx
+        vy2 = n * syy - sy * sy
+        assert got[t].n_days == n
+        if vx2 == 0:  # degenerate: single day -> NULL fit
+            assert got[t].slope_per_day is None
+            assert got[t].intercept is None
+            assert got[t].r2 is None
+            continue
+        assert got[t].slope_per_day == pytest.approx(c2 / vx2, abs=1.5e-6)
+        assert got[t].intercept == pytest.approx(
+            (sy - (c2 / vx2) * sx) / n, abs=1.5e-6
+        )
+        if vy2 == 0:
+            assert got[t].r2 is None
+        else:
+            assert got[t].r2 == pytest.approx(
+                (c2 * c2) / (vx2 * vy2), abs=1.5e-6
+            )
+            assert 0.0 <= got[t].r2 <= 1.0 + 1e-9
+
+
+def test_event_trigram_counter_twin(events):
+    from collections import Counter, defaultdict
+
+    got = [
+        (r.trigram, r.n_occurrences)
+        for r in timeseries.event_trigram_topk(events, k=50).collect()
+    ]
+    seqs = defaultdict(list)
+    for r in events.orderBy("user_id", "ts", "event_id").collect():
+        seqs[r.user_id].append(r.event_type)
+    c = Counter()
+    for s in seqs.values():
+        for i in range(len(s) - 2):
+            c[">".join(s[i : i + 3])] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert got == want
+
+
+def test_contingency_chi2_dense_twin(events):
+    from collections import Counter
+
+    from blogparser_spark.dataops.profile import contingency_chi2
+
+    ev = events.select("event_type", F.weekday("ts").alias("wd"))
+    row = contingency_chi2(ev, "event_type", "wd").collect()[0]
+    obs = Counter((r.event_type, r.wd) for r in ev.collect())
+    a_vals = sorted({a for a, _ in obs})
+    b_vals = sorted({b for _, b in obs})
+    row_t = Counter()
+    col_t = Counter()
+    for (a, b), o in obs.items():
+        row_t[a] += o
+        col_t[b] += o
+    grand = sum(obs.values())
+    chi2 = 0.0
+    for a in a_vals:  # dense grid, zero cells included
+        for b in b_vals:
+            e = row_t[a] * col_t[b] / grand
+            chi2 += (obs.get((a, b), 0) - e) ** 2 / e
+    assert row.n_obs == grand
+    assert row.dof == (len(a_vals) - 1) * (len(b_vals) - 1)
+    assert row.chi2 == pytest.approx(chi2, abs=1.5e-6)
+
+
+def test_categorical_entropy_math_twin(events):
+    from collections import Counter
+
+    from blogparser_spark.dataops.profile import categorical_entropy
+
+    got = {
+        r.user_id: r
+        for r in categorical_entropy(events, ["user_id"], "event_type").collect()
+    }
+    per_user = {}
+    for r in events.collect():
+        per_user.setdefault(r.user_id, Counter())[r.event_type] += 1
+    for uid, c in per_user.items():
+        n = sum(c.values())
+        h = -sum((v / n) * math.log(v / n) for v in c.values())
+        assert got[uid].n_events == n
+        assert got[uid].n_distinct == len(c)
+        assert got[uid].entropy_nats == pytest.approx(h, abs=1.5e-6)
+        assert got[uid].entropy_nats <= round(math.log(len(c)), 6) + 1e-9
+
+
+def test_set_overlap_jaccard_set_twin(events):
+    got = {
+        (r.set_a, r.set_b): (r.n_a, r.n_b, r.n_intersect, r.jaccard)
+        for r in graph.set_overlap_jaccard(
+            events, "event_type", "user_id"
+        ).collect()
+    }
+    members: dict[str, set] = {}
+    for r in events.select("event_type", "user_id").distinct().collect():
+        members.setdefault(r.event_type, set()).add(r.user_id)
+    want = {}
+    for a in members:
+        for b in members:
+            if a < b and members[a] & members[b]:
+                i = len(members[a] & members[b])
+                u = len(members[a] | members[b])
+                want[(a, b)] = (
+                    len(members[a]),
+                    len(members[b]),
+                    i,
+                    round(i / u, 6),
+                )
+    assert got == want
+    assert all(0.0 < j <= 1.0 for *_, j in got.values())
+
+
+def test_score_normalize_rank_and_minmax(spark):
+    from blogparser_spark.dataops.curation import score_normalize
+
+    rows = [("s1", i, float(v)) for i, v in enumerate([10, 20, 20, 40])]
+    rows += [("s2", 10, 7.0)]  # single-row group: pct 0, minmax NULL
+    rows += [("s3", 20, 5.0), ("s3", 21, 5.0)]  # constant group
+    df = spark.createDataFrame(rows, "source string, doc_id long, score double")
+    got = {
+        (r.source, r.doc_id): (r.pct_rank, r.minmax)
+        for r in score_normalize(df, ["source"], "score", ["doc_id"]).collect()
+    }
+    assert got[("s1", 0)] == (0.0, 0.0)
+    assert got[("s1", 1)] == got[("s1", 2)] == (round(1 / 3, 6), round(1 / 3, 6))
+    assert got[("s1", 3)] == (1.0, 1.0)
+    assert got[("s2", 10)] == (0.0, None)
+    assert got[("s3", 20)] == (0.0, None)

@@ -456,3 +456,43 @@ assert ssj.count() > 0 and all(r["latency_us"] >= 0 for r in ssj.limit(20).colle
 print("interarrival types:", len(ia), "| anomalies:", an.count(), "| postings:", len(inv),
       "| distinct:", sd, "| rr pairs:", ssj.count())
 print("DRIVE29 OK")
+
+# batch-3 analytics: trend regression, trigram mining, chi2, entropy, CDC merge
+from blogparser_spark.dataops.profile import categorical_entropy, contingency_chi2
+from blogparser_spark.dataops.timeseries import daily_volume_trend, event_trigram_topk
+from blogparser_spark.operators.cdc import latest_state, merge_upsert
+
+tr = daily_volume_trend(ev001).collect()
+assert tr and all(0.0 <= r["r2"] <= 1.0 for r in tr)
+tg = event_trigram_topk(ev001, k=10).collect()
+assert len(tg) == 10 and tg[0]["n_occurrences"] >= tg[-1]["n_occurrences"]
+chi = contingency_chi2(
+    ev001.select("event_type", _F.weekday("ts").alias("wd")), "event_type", "wd"
+).collect()[0]
+assert chi["chi2"] >= 0.0 and chi["dof"] == (chi["n_rows_a"] - 1) * (chi["n_cols_b"] - 1)
+ent = categorical_entropy(ev001, ["user_id"], "event_type")
+st = latest_state(ev001, ["user_id"], ["ts", "event_id"], ["event_type", "value"])
+merged = merge_upsert(
+    ev001.where("event_id % 2 = 0"), ev001.where("event_id % 2 = 1"),
+    ["event_id"], ["ts"],
+)
+assert merged.count() == ev001.count()  # disjoint keys: pure insert
+print("trend types:", len(tr), "| top trigram:", tg[0]["trigram"], "| chi2:", chi["chi2"],
+      "| entropy rows:", ent.count(), "| state rows:", st.count())
+print("DRIVE30 OK")
+
+# batch-4 analytics: audience-overlap jaccard, per-group score normalization
+from blogparser_spark.dataops.graph import set_overlap_jaccard
+from blogparser_spark.dataops.curation import score_normalize
+
+ov = set_overlap_jaccard(ev001, "event_type", "user_id").collect()
+assert ov and all(0.0 < r["jaccard"] <= 1.0 for r in ov)
+sn = score_normalize(
+    docs.select("source", "doc_id", _F.octet_length("text").cast("long").alias("n_bytes")),
+    ["source"], "n_bytes", ["doc_id"],
+)
+rows_sn = sn.collect()
+assert all(0.0 <= r["pct_rank"] <= 1.0 for r in rows_sn)
+assert all(r["minmax"] is None or 0.0 <= r["minmax"] <= 1.0 for r in rows_sn)
+print("overlap pairs:", len(ov), "| normalized rows:", len(rows_sn))
+print("DRIVE31 OK")
