@@ -234,3 +234,41 @@ def daily_anomaly_flags(events: DataFrame, z_threshold: float = 2.0) -> DataFram
         ).alias("z_score"),
     )
     return scored.where(F.abs(F.col("z_score")) > z_threshold)
+
+
+def decayed_engagement(
+    events: DataFrame, half_life_days: float = 7.0
+) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score: each event
+    contributes value * 2^(-age_days / half_life), aged against the
+    corpus-wide max timestamp (one broadcast 1-row agg, so every user is
+    scored against the same reference instant).
+
+    The decay makes recency-weighted activity a PLAIN partial-aggregatable
+    sum — no window sort, no per-user sequence state: the classic trick of
+    rewriting "EMA over a stream" as "sum of independently-decayed terms"
+    (decayed sums per Cormode et al., forward decay). Each term is
+    quantized to integer micro-units (round(term*1e6) as BIGINT) BEFORE
+    the sum, so the aggregate is order-independent across partitions and
+    engines — a raw double sum could flip its round(6) between runs
+    (the same exact-integer-moments discipline as daily_volume_trend).
+
+    Scale (100 TB): one scan, one broadcast scalar, one groupBy(user_id)
+    partial agg. Ages are exact integer microseconds; the only float op
+    per row is one pow2 + one multiply inside codegen."""
+    ref = events.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("ref_us")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    age_days = (F.col("ref_us") - us).cast("double") / F.lit(86400e6)
+    term = F.col("value") * F.pow(F.lit(2.0), -age_days / F.lit(half_life_days))
+    scored = events.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.round(F.col("value") * F.lit(100), 0).cast("long").alias("value_c"),
+        F.round(term * F.lit(1e6), 0).cast("long").alias("term_e6"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value_c") / F.lit(100), 6).alias("raw_value"),
+        F.round(F.sum("term_e6") / F.lit(1e6), 6).alias("decayed_value"),
+    )

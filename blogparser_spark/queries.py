@@ -4547,3 +4547,32 @@ def source_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", F.octet_length("text").cast("long").alias("n_bytes")
     )
     return score_normalize(d, ["source"], "n_bytes", ["doc_id"])
+
+
+@_q(
+    "decayed_engagement",
+    """
+    WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+    t AS (
+      SELECT user_id,
+        round(value * 100, 0)::BIGINT AS value_c,
+        round(value * pow(2.0, -(((ref_us - epoch_us(ts))::DOUBLE) / 86400e6)
+                                / 7.0) * 1e6, 0)::BIGINT AS term_e6
+      FROM events, ref
+    )
+    SELECT user_id, count(*)::BIGINT AS n_events,
+      round(sum(value_c) / 100, 6) AS raw_value,
+      round(sum(term_e6) / 1e6, 6) AS decayed_value
+    FROM t GROUP BY 1
+    """,
+)
+def decayed_engagement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed engagement (half-life 7d against
+    the corpus max timestamp): the forward-decay rewrite turns "EMA over a
+    stream" into one partial-aggregatable sum — no window, no per-user
+    state; terms are integer-quantized before summing so the float total
+    is partition-order- and engine-independent
+    (timeseries.decayed_engagement)."""
+    from blogparser_spark.dataops import timeseries
+
+    return timeseries.decayed_engagement(_events(spark, sf_dir))

@@ -431,3 +431,36 @@ def test_score_normalize_rank_and_minmax(spark):
     assert got[("s1", 3)] == (1.0, 1.0)
     assert got[("s2", 10)] == (0.0, None)
     assert got[("s3", 20)] == (0.0, None)
+
+
+def test_decayed_engagement_math_twin(events):
+    out = {r.user_id: r for r in timeseries.decayed_engagement(events).collect()}
+    raw = events.select("user_id", "ts", "value").collect()
+    ref_us = max(int(r.ts.timestamp() * 1_000_000) for r in raw)
+    import collections
+
+    terms = collections.defaultdict(list)
+    for r in raw:
+        age_d = (ref_us - int(r.ts.timestamp() * 1_000_000)) / 86400e6
+        terms[r.user_id].append(round(r.value * 2.0 ** (-age_d / 7.0) * 1e6))
+    for uid, ts_ in terms.items():
+        got = out[uid]
+        assert got.n_events == len(ts_)
+        assert got.decayed_value == pytest.approx(sum(ts_) / 1e6, abs=1e-6)
+        # decay only shrinks: decayed <= raw, and both non-negative here
+        assert 0 <= got.decayed_value <= got.raw_value + 1e-9
+
+
+def test_decayed_engagement_recency_ordering(spark):
+    # same total value, different recency -> newer user scores higher
+    rows = [
+        (1, datetime(2024, 1, 1), 10, "view", 100.0),   # old event
+        (2, datetime(2024, 1, 29), 20, "view", 100.0),  # recent event
+        (3, datetime(2024, 1, 29), 99, "view", 1.0),    # sets ref_ts
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r.user_id: r.decayed_value for r in timeseries.decayed_engagement(df).collect()}
+    assert out[20] > out[10]
+    assert out[10] == pytest.approx(100.0 * 2 ** (-28 / 7.0), abs=1e-4)

@@ -496,3 +496,12 @@ assert all(0.0 <= r["pct_rank"] <= 1.0 for r in rows_sn)
 assert all(r["minmax"] is None or 0.0 <= r["minmax"] <= 1.0 for r in rows_sn)
 print("overlap pairs:", len(ov), "| normalized rows:", len(rows_sn))
 print("DRIVE31 OK")
+
+# batch-5 analytics: forward-decay engagement scoring
+from blogparser_spark.dataops.timeseries import decayed_engagement
+
+de = decayed_engagement(ev001).collect()
+assert de and all(0.0 <= r["decayed_value"] <= r["raw_value"] + 1e-9 for r in de)
+assert {r["user_id"] for r in de} == {r["user_id"] for r in ev001.select("user_id").distinct().collect()}
+print("decayed users:", len(de))
+print("DRIVE32 OK")
