@@ -113,3 +113,96 @@ def set_overlap_jaccard(df: DataFrame, set_col: str, member_col: str) -> DataFra
             "jaccard"
         ),
     )
+
+
+def supplier_cooccurrence_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected distinct supplier–supplier edges: two suppliers are
+    adjacent iff they ship lines of the SAME order. The self-join is keyed
+    on l_orderkey, so its fan-out per order is bounded by the order's line
+    count (≤ 7 in TPC-H-shaped data) — pairs-within-a-small-group, never a
+    corpus-wide cross join. Edges are canonical (u < v) and distinct."""
+    so = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    other = so.select(F.col("ok"), F.col("s").alias("s2"))
+    return (
+        so.join(other, "ok")
+        .where(F.col("s") < F.col("s2"))
+        .select(F.col("s").alias("u"), F.col("s2").alias("v"))
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient via
+    degree-ordered edge orientation (the node-iterator++ / Schank-Wagner
+    formulation MapReduce triangle counting inherits).
+
+    Each undirected edge is oriented from its (degree, id)-smaller endpoint
+    to the larger, which caps every node's OUT-degree at O(sqrt(|E|))
+    regardless of its real degree — so the wedge self-join (pairs of
+    out-edges sharing a source) never explodes on a celebrity node: the
+    classic skew-proof triangle shape. Wedges are closed by one hash join
+    back onto the oriented edge list; each triangle is found exactly once
+    (its corners are totally ordered), then unpivoted to credit all three
+    corners. coeff = 2·t / (deg·(deg−1)) on nodes with deg ≥ 2.
+
+    Scale (100 TB): three shuffles (degree agg, wedge join on the source,
+    closing join on the (lo, hi) edge key); no window over the edge list;
+    all joins are equi-joins AQE can split. Inputs: canonical (u < v)
+    distinct edges."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("b"), F.col("ddst").alias("db")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("c"), F.col("ddst").alias("dc")
+    )
+    # pairs of out-edges of the same source, ordered so each wedge is
+    # generated once; the closing edge must then be the oriented (b -> c)
+    wedges = e1.join(e2, "src").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"]).select("src", "b", "c")
+    corner = (
+        tris.select(F.col("src").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    out = deg.join(corner, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                2.0
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+            ),
+            6,
+        ).alias("clustering_coeff"),
+    )
+    return out

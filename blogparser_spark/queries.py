@@ -4576,3 +4576,48 @@ def decayed_engagement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blogparser_spark.dataops import timeseries
 
     return timeseries.decayed_engagement(_events(spark, sf_dir))
+
+
+@_q(
+    "supplier_triangle_stats",
+    """
+    WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+    e AS (SELECT DISTINCT a.s AS u, b.s AS v
+          FROM so a JOIN so b ON a.ok = b.ok AND a.s < b.s),
+    deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+              SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+            GROUP BY 1),
+    ed AS (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+           FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+    oe AS (SELECT
+             CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+             CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+             CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddst
+           FROM ed),
+    w AS (SELECT a.src, a.dst AS b, a.ddst AS db, c.dst AS c
+          FROM oe a JOIN oe c ON a.src = c.src
+          AND (a.ddst < c.ddst OR (a.ddst = c.ddst AND a.dst < c.dst))),
+    tri AS (SELECT w.src, w.b, w.c
+            FROM w JOIN oe ON oe.src = w.b AND oe.dst = w.c),
+    corner AS (SELECT node, count(*)::BIGINT AS triangles FROM (
+                 SELECT src AS node FROM tri
+                 UNION ALL SELECT b FROM tri
+                 UNION ALL SELECT c FROM tri) GROUP BY 1)
+    SELECT deg.node AS node, deg.deg AS deg,
+      coalesce(corner.triangles, 0)::BIGINT AS triangles,
+      round(CASE WHEN deg.deg >= 2
+            THEN 2.0 * coalesce(corner.triangles, 0)
+                 / (deg.deg * (deg.deg - 1)) END, 6) AS clustering_coeff
+    FROM deg LEFT JOIN corner ON corner.node = deg.node
+    """,
+)
+def supplier_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient on the supplier
+    co-occurrence graph (suppliers adjacent iff they ship the same order),
+    via degree-ordered edge orientation — out-degree capped at O(sqrt|E|)
+    so the wedge join survives celebrity nodes
+    (graph.supplier_cooccurrence_edges / triangle_stats)."""
+    from blogparser_spark.dataops import graph
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return graph.triangle_stats(graph.supplier_cooccurrence_edges(li))

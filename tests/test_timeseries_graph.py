@@ -464,3 +464,55 @@ def test_decayed_engagement_recency_ordering(spark):
     out = {r.user_id: r.decayed_value for r in timeseries.decayed_engagement(df).collect()}
     assert out[20] > out[10]
     assert out[10] == pytest.approx(100.0 * 2 ** (-28 / 7.0), abs=1e-4)
+
+
+def test_triangle_stats_brute_force_twin(spark):
+    # K4 on 1-4 (4 triangles) + pendant 5 + disjoint path 6-7-8 (0 triangles)
+    import itertools
+
+    und = [(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)]
+    und += [(4, 5), (6, 7), (7, 8)]
+    edges = spark.createDataFrame(und, "u long, v long")
+    out = {r.node: r for r in graph.triangle_stats(edges).collect()}
+
+    # brute-force twin on the collected edge set
+    es = {frozenset(e) for e in und}
+    nodes = sorted({n for e in und for n in e})
+    tri_of = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= es:
+            for n in (a, b, c):
+                tri_of[n] += 1
+    deg_of = {n: sum(1 for e in es if n in e) for n in nodes}
+    assert set(out) == set(nodes)
+    for n in nodes:
+        assert out[n].deg == deg_of[n]
+        assert out[n].triangles == tri_of[n]
+        if deg_of[n] >= 2:
+            expect = 2.0 * tri_of[n] / (deg_of[n] * (deg_of[n] - 1))
+            assert out[n].clustering_coeff == pytest.approx(expect, abs=1e-6)
+        else:
+            assert out[n].clustering_coeff is None
+    assert out[1].clustering_coeff == pytest.approx(1.0)
+    assert out[5].triangles == 0 and out[7].triangles == 0
+
+
+def test_supplier_cooccurrence_edges_canonical(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = graph.supplier_cooccurrence_edges(li)
+    rows = e.collect()
+    assert all(r.u < r.v for r in rows)
+    assert len(rows) == len({(r.u, r.v) for r in rows})
+    # symmetric sanity: an edge exists iff some order ships both suppliers
+    so = li.select("l_orderkey", "l_suppkey").distinct().collect()
+    from collections import defaultdict
+
+    per_order = defaultdict(set)
+    for r in so:
+        per_order[r.l_orderkey].add(r.l_suppkey)
+    import itertools as it
+
+    expect = set()
+    for ss in per_order.values():
+        expect |= {tuple(sorted(p)) for p in it.combinations(ss, 2)}
+    assert {(r.u, r.v) for r in rows} == expect

@@ -505,3 +505,13 @@ assert de and all(0.0 <= r["decayed_value"] <= r["raw_value"] + 1e-9 for r in de
 assert {r["user_id"] for r in de} == {r["user_id"] for r in ev001.select("user_id").distinct().collect()}
 print("decayed users:", len(de))
 print("DRIVE32 OK")
+
+# batch-5b: triangle counting via degree-ordered orientation
+from blogparser_spark.dataops.graph import supplier_cooccurrence_edges, triangle_stats
+
+li001 = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+tstats = triangle_stats(supplier_cooccurrence_edges(li001)).collect()
+assert tstats and all(r["triangles"] >= 0 for r in tstats)
+assert all(r["clustering_coeff"] is None or 0.0 <= r["clustering_coeff"] <= 1.0 for r in tstats)
+print("triangle nodes:", len(tstats), "| total/3:", sum(r["triangles"] for r in tstats) // 3)
+print("DRIVE33 OK")
