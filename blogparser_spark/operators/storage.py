@@ -45,3 +45,78 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: st
     recognizes the matching output partitioning and plans the join with no
     Exchange on either side."""
     return spark.read.table(left_table).join(spark.read.table(right_table), on)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) multi-dimensional clustering
+# ---------------------------------------------------------------------------
+# The Iceberg/Delta `rewrite_data_files(strategy => 'sort', sort_order =>
+# zorder(a, b))` layout technique, expressed directly: interleaving the bits
+# of two bucketized dimensions gives ONE sort key whose ranges are compact
+# in BOTH dimensions, so range-partitioned files carry tight min/max stats
+# on a AND b simultaneously — a 2-D box predicate then prunes most files,
+# where a single-column sort only prunes on its leading column. All bit math
+# is plain integer shift/mask inside whole-stage codegen (and is replicated
+# verbatim in the DuckDB oracle).
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _spread_bits16(x: Column) -> Column:
+    """Spread the low 16 bits of x so bit i lands at position 2i (the
+    classic mask-doubling Morton encode; inputs must be pre-bucketized to
+    [0, 2^16))."""
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_key(a: Column, b: Column) -> Column:
+    """Morton-interleave two bucketized non-negative ints (< 2^16 each)
+    into one long sort key: z = spread(a) | spread(b) << 1."""
+    return _spread_bits16(a.cast("long")).bitwiseOR(
+        F.shiftleft(_spread_bits16(b.cast("long")), 1)
+    )
+
+
+def write_zordered(
+    df: DataFrame, path: str, key_col: str = "z", n_files: int = 16
+) -> None:
+    """Range-partition on the z key and sort within partitions before
+    writing: each output file then covers a contiguous z range, i.e. a
+    compact box in (a, b) space, so its parquet footer min/max stats on
+    the RAW dimension columns are tight. One shuffle (the range exchange),
+    at write time only — the skipping is free for every later read."""
+    (
+        df.repartitionByRange(n_files, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_minmax_manifest(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-file min/max/rowcount manifest over the named columns — the
+    relational analog of Iceberg's manifest-file column stats, built with
+    one scan + one partial agg keyed on input_file_name()."""
+    df = spark.read.parquet(path)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def candidate_files(manifest: DataFrame, box: dict[str, tuple]) -> DataFrame:
+    """Files whose per-column [min, max] envelope intersects the query box
+    {col: (lo, hi)} — exactly the pruning decision a stats-aware reader
+    (Iceberg planning, parquet row-group skipping) makes from the manifest."""
+    cond = F.lit(True)
+    for c, (lo, hi) in box.items():
+        cond = cond & (F.col(f"min_{c}") <= hi) & (F.col(f"max_{c}") >= lo)
+    return manifest.where(cond)

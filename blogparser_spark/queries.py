@@ -4621,3 +4621,55 @@ def supplier_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return graph.triangle_stats(graph.supplier_cooccurrence_edges(li))
+
+
+@_q(
+    "zorder_curve_segments",
+    """
+    WITH b AS (
+      SELECT user_id % 256 AS ub,
+             (epoch_us(ts) // 3600000000) % 256 AS tb
+      FROM events
+    ), s1 AS (
+      SELECT ub & 65535 AS xa, tb & 65535 AS xb FROM b
+    ), s2 AS (
+      SELECT (xa | (xa << 8)) & 16711935 AS xa,
+             (xb | (xb << 8)) & 16711935 AS xb FROM s1
+    ), s3 AS (
+      SELECT (xa | (xa << 4)) & 252645135 AS xa,
+             (xb | (xb << 4)) & 252645135 AS xb FROM s2
+    ), s4 AS (
+      SELECT (xa | (xa << 2)) & 858993459 AS xa,
+             (xb | (xb << 2)) & 858993459 AS xb FROM s3
+    ), s5 AS (
+      SELECT (xa | (xa << 1)) & 1431655765 AS xa,
+             (xb | (xb << 1)) & 1431655765 AS xb FROM s4
+    ), zz AS (
+      SELECT (xa | (xb << 1)) AS z FROM s5
+    )
+    SELECT z // 4096 AS segment, count(*)::BIGINT AS n_events,
+      min(z) AS z_min, max(z) AS z_max
+    FROM zz GROUP BY 1
+    """,
+)
+def zorder_curve_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-keys over (user, hour) buckets rolled up per curve segment —
+    the multi-dimensional clustering key Iceberg/Delta zorder rewrites sort
+    by, computed with plain shift/mask codegen and replicated bit-exactly
+    in the oracle (storage.zorder_key; write path + file-stat pruning
+    audit are plan-verified in test_bucketing)."""
+    from blogparser_spark.operators.storage import zorder_key
+
+    ev = _events(spark, sf_dir).select(
+        F.pmod(F.col("user_id"), F.lit(256)).alias("ub"),
+        F.pmod(
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000"),
+            F.lit(256),
+        ).alias("tb"),
+    )
+    z = ev.select(zorder_key(F.col("ub"), F.col("tb")).alias("z"))
+    return z.groupBy(F.expr("z div 4096").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.min("z").alias("z_min"),
+        F.max("z").alias("z_max"),
+    )

@@ -92,3 +92,68 @@ def test_minhash_index_probe_exchanges_only_new_side(spark):
     assert all(r["jaccard"] >= 0.5 for r in rows)
 
     spark.sql("DROP TABLE IF EXISTS mh_idx_b")
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from blogparser_spark.operators.storage import zorder_key
+
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 5, 1023, 65535) for b in (0, 2, 7, 900, 65535)],
+        "a long, b long",
+    )
+    rows = df.select("a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")).collect()
+
+    def interleave(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in rows:
+        assert r.z == interleave(r.a, r.b), (r.a, r.b)
+    # monotone-in-box sanity: z of (0,0) is the global min
+    assert min(r.z for r in rows) == 0
+
+
+def test_zorder_layout_prunes_2d_box(spark, tmp_path):
+    from blogparser_spark.operators.storage import (
+        candidate_files,
+        file_minmax_manifest,
+        write_zordered,
+        zorder_key,
+    )
+
+    # deterministic uniform grid over both bucket dimensions (the shape a
+    # (user, hour)-bucketized event log converges to at scale)
+    ev = spark.range(0, 20000, 1, 8).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.col("id"), F.lit(256)).alias("ub"),
+        F.pmod(F.col("id") * 7919, F.lit(256)).alias("tb"),
+    )
+    ev = ev.withColumn("z", zorder_key(F.col("ub"), F.col("tb")))
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "linear")
+    write_zordered(ev, zpath, key_col="z", n_files=16)
+    # baseline: same file count, single-dimension sort (ub only)
+    (
+        ev.repartitionByRange(16, F.col("ub"))
+        .sortWithinPartitions("ub")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    box = {"ub": (32, 63), "tb": (64, 127)}
+    zman = file_minmax_manifest(spark, zpath, ["ub", "tb"])
+    lman = file_minmax_manifest(spark, lpath, ["ub", "tb"])
+    z_hit, z_all = candidate_files(zman, box).count(), zman.count()
+    l_hit, l_all = candidate_files(lman, box).count(), lman.count()
+    # the z layout must prune: strictly fewer candidate files than the
+    # single-column sort, which carries no tb locality at all
+    assert z_hit < l_hit, (z_hit, z_all, l_hit, l_all)
+    # correctness: both layouts return identical box-query row sets
+    pred = (
+        (F.col("ub") >= 32) & (F.col("ub") <= 63)
+        & (F.col("tb") >= 64) & (F.col("tb") <= 127)
+    )
+    zc = spark.read.parquet(zpath).where(pred).count()
+    lc = spark.read.parquet(lpath).where(pred).count()
+    assert zc == lc == ev.where(pred).count()

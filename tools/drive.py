@@ -515,3 +515,22 @@ assert tstats and all(r["triangles"] >= 0 for r in tstats)
 assert all(r["clustering_coeff"] is None or 0.0 <= r["clustering_coeff"] <= 1.0 for r in tstats)
 print("triangle nodes:", len(tstats), "| total/3:", sum(r["triangles"] for r in tstats) // 3)
 print("DRIVE33 OK")
+
+# batch-5c: z-order layout + manifest-stats pruning audit
+import tempfile as _tf
+
+from blogparser_spark.operators.storage import (
+    candidate_files, file_minmax_manifest, write_zordered, zorder_key,
+)
+
+zev = spark.range(0, 4096, 1, 4).select(
+    (_F.col("id") % 64).alias("ub"), ((_F.col("id") * 31) % 64).alias("tb")
+).withColumn("z", zorder_key(_F.col("ub"), _F.col("tb")))
+with _tf.TemporaryDirectory() as zd:
+    write_zordered(zev, zd + "/z", key_col="z", n_files=8)
+    man = file_minmax_manifest(spark, zd + "/z", ["ub", "tb"])
+    hit = candidate_files(man, {"ub": (0, 15), "tb": (0, 15)}).count()
+    tot = man.count()
+assert 0 < hit < tot, (hit, tot)
+print("zorder files hit:", hit, "of", tot)
+print("DRIVE34 OK")
