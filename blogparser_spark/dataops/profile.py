@@ -153,3 +153,52 @@ def categorical_entropy(
             F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
         ).alias("entropy_nats"),
     )
+
+
+def slice_column_manifest(
+    df: DataFrame,
+    id_col: str,
+    cols: Sequence[str],
+    n_slices: int = 16,
+) -> DataFrame:
+    """Iceberg-manifest-analog column statistics per storage slice: for
+    each md5(id)-derived slice, every named column's min / max / null
+    count plus the slice row count — the planning metadata a stats-aware
+    reader prunes with (the per-FILE twin is storage.file_minmax_manifest;
+    this one keys on the engine-portable md5 slice instead of the physical
+    file name, so the DuckDB oracle can reproduce it bit-for-bit, and it
+    composes with checkpoint.write_sliced_input's slice layout).
+
+    ONE scan, one partial agg onto n_slices × |cols| cells — column count
+    widens the aggregate, never adds passes. Min/max land as strings
+    (cast) so heterogeneous column types fit one unpivoted schema."""
+    slc = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % n_slices
+    ).alias("slice_id")
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_null_{c}"),
+        ]
+    per_slice = df.select(slc, *cols).groupBy("slice_id").agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("_rows").alias("n_rows"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+                F.col(f"_null_{c}").alias("n_null"),
+            )
+            for c in cols
+        ]
+    )
+    return per_slice.select("slice_id", F.explode(structs).alias("r")).select(
+        "slice_id", "r.*"
+    )

@@ -4673,3 +4673,44 @@ def zorder_curve_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("z").alias("z_min"),
         F.max("z").alias("z_max"),
     )
+
+
+@_q(
+    "slice_column_manifest",
+    """
+    WITH base AS (
+      SELECT ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 16
+               AS slice_id,
+             user_id, event_type, ts
+      FROM events
+    ), g AS (
+      SELECT slice_id, count(*)::BIGINT AS n_rows,
+        min(user_id)::VARCHAR AS min_u, max(user_id)::VARCHAR AS max_u,
+        sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_u,
+        min(event_type) AS min_e, max(event_type) AS max_e,
+        sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_e,
+        min(ts)::VARCHAR AS min_t, max(ts)::VARCHAR AS max_t,
+        sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_t
+      FROM base GROUP BY 1
+    )
+    SELECT slice_id, col, n_rows, min_value, max_value, n_null FROM (
+      SELECT slice_id, 'user_id' AS col, n_rows,
+             min_u AS min_value, max_u AS max_value, null_u AS n_null FROM g
+      UNION ALL
+      SELECT slice_id, 'event_type', n_rows, min_e, max_e, null_e FROM g
+      UNION ALL
+      SELECT slice_id, 'ts', n_rows, min_t, max_t, null_t FROM g
+    )
+    """,
+)
+def slice_column_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-storage-slice column min/max/null manifest — the Iceberg
+    manifest-file stats a planner prunes with, keyed on the engine-portable
+    md5 slice (profile.slice_column_manifest; the physical per-FILE twin
+    with box-pruning audit is storage.file_minmax_manifest, plan-verified
+    in test_bucketing)."""
+    from blogparser_spark.dataops.profile import slice_column_manifest
+
+    return slice_column_manifest(
+        _events(spark, sf_dir), "event_id", ["user_id", "event_type", "ts"]
+    )

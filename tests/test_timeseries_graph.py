@@ -516,3 +516,32 @@ def test_supplier_cooccurrence_edges_canonical(spark, sf_dir):
     for ss in per_order.values():
         expect |= {tuple(sorted(p)) for p in it.combinations(ss, 2)}
     assert {(r.u, r.v) for r in rows} == expect
+
+
+def test_slice_column_manifest_twin(events):
+    import hashlib
+
+    from blogparser_spark.dataops.profile import slice_column_manifest
+
+    out = slice_column_manifest(
+        events, "event_id", ["user_id", "event_type"], n_slices=4
+    ).collect()
+    raw = events.collect()
+
+    def slc(eid):
+        return int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16) % 4
+
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in raw:
+        per[slc(r.event_id)].append(r)
+    got = {(r.slice_id, r.col): r for r in out}
+    assert len(out) == len(per) * 2
+    for s, rows in per.items():
+        for c in ("user_id", "event_type"):
+            g = got[(s, c)]
+            assert g.n_rows == len(rows)
+            vals = [getattr(r, c) for r in rows if getattr(r, c) is not None]
+            assert g.min_value == str(min(vals)) and g.max_value == str(max(vals))
+            assert g.n_null == len(rows) - len(vals)

@@ -534,3 +534,12 @@ with _tf.TemporaryDirectory() as zd:
 assert 0 < hit < tot, (hit, tot)
 print("zorder files hit:", hit, "of", tot)
 print("DRIVE34 OK")
+
+# batch-5d: slice-manifest column stats (Iceberg manifest analog)
+from blogparser_spark.dataops.profile import slice_column_manifest
+
+man5 = slice_column_manifest(ev001, "event_id", ["user_id", "event_type", "ts"], n_slices=8).collect()
+assert man5 and all(r["n_null"] == 0 for r in man5)
+assert sum(r["n_rows"] for r in man5 if r["col"] == "user_id") == ev001.count()
+print("manifest cells:", len(man5))
+print("DRIVE35 OK")
