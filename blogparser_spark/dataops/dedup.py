@@ -967,3 +967,74 @@ def fuzzy_prefix_pairs(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity join with prefix filtering (SSJoin/PPJoin,
+    Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08; the MapReduce layout is
+    Vernica et al. SIGMOD'10): all pairs with token-set Jaccard ≥ t,
+    guaranteed complete — the deterministic complement to the probabilistic
+    MinHash-LSH path.
+
+    Tokens are globally ordered rarest-first (by df, then token); a doc of
+    size s only indexes its first s − ⌈t·s⌉ + 1 tokens — two docs with
+    J ≥ t MUST share a token inside these prefixes, so the candidate join
+    touches rare tokens almost exclusively: the hot stop-word postings that
+    blow up a naive token self-join never enter the index. Candidates are
+    further cut by the length filter (t·s_a ≤ s_b and vice versa), then
+    verified with an exact intersection count (cand ⋈ tokens ⋈ tokens —
+    linear in candidates × doc size, never all-pairs).
+
+    Scale (100 TB): the global token rank is a vocabulary-sized sort
+    (vocab ≪ corpus; the two-pass range-partitioned rank of
+    curation.epoch_shuffle_rank is the drop-in when the vocab itself is
+    huge). The threshold filter runs on the UNROUNDED division — bit-equal
+    across engines on exact small-int inputs — and jaccard is rounded only
+    for output."""
+    from blogparser_spark.dataops.textstats import tokens as _tok
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_tok(F.col(text_col)))).alias("token"),
+    )
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    order = dfreq.select(
+        "token", F.row_number().over(Window.orderBy("df", "token")).alias("rnk")
+    )
+    t2 = tok.join(order, "token")
+    sizes = t2.groupBy("id").agg(F.count("*").alias("sz"))
+    pos = t2.withColumn(
+        "pos", F.row_number().over(Window.partitionBy("id").orderBy("rnk"))
+    ).join(sizes, "id")
+    pref = pos.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    )
+    a = pref.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "token")
+    b = pref.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "token")
+    cand = (
+        a.join(b, "token")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a")))
+            & (F.col("sz_a") >= F.ceil(F.lit(threshold) * F.col("sz_b")))
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "token")
+    tb = tok.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared"))
+    return inter.where(jac >= threshold).select(
+        "id_a", "id_b", "sz_a", "sz_b", "n_shared", F.round(jac, 6).alias("jaccard")
+    )

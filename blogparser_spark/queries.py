@@ -4714,3 +4714,52 @@ def slice_column_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slice_column_manifest(
         _events(spark, sf_dir), "event_id", ["user_id", "event_type", "ts"]
     )
+
+
+@_q(
+    "prefix_filter_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id AS id,
+        unnest(list_distinct(list_filter(string_split(text, ' '),
+                                         x -> x != ''))) AS token
+      FROM documents
+    ), dfreq AS (
+      SELECT token, count(*)::BIGINT AS df FROM tok GROUP BY 1
+    ), ord AS (
+      SELECT token, row_number() OVER (ORDER BY df, token) AS rnk FROM dfreq
+    ), t2 AS (
+      SELECT id, tok.token, rnk FROM tok JOIN ord ON ord.token = tok.token
+    ), sz AS (
+      SELECT id, count(*)::BIGINT AS sz FROM t2 GROUP BY 1
+    ), pos AS (
+      SELECT id, token,
+             row_number() OVER (PARTITION BY id ORDER BY rnk) AS pos
+      FROM t2
+    ), pref AS (
+      SELECT pos.id, token, sz FROM pos JOIN sz USING (id)
+      WHERE pos <= sz - ceil(0.6 * sz) + 1
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                      a.sz AS sz_a, b.sz AS sz_b
+      FROM pref a JOIN pref b ON a.token = b.token AND a.id < b.id
+      WHERE b.sz >= ceil(0.6 * a.sz) AND a.sz >= ceil(0.6 * b.sz)
+    ), inter AS (
+      SELECT id_a, id_b, sz_a, sz_b, count(*)::BIGINT AS n_shared
+      FROM cand
+      JOIN tok ta ON ta.id = cand.id_a
+      JOIN tok tb ON tb.id = cand.id_b AND tb.token = ta.token
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, sz_a, sz_b, n_shared,
+           round(n_shared / (sz_a + sz_b - n_shared), 6) AS jaccard
+    FROM inter
+    WHERE n_shared / (sz_a + sz_b - n_shared) >= 0.6
+    """,
+)
+def prefix_filter_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-≥-t pairs via prefix filtering (SSJoin/PPJoin): the
+    rarest-first token prefix index keeps hot stop-word postings out of the
+    candidate join entirely; guaranteed-complete, the deterministic
+    complement to MinHash-LSH (dedup.prefix_filter_pairs)."""
+    return dedup.prefix_filter_pairs(_docs(spark, sf_dir), threshold=0.6)

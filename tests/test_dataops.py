@@ -998,3 +998,59 @@ def test_compression_ratio_matches_twin_and_orders_redundancy(spark):
         assert ratio == compression_ratio_py(text), i  # byte-exact twin
     assert out[0][0] < out[1][0] < out[2][0]  # redundancy ordering
     assert out[3][0] == 1.0 and out[4][0] == 1.0
+
+
+def test_prefix_filter_pairs_complete_vs_brute_force(spark):
+    # controlled corpus: near-dups, partial overlaps, and disjoint docs
+    texts = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta zeta"),       # J=4/6 with 0
+        (2, "alpha beta gamma delta epsilon"),    # J=1 with 0
+        (3, "omega psi chi phi"),
+        (4, "omega psi chi phi upsilon tau"),     # J=4/6 with 3
+        (5, "one two three four five six"),
+        (6, "seven eight nine ten"),
+        (7, "alpha omega one seven unique1 unique2 unique3 unique4"),
+    ]
+    from blogparser_spark.dataops import dedup
+
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    t = 0.5
+    got = {
+        (r.id_a, r.id_b): r
+        for r in dedup.prefix_filter_pairs(df, threshold=t).collect()
+    }
+    import itertools
+
+    sets = {i: set(s.split()) for i, s in texts}
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        j = inter / len(sets[a] | sets[b])
+        if j >= t:
+            expect[(a, b)] = (inter, j)
+    assert set(got) == set(expect)   # COMPLETE: prefix filter loses nothing
+    for k, (inter, j) in expect.items():
+        assert got[k].n_shared == inter
+        assert got[k].jaccard == pytest.approx(round(j, 6))
+        assert got[k].sz_a == len(sets[k[0]]) and got[k].sz_b == len(sets[k[1]])
+
+
+def test_prefix_filter_pairs_brute_force_on_corpus(docs):
+    from blogparser_spark.dataops import dedup
+
+    # full brute-force twin on the real fixture corpus at a high threshold
+    t = 0.7
+    got = {(r.id_a, r.id_b) for r in dedup.prefix_filter_pairs(docs, threshold=t).collect()}
+    rows = docs.select("doc_id", "text").collect()
+    sets = {r.doc_id: {x for x in r.text.split(" ") if x} for r in rows}
+    import itertools
+
+    expect = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if sa and sb and len(sa & sb) / len(sa | sb) >= t:
+            expect.add((a, b))
+    assert got == expect

@@ -543,3 +543,11 @@ assert man5 and all(r["n_null"] == 0 for r in man5)
 assert sum(r["n_rows"] for r in man5 if r["col"] == "user_id") == ev001.count()
 print("manifest cells:", len(man5))
 print("DRIVE35 OK")
+
+# batch-5e: exact set-similarity join via prefix filtering (PPJoin-style)
+from blogparser_spark.dataops.dedup import prefix_filter_pairs
+
+pfp = prefix_filter_pairs(docs, threshold=0.5).collect()
+assert all(r["jaccard"] >= 0.5 and r["id_a"] < r["id_b"] for r in pfp)
+print("prefix-filter pairs:", len(pfp))
+print("DRIVE36 OK")
