@@ -206,3 +206,89 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         ).alias("clustering_coeff"),
     )
     return out
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the provably O(log² n)-round formulation, as the
+    cross-checkable alternative to dedup.connected_components' label
+    propagation (same (node, component=min id) contract).
+
+    Each round rewrites the EDGE SET itself toward a star rooted at the
+    component minimum:
+      large-star  — every node hangs its strictly-larger neighbors onto
+        the minimum of its neighborhood-with-self;
+      small-star  — every node contracts itself and its ≤-neighbors onto
+        their minimum.
+    Both steps are one groupBy-min (single running-min reduce state,
+    partial-aggregatable, no neighborhood ever materialized) plus one
+    equi-join of the edge list back onto those minima — so a round is
+    edge-linear and skew-safe even when a component is one giant star.
+    Convergence = the edge set reaches a fixpoint (checked with a count +
+    one-sided exceptAll probe, both early-out); per-round localCheckpoint
+    truncates lineage exactly like the label-propagation twin.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    iterations = 0
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        iterations += 1
+        # large-star: m(x) = min over Γ(x) ∪ {x}; each neighbor v > x
+        # re-attaches to m(x). Emitted edges keep first ≥ second.
+        bidir = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = (
+            bidir.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", F.col("u")).alias("m"))
+        )
+        large = (
+            bidir.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the (big → small)-directed output: x and its
+        # smaller neighbors all contract onto their minimum.
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new = small.count()
+        if n_new == n_edges and small.exceptAll(edges).limit(1).count() == 0:
+            edges = small
+            break
+        edges, n_edges = small, n_new
+    if stats is not None:
+        stats["iterations"] = iterations
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(
+            edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )

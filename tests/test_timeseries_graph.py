@@ -545,3 +545,62 @@ def test_slice_column_manifest_twin(events):
             vals = [getattr(r, c) for r in rows if getattr(r, c) is not None]
             assert g.min_value == str(min(vals)) and g.max_value == str(max(vals))
             assert g.n_null == len(rows) - len(vals)
+
+
+def test_star_cc_matches_label_propagation_and_union_find(spark):
+    import random
+
+    random.seed(11)
+    pairs = [(i, i + 1) for i in range(40)]  # path: worst case for plain propagation
+    while len(pairs) < 260:
+        a, b = random.randrange(300), random.randrange(300)
+        if a != b:
+            pairs.append((a, b))
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    stats = {}
+    star = {
+        (r.node, r.component)
+        for r in graph.connected_components_star(df, stats=stats).collect()
+    }
+    lp = {
+        (r.node, r.component)
+        for r in dedup.connected_components(df).collect()
+    }
+    assert star == lp  # the two iterative algorithms agree exactly
+
+    # union-find ground truth: component = min id of the cluster
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp: dict[int, list[int]] = {}
+    for n in {n for p in pairs for n in p}:
+        comp.setdefault(find(n), []).append(n)
+    truth = {(n, min(ms)) for ms in comp.values() for n in ms}
+    assert star == truth
+    # the SoCC'14 bound: O(log^2 n) rounds — and in practice log-ish
+    assert 1 <= stats["iterations"] <= 12
+
+
+def test_star_cc_edge_cases(spark):
+    # empty pair set -> empty labels, zero iterations
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    st = {}
+    assert graph.connected_components_star(empty, stats=st).count() == 0
+    assert st["iterations"] == 0
+    # reversed duplicates and a pure self-loop collapse to one component;
+    # self-loop-only nodes carry no pair information and are dropped
+    messy = spark.createDataFrame(
+        [(5, 2), (2, 5), (9, 9), (2, 1), (8, 5)], "id_a long, id_b long"
+    )
+    got = {
+        (r.node, r.component)
+        for r in graph.connected_components_star(messy).collect()
+    }
+    assert got == {(1, 1), (2, 1), (5, 1), (8, 1)}

@@ -551,3 +551,17 @@ pfp = prefix_filter_pairs(docs, threshold=0.5).collect()
 assert all(r["jaccard"] >= 0.5 and r["id_a"] < r["id_b"] for r in pfp)
 print("prefix-filter pairs:", len(pfp))
 print("DRIVE36 OK")
+
+# batch-5f: large-star/small-star connected components (SoCC'14) must agree
+# with label propagation on the real near-dup pipeline's verified pairs
+from blogparser_spark.dataops.dedup import (
+    connected_components, lsh_candidate_pairs, verify_pairs_jaccard,
+)
+from blogparser_spark.dataops.graph import connected_components_star
+
+ver = verify_pairs_jaccard(docs, lsh_candidate_pairs(docs), 0.5)
+star_lbl = {(r.node, r.component) for r in connected_components_star(ver).collect()}
+lp_lbl = {(r.node, r.component) for r in connected_components(ver).collect()}
+assert star_lbl == lp_lbl and star_lbl
+print("star-CC nodes:", len(star_lbl))
+print("DRIVE37 OK")
