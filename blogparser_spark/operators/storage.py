@@ -84,17 +84,40 @@ def zorder_key(a: Column, b: Column) -> Column:
 
 
 def write_zordered(
-    df: DataFrame, path: str, key_col: str = "z", n_files: int = 16
+    df: DataFrame,
+    path: str,
+    key_col: str = "z",
+    n_files: int = 16,
+    z_bits: int | None = None,
 ) -> None:
-    """Range-partition on the z key and sort within partitions before
-    writing: each output file then covers a contiguous z range, i.e. a
-    compact box in (a, b) space, so its parquet footer min/max stats on
-    the RAW dimension columns are tight. One shuffle (the range exchange),
-    at write time only — the skipping is free for every later read."""
+    """Bucket the z key into FIXED-WIDTH ranges and write one directory
+    partition per bucket, sorted by z within: every output file then covers
+    one contiguous z range, i.e. a compact box in (a, b) space, so its
+    parquet footer min/max stats on the RAW dimension columns are tight.
+
+    Fixed-width (bucket = z·n_files >> z_bits) instead of
+    `repartitionByRange` deliberately: Spark's range partitioner derives
+    sample seeds from the RDD id, so boundaries — and therefore which files
+    a box predicate prunes — vary with session history. Z inputs are
+    bucketized dimensions (near-uniform by construction), where data-
+    independent equal-width ranges are both balanced and deterministic;
+    equi-depth sampling is only worth its nondeterminism on skewed raw
+    keys, which z-ordering already excludes. `partitionBy` (not a hash
+    repartition alone) guarantees no file ever mixes two buckets even when
+    two bucket ids hash-collide into one task. One shuffle at write time —
+    the skipping is free for every later read. If `z_bits` is None it is
+    sized from one max() scan of the key column (parquet-stats cheap);
+    pass it explicitly to skip that pass at scale."""
+    if z_bits is None:
+        zmax = df.agg(F.max(key_col)).first()[0]
+        z_bits = max(1, int(zmax or 0).bit_length())
+    bucket = F.shiftright(F.col(key_col) * F.lit(n_files), z_bits).cast("int")
     (
-        df.repartitionByRange(n_files, F.col(key_col))
+        df.withColumn("_zb", bucket)
+        .repartition(n_files, F.col("_zb"))
         .sortWithinPartitions(key_col)
         .write.mode("overwrite")
+        .partitionBy("_zb")
         .parquet(path)
     )
 
