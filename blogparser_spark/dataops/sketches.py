@@ -511,3 +511,41 @@ def dd_quantiles(
         F.lit(2.0) * F.pow(F.lit(g), F.col("bucket")) / F.lit(g + 1.0), 6
     )
     return first.withColumn("est", est)
+
+
+def hll_sliding_registers(
+    df: DataFrame,
+    value: Column,
+    ts_col: str = "ts",
+    window_buckets: int = 24,
+    bucket_us: int = 3_600_000_000,
+    p: int = 8,
+) -> DataFrame:
+    """Trailing-window HLL register state per time bucket: (bucket,
+    register, max_rank), where row `bucket` merges the sketches of the
+    `window_buckets` buckets ENDING at it — the mergeability property of
+    HLL turned into a sliding "distinct users in the last 24 h" signal.
+
+    The sliding merge is a bounded explode, never a window over raw
+    events: per-bucket registers (≤ 2^p rows per bucket after
+    hll_registers' map-side max) each fan out to at most window_buckets
+    target buckets, then a second partial-aggregatable max collapses them.
+    Per-target state is 2^p rows regardless of event volume — the scale
+    contrast is exact sliding COUNT(DISTINCT), which must carry every
+    distinct (bucket, key) pair through the same fan-out and holds
+    key-cardinality state per target. Only buckets that themselves contain
+    events are emitted (no trailing phantom buckets after the data ends)."""
+    bkt = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {bucket_us}")
+    regs = hll_registers(df.withColumn("_bkt", bkt), value, ("_bkt",), p)
+    fan = regs.select(
+        F.explode(
+            F.sequence(F.col("_bkt"), F.col("_bkt") + F.lit(window_buckets - 1))
+        ).alias("bucket"),
+        "register",
+        "max_rank",
+    )
+    merged = fan.groupBy("bucket", "register").agg(
+        F.max("max_rank").alias("max_rank")
+    )
+    observed = regs.select(F.col("_bkt").alias("bucket")).distinct()
+    return merged.join(observed, "bucket")

@@ -4763,3 +4763,260 @@ def prefix_filter_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join entirely; guaranteed-complete, the deterministic
     complement to MinHash-LSH (dedup.prefix_filter_pairs)."""
     return dedup.prefix_filter_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
+@_q(
+    "star_near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_near_dup_ctes("documents")}
+    SELECT node AS doc_id, min(m)::BIGINT AS component, (node = min(m)) AS keep
+    FROM nd_reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def star_near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup clustering stage re-run through the alternating
+    large-star/small-star contraction (graph.connected_components_star,
+    Kiveris et al. SoCC'14) instead of label propagation — same LSH →
+    exact-Jaccard-verify upstream, same (doc_id, component, keep) contract,
+    SAME oracle as `near_dup_clusters`: the two iterative algorithms must
+    agree with each other and with the recursive-CTE closure."""
+    from blogparser_spark.dataops.graph import connected_components_star
+
+    d = _docs(spark, sf_dir)
+    pairs = dedup.lsh_candidate_pairs(d)
+    verified = dedup.verify_pairs_jaccard(d, pairs, 0.5)
+    return (
+        connected_components_star(verified)
+        .select(
+            F.col("node").alias("doc_id"),
+            "component",
+            (F.col("node") == F.col("component")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_HLL_SLIDING_SQL = r"""
+    WITH ev AS (
+      SELECT (epoch_us(ts) // 3600000000) AS bkt, user_id::VARCHAR AS uid
+      FROM events
+    ), obs AS (
+      SELECT DISTINCT bkt FROM ev
+    ), parts AS (
+      SELECT bkt, ('0x' || substr(md5(uid), 1, 2))::INT AS register,
+             substr(md5(uid), 3, 13) AS suf
+      FROM ev
+    ), ranked AS (
+      SELECT bkt, register,
+        CASE WHEN length(regexp_extract(suf, '^0*', 0)) = 13 THEN 53
+             ELSE length(regexp_extract(suf, '^0*', 0)) * 4
+                  + CASE substr(suf, length(regexp_extract(suf, '^0*', 0)) + 1, 1)
+                      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                      WHEN '7' THEN 1 ELSE 0 END + 1
+        END AS rank
+      FROM parts
+    ), regs AS MATERIALIZED (
+      SELECT bkt, register, max(rank) AS max_rank FROM ranked GROUP BY 1, 2
+    ), fan AS (
+      SELECT unnest(range(bkt, bkt + 24))::BIGINT AS bucket, register, max_rank
+      FROM regs
+    ), merged AS (
+      SELECT bucket, register, max(max_rank) AS max_rank
+      FROM fan JOIN obs ON fan.bucket = obs.bkt
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT bucket, count(*)::BIGINT AS n_present,
+             (sum(1::BIGINT << (53 - max_rank))
+              + (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS s_scaled
+      FROM merged GROUP BY 1
+    ), est AS (
+      SELECT bucket, n_present, s_scaled,
+             (0.7213 / (1 + 1.079 / 256)) * 256.0 * 256.0
+               * (1::BIGINT << 53) / s_scaled AS raw
+      FROM agg
+    ), exd AS (
+      SELECT bucket, count(DISTINCT uid)::BIGINT AS exact_distinct
+      FROM (
+        SELECT unnest(range(bkt, bkt + 24))::BIGINT AS bucket, uid
+        FROM (SELECT DISTINCT bkt, uid FROM ev)
+      ) f JOIN obs ON f.bucket = obs.bkt
+      GROUP BY 1
+    )
+    SELECT est.bucket AS hour_bucket, n_present, s_scaled,
+           round(CASE WHEN raw <= 640.0 AND n_present < 256
+                      THEN 256.0 * ln(256.0 / (256 - n_present))
+                      ELSE raw END, 6) AS hll_distinct,
+           exact_distinct
+    FROM est JOIN exd ON est.bucket = exd.bucket
+    ORDER BY hour_bucket
+"""
+
+
+@_q("hll_sliding_distinct_users", _HLL_SLIDING_SQL)
+def hll_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users per hour via sliding mergeable HLL
+    sketches (sketches.hll_sliding_registers), joined against the exact
+    sliding COUNT(DISTINCT) for calibration. Per-hour register states
+    (≤ 256 rows each, map-side-combined) fan out to their 24 trailing
+    target hours and max-merge — per-target state is 256 rows regardless
+    of event volume, where the exact form must carry every distinct
+    (hour, user) pair through the same fan-out. The oracle replays the
+    md5 registers, the fan-out, the exact-int64 scaled sum, and the
+    small-range correction in DuckDB."""
+    from blogparser_spark.dataops import sketches
+
+    ev = _events(spark, sf_dir)
+    regs = sketches.hll_sliding_registers(
+        ev, F.col("user_id").cast("string"), "ts", window_buckets=24, p=8
+    )
+    est = sketches.hll_estimate(regs, ("bucket",), p=8)
+    pairs = ev.select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("bkt"),
+        F.col("user_id").alias("uid"),
+    ).distinct()
+    fan = pairs.select(
+        F.explode(F.sequence(F.col("bkt"), F.col("bkt") + F.lit(23))).alias(
+            "bucket"
+        ),
+        "uid",
+    )
+    observed = pairs.select(F.col("bkt").alias("bucket")).distinct()
+    exact = (
+        fan.join(observed, "bucket")
+        .groupBy("bucket")
+        .agg(F.countDistinct("uid").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "bucket")
+        .select(
+            F.col("bucket").alias("hour_bucket"),
+            "n_present",
+            "s_scaled",
+            "hll_distinct",
+            "exact_distinct",
+        )
+        .orderBy("hour_bucket")
+    )
+
+
+_HLL_ROLLUP_SQL = r"""
+    WITH ev AS (
+      SELECT event_type, (epoch_us(ts) // 86400000000) AS day_bucket,
+             user_id::VARCHAR AS uid
+      FROM events
+    ), parts AS (
+      SELECT event_type, day_bucket,
+             ('0x' || substr(md5(uid), 1, 2))::INT AS register,
+             substr(md5(uid), 3, 13) AS suf
+      FROM ev
+    ), ranked AS (
+      SELECT event_type, day_bucket, register,
+        CASE WHEN length(regexp_extract(suf, '^0*', 0)) = 13 THEN 53
+             ELSE length(regexp_extract(suf, '^0*', 0)) * 4
+                  + CASE substr(suf, length(regexp_extract(suf, '^0*', 0)) + 1, 1)
+                      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                      WHEN '7' THEN 1 ELSE 0 END + 1
+        END AS rank
+      FROM parts
+    ), regs AS MATERIALIZED (
+      SELECT event_type, day_bucket, register, max(rank) AS max_rank
+      FROM ranked GROUP BY 1, 2, 3
+    ), rolled AS (
+      SELECT 'cell' AS level, event_type, day_bucket, register,
+             max(max_rank) AS max_rank
+      FROM regs GROUP BY 2, 3, 4
+      UNION ALL
+      SELECT 'type', event_type, NULL, register, max(max_rank)
+      FROM regs GROUP BY 2, 4
+      UNION ALL
+      SELECT 'day', NULL, day_bucket, register, max(max_rank)
+      FROM regs GROUP BY 3, 4
+      UNION ALL
+      SELECT 'all', NULL, NULL, register, max(max_rank)
+      FROM regs GROUP BY 4
+    ), agg AS (
+      SELECT level, event_type, day_bucket, count(*)::BIGINT AS n_present,
+             (sum(1::BIGINT << (53 - max_rank))
+              + (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS s_scaled
+      FROM rolled GROUP BY 1, 2, 3
+    ), est AS (
+      SELECT level, event_type, day_bucket, n_present, s_scaled,
+             (0.7213 / (1 + 1.079 / 256)) * 256.0 * 256.0
+               * (1::BIGINT << 53) / s_scaled AS raw
+      FROM agg
+    ), exd AS (
+      SELECT CASE WHEN grouping(event_type) = 0 AND grouping(day_bucket) = 0 THEN 'cell'
+                  WHEN grouping(event_type) = 0 THEN 'type'
+                  WHEN grouping(day_bucket) = 0 THEN 'day'
+                  ELSE 'all' END AS level,
+             event_type, day_bucket,
+             count(DISTINCT uid)::BIGINT AS exact_distinct
+      FROM ev
+      GROUP BY GROUPING SETS ((event_type, day_bucket), (event_type),
+                              (day_bucket), ())
+    )
+    SELECT est.level, est.event_type, est.day_bucket, n_present, s_scaled,
+           round(CASE WHEN raw <= 640.0 AND n_present < 256
+                      THEN 256.0 * ln(256.0 / (256 - n_present))
+                      ELSE raw END, 6) AS hll_distinct,
+           exact_distinct
+    FROM est
+    JOIN exd ON est.level = exd.level
+            AND est.event_type IS NOT DISTINCT FROM exd.event_type
+            AND est.day_bucket IS NOT DISTINCT FROM exd.day_bucket
+    ORDER BY est.level, est.event_type, est.day_bucket
+"""
+
+
+@_q("hll_rollup_distinct_users", _HLL_ROLLUP_SQL)
+def hll_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user HLL CUBE: register states are built ONCE at the finest
+    (event_type, day) grain, and every coarser grouping set — per type, per
+    day, grand total — is a register max-merge of those cells, never a
+    rescan of the events. This is the pre-aggregation contract (Druid /
+    Iceberg aggregate-pushdown style) that makes distinct counting
+    re-sliceable at 100 TB: the finest-grain state is types × days × 2^p
+    rows, and any rollup is a partial-aggregatable merge over it. Exact
+    COUNT(DISTINCT) per grouping set rides along as calibration."""
+    from blogparser_spark.dataops import sketches
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day_bucket",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000"),
+    )
+    regs = sketches.hll_registers(
+        ev, F.col("user_id").cast("string"), ("event_type", "day_bucket"), p=8
+    )
+
+    def rollup(keys: tuple[str, ...], level: str) -> DataFrame:
+        merged = regs.groupBy(*keys, "register").agg(
+            F.max("max_rank").alias("max_rank")
+        )
+        est = sketches.hll_estimate(merged, keys, p=8)
+        exact = ev.groupBy(*keys).agg(
+            F.countDistinct("user_id").alias("exact_distinct")
+        )
+        out = est.join(exact, list(keys)) if keys else est.crossJoin(exact)
+        if "event_type" not in keys:
+            out = out.withColumn("event_type", F.lit(None).cast("string"))
+        if "day_bucket" not in keys:
+            out = out.withColumn("day_bucket", F.lit(None).cast("long"))
+        return out.select(
+            F.lit(level).alias("level"),
+            "event_type",
+            "day_bucket",
+            "n_present",
+            "s_scaled",
+            "hll_distinct",
+            "exact_distinct",
+        )
+
+    return (
+        rollup(("event_type", "day_bucket"), "cell")
+        .unionByName(rollup(("event_type",), "type"))
+        .unionByName(rollup(("day_bucket",), "day"))
+        .unionByName(rollup((), "all"))
+        .orderBy("level", "event_type", "day_bucket")
+    )

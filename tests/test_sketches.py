@@ -266,3 +266,77 @@ def test_dd_drops_nonpositive_and_hand_bucket(spark):
     med = {r["q"]: r for r in dd_quantiles(hist, (0.5,)).collect()}[0.5]
     assert med["bucket"] == b100
     assert abs(med["est"] - 100.0) <= 1.01  # midpoint within alpha of 100
+
+
+def test_hll_sliding_registers_python_replay(spark):
+    from datetime import datetime
+
+    rng = random.Random(13)
+    # events across 6 hours with overlapping user populations
+    rows = []
+    for h in (0, 1, 2, 5):  # hour 3-4 empty: no phantom buckets
+        for _ in range(120):
+            rows.append((rng.randrange(40 + 10 * h), datetime(2025, 3, 1, h, rng.randrange(60))))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    W = 3
+    regs = sketches.hll_sliding_registers(
+        df, F.col("user_id").cast("string"), "ts", window_buckets=W, p=8
+    )
+    got = {(r["bucket"], r["register"]): r["max_rank"] for r in regs.collect()}
+
+    # python twin: per-bucket registers, then trailing-W max-merge over
+    # OBSERVED target buckets only
+    base_h = int(datetime(2025, 3, 1).timestamp()) // 3600
+    per: dict[int, dict[int, int]] = {}
+    for uid, ts in rows:
+        b = (int(ts.timestamp()) * 1_000_000) // 3_600_000_000
+        h = hashlib.md5(str(uid).encode()).hexdigest()
+        per.setdefault(b, {})
+        reg, suf = int(h[:2], 16), h[2:15]
+        per[b][reg] = max(per[b].get(reg, 0), sketches.rank_py(suf))
+    want = {}
+    for tgt in per:  # observed buckets only
+        for src in range(tgt - W + 1, tgt + 1):
+            for reg, rk in per.get(src, {}).items():
+                k = (tgt, reg)
+                want[k] = max(want.get(k, 0), rk)
+    assert got == want
+    assert {b for b, _ in got} == {base_h, base_h + 1, base_h + 2, base_h + 5}
+
+    # the sliding estimate at an observed bucket equals the plain estimate
+    # over the union of its trailing window's events (mergeability)
+    est = {
+        r["bucket"]: (r["n_present"], r["s_scaled"])
+        for r in sketches.hll_estimate(regs, ("bucket",), p=8).collect()
+    }
+    uni = [
+        (str(uid),)
+        for uid, ts in rows
+        if base_h <= (int(ts.timestamp()) * 1_000_000) // 3_600_000_000 <= base_h + 2
+    ]
+    udf = spark.createDataFrame(uni, "v string")
+    flat = sketches.hll_estimate(
+        sketches.hll_registers(udf, F.col("v"), (), p=8), (), p=8
+    ).collect()[0]
+    assert est[base_h + 2] == (flat["n_present"], flat["s_scaled"])
+
+
+def test_hll_rollup_merge_equals_from_scratch(spark):
+    rng = random.Random(29)
+    rows = [
+        (rng.choice(["a", "b", "c"]), rng.randrange(3), f"u{rng.randrange(500)}")
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "t string, d long, uid string")
+    fine = sketches.hll_registers(df, F.col("uid"), ("t", "d"), p=8)
+    # max-merging the fine-grain registers to any coarser grouping set is
+    # IDENTICAL to sketching that grouping set from the raw data
+    for keys in (("t",), ("d",), ()):
+        merged = fine.groupBy(*keys, "register").agg(
+            F.max("max_rank").alias("max_rank")
+        )
+        scratch = sketches.hll_registers(df, F.col("uid"), keys, p=8)
+        key = lambda r: tuple(r[k] for k in (*keys, "register"))
+        assert {key(r): r["max_rank"] for r in merged.collect()} == {
+            key(r): r["max_rank"] for r in scratch.collect()
+        }, keys

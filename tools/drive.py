@@ -565,3 +565,24 @@ lp_lbl = {(r.node, r.component) for r in connected_components(ver).collect()}
 assert star_lbl == lp_lbl and star_lbl
 print("star-CC nodes:", len(star_lbl))
 print("DRIVE37 OK")
+
+# batch-5g: sliding-window distinct via mergeable HLL buckets
+from blogparser_spark.dataops.sketches import hll_estimate, hll_sliding_registers
+
+sregs = hll_sliding_registers(
+    ev001, _F.col("user_id").cast("string"), "ts", window_buckets=24, p=8
+)
+sest = hll_estimate(sregs, ("bucket",), p=8).collect()
+assert sest and all(r["n_present"] <= 256 for r in sest)
+print("sliding-HLL buckets:", len(sest))
+print("DRIVE38 OK")
+
+# batch-5h: HLL rollup cube — coarse register merge == from-scratch sketch
+from blogparser_spark.dataops.sketches import hll_registers
+
+fine = hll_registers(ev001, _F.col("user_id").cast("string"), ("event_type",), p=8)
+allm = fine.groupBy("register").agg(_F.max("max_rank").alias("max_rank"))
+scr = hll_registers(ev001, _F.col("user_id").cast("string"), (), p=8)
+assert {(r["register"], r["max_rank"]) for r in allm.collect()} == \
+       {(r["register"], r["max_rank"]) for r in scr.collect()}
+print("DRIVE39 OK")
