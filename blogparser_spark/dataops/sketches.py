@@ -549,3 +549,161 @@ def hll_sliding_registers(
     )
     observed = regs.select(F.col("_bkt").alias("bucket")).distinct()
     return merged.join(observed, "bucket")
+
+
+# ------------------------------------------------------------- KMV / theta ---
+#
+# Bar-Yossef et al. (RANDOM 2002) / Beyer et al., "On Synopses for
+# Distinct-Value Estimation Under Multiset Operations" (SIGMOD 2007), the
+# basis of the DataSketches theta sketch. Where HLL only counts, a KMV
+# sample — the k smallest distinct hash values per group — supports set
+# ALGEBRA: union (merge samples, re-take min-k) and intersection
+# (theta-sketch rule: count common hashes below the smaller saturation
+# threshold, divide by the threshold). Engine-portable by this module's
+# convention: the hash is the first 13 hex chars of md5 as an exact 52-bit
+# int, estimates are the only floats (round-6), thresholds stay int64.
+
+_KMV_FULL = 1 << 52  # theta of an unsaturated sketch: the whole hash space
+
+
+def kmv_hash(value: Column) -> Column:
+    """52-bit uniform hash: first 13 hex chars of md5(value) as bigint."""
+    return F.conv(F.substring(F.md5(value), 1, _SUF_CHARS), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_sample(
+    df: DataFrame,
+    value: Column,
+    group_cols: Sequence[str] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV sample: (group_cols..., h) — the k smallest DISTINCT
+    52-bit hashes of `value`.
+
+    Scale shape: the distinct() partial-aggregates map-side (each task
+    dedupes before the shuffle), and the min-k window ranks within each
+    group once. Like hll_registers, this runs ONCE at the finest grain;
+    the payoff is that every later union / intersection / rollup operates
+    on <= k rows per group (kmv_merge, kmv_pairwise_overlap), never
+    rescanning the raw data — the mergeable-summary contract."""
+    hashed = df.select(*group_cols, kmv_hash(value).alias("h")).distinct()
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(
+    *samples: DataFrame, group_cols: Sequence[str] = (), k: int = 64
+) -> DataFrame:
+    """Union of KMV samples: pool the hash sets, re-take the min-k. The
+    result is EXACTLY the sample the union's raw data would have produced
+    (min-k of a union = min-k of the union of min-k's), so merges are
+    lossless across checkpoint slices / stream micro-batches."""
+    out = samples[0]
+    for other in samples[1:]:
+        out = out.unionByName(other)
+    return (
+        out.distinct()
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(
+    sample: DataFrame, group_cols: Sequence[str] = (), k: int = 64
+) -> DataFrame:
+    """(group_cols..., n_sample, theta_h, kmv_distinct). An unsaturated
+    sample (n_sample < k) holds EVERY distinct hash, so the count is exact
+    and theta_h covers the full space; a saturated one estimates
+    (k-1) / u_(k) with u_(k) = kth-min / 2^52 (Beyer et al. eq. 2 —
+    unbiased, unlike k/u_(k))."""
+    g = sample.groupBy(*group_cols).agg(
+        F.count("*").alias("n_sample"), F.max("h").alias("kth_h")
+    )
+    sat = F.col("n_sample") >= k
+    theta = F.when(sat, F.col("kth_h")).otherwise(F.lit(_KMV_FULL))
+    est = F.when(sat, F.round(F.lit(float(k - 1)) * F.lit(float(_KMV_FULL)) / F.col("kth_h"), 6)).otherwise(
+        F.col("n_sample").cast("double")
+    )
+    return g.select(
+        *group_cols,
+        "n_sample",
+        theta.cast("bigint").alias("theta_h"),
+        est.alias("kmv_distinct"),
+    )
+
+
+def kmv_pairwise_overlap(
+    sample: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Theta-sketch set algebra between every unordered pair of groups in
+    one KMV sample table: (g_a, g_b, theta_h, n_common, inter_est,
+    union_est, jaccard_est).
+
+    Rule (Dasgupta et al., "Theta-Sketch Framework", 2016): clip both
+    samples to the pair's shared threshold theta = min(theta_a, theta_b);
+    the common hashes below theta are a uniform sample of the
+    intersection at rate theta / 2^52, so |A∩B| ~= n_common * 2^52 /
+    theta. Union comes from inclusion-exclusion over the per-group
+    estimates; Jaccard = inter / union. Everything joins on the <=k-row
+    samples — the raw data is never rescanned, and the hash equi-join is
+    linear in sample size (never all-pairs on rows)."""
+    est = kmv_estimate(sample, (group_col,), k)
+    a = sample.select(F.col(group_col).alias("g_a"), "h")
+    b = sample.select(F.col(group_col).alias("g_b"), "h")
+    ea = F.broadcast(
+        est.select(
+            F.col(group_col).alias("g_a"),
+            F.col("theta_h").alias("theta_a"),
+            F.col("kmv_distinct").alias("est_a"),
+        )
+    )
+    eb = F.broadcast(
+        est.select(
+            F.col(group_col).alias("g_b"),
+            F.col("theta_h").alias("theta_b"),
+            F.col("kmv_distinct").alias("est_b"),
+        )
+    )
+    theta = F.least(F.col("theta_a"), F.col("theta_b"))
+    common = (
+        a.join(b, "h")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .join(ea, "g_a")
+        .join(eb, "g_b")
+        .filter(F.col("h") < theta)
+        .groupBy("g_a", "g_b", "theta_a", "theta_b", "est_a", "est_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    # pairs with zero common hashes still need a row: spine of all pairs
+    spine = (
+        ea.crossJoin(eb)
+        .filter(F.col("g_a") < F.col("g_b"))
+        .join(common.select("g_a", "g_b", "n_common"), ["g_a", "g_b"], "left")
+        .fillna(0, ["n_common"])
+    )
+    theta_s = F.least(F.col("theta_a"), F.col("theta_b"))
+    inter = F.round(
+        F.col("n_common") * F.lit(float(_KMV_FULL)) / theta_s, 6
+    )
+    union = F.round(F.col("est_a") + F.col("est_b") - inter, 6)
+    return spine.select(
+        "g_a",
+        "g_b",
+        theta_s.alias("theta_h"),
+        "n_common",
+        inter.alias("inter_est"),
+        union.alias("union_est"),
+        F.round(inter / union, 6).alias("jaccard_est"),
+    )

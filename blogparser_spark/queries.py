@@ -5020,3 +5020,122 @@ def hll_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rollup((), "all"))
         .orderBy("level", "event_type", "day_bucket")
     )
+
+
+_KMV_OVERLAP_SQL = r"""
+    WITH ev AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), hset AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h
+      FROM ev
+    ), samp AS (
+      SELECT event_type, h FROM hset
+      QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= 64
+    ), est AS (
+      SELECT event_type, count(*)::BIGINT AS n_sample, max(h) AS kth
+      FROM samp GROUP BY 1
+    ), est2 AS (
+      SELECT event_type,
+        CASE WHEN n_sample >= 64 THEN kth
+             ELSE 4503599627370496 END AS theta_h,
+        CASE WHEN n_sample >= 64
+             THEN round(63::DOUBLE * 4503599627370496::DOUBLE / kth, 6)
+             ELSE n_sample::DOUBLE END AS est
+      FROM est
+    ), prs AS (
+      SELECT a.event_type AS g_a, b.event_type AS g_b,
+             least(a.theta_h, b.theta_h) AS theta_h, a.est AS ea, b.est AS eb
+      FROM est2 a JOIN est2 b ON a.event_type < b.event_type
+    ), common AS (
+      SELECT p.g_a, p.g_b, count(*)::BIGINT AS n_common
+      FROM prs p
+      JOIN samp sa ON sa.event_type = p.g_a
+      JOIN samp sb ON sb.event_type = p.g_b AND sb.h = sa.h
+      WHERE sa.h < p.theta_h
+      GROUP BY 1, 2
+    ), nd AS (
+      SELECT event_type, count(*)::BIGINT AS n_d FROM ev GROUP BY 1
+    ), exi AS (
+      SELECT a.event_type AS g_a, b.event_type AS g_b,
+             count(*)::BIGINT AS exact_inter
+      FROM ev a JOIN ev b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ), calc AS (
+      SELECT p.g_a, p.g_b, p.theta_h,
+             coalesce(c.n_common, 0)::BIGINT AS n_common,
+             round(coalesce(c.n_common, 0)::DOUBLE * 4503599627370496::DOUBLE / p.theta_h,
+                   6) AS inter_est,
+             ea, eb
+      FROM prs p LEFT JOIN common c ON c.g_a = p.g_a AND c.g_b = p.g_b
+    )
+    SELECT calc.g_a AS g_a, calc.g_b AS g_b, theta_h, n_common, inter_est,
+           round(ea + eb - inter_est, 6) AS union_est,
+           round(inter_est / round(ea + eb - inter_est, 6), 6) AS jaccard_est,
+           coalesce(exact_inter, 0)::BIGINT AS exact_inter,
+           (na.n_d + nb.n_d - coalesce(exact_inter, 0))::BIGINT AS exact_union
+    FROM calc
+    LEFT JOIN exi ON exi.g_a = calc.g_a AND exi.g_b = calc.g_b
+    JOIN nd na ON na.event_type = calc.g_a
+    JOIN nd nb ON nb.event_type = calc.g_b
+    ORDER BY calc.g_a, calc.g_b
+"""
+
+
+@_q("kmv_type_overlap", _KMV_OVERLAP_SQL)
+def kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user set algebra between every pair of event types via KMV
+    / theta sketches (sketches.kmv_sample + kmv_pairwise_overlap): where
+    HLL only counts, the k-minimum-values sample supports INTERSECTION and
+    union estimates from <=k-row summaries — the raw events are scanned
+    once to build per-type samples, and all 10 pairwise estimates run on
+    64-row sets (never a users x users join). Exact intersection / union
+    sizes ride along for calibration; the oracle replays the md5 52-bit
+    hashes, the min-k QUALIFY, and the theta clipping rule bit-for-bit."""
+    from blogparser_spark.dataops import sketches
+
+    ev = _events(spark, sf_dir)
+    samp = sketches.kmv_sample(
+        ev, F.col("user_id").cast("string"), ("event_type",), k=64
+    )
+    ov = sketches.kmv_pairwise_overlap(samp, "event_type", k=64)
+    pairs = ev.select("event_type", "user_id").distinct()
+    exact_i = (
+        pairs.select(F.col("event_type").alias("g_a"), "user_id")
+        .join(
+            pairs.select(F.col("event_type").alias("g_b"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    nd = pairs.groupBy("event_type").agg(F.count("*").alias("n_d"))
+    out = (
+        ov.join(exact_i, ["g_a", "g_b"], "left")
+        .fillna(0, ["exact_inter"])
+        .join(
+            F.broadcast(nd.select(F.col("event_type").alias("g_a"),
+                                  F.col("n_d").alias("nd_a"))),
+            "g_a",
+        )
+        .join(
+            F.broadcast(nd.select(F.col("event_type").alias("g_b"),
+                                  F.col("n_d").alias("nd_b"))),
+            "g_b",
+        )
+    )
+    return out.select(
+        "g_a",
+        "g_b",
+        "theta_h",
+        "n_common",
+        "inter_est",
+        "union_est",
+        "jaccard_est",
+        "exact_inter",
+        (F.col("nd_a") + F.col("nd_b") - F.col("exact_inter")).alias(
+            "exact_union"
+        ),
+    ).orderBy("g_a", "g_b")

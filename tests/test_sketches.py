@@ -340,3 +340,88 @@ def test_hll_rollup_merge_equals_from_scratch(spark):
         assert {key(r): r["max_rank"] for r in merged.collect()} == {
             key(r): r["max_rank"] for r in scratch.collect()
         }, keys
+
+
+def _kmv_py(values: list[str], k: int = 64):
+    """Pure-Python KMV twin: (sorted min-k distinct hashes, theta, est)."""
+    hs = sorted({int(hashlib.md5(v.encode()).hexdigest()[:13], 16) for v in values})
+    samp = hs[:k]
+    if len(samp) < k:
+        return samp, 1 << 52, float(len(samp))
+    return samp, samp[-1], round((k - 1) * float(1 << 52) / samp[-1], 6)
+
+
+def test_kmv_sample_estimate_python_replay(spark):
+    # group "big" saturates (500 distinct), group "small" stays exact (20)
+    rows = [("big", f"u{i}") for i in range(500)] * 2 + [
+        ("small", f"v{i}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    samp = sketches.kmv_sample(df, F.col("v"), ("g",), k=64)
+    got = {}
+    for r in samp.collect():
+        got.setdefault(r["g"], []).append(r["h"])
+    est = {
+        r["g"]: (r["n_sample"], r["theta_h"], r["kmv_distinct"])
+        for r in sketches.kmv_estimate(samp, ("g",), k=64).collect()
+    }
+    for g, vals in (("big", [f"u{i}" for i in range(500)]),
+                    ("small", [f"v{i}" for i in range(20)])):
+        w_samp, w_theta, w_est = _kmv_py(vals)
+        assert sorted(got[g]) == w_samp, g
+        assert est[g] == (len(w_samp), w_theta, w_est), g
+    # saturated estimate is within 20% of truth at k=64
+    assert abs(est["big"][2] - 500) / 500 < 0.2
+    # unsaturated estimate is EXACT
+    assert est["small"][2] == 20.0
+
+
+def test_kmv_merge_lossless(spark):
+    # min-k of a union == min-k of the union of min-k's
+    a = spark.createDataFrame([(f"x{i}",) for i in range(300)], "v string")
+    b = spark.createDataFrame([(f"x{i}",) for i in range(150, 450)], "v string")
+    sa = sketches.kmv_sample(a, F.col("v"), (), k=32)
+    sb = sketches.kmv_sample(b, F.col("v"), (), k=32)
+    merged = sorted(r["h"] for r in sketches.kmv_merge(sa, sb, k=32).collect())
+    scratch = sorted(
+        r["h"]
+        for r in sketches.kmv_sample(
+            a.unionByName(b), F.col("v"), (), k=32
+        ).collect()
+    )
+    assert merged == scratch
+
+
+def test_kmv_pairwise_overlap_python_replay(spark):
+    k = 32
+    sets = {
+        "a": [f"m{i}" for i in range(200)],
+        "b": [f"m{i}" for i in range(100, 300)],   # true overlap 100
+        "c": [f"z{i}" for i in range(40)],         # unsaturated, disjoint
+    }
+    rows = [(g, v) for g, vs in sets.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v string")
+    samp = sketches.kmv_sample(df, F.col("v"), ("g",), k=k)
+    got = {
+        (r["g_a"], r["g_b"]): r.asDict()
+        for r in sketches.kmv_pairwise_overlap(samp, "g", k=k).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    py = {g: _kmv_py(vs, k) for g, vs in sets.items()}
+    for ga, gb in got:
+        sa, ta, ea = py[ga]
+        sb, tb, eb = py[gb]
+        theta = min(ta, tb)
+        n_common = len({h for h in sa if h < theta} & {h for h in sb if h < theta})
+        inter = round(n_common * float(1 << 52) / theta, 6)
+        union = round(ea + eb - inter, 6)
+        r = got[(ga, gb)]
+        assert (r["theta_h"], r["n_common"]) == (theta, n_common), (ga, gb)
+        assert r["inter_est"] == inter and r["union_est"] == union
+        assert r["jaccard_est"] == round(inter / union, 6)
+    # disjoint pairs estimate zero intersection; the real pair is in the
+    # right ballpark (theta-sketch rel. error ~ 1/sqrt(k*J) — wide at k=32)
+    assert got[("a", "c")]["inter_est"] == 0.0
+    assert got[("b", "c")]["inter_est"] == 0.0
+    assert abs(got[("a", "b")]["inter_est"] - 100) / 100 < 0.75

@@ -586,3 +586,22 @@ scr = hll_registers(ev001, _F.col("user_id").cast("string"), (), p=8)
 assert {(r["register"], r["max_rank"]) for r in allm.collect()} == \
        {(r["register"], r["max_rank"]) for r in scr.collect()}
 print("DRIVE39 OK")
+
+# batch-5i: KMV/theta sketch — lossless merge + pairwise set algebra
+from blogparser_spark.dataops.sketches import (
+    kmv_sample, kmv_merge, kmv_estimate, kmv_pairwise_overlap,
+)
+
+ksamp = kmv_sample(ev001, _F.col("user_id").cast("string"), ("event_type",), k=64)
+kov = kmv_pairwise_overlap(ksamp, "event_type", k=64).collect()
+assert kov and all(r["union_est"] >= r["inter_est"] for r in kov)
+halves = [
+    kmv_sample(ev001.filter(_F.col("event_id") % 2 == i),
+               _F.col("user_id").cast("string"), (), k=64)
+    for i in (0, 1)
+]
+merged = {r["h"] for r in kmv_merge(*halves, k=64).collect()}
+scratch = {r["h"] for r in kmv_sample(ev001, _F.col("user_id").cast("string"), (), k=64).collect()}
+assert merged == scratch
+print("KMV pairs:", len(kov))
+print("DRIVE40 OK")
