@@ -202,3 +202,59 @@ def slice_column_manifest(
     return per_slice.select("slice_id", F.explode(structs).alias("r")).select(
         "slice_id", "r.*"
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_cols: Sequence[str],
+    bin_col: str = "bin",
+    n_bins: int = 16,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current slice
+    of the same feature, per group: (group_cols..., n_ref, n_cur,
+    n_bins_hit_ref, n_bins_hit_cur, psi) — the standard drift gate a
+    pipeline runs before trusting a new drop (PSI < 0.1 stable, 0.1-0.25
+    drifting, > 0.25 broken).
+
+    Both inputs must carry an integer `bin_col` in [0, n_bins) (bin on
+    integer-derived quantities — a bare floor(value), never a float
+    product — so both engines bucket identically). PSI = sum over ALL
+    n_bins bins of (p - q) * ln(p / q) with Laplace-smoothed
+    p = (a+1)/(A+K), q = (b+1)/(B+K): the +1 makes empty bins finite, and
+    summing over the fixed K-bin spine (exploded per group, never a dense
+    materialization of absent data) keeps the statistic comparable across
+    groups. Scale shape: two partial-aggregatable groupBys onto
+    |groups| x n_bins cells, broadcast totals, one final agg — the raw
+    slices are each scanned once. Floats enter only at the p/q division
+    and the ln; every input is an exact integer count, so round-6 is
+    engine-stable (the categorical_entropy precedent)."""
+    gc = list(group_cols)
+    a = ref.groupBy(*gc, bin_col).agg(F.count("*").alias("a"))
+    b = cur.groupBy(*gc, bin_col).agg(F.count("*").alias("b"))
+    groups = a.select(*gc).unionByName(b.select(*gc)).distinct()
+    spine = groups.select(
+        *gc, F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias(bin_col)
+    )
+    cells = (
+        spine.join(a, [*gc, bin_col], "left")
+        .join(b, [*gc, bin_col], "left")
+        .fillna(0, ["a", "b"])
+    )
+    tot = cells.groupBy(*gc).agg(
+        F.sum("a").alias("ta"),
+        F.sum("b").alias("tb"),
+        F.sum((F.col("a") > 0).cast("bigint")).alias("ha"),
+        F.sum((F.col("b") > 0).cast("bigint")).alias("hb"),
+    )
+    j = cells.join(F.broadcast(tot), gc)
+    p = (F.col("a") + 1).cast("double") / (F.col("ta") + F.lit(n_bins))
+    q = (F.col("b") + 1).cast("double") / (F.col("tb") + F.lit(n_bins))
+    term = (p - q) * F.log(p / q)
+    return j.groupBy(*gc).agg(
+        F.first("ta").alias("n_ref"),
+        F.first("tb").alias("n_cur"),
+        F.first("ha").alias("n_bins_hit_ref"),
+        F.first("hb").alias("n_bins_hit_cur"),
+        F.round(F.sum(term), 6).alias("psi"),
+    )

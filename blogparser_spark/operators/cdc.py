@@ -76,3 +76,51 @@ def merge_upsert(
         [*order_cols, "_gen"],
     )
     return merged.select(*out_cols)
+
+
+def scd2_intervals(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    state_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a changelog: one row
+    per (key, state run) with (key_cols..., state_cols..., version,
+    valid_from, valid_to, is_current). valid_to is NULL on the open
+    current row; consecutive changelog rows with identical state collapse
+    into one interval (true SCD2 — a re-assertion of the same value does
+    not open a new version).
+
+    Scale shape: one groupBy collapses same-timestamp ties (latest_state's
+    partial-aggregatable max-struct, tiebreak_cols deciding), then the
+    lag / lead / row_number windows all share ONE partitionBy(key)
+    orderBy(ts) sort — Spark plans a single shuffle + sort for the whole
+    interval build. Per-key window state is O(1) (no unbounded frames)."""
+    from pyspark.sql import Window
+
+    kc, sc = list(key_cols), list(state_cols)
+    snap = latest_state(
+        changelog.select(*kc, ts_col, *list(tiebreak_cols), *sc),
+        [*kc, ts_col],
+        list(tiebreak_cols),
+        sc,
+    ).drop("n_changes", *[c for c in tiebreak_cols])
+    w = Window.partitionBy(*kc).orderBy(ts_col)
+    changed = F.lit(False)
+    for c in sc:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    runs = snap.withColumn(
+        "_new_run",
+        F.when(F.lag(ts_col).over(w).isNull(), F.lit(True)).otherwise(changed),
+    ).filter("_new_run")
+    return (
+        runs.select(
+            *kc,
+            *sc,
+            F.row_number().over(w).alias("version"),
+            F.col(ts_col).alias("valid_from"),
+            F.lead(ts_col).over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

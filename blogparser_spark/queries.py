@@ -5139,3 +5139,128 @@ def kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_union"
         ),
     ).orderBy("g_a", "g_b")
+
+
+_PSI_SQL = r"""
+    WITH ev AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             least(greatest(floor(value)::BIGINT // 31, 0), 15) AS bin
+      FROM events
+    ), bounds AS (
+      SELECT min(day) AS mn, max(day) AS mx FROM ev
+    ), tagged AS (
+      SELECT event_type, bin, day <= mn + (mx - mn) // 2 AS is_ref
+      FROM ev, bounds
+    ), cnt AS (
+      SELECT event_type, bin,
+             count(*) FILTER (is_ref)::BIGINT AS a,
+             count(*) FILTER (NOT is_ref)::BIGINT AS b
+      FROM tagged GROUP BY 1, 2
+    ), spine AS (
+      SELECT DISTINCT event_type, unnest(range(0, 16))::BIGINT AS bin
+      FROM tagged
+    ), cells AS (
+      SELECT s.event_type, s.bin,
+             coalesce(c.a, 0) AS a, coalesce(c.b, 0) AS b
+      FROM spine s LEFT JOIN cnt c ON c.event_type = s.event_type
+                                  AND c.bin = s.bin
+    ), tot AS (
+      SELECT event_type, sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb,
+             sum((a > 0)::INT)::BIGINT AS ha, sum((b > 0)::INT)::BIGINT AS hb
+      FROM cells GROUP BY 1
+    )
+    SELECT c.event_type, ta AS n_ref, tb AS n_cur,
+           ha AS n_bins_hit_ref, hb AS n_bins_hit_cur,
+           round(sum(((c.a + 1)::DOUBLE / (ta + 16)
+                      - (c.b + 1)::DOUBLE / (tb + 16))
+                     * ln(((c.a + 1)::DOUBLE / (ta + 16))
+                          / ((c.b + 1)::DOUBLE / (tb + 16)))), 6) AS psi
+    FROM cells c JOIN tot t ON t.event_type = c.event_type
+    GROUP BY 1, ta, tb, ha, hb
+    ORDER BY 1
+"""
+
+
+@_q("psi_value_drift", _PSI_SQL)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the `value` distribution per event
+    type, first-half days vs second-half days (profile.psi_drift): the
+    drift gate run before trusting a new data drop. Bins derive from a
+    bare floor(value) (one IEEE op, engine-identical) integer-divided into
+    16 fixed buckets; Laplace-smoothed (p-q)*ln(p/q) terms sum over the
+    full exploded bin spine so empty bins count. Two partial-agg scans +
+    broadcast totals — no window, no dense materialization."""
+    from blogparser_spark.dataops.profile import psi_drift
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+        F.expr(
+            "least(greatest(cast(floor(value) as bigint) div 31, 0), 15)"
+        ).alias("bin"),
+    )
+    bounds = ev.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    tagged = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "is_ref", F.expr("day <= mn + (mx - mn) div 2")
+    )
+    out = psi_drift(
+        tagged.filter("is_ref"),
+        tagged.filter("NOT is_ref"),
+        ("event_type",),
+        "bin",
+        n_bins=16,
+    )
+    return out.orderBy("event_type")
+
+
+_SCD2_SQL = r"""
+    WITH snap AS (
+      SELECT user_id, ts, arg_max(event_type, event_id) AS state
+      FROM events GROUP BY 1, 2
+    ), runs AS (
+      SELECT user_id, ts, state,
+             CASE WHEN lag(ts) OVER w IS NULL THEN TRUE
+                  ELSE state IS DISTINCT FROM lag(state) OVER w END AS new_run
+      FROM snap WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), kept AS (
+      SELECT user_id, ts, state FROM runs WHERE new_run
+    )
+    SELECT user_id, state,
+           row_number() OVER w AS version,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w) AS valid_to_us,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ORDER BY user_id, version
+"""
+
+
+@_q("scd2_user_state", _SCD2_SQL)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history of each user's event-type state from the events
+    changelog (cdc.scd2_intervals): same-timestamp ties collapse via the
+    partial-aggregatable max-struct (event_id decides), re-assertions of
+    the same state extend the open interval instead of versioning, and
+    valid_from/valid_to tile per user with a NULL-ended current row. The
+    interval build shares one partitionBy(user) sort across its lag /
+    lead / row_number windows — one shuffle total. Timestamps exported as
+    integer microseconds (the cross-engine convention)."""
+    from blogparser_spark.operators.cdc import scd2_intervals
+
+    ev = _events(spark, sf_dir)
+    iv = scd2_intervals(ev, ["user_id"], "ts", ["event_type"], ["event_id"])
+    return iv.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "version",
+        F.expr("unix_micros(cast(valid_from as timestamp))").alias(
+            "valid_from_us"
+        ),
+        F.expr("unix_micros(cast(valid_to as timestamp))").alias(
+            "valid_to_us"
+        ),
+        "is_current",
+    ).orderBy("user_id", "version")

@@ -95,3 +95,63 @@ def test_merge_is_idempotent(spark):
     once = merge_upsert(snapshot, delta, ["user_id"], ["ts", "event_id"])
     twice = merge_upsert(once, delta, ["user_id"], ["ts", "event_id"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_scd2_intervals_python_twin(spark):
+    from blogparser_spark.operators.cdc import scd2_intervals
+
+    df = spark.createDataFrame(
+        _rows(
+            # user 1: view -> view (re-assertion, same run) -> buy -> view
+            (1, 10, "view", 0, 1.0),
+            (1, 11, "view", 5, 1.0),
+            (1, 12, "buy", 9, 2.0),
+            (1, 13, "view", 14, 1.0),
+            # user 2: single row -> one open interval
+            (2, 20, "click", 2, 4.0),
+            # user 3: same-ts tie — higher event_id wins the snapshot
+            (3, 30, "view", 0, 1.0),
+            (3, 31, "buy", 0, 2.0),
+            (3, 32, "click", 7, 3.0),
+        ),
+        SCHEMA,
+    )
+    got = sorted(
+        (
+            (r.user_id, r.version, r.event_type, r.valid_from, r.valid_to,
+             r.is_current)
+            for r in scd2_intervals(
+                df, ["user_id"], "ts", ["event_type"], ["event_id"]
+            ).collect()
+        )
+    )
+    t = lambda m: T0 + timedelta(minutes=m)
+    assert got == [
+        (1, 1, "view", t(0), t(9), False),
+        (1, 2, "buy", t(9), t(14), False),
+        (1, 3, "view", t(14), None, True),
+        (2, 1, "click", t(2), None, True),
+        (3, 1, "buy", t(0), t(7), False),  # event 31 won the ts-tie
+        (3, 2, "click", t(7), None, True),
+    ]
+    # intervals tile: each key's valid_from chain is contiguous
+    for uid in (1, 2, 3):
+        ivs = [g for g in got if g[0] == uid]
+        for prev, nxt in zip(ivs, ivs[1:]):
+            assert prev[4] == nxt[3]
+
+
+def test_scd2_null_state_runs(spark):
+    from blogparser_spark.operators.cdc import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, None, T0, 0.0),
+            (1, 2, None, T0 + timedelta(minutes=1), 0.0),  # same NULL run
+            (1, 3, "x", T0 + timedelta(minutes=2), 0.0),
+        ],
+        SCHEMA,
+    )
+    got = scd2_intervals(df, ["user_id"], "ts", ["event_type"], ["event_id"])
+    rows = sorted((r.version, r.event_type) for r in got.collect())
+    assert rows == [(1, None), (2, "x")]

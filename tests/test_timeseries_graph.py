@@ -604,3 +604,60 @@ def test_star_cc_edge_cases(spark):
         for r in graph.connected_components_star(messy).collect()
     }
     assert got == {(1, 1), (2, 1), (5, 1), (8, 1)}
+
+
+def test_psi_drift_python_twin(spark):
+    import random
+
+    from blogparser_spark.dataops.profile import psi_drift
+
+    rng = random.Random(41)
+    K = 8
+    # group "stable": same distribution both sides; "shifted": cur skews high
+    rows = []
+    for _ in range(400):
+        rows.append(("stable", "ref", rng.randrange(K)))
+        rows.append(("stable", "cur", rng.randrange(K)))
+        rows.append(("shifted", "ref", rng.randrange(K // 2)))
+        rows.append(("shifted", "cur", K // 2 + rng.randrange(K // 2)))
+    df = spark.createDataFrame(rows, "g string, side string, bin long")
+    got = {
+        r["g"]: r.asDict()
+        for r in psi_drift(
+            df.filter("side = 'ref'"),
+            df.filter("side = 'cur'"),
+            ("g",),
+            "bin",
+            n_bins=K,
+        ).collect()
+    }
+
+    from collections import Counter
+
+    for g in ("stable", "shifted"):
+        a = Counter(b for gg, s, b in rows if gg == g and s == "ref")
+        b = Counter(bb for gg, s, bb in rows if gg == g and s == "cur")
+        ta, tb = sum(a.values()), sum(b.values())
+        psi = 0.0
+        for i in range(K):
+            p = (a.get(i, 0) + 1) / (ta + K)
+            q = (b.get(i, 0) + 1) / (tb + K)
+            psi += (p - q) * math.log(p / q)
+        r = got[g]
+        assert (r["n_ref"], r["n_cur"]) == (ta, tb)
+        assert r["n_bins_hit_ref"] == len(a) and r["n_bins_hit_cur"] == len(b)
+        assert r["psi"] == pytest.approx(psi, abs=1.5e-6)
+    # identical-distribution group reads stable, disjoint-halves group broken
+    assert got["stable"]["psi"] < 0.1 < 0.25 < got["shifted"]["psi"]
+
+
+def test_psi_drift_zero_on_identical_sides(spark):
+    df = spark.createDataFrame(
+        [("g", i % 5) for i in range(100)], "g string, bin long"
+    )
+    from blogparser_spark.dataops.profile import psi_drift
+
+    r = psi_drift(df, df, ("g",), "bin", n_bins=8).collect()[0]
+    assert r["psi"] == 0.0
+    assert r["n_bins_hit_ref"] == r["n_bins_hit_cur"] == 5
+

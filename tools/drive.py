@@ -605,3 +605,33 @@ scratch = {r["h"] for r in kmv_sample(ev001, _F.col("user_id").cast("string"), (
 assert merged == scratch
 print("KMV pairs:", len(kov))
 print("DRIVE40 OK")
+
+# batch-5j: PSI drift gate — identical sides read 0, shifted sides alarm
+from blogparser_spark.dataops.profile import psi_drift
+
+pev = ev001.select("event_type", (_F.col("value") < 50).cast("long").alias("bin"))
+zero = psi_drift(pev, pev, ("event_type",), "bin", n_bins=2).collect()
+assert zero and all(r["psi"] == 0.0 for r in zero)
+shift = psi_drift(
+    pev, pev.withColumn("bin", 1 - _F.col("bin")), ("event_type",), "bin", n_bins=2
+).collect()
+assert all(r["psi"] > 0.0 for r in shift)
+print("DRIVE41 OK")
+
+# batch-5k: SCD2 intervals tile per key and end in one open row
+from blogparser_spark.operators.cdc import scd2_intervals
+
+iv = scd2_intervals(ev001, ["user_id"], "ts", ["event_type"], ["event_id"])
+rows = sorted(
+    ((r.user_id, r.version, r.valid_from, r.valid_to) for r in iv.collect())
+)
+assert rows
+by_user = {}
+for uid, ver, vf, vt in rows:
+    by_user.setdefault(uid, []).append((ver, vf, vt))
+for uid, ivs in by_user.items():
+    assert [v for v, _, _ in ivs] == list(range(1, len(ivs) + 1))
+    assert all(a[2] == b[1] for a, b in zip(ivs, ivs[1:]))
+    assert ivs[-1][2] is None and all(x[2] is not None for x in ivs[:-1])
+print("SCD2 intervals:", len(rows))
+print("DRIVE42 OK")
