@@ -258,3 +258,51 @@ def psi_drift(
         F.first("hb").alias("n_bins_hit_cur"),
         F.round(F.sum(term), 6).alias("psi"),
     )
+
+
+def fd_profile(
+    df: DataFrame, candidates: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency discovery metrics for candidate lhs -> rhs
+    pairs: (lhs_col, rhs_col, n_rows, n_groups, n_violating_groups,
+    g3_error). A pair is an exact FD iff n_violating_groups = 0; g3_error
+    is the classic minimum fraction of rows to delete for the FD to hold
+    (Kivinen & Mannila 1995): (N - sum over lhs groups of the modal rhs
+    count) / N — the quantity schema-inference and data-contract checks
+    threshold on.
+
+    Scale shape per candidate: groupBy(lhs, rhs) count, then a second
+    partial agg per lhs (max count = modal rhs, count(*) = distinct rhs),
+    then one global agg — all partial-aggregatable, no window, no
+    distinct shuffle of raw rows. Candidates run as a union of
+    independent branches over the same scan (Spark reuses the cached
+    relation; each branch prunes to its two columns)."""
+    out = None
+    for lhs, rhs in candidates:
+        cnt = df.groupBy(lhs, rhs).agg(F.count("*").alias("_fd_c"))
+        per = cnt.groupBy(lhs).agg(
+            F.sum("_fd_c").alias("_fd_rows"),
+            F.count("*").alias("_fd_n_rhs"),
+            F.max("_fd_c").alias("_fd_modal"),
+        )
+        one = per.agg(
+            F.sum("_fd_rows").alias("n_rows"),
+            F.count("*").alias("n_groups"),
+            F.sum((F.col("_fd_n_rhs") > 1).cast("bigint")).alias(
+                "n_violating_groups"
+            ),
+            F.round(
+                (F.sum("_fd_rows") - F.sum("_fd_modal")).cast("double")
+                / F.sum("_fd_rows"),
+                6,
+            ).alias("g3_error"),
+        ).select(
+            F.lit(lhs).alias("lhs_col"),
+            F.lit(rhs).alias("rhs_col"),
+            "n_rows",
+            "n_groups",
+            "n_violating_groups",
+            "g3_error",
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

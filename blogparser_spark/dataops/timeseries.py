@@ -272,3 +272,83 @@ def decayed_engagement(
         F.round(F.sum("value_c") / F.lit(100), 6).alias("raw_value"),
         F.round(F.sum("term_e6") / F.lit(1e6), 6).alias("decayed_value"),
     )
+
+
+def attribution_credits(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Multi-touch conversion attribution: (model, touch_type, credit)
+    for the three standard models — first_touch (the
+    earliest touch before each conversion takes the full 1.0), last_touch
+    (the latest takes it), linear (the conversion's 1.0 splits evenly over
+    its touches). Conversions with no preceding touch credit the literal
+    '(direct)' type. Every conversion distributes exactly 1.0 in every
+    model, so per-model credit sums equal the attributed-conversion count
+    (the invariant the tests pin).
+
+    Touch window = events after the user's previous conversion up to the
+    conversion itself. Group assignment is ONE cumulative-sum window over
+    the (user, ts, id) sort — conversion rows close their own group
+    (cum-inclusive minus self), so touches and their conversion share a
+    group id without a range join. The per-group reduce (count + min/max
+    struct for first/last) is a partial-aggregatable groupBy on
+    (user, group); hot users are bounded by their own event counts, never
+    the corpus. Linear credits are 1/n floats summed under round-6 (the
+    categorical_entropy convention)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    is_conv = (F.col(type_col) == conversion_type).cast("long")
+    df = events.select(user_col, ts_col, id_col, type_col).withColumn(
+        "_grp", F.sum(is_conv).over(w) - is_conv
+    )
+    touches = df.filter(F.col(type_col) != conversion_type)
+    conv_grps = df.filter(F.col(type_col) == conversion_type).select(
+        user_col, "_grp"
+    )
+    t = touches.join(conv_grps, [user_col, "_grp"])
+    g = t.groupBy(user_col, "_grp").agg(
+        F.count("*").alias("n"),
+        F.min(F.struct(ts_col, id_col, type_col)).alias("first"),
+        F.max(F.struct(ts_col, id_col, type_col)).alias("last"),
+    )
+    first = g.groupBy(F.col(f"first.{type_col}").alias("touch_type")).agg(
+        F.count("*").cast("double").alias("credit")
+    )
+    last = g.groupBy(F.col(f"last.{type_col}").alias("touch_type")).agg(
+        F.count("*").cast("double").alias("credit")
+    )
+    linear = (
+        t.join(
+            g.select(user_col, "_grp", "n"), [user_col, "_grp"]
+        )
+        .groupBy(F.col(type_col).alias("touch_type"))
+        .agg(F.round(F.sum(F.lit(1.0) / F.col("n")), 6).alias("credit"))
+    )
+    direct = (
+        conv_grps.join(
+            touches.select(user_col, "_grp").distinct(),
+            [user_col, "_grp"],
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_direct"))
+        .filter(F.col("n_direct") > 0)
+        .select(
+            F.lit("(direct)").alias("touch_type"),
+            F.col("n_direct").cast("double").alias("credit"),
+        )
+    )
+    out = None
+    for model, part in (
+        ("first_touch", first.unionByName(direct)),
+        ("last_touch", last.unionByName(direct)),
+        ("linear", linear.unionByName(direct)),
+    ):
+        tagged = part.select(
+            F.lit(model).alias("model"), "touch_type", "credit"
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out

@@ -5264,3 +5264,114 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "is_current",
     ).orderBy("user_id", "version")
+
+
+_ATTRIBUTION_SQL = r"""
+    WITH base AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum((event_type = 'purchase')::INT) OVER w
+               - (event_type = 'purchase')::INT AS grp
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), touches AS (
+      SELECT user_id, ts, event_id, event_type, grp
+      FROM base WHERE event_type <> 'purchase'
+    ), convs AS (
+      SELECT user_id, grp FROM base WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT tch.user_id, tch.ts, tch.event_id, tch.event_type, tch.grp
+      FROM touches tch JOIN convs USING (user_id, grp)
+    ), ranked AS (
+      SELECT user_id, grp, event_type,
+        row_number() OVER (PARTITION BY user_id, grp
+                           ORDER BY ts, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY user_id, grp
+                           ORDER BY ts DESC, event_id DESC) AS rn_d,
+        count(*) OVER (PARTITION BY user_id, grp) AS n
+      FROM t
+    ), direct AS (
+      SELECT count(*)::BIGINT AS n_direct
+      FROM convs c
+      LEFT JOIN (SELECT DISTINCT user_id, grp FROM touches) x
+        ON c.user_id = x.user_id AND c.grp = x.grp
+      WHERE x.user_id IS NULL
+    ), credits AS (
+      SELECT 'first_touch' AS model, event_type AS touch_type,
+             count(*)::DOUBLE AS credit
+      FROM ranked WHERE rn_a = 1 GROUP BY 2
+      UNION ALL
+      SELECT 'last_touch', event_type, count(*)::DOUBLE
+      FROM ranked WHERE rn_d = 1 GROUP BY 2
+      UNION ALL
+      SELECT 'linear', event_type, round(sum(1::DOUBLE / n), 6)
+      FROM ranked GROUP BY 2
+      UNION ALL
+      SELECT m, '(direct)', n_direct::DOUBLE
+      FROM direct, unnest(['first_touch', 'last_touch', 'linear']) AS u(m)
+      WHERE n_direct > 0
+    )
+    SELECT model, touch_type, credit FROM credits
+    ORDER BY model, touch_type
+"""
+
+
+@_q("attribution_credits", _ATTRIBUTION_SQL)
+def attribution_credits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch purchase attribution over the event log
+    (timeseries.attribution_credits): first-touch / last-touch / linear
+    credit per touch type, '(direct)' for conversions with no preceding
+    touch. Group assignment is one cumulative-sum window over the
+    (user, ts, id) sort — no range join; per-group reduces are partial
+    hash aggs. Every model distributes exactly 1.0 per attributed
+    conversion."""
+    from blogparser_spark.dataops import timeseries
+
+    return (
+        timeseries.attribution_credits(
+            _events(spark, sf_dir), conversion_type="purchase"
+        )
+        .orderBy("model", "touch_type")
+    )
+
+
+def _fd_pair_sql(lhs: str, rhs: str) -> str:
+    return f"""
+      SELECT '{lhs}' AS lhs_col, '{rhs}' AS rhs_col,
+             sum(g_rows)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+             sum((n_rhs > 1)::INT)::BIGINT AS n_violating_groups,
+             round((sum(g_rows) - sum(modal))::DOUBLE / sum(g_rows), 6)
+               AS g3_error
+      FROM (
+        SELECT lhsv, sum(c) AS g_rows, count(*) AS n_rhs, max(c) AS modal
+        FROM (
+          SELECT {lhs} AS lhsv, {rhs} AS rhsv, count(*) AS c
+          FROM events GROUP BY 1, 2
+        ) GROUP BY 1
+      )"""
+
+
+_FD_CANDIDATES = [
+    ("event_id", "event_type"),
+    ("user_id", "event_type"),
+    ("event_type", "user_id"),
+]
+
+_FD_SQL = (
+    "\n    UNION ALL\n".join(_fd_pair_sql(l, r) for l, r in _FD_CANDIDATES)
+    + "\n    ORDER BY lhs_col, rhs_col"
+)
+
+
+@_q("fd_profile_events", _FD_SQL)
+def fd_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over the events schema
+    (profile.fd_profile): event_id -> event_type must hold exactly (keys
+    determine attributes), while user_id <-> event_type violate in both
+    directions with quantified g3 repair cost — the schema-inference /
+    data-contract profiling pass. Two nested partial aggs per candidate,
+    no window, no distinct over raw rows."""
+    from blogparser_spark.dataops.profile import fd_profile
+
+    return fd_profile(_events(spark, sf_dir), _FD_CANDIDATES).orderBy(
+        "lhs_col", "rhs_col"
+    )

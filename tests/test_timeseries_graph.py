@@ -661,3 +661,99 @@ def test_psi_drift_zero_on_identical_sides(spark):
     assert r["psi"] == 0.0
     assert r["n_bins_hit_ref"] == r["n_bins_hit_cur"] == 5
 
+
+def test_attribution_credits_python_twin(spark):
+    from collections import defaultdict
+
+    rows = []
+    eid = 0
+
+    def ev(uid, minute, et):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, datetime(2024, 5, 1, 0, minute), uid, et, 1.0))
+
+    # user 1: view, click -> buy ; then click -> buy (two attribution groups)
+    for m, t in ((0, "view"), (1, "click"), (2, "buy"), (3, "click"), (4, "buy")):
+        ev(1, m, t)
+    # user 2: direct conversion (no touches), then trailing unattributed view
+    ev(2, 0, "buy")
+    ev(2, 1, "view")
+    # user 3: touches but never converts -> contributes nothing
+    ev(3, 0, "view")
+    ev(3, 1, "click")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = defaultdict(dict)
+    for r in timeseries.attribution_credits(df, conversion_type="buy").collect():
+        got[r.model][r.touch_type] = r.credit
+
+    assert got["first_touch"] == {"view": 1.0, "click": 1.0, "(direct)": 1.0}
+    assert got["last_touch"] == {"click": 2.0, "(direct)": 1.0}
+    assert got["linear"] == {"view": 0.5, "click": 1.5, "(direct)": 1.0}
+    # every model distributes exactly 1.0 per attributed conversion
+    for model, credits in got.items():
+        assert sum(credits.values()) == 3.0, model
+
+
+def test_attribution_same_ts_ties_and_empty(spark):
+    # same-timestamp events order by event_id; no conversions -> empty
+    base = datetime(2024, 5, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base, 7, "view", 0.0),
+            (2, base, 7, "click", 0.0),   # later id: this is the last touch
+            (3, base, 7, "buy", 0.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        (r.model, r.touch_type): r.credit
+        for r in timeseries.attribution_credits(df, conversion_type="buy").collect()
+    }
+    assert got[("first_touch", "view")] == 1.0
+    assert got[("last_touch", "click")] == 1.0
+    assert got[("linear", "view")] == got[("linear", "click")] == 0.5
+    none = timeseries.attribution_credits(
+        df.filter("event_type <> 'buy'"), conversion_type="buy"
+    )
+    assert none.count() == 0
+
+
+def test_fd_profile_python_twin(spark):
+    from collections import Counter, defaultdict
+
+    from blogparser_spark.dataops.profile import fd_profile
+
+    rows = [
+        # a -> b holds exactly; b -> a violated by ("x": 1 and 3)
+        (1, "x", "p"),
+        (1, "x", "p"),
+        (2, "y", "p"),
+        (3, "x", "q"),
+        (3, "x", "q"),
+        (3, "x", "r"),
+    ]
+    df = spark.createDataFrame(rows, "a long, b string, c string")
+    got = {
+        (r.lhs_col, r.rhs_col): r.asDict()
+        for r in fd_profile(df, [("a", "b"), ("b", "a"), ("a", "c")]).collect()
+    }
+    for lhs, rhs in (("a", "b"), ("b", "a"), ("a", "c")):
+        groups = defaultdict(Counter)
+        for row in rows:
+            d = dict(zip("abc", row))
+            groups[d[lhs]][d[rhs]] += 1
+        n = len(rows)
+        modal_sum = sum(c.most_common(1)[0][1] for c in groups.values())
+        r = got[(lhs, rhs)]
+        assert r["n_rows"] == n and r["n_groups"] == len(groups)
+        assert r["n_violating_groups"] == sum(
+            1 for c in groups.values() if len(c) > 1
+        )
+        assert r["g3_error"] == round((n - modal_sum) / n, 6)
+    assert got[("a", "b")]["n_violating_groups"] == 0  # exact FD
+    assert got[("a", "b")]["g3_error"] == 0.0
+    assert got[("b", "a")]["n_violating_groups"] == 1
+    assert got[("a", "c")]["g3_error"] == round(1 / 6, 6)  # drop one 'r' row

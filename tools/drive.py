@@ -635,3 +635,30 @@ for uid, ivs in by_user.items():
     assert ivs[-1][2] is None and all(x[2] is not None for x in ivs[:-1])
 print("SCD2 intervals:", len(rows))
 print("DRIVE42 OK")
+
+# batch-5l: attribution — every model conserves 1.0 per attributed conversion
+from blogparser_spark.dataops.timeseries import attribution_credits
+
+att = attribution_credits(ev001, conversion_type="purchase").collect()
+assert att
+per_model = {}
+for r in att:
+    per_model[r.model] = per_model.get(r.model, 0.0) + r.credit
+vals = list(per_model.values())
+assert len(per_model) == 3 and all(abs(v - vals[0]) < 1e-4 for v in vals)
+print("attribution total credit per model:", round(vals[0], 2))
+print("DRIVE43 OK")
+
+# batch-5m: FD profiling — the unique key is an exact FD, others violate
+from blogparser_spark.dataops.profile import fd_profile
+
+fd = {
+    (r.lhs_col, r.rhs_col): r
+    for r in fd_profile(
+        ev001, [("event_id", "event_type"), ("user_id", "event_type")]
+    ).collect()
+}
+assert fd[("event_id", "event_type")].n_violating_groups == 0
+assert fd[("event_id", "event_type")].g3_error == 0.0
+assert fd[("user_id", "event_type")].n_violating_groups > 0
+print("DRIVE44 OK")
