@@ -106,3 +106,40 @@ def diff_sample_keys(
         .orderBy(*keys)
         .limit(n)
     )
+
+
+def content_fingerprint(
+    df: DataFrame, cols: Sequence[str], n_slices: int = 16
+) -> DataFrame:
+    """Order-independent dataset content fingerprint per md5-derived
+    slice: (slice_id, n_rows, fp_xor, fp_sum). Two datasets are
+    content-equal over `cols` iff all three columns match on every slice
+    — the O(slices)-size comparison that answers shadow-diff's "did
+    anything change, and roughly where" BEFORE paying the full-outer-join
+    diff, and the snapshot integrity stamp a resumable job records per
+    slice (checkpoint.write_manifest's natural companion).
+
+    Construction: one row hash (md5 over the unit-separator-joined
+    column casts, chr(31), with NULL spelled as a chr(0) sentinel so
+    NULL differs from the empty string), first 13 hex chars as an exact
+    52-bit int. Per slice, fp_xor = bit-XOR of the hashes (commutative /
+    associative — partition order can never matter) and fp_sum = sum of
+    hash mod 1e9+7 (catches the even-multiplicity duplicate swaps XOR
+    cancels; at 10^12 rows per slice re-mod the partial sums
+    hierarchically). ONE scan, one partial agg; both engines replay the
+    md5 bit-for-bit."""
+    sent = F.lit(chr(0))
+    parts = [F.coalesce(F.col(c).cast("string"), sent) for c in cols]
+    h = F.md5(F.concat_ws(chr(31), *parts))
+    h52 = F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint")
+    slc = F.conv(F.substring(h, 14, 4), 16, 10).cast("bigint") % n_slices
+    rows = df.select(slc.alias("slice_id"), h52.alias("_h"))
+    return (
+        rows.groupBy("slice_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(_h)").alias("fp_xor"),
+            F.sum(F.col("_h") % F.lit(1000000007)).alias("fp_sum"),
+        )
+        .orderBy("slice_id")
+    )

@@ -21,7 +21,7 @@ different stages need two different treatments:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SALT_K = 16
@@ -70,3 +70,46 @@ def salted_exact_distinct(df: DataFrame, key_cols: list[str], value_col: str) ->
     task; this caps per-task input at the distinct cardinality."""
     deduped = df.select(*key_cols, value_col).distinct()
     return deduped.groupBy(*key_cols).agg(F.count("*").alias("n_distinct"))
+
+
+def equi_depth_bounds(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Exact equi-depth bucket boundaries per group: (group_cols...,
+    bucket, boundary, n_rows) where `boundary` is the value at rank
+    ceil(k * n / n_buckets) for k = 1..n_buckets-1 — the exact order
+    statistics a range partitioner / stratifier needs (the sampled
+    approximation is what repartitionByRange does internally; DDSketch in
+    dataops.sketches is the mergeable approximate twin; this is the
+    auditable exact form). Duplicate values make some boundaries equal —
+    that is the correct answer for skewed data and exactly what a range
+    partitioner must see to merge empty ranges.
+
+    One window sort per group assigns ranks; group sizes come from a
+    partial agg; the B-1 target ranks explode from that tiny aggregate
+    and join back on (group, rank) — the raw data is sorted once and
+    never joined to itself."""
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    ranked = df.select(*group_cols, value_col).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    sizes = df.groupBy(*group_cols).agg(F.count("*").alias("_n"))
+    targets = sizes.select(
+        *group_cols,
+        F.explode(F.sequence(F.lit(1), F.lit(n_buckets - 1))).alias("bucket"),
+        F.col("_n").alias("n_rows"),
+    ).withColumn(
+        "_rn",
+        F.ceil(F.col("bucket") * F.col("n_rows") / F.lit(n_buckets)).cast(
+            "int"
+        ),
+    )
+    return targets.join(ranked, [*group_cols, "_rn"]).select(
+        *group_cols,
+        "bucket",
+        F.col(value_col).alias("boundary"),
+        "n_rows",
+    )

@@ -5375,3 +5375,77 @@ def fd_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_profile(_events(spark, sf_dir), _FD_CANDIDATES).orderBy(
         "lhs_col", "rhs_col"
     )
+
+
+_FINGERPRINT_SQL = r"""
+    WITH rowh AS (
+      SELECT md5(concat_ws(chr(31),
+               coalesce(doc_id::VARCHAR, chr(0)),
+               coalesce(text, chr(0)),
+               coalesce(lang, chr(0)),
+               coalesce(source, chr(0)),
+               coalesce(n_chars::VARCHAR, chr(0)))) AS h
+      FROM documents
+    ), hashed AS (
+      SELECT ('0x' || substr(h, 1, 13))::BIGINT AS h52,
+             ('0x' || substr(h, 14, 4))::BIGINT % 16 AS slice_id
+      FROM rowh
+    )
+    SELECT slice_id, count(*)::BIGINT AS n_rows,
+           bit_xor(h52) AS fp_xor,
+           sum(h52 % 1000000007)::BIGINT AS fp_sum
+    FROM hashed GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("content_fingerprint_docs", _FINGERPRINT_SQL)
+def content_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-slice content fingerprint of the documents
+    table (diff.content_fingerprint): bit-XOR plus mod-prime sum of exact
+    52-bit row hashes, grouped on an md5-derived slice — the
+    O(slices)-size equality certificate shadow deployments compare before
+    paying a full-outer-join diff, and the integrity stamp checkpoint
+    manifests record. One scan, one partial agg; partition order can
+    never change the answer."""
+    from blogparser_spark.operators.diff import content_fingerprint
+
+    return content_fingerprint(
+        _docs(spark, sf_dir),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+        n_slices=16,
+    )
+
+
+_EQUI_DEPTH_SQL = r"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value)
+               AS rn
+      FROM events
+    ), sizes AS (
+      SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY 1
+    ), targets AS (
+      SELECT event_type, n, unnest(range(1, 10))::BIGINT AS bucket
+      FROM sizes
+    )
+    SELECT t.event_type, t.bucket, r.value AS boundary, t.n AS n_rows
+    FROM targets t
+    JOIN ranked r ON r.event_type = t.event_type
+                 AND r.rn = ceil(t.bucket * t.n / 10.0)::BIGINT
+    ORDER BY t.event_type, t.bucket
+"""
+
+
+@_q("equi_depth_value_bounds", _EQUI_DEPTH_SQL)
+def equi_depth_value_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth decile boundaries of `value` per event type
+    (skew.equi_depth_bounds): the order statistics a range partitioner /
+    stratifier audits against (repartitionByRange samples these;
+    DDSketch approximates them; this is the exact form). One window sort
+    per group; target ranks explode from the tiny per-group size agg and
+    join back on rank."""
+    from blogparser_spark.operators.skew import equi_depth_bounds
+
+    return equi_depth_bounds(
+        _events(spark, sf_dir), ["event_type"], "value", n_buckets=10
+    ).orderBy("event_type", "bucket")

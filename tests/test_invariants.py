@@ -129,3 +129,52 @@ def test_srp_collision_probability_tracks_cosine(spark):
     )
     assert near_share > 0.8 * 160  # near-duplicates agree on most bands
     assert far_share < 0.5 * near_share  # orthogonal pairs collide far less
+
+
+def test_content_fingerprint_order_and_change_sensitivity(spark):
+    import hashlib
+
+    from blogparser_spark.operators.diff import content_fingerprint
+
+    rows = [(i, f"text {i}", None if i % 7 == 0 else float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, t string, v double")
+    fp = content_fingerprint(df, ["id", "t", "v"], n_slices=8)
+    got = {r.slice_id: (r.n_rows, r.fp_xor, r.fp_sum) for r in fp.collect()}
+
+    # python twin: identical md5 construction
+    want = {}
+    for i, t, v in rows:
+        s = chr(31).join(
+            [str(i), t, chr(0) if v is None else repr(v)]
+        )
+        h = hashlib.md5(s.encode()).hexdigest()
+        h52 = int(h[:13], 16)
+        slc = int(h[13:17], 16) % 8
+        n, x, m = want.get(slc, (0, 0, 0))
+        want[slc] = (n + 1, x ^ h52, m + h52 % 1000000007)
+    assert got == want
+
+    # order-independence: reversed input produces identical fingerprints
+    rev = spark.createDataFrame(list(reversed(rows)), "id long, t string, v double")
+    assert {
+        r.slice_id: (r.n_rows, r.fp_xor, r.fp_sum)
+        for r in content_fingerprint(rev, ["id", "t", "v"], 8).collect()
+    } == got
+
+    # single-row change flips exactly the affected slice(s)
+    rows2 = list(rows)
+    rows2[42] = (42, "text 42 CHANGED", 42.0)
+    df2 = spark.createDataFrame(rows2, "id long, t string, v double")
+    got2 = {
+        r.slice_id: (r.n_rows, r.fp_xor, r.fp_sum)
+        for r in content_fingerprint(df2, ["id", "t", "v"], 8).collect()
+    }
+    assert got2 != got
+    assert sum(1 for k in got if got2.get(k) != got[k]) <= 2
+
+    # NULL vs empty string are distinct contents
+    a = spark.createDataFrame([(1, None)], "id long, t string")
+    b = spark.createDataFrame([(1, "")], "id long, t string")
+    fa = content_fingerprint(a, ["id", "t"], 1).collect()[0]
+    fb = content_fingerprint(b, ["id", "t"], 1).collect()[0]
+    assert (fa.fp_xor, fa.fp_sum) != (fb.fp_xor, fb.fp_sum)

@@ -104,3 +104,30 @@ def test_range_partition_reused_by_window(spark):
         .collect()
     ]
     assert got == list(range(1, 201))
+
+
+def test_equi_depth_bounds_order_stat_twin(spark):
+    import math
+
+    from blogparser_spark.operators.skew import equi_depth_bounds
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [
+        ("b", 5.0)
+    ] * 37 + [("b", 9.0)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    B = 4
+    got = {
+        (r.g, r.bucket): (r.boundary, r.n_rows)
+        for r in equi_depth_bounds(df, ["g"], "v", n_buckets=B).collect()
+    }
+    vals = {"a": sorted(v for g, v in rows if g == "a"),
+            "b": sorted(v for g, v in rows if g == "b")}
+    for g, vs in vals.items():
+        n = len(vs)
+        for k in range(1, B):
+            want = vs[math.ceil(k * n / B) - 1]
+            assert got[(g, k)] == (want, n), (g, k)
+    # skewed group: duplicate value produces equal boundaries (merged range)
+    assert got[("b", 1)][0] == got[("b", 2)][0] == 5.0
+    # uniform group: boundaries are the exact quartiles
+    assert [got[("a", k)][0] for k in (1, 2, 3)] == [25.0, 50.0, 75.0]

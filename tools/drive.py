@@ -662,3 +662,33 @@ assert fd[("event_id", "event_type")].n_violating_groups == 0
 assert fd[("event_id", "event_type")].g3_error == 0.0
 assert fd[("user_id", "event_type")].n_violating_groups > 0
 print("DRIVE44 OK")
+
+# batch-5n: content fingerprint — order-independent, change-sensitive
+from blogparser_spark.operators.diff import content_fingerprint
+
+fp1 = {r.slice_id: (r.n_rows, r.fp_xor, r.fp_sum)
+       for r in content_fingerprint(docs, ["doc_id", "text"], 8).collect()}
+fp2 = {r.slice_id: (r.n_rows, r.fp_xor, r.fp_sum)
+       for r in content_fingerprint(
+           docs.orderBy(_F.desc("doc_id")), ["doc_id", "text"], 8
+       ).collect()}
+assert fp1 == fp2 and fp1
+fp3 = {r.slice_id: (r.n_rows, r.fp_xor, r.fp_sum)
+       for r in content_fingerprint(
+           docs.withColumn("text", _F.upper("text")), ["doc_id", "text"], 8
+       ).collect()}
+assert fp3 != fp1
+print("DRIVE45 OK")
+
+# batch-5o: equi-depth bounds — monotone per group, rank-exact count
+from blogparser_spark.operators.skew import equi_depth_bounds
+
+edb = equi_depth_bounds(ev001, ["event_type"], "value", n_buckets=8)
+rows = sorted((r.event_type, r.bucket, r.boundary) for r in edb.collect())
+assert rows
+by_t = {}
+for t, k, v in rows:
+    by_t.setdefault(t, []).append(v)
+for t, vs in by_t.items():
+    assert len(vs) == 7 and vs == sorted(vs), t
+print("DRIVE46 OK")
