@@ -520,3 +520,32 @@ def score_normalize(
             6,
         ).alias("minmax"),
     )
+
+
+def stratified_fixed_k(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    k: int,
+    salt: str = "fixk",
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, chosen by ranking md5
+    hashes of the row id within the group — the balanced "k examples per
+    class" sample an eval-set or curriculum builder needs, deterministic
+    across reruns, backfills, and engines (vs stratified_sample's
+    rate-based variant, which keeps a PROPORTION and cannot promise a
+    count). Adding rows to a group can only swap members whose hash ranks
+    past k; untouched groups are byte-identical — the property that makes
+    incremental refreshes diffable.
+
+    One window rank per group over the hash order; no collect, no
+    per-group loop. Hot groups cost their own row count in the sort,
+    never the corpus."""
+
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

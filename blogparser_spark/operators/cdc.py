@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -123,4 +123,18 @@ def scd2_intervals(
             F.lead(ts_col).over(w).alias("valid_to"),
         )
         .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def scd2_asof(intervals: DataFrame, ts) -> DataFrame:
+    """Point-in-time reconstruction from SCD2 history: the rows whose
+    [valid_from, valid_to) interval covers `ts` (a Column or literal) —
+    time travel over the dimension without rescanning the changelog. At
+    most one row per key survives (intervals tile), so this is a pure
+    filter: no shuffle, no window, and on storage partitioned/sorted by
+    valid_from it prunes."""
+    t = ts if isinstance(ts, Column) else F.lit(ts)
+    return intervals.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )

@@ -5449,3 +5449,81 @@ def equi_depth_value_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_depth_bounds(
         _events(spark, sf_dir), ["event_type"], "value", n_buckets=10
     ).orderBy("event_type", "bucket")
+
+
+_SCD2_ASOF_SQL = r"""
+    WITH cut AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut_us
+      FROM events
+    ), snap AS (
+      SELECT user_id, ts, arg_max(event_type, event_id) AS state
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, arg_max(state, ts) AS state
+    FROM snap, cut WHERE epoch_us(ts) <= cut_us
+    GROUP BY user_id ORDER BY user_id
+"""
+
+
+@_q("scd2_state_asof", _SCD2_ASOF_SQL)
+def scd2_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction: every user's state at the corpus
+    midpoint timestamp, read from the SCD2 interval table via a pure
+    covering-interval filter (cdc.scd2_asof) — time travel without
+    rescanning the changelog. The oracle is an INDEPENDENT formulation
+    (arg_max over events at-or-before the cutoff), so interval tiling and
+    run collapsing are cross-checked, not replayed."""
+    from blogparser_spark.operators.cdc import scd2_asof, scd2_intervals
+
+    ev = _events(spark, sf_dir)
+    iv = scd2_intervals(ev, ["user_id"], "ts", ["event_type"], ["event_id"])
+    iv_us = iv.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.expr("unix_micros(cast(valid_from as timestamp))").alias(
+            "valid_from"
+        ),
+        F.expr("unix_micros(cast(valid_to as timestamp))").alias("valid_to"),
+    )
+    cut = ev.agg(
+        F.expr(
+            "(min(unix_micros(cast(ts as timestamp)))"
+            " + max(unix_micros(cast(ts as timestamp)))) div 2"
+        ).alias("cut_us")
+    )
+    return (
+        scd2_asof(iv_us.crossJoin(F.broadcast(cut)), F.col("cut_us"))
+        .select("user_id", "state")
+        .orderBy("user_id")
+    )
+
+
+_FIXED_K_SQL = r"""
+    SELECT doc_id, lang, source FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY lang, source
+      ORDER BY md5('fixk:' || doc_id::VARCHAR), doc_id
+    ) <= 3
+    ORDER BY lang, source, doc_id
+"""
+
+
+@_q("stratified_k_per_group", _FIXED_K_SQL)
+def stratified_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced eval-set sampling: exactly min(3, group size) documents
+    per (lang, source) cell, chosen by md5-hash rank within the group
+    (curation.stratified_fixed_k) — deterministic across reruns and
+    engines, and adding rows to one group cannot change another group's
+    members. One window rank over the hash order; no collect."""
+    from blogparser_spark.dataops.curation import stratified_fixed_k
+
+    return (
+        stratified_fixed_k(
+            _docs(spark, sf_dir).select("doc_id", "lang", "source"),
+            ["lang", "source"],
+            "doc_id",
+            k=3,
+        )
+        .orderBy("lang", "source", "doc_id")
+    )
+

@@ -155,3 +155,39 @@ def test_scd2_null_state_runs(spark):
     got = scd2_intervals(df, ["user_id"], "ts", ["event_type"], ["event_id"])
     rows = sorted((r.version, r.event_type) for r in got.collect())
     assert rows == [(1, None), (2, "x")]
+
+
+def test_scd2_asof_matches_latest_state_at_cutoff(spark):
+    from blogparser_spark.operators.cdc import scd2_asof, scd2_intervals
+
+    df = spark.createDataFrame(
+        _rows(
+            (1, 10, "view", 0, 1.0),
+            (1, 11, "buy", 5, 2.0),
+            (1, 12, "view", 9, 1.0),
+            (2, 20, "click", 7, 4.0),
+        ),
+        SCHEMA,
+    )
+    iv = scd2_intervals(df, ["user_id"], "ts", ["event_type"], ["event_id"])
+    cut = T0 + timedelta(minutes=6)
+    got = {
+        r.user_id: r.event_type for r in scd2_asof(iv, cut).collect()
+    }
+    # independent formulation: latest event at or before the cutoff
+    want = {
+        r.user_id: r.event_type
+        for r in latest_state(
+            df.filter(F.col("ts") <= cut),
+            ["user_id"], ["ts", "event_id"], ["event_type"],
+        ).collect()
+    }
+    assert got == want == {1: "buy"}  # user 2's first event is after cut... 
+    # user 2 at minute 7 is NOT yet present at minute 6
+    assert 2 not in got
+    # at the far future every key shows its current state
+    later = {
+        r.user_id: r.event_type
+        for r in scd2_asof(iv, T0 + timedelta(days=1)).collect()
+    }
+    assert later == {1: "view", 2: "click"}

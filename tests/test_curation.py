@@ -352,3 +352,40 @@ def test_dataset_split_disjoint_stable_and_growth_invariant(spark):
     full = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
     assert all(full[r["doc_id"]] == r["split"]
                for r in sub.select("doc_id", "split").collect())
+
+
+def test_stratified_fixed_k_exact_counts_and_stability(spark):
+    import hashlib
+
+    from blogparser_spark.dataops.curation import stratified_fixed_k
+
+    rows = [(i, ["en", "ja", "de"][i % 3]) for i in range(90)] + [
+        (1000, "rare")  # group smaller than k
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_fixed_k(df, ["lang"], "doc_id", k=5).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert {g: len(v) for g, v in by_lang.items()} == {
+        "en": 5, "ja": 5, "de": 5, "rare": 1
+    }
+    # python twin: k smallest md5("fixk:"||id) per group
+    for lang in ("en", "ja", "de"):
+        ids = [i for i, l in rows if l == lang]
+        want = set(
+            sorted(
+                ids,
+                key=lambda i: (hashlib.md5(f"fixk:{i}".encode()).hexdigest(), i),
+            )[:5]
+        )
+        assert by_lang[lang] == want, lang
+    # adding rows to ONE group leaves other groups byte-identical
+    df2 = df.unionByName(
+        spark.createDataFrame([(5000 + j, "en") for j in range(50)],
+                              "doc_id long, lang string")
+    )
+    got2 = {}
+    for r in stratified_fixed_k(df2, ["lang"], "doc_id", k=5).collect():
+        got2.setdefault(r.lang, set()).add(r.doc_id)
+    assert got2["ja"] == by_lang["ja"] and got2["de"] == by_lang["de"]

@@ -692,3 +692,26 @@ for t, k, v in rows:
 for t, vs in by_t.items():
     assert len(vs) == 7 and vs == sorted(vs), t
 print("DRIVE46 OK")
+
+# batch-5p: SCD2 time travel — asof(max ts) == latest_state current rows
+from blogparser_spark.operators.cdc import latest_state, scd2_asof, scd2_intervals
+
+iv2 = scd2_intervals(ev001, ["user_id"], "ts", ["event_type"], ["event_id"])
+far = ev001.agg(_F.max("ts")).collect()[0][0]
+now_state = {
+    (r.user_id, r.event_type) for r in scd2_asof(iv2, _F.lit(far)).collect()
+}
+cur = {
+    (r.user_id, r.event_type)
+    for r in latest_state(ev001, ["user_id"], ["ts", "event_id"], ["event_type"]).collect()
+}
+assert now_state == cur and now_state
+print("DRIVE47 OK")
+
+# batch-5q: fixed-k stratified sample — exact per-group counts
+from blogparser_spark.dataops.curation import stratified_fixed_k
+
+fk = stratified_fixed_k(ev001, ["event_type"], "event_id", k=4)
+cnt = {r.event_type: r["n"] for r in fk.groupBy("event_type").agg(_F.count("*").alias("n")).collect()}
+assert cnt and all(v == 4 for v in cnt.values())
+print("DRIVE48 OK")
