@@ -5527,3 +5527,176 @@ def stratified_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang", "source", "doc_id")
     )
 
+
+_RFM_SQL = r"""
+    WITH per AS (
+      SELECT user_id, max(epoch_us(ts)) AS last_us,
+             count(*)::BIGINT AS frequency,
+             round(sum(value), 6) AS monetary
+      FROM events GROUP BY 1
+    ), anchor AS (
+      SELECT max(epoch_us(ts)) AS a FROM events
+    ), met AS (
+      SELECT user_id, (a - last_us)::BIGINT AS recency_us, frequency,
+             monetary
+      FROM per, anchor
+    ), nn AS (
+      SELECT count(*)::BIGINT AS n FROM met
+    ), rb AS (
+      SELECT boundary FROM (
+        SELECT recency_us AS boundary,
+               row_number() OVER (ORDER BY recency_us) AS rn FROM met), nn
+      WHERE rn IN (ceil(1 * n / 5.0), ceil(2 * n / 5.0),
+                   ceil(3 * n / 5.0), ceil(4 * n / 5.0))
+    ), fb AS (
+      SELECT boundary FROM (
+        SELECT frequency AS boundary,
+               row_number() OVER (ORDER BY frequency) AS rn FROM met), nn
+      WHERE rn IN (ceil(1 * n / 5.0), ceil(2 * n / 5.0),
+                   ceil(3 * n / 5.0), ceil(4 * n / 5.0))
+    ), mb AS (
+      SELECT boundary FROM (
+        SELECT monetary AS boundary,
+               row_number() OVER (ORDER BY monetary) AS rn FROM met), nn
+      WHERE rn IN (ceil(1 * n / 5.0), ceil(2 * n / 5.0),
+                   ceil(3 * n / 5.0), ceil(4 * n / 5.0))
+    ), rs AS (
+      SELECT user_id, (5 - sum((boundary < recency_us)::INT))::INT
+               AS r_score
+      FROM met, rb GROUP BY 1
+    ), fs AS (
+      SELECT user_id, (1 + sum((boundary < frequency)::INT))::INT AS f_score
+      FROM met, fb GROUP BY 1
+    ), ms AS (
+      SELECT user_id, (1 + sum((boundary < monetary)::INT))::INT AS m_score
+      FROM met, mb GROUP BY 1
+    )
+    SELECT m.user_id, recency_us, frequency, monetary,
+           r_score, f_score, m_score,
+           r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+             AS rfm_segment
+    FROM met m
+    JOIN rs ON rs.user_id = m.user_id
+    JOIN fs ON fs.user_id = m.user_id
+    JOIN ms ON ms.user_id = m.user_id
+    ORDER BY m.user_id
+"""
+
+
+@_q("rfm_user_scores", _RFM_SQL)
+def rfm_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring (timeseries.rfm_scores): recency / frequency /
+    monetary quintile bands per user. The classic formulation is three
+    global ntile windows — one reducer sorting the whole user table; here
+    the band boundaries come from the exact equi-depth order statistics
+    over the (much smaller) per-user aggregate and broadcast back as a
+    4-row cross join, so scoring is an embarrassingly parallel comparison
+    count. Monetary is round-6 before banding so float-sum order cannot
+    flip a boundary comparison between engines."""
+    from blogparser_spark.dataops import timeseries
+
+    return (
+        timeseries.rfm_scores(_events(spark, sf_dir), n_bands=5)
+        .select(
+            "user_id",
+            "recency_us",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+            "rfm_segment",
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSION_PATHS_SQL = r"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     > 1800 * 1000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             count(*)::BIGINT AS path_len
+      FROM sess GROUP BY 1, 2
+    ), top AS (
+      SELECT path, min(path_len)::BIGINT AS path_len,
+             count(*)::BIGINT AS n_sessions
+      FROM paths WHERE path_len <= 6
+      GROUP BY 1
+    )
+    SELECT path, path_len, n_sessions FROM top
+    QUALIFY row_number() OVER (ORDER BY n_sessions DESC, path) <= 20
+    ORDER BY n_sessions DESC, path
+"""
+
+
+@_q("top_session_paths", _SESSION_PATHS_SQL)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 20 most common complete session journeys (event
+    types joined in stable (ts, id) order, sessions cut at 30-min gaps —
+    same rule as `events_sessionize`), restricted to paths of <= 6 events
+    so the path string stays bounded. Per-session assembly is a
+    sort_array(collect_list(struct)) over rows already grouped by
+    session — per-group state is the session's own bounded event list,
+    never the user's history; the top-k is a count agg into a 20-row
+    window."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+            )
+            > 1800 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = e.withColumn("new_sess", new_sess).withColumn(
+        "session_id", F.sum("new_sess").over(run).cast("long")
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count("*").alias("path_len"),
+        )
+        .filter(F.col("path_len") <= 6)
+    )
+    top = paths.groupBy("path").agg(
+        F.min("path_len").alias("path_len"),
+        F.count("*").alias("n_sessions"),
+    )
+    rk = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        top.withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") <= 20)
+        .drop("_rk")
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+    )
+

@@ -757,3 +757,56 @@ def test_fd_profile_python_twin(spark):
     assert got[("a", "b")]["g3_error"] == 0.0
     assert got[("b", "a")]["n_violating_groups"] == 1
     assert got[("a", "c")]["g3_error"] == round(1 / 6, 6)  # drop one 'r' row
+
+
+def test_rfm_scores_python_twin(spark):
+    import math
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    eid = 0
+    for uid in range(40):
+        for j in range(1 + uid % 7):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 6, 1) + timedelta(hours=uid * 3 + j),
+                 uid, "view", round(rng.uniform(1, 50), 2))
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.user_id: r.asDict() for r in timeseries.rfm_scores(df, 5).collect()}
+
+    # python twin
+    per = {}
+    for eid_, ts, uid, _, v in rows:
+        us = int(ts.timestamp() * 1_000_000)
+        last, n, m = per.get(uid, (0, 0, 0.0))
+        per[uid] = (max(last, us), n + 1, m + v)
+    anchor = max(l for l, _, _ in per.values())
+    met = {
+        u: (anchor - l, n, round(m, 6)) for u, (l, n, m) in per.items()
+    }
+
+    def bounds(vals):
+        vs = sorted(vals)
+        n = len(vs)
+        return [vs[math.ceil(k * n / 5) - 1] for k in range(1, 5)]
+
+    rb = bounds([m[0] for m in met.values()])
+    fb = bounds([m[1] for m in met.values()])
+    mb = bounds([m[2] for m in met.values()])
+    for u, (rec, freq, mon) in met.items():
+        r = 5 - sum(1 for b in rb if b < rec)
+        f = 1 + sum(1 for b in fb if b < freq)
+        mm = 1 + sum(1 for b in mb if b < mon)
+        g = got[u]
+        assert (g["recency_us"], g["frequency"], g["monetary"]) == (rec, freq, mon), u
+        assert (g["r_score"], g["f_score"], g["m_score"]) == (r, f, mm), u
+        assert g["rfm_segment"] == f"{r}{f}{mm}"
+    # score ranges and monotone direction
+    assert all(1 <= got[u]["r_score"] <= 5 for u in got)
+    freshest = max(got, key=lambda u: -got[u]["recency_us"])
+    stalest = max(got, key=lambda u: got[u]["recency_us"])
+    assert got[freshest]["r_score"] >= got[stalest]["r_score"]

@@ -715,3 +715,20 @@ fk = stratified_fixed_k(ev001, ["event_type"], "event_id", k=4)
 cnt = {r.event_type: r["n"] for r in fk.groupBy("event_type").agg(_F.count("*").alias("n")).collect()}
 assert cnt and all(v == 4 for v in cnt.values())
 print("DRIVE48 OK")
+
+# batch-5r: RFM scoring — full score range, segment concatenation
+from blogparser_spark.dataops.timeseries import rfm_scores
+
+rfm = rfm_scores(ev001, n_bands=5).collect()
+assert rfm and all(1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5 for r in rfm)
+assert all(r.rfm_segment == f"{r.r_score}{r.f_score}{r.m_score}" for r in rfm)
+print("RFM users:", len(rfm))
+print("DRIVE49 OK")
+
+# batch-5s: session paths — every path bounded, counts positive
+import __spark_entry__ as _entry
+
+sp = _entry.queries()["top_session_paths"](spark, "/root/testdata/sf0.001").collect()
+assert sp and all(r.path_len <= 6 and r.n_sessions >= 1 for r in sp)
+assert all(len(r.path.split(">")) == r.path_len for r in sp)
+print("DRIVE50 OK")
