@@ -549,3 +549,62 @@ def stratified_fixed_k(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-size overlapping token windows per document — the chunking
+    step every RAG / context-window training pipeline runs before
+    embedding or packing (pack_sequences is the inverse direction:
+    many docs -> one sequence; this is one doc -> many windows).
+    Output: (id_cols..., chunk_idx, start_tok, n_tokens, chunk_text)
+    with stride = chunk_tokens - overlap, a short final window rather
+    than dropped tail tokens, and exactly one window for docs at or
+    under chunk_tokens.
+
+    All native: whitespace split -> empty-token filter -> explode of a
+    computed chunk-index sequence -> slice + array_join. The explode
+    fan-out inherits the scan's partitioning (CLAUDE.md rule 4) —
+    repartition the input before chunking a few-file scan. Per-row cost
+    is the document's own token count; nothing is quadratic in overlap
+    because each window slices the one shared token array."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0
+    )
+    base = df.select(*id_cols, toks.alias("_t")).select(
+        *id_cols,
+        "_t",
+        F.size("_t").alias("_n"),
+    )
+    n_chunks = F.when(F.col("_n") <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((F.col("_n") - chunk_tokens) / F.lit(float(step))).cast("long")
+        + 1
+    )
+    return (
+        base.withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)),
+        )
+        .select(
+            *id_cols,
+            "chunk_idx",
+            (F.col("chunk_idx") * step).alias("start_tok"),
+            F.size(
+                F.slice(F.col("_t"), F.col("chunk_idx") * step + 1, chunk_tokens)
+            ).alias("n_tokens"),
+            F.array_join(
+                F.slice(
+                    F.col("_t"), F.col("chunk_idx") * step + 1, chunk_tokens
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

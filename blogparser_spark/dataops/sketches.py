@@ -707,3 +707,92 @@ def kmv_pairwise_overlap(
         union.alias("union_est"),
         F.round(inter / union, 6).alias("jaccard_est"),
     )
+
+
+def cms_join_size(
+    a_counters: DataFrame, b_counters: DataFrame, d: int = 4, w: int = 512
+) -> DataFrame:
+    """Equi-join cardinality estimate from two CMS counter states built on
+    the join key: |A JOIN B on k| = sum_k fa(k)*fb(k), and the sketch
+    inner product sum_col a[row,col]*b[row,col] per row overestimates it
+    by hash-collision mass only (Cormode & Muthukrishnan §4.2), so the
+    estimate is min over the d rows — never an underestimate, error
+    ~ ||fa||*||fb|| / w per colliding pair.
+
+    This is what a cost-based planner wants BEFORE committing to a join
+    strategy at 100 TB: both inputs reduce to <= d*w-row states
+    (partial-aggregatable counts, mergeable across slices), the inner
+    product is a join of two tiny relations, and the raw tables are never
+    touched. Returns one row: (est_join_size,) as exact int64 (counts *
+    counts summed — no floats anywhere)."""
+    a = a_counters.select("row", "col", F.col("cnt").alias("a_cnt"))
+    b = b_counters.select("row", "col", F.col("cnt").alias("b_cnt"))
+    per_row = (
+        a.join(b, ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("a_cnt") * F.col("b_cnt")).alias("ip"))
+    )
+    # a sketch row with NO common cells has inner product 0 — but only if
+    # that row exists on both sides at all; rows are always 0..d-1 by
+    # construction, so missing (row) groups after the inner join mean a
+    # zero inner product and the true join size is 0. Union a zero spine.
+    spine = a_counters.sparkSession.range(d).select(
+        F.col("id").cast("int").alias("row"), F.lit(0).cast("bigint").alias("ip")
+    )
+    full = per_row.unionByName(spine).groupBy("row").agg(
+        F.max("ip").alias("ip")
+    )
+    return full.agg(F.min("ip").cast("bigint").alias("est_join_size"))
+
+
+def dd_cdf_normalize(
+    df: DataFrame,
+    value: Column,
+    group_cols: Sequence[str] = (),
+    alpha: float = DD_ALPHA,
+    value_name: str = "value",
+) -> DataFrame:
+    """Approximate-CDF score normalization — the sort-free scale path
+    score_normalize's docstring points at: instead of percent_rank's
+    total order per group (a single hot group serializes onto one task),
+    build the group's DDSketch histogram (tiny, mergeable), broadcast its
+    cumulative form back, and read each row's CDF from its own bucket:
+
+        cdf = (count below bucket + (count in bucket + 1) / 2) / (n + 1)
+
+    — the mid-rank convention, so ties (same bucket) get the same value
+    and the result sits strictly inside (0, 1). Cost: one partial agg to
+    the histogram, one window cumsum over the TINY histogram, one
+    broadcast join back; the raw data is never sorted. Accuracy: ranks
+    are exact per bucket, values within relative alpha. Non-positive
+    values fall outside the positive store and return NULL cdf (callers
+    shift first, as with dd_histogram).
+
+    Output: (group_cols..., `value_name`, bucket, dd_cdf)."""
+    g = dd_gamma(alpha)
+    gcols = list(group_cols)
+    hist = dd_histogram(df, value, gcols, alpha)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy(*[F.col(c) for c in gcols])
+    cum = hist.select(
+        *gcols,
+        "bucket",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    bucket = F.ceil(
+        F.round(F.log(value.cast("double")) / F.lit(_math_log(g)), 6)
+    ).cast("long")
+    rows = df.select(*gcols, value.alias(value_name), bucket.alias("bucket"))
+    joined = rows.join(F.broadcast(cum), [*gcols, "bucket"], "left")
+    cdf = F.round(
+        (F.col("below") + (F.col("cnt") + 1) / F.lit(2.0))
+        / (F.col("n") + F.lit(1)),
+        6,
+    )
+    return joined.select(*gcols, value_name, "bucket", cdf.alias("dd_cdf"))

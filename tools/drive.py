@@ -732,3 +732,46 @@ sp = _entry.queries()["top_session_paths"](spark, "/root/testdata/sf0.001").coll
 assert sp and all(r.path_len <= 6 and r.n_sessions >= 1 for r in sp)
 assert all(len(r.path.split(">")) == r.path_len for r in sp)
 print("DRIVE50 OK")
+
+# batch-5t: CMS join-size estimate — upper bound on the true join size
+from blogparser_spark.dataops.sketches import cms_counters, cms_join_size
+
+c_ev = cms_counters(ev001, _F.col("user_id").cast("string"), (), d=4, w=512)
+est_js = cms_join_size(c_ev, c_ev, d=4, w=512).collect()[0]["est_join_size"]
+exact_js = (
+    ev001.groupBy("user_id").count()
+    .agg(_F.sum(_F.col("count") * _F.col("count"))).collect()[0][0]
+)
+assert est_js >= exact_js > 0
+print("join-size est vs exact F2:", est_js, exact_js)
+print("DRIVE51 OK")
+
+# batch-5u: chunking — overlap stitching and tail coverage
+from blogparser_spark.dataops.curation import chunk_documents
+
+ch = chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+assert ch
+by_doc = {}
+for r in sorted(ch, key=lambda r: (r.doc_id, r.chunk_idx)):
+    by_doc.setdefault(r.doc_id, []).append(r)
+for d, chunks in by_doc.items():
+    assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+    for a, b in zip(chunks, chunks[1:]):
+        assert a.chunk_text.split()[-8:] == b.chunk_text.split()[:8], d
+    assert all(c.n_tokens == 32 for c in chunks[:-1])
+print("chunks:", len(ch))
+print("DRIVE52 OK")
+
+# batch-5v: DDSketch CDF normalize — in (0,1), monotone with the value
+from blogparser_spark.dataops.sketches import dd_cdf_normalize
+
+cdf = dd_cdf_normalize(ev001, _F.col("value"), ("event_type",)).collect()
+assert cdf and all(0 < r.dd_cdf < 1 for r in cdf if r.dd_cdf is not None)
+byt = {}
+for r in cdf:
+    if r.dd_cdf is not None:
+        byt.setdefault(r.event_type, []).append((r.value, r.dd_cdf))
+for t, vs in byt.items():
+    vs.sort()
+    assert all(a[1] <= b[1] for a, b in zip(vs, vs[1:])), t
+print("DRIVE53 OK")
