@@ -608,3 +608,62 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def round_robin_interleave(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    salt: str = "rr",
+) -> DataFrame:
+    """Deterministic source-interleaved training order: rows are shuffled
+    within each source (md5 rank) and sources are consumed round-robin —
+    layer r emits one row from every source that still has rows, in
+    source-name order. Output adds (rank_in_source, source_idx,
+    global_pos) where global_pos is the 0-based position in the
+    interleaved order.
+
+    The naive way to get global_pos is row_number() over a GLOBAL window
+    ordered by (rank, source) — a single reducer sorting the corpus.
+    Instead the position is computed ANALYTICALLY: with per-source sizes
+    c_s (a tiny broadcast array), the row at (rank r, source s) is
+    preceded by min(c_s', r-1) rows from every source s', plus one more
+    for each earlier-named source that reaches layer r — exact integers,
+    no global sort, every row priced independently. Writes that need the
+    physical order sort by global_pos via repartitionByRange (the range
+    partitioner samples; the ORDER itself is already decided here)."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    ranked = df.withColumn("rank_in_source", F.row_number().over(w))
+    sizes = (
+        df.groupBy(source_col)
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "source_idx",
+            F.row_number().over(Window.orderBy(source_col)) - 1,
+        )
+    )
+    size_arr = sizes.agg(
+        F.sort_array(
+            F.collect_list(F.struct("source_idx", "_cnt"))
+        ).alias("_sizes")
+    )
+    j = ranked.join(
+        F.broadcast(sizes.select(source_col, "source_idx")), source_col
+    ).crossJoin(F.broadcast(size_arr))
+    r = F.col("rank_in_source")
+    pos = F.aggregate(
+        F.col("_sizes"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.least(x["_cnt"], (r - 1).cast("long"))
+        + F.when(
+            (x["source_idx"] < F.col("source_idx")) & (x["_cnt"] >= r),
+            F.lit(1),
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    return j.withColumn("global_pos", pos).drop("_sizes")

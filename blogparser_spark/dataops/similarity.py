@@ -111,6 +111,7 @@ def brute_force_topk_matmul(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_sim: float | None = None,
 ) -> DataFrame:
     """The BLAS scale path for exact top-k: the (small) query matrix is
     collected once and closed over (Spark serializes it to each python
@@ -123,7 +124,10 @@ def brute_force_topk_matmul(
     Same results as brute_force_topk (equivalence-tested); sims are rounded
     to 6 decimals BEFORE the local prune so the local and global orderings
     share one key — pruning on raw floats could cut a candidate that ties
-    at the boundary under the rounded global (sim, nid) order."""
+    at the boundary under the rounded global (sim, nid) order. With
+    max_sim set, only neighbors with rounded sim strictly below it are
+    eligible (applied inside the kernel before the local prune, so the
+    filtered top-k stays exact)."""
     import numpy as np
 
     q_rows = (
@@ -153,6 +157,11 @@ def brute_force_topk_matmul(
             for j, qid in enumerate(qids):
                 col = sims[:, j]
                 mask = ids != qid
+                if max_sim is not None:
+                    # threshold INSIDE the kernel, before the local top-k:
+                    # filtering commutes with top-k, so the filtered global
+                    # result stays exact (hard_negative_topk's contract)
+                    mask &= col < max_sim
                 cand_idx = np.nonzero(mask)[0]
                 if len(cand_idx) == 0:
                     continue
@@ -1041,4 +1050,58 @@ def srp_near_dup_clusters(
         F.col("node").alias(id_col),
         "component",
         (F.col("node") == F.col("component")).alias("keep"),
+    )
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    MOST similar vectors whose cosine stays strictly below dup_threshold
+    — similar enough to be hard, not so similar they are duplicates or
+    near-copies (which would poison the negative set). Exactness: the
+    threshold is applied inside the matmul kernel before the local top-k
+    (filtering commutes with top-k), so this is the same join-free
+    ≤ k·parts·queries-row shuffle as the exact-ANN scale path — never a
+    top-(k+buffer) heuristic that can starve when duplicates crowd the
+    neighborhood."""
+    return brute_force_topk_matmul(
+        df,
+        n_queries=n_queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_sim=dup_threshold,
+    )
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    MOST similar vectors whose cosine stays strictly below dup_threshold
+    — similar enough to be hard, not so similar they are duplicates or
+    near-copies (which would poison the negative set). Exactness: the
+    threshold is applied inside the matmul kernel before the local top-k
+    (filtering commutes with top-k), so this is the same join-free
+    <= k*parts*queries-row shuffle as the exact-ANN scale path — never a
+    top-(k+buffer) heuristic that can starve when duplicates crowd the
+    neighborhood."""
+    return brute_force_topk_matmul(
+        df,
+        n_queries=n_queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_sim=dup_threshold,
     )

@@ -5895,3 +5895,76 @@ def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+HARD_NEG_SQL = f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), sims AS (
+      SELECT q.qid, e.vec_id AS nid,
+        round({_COS.format(a="q.qv", b="e.embedding")}, 6) AS sim
+      FROM embeddings e JOIN q ON e.vec_id != q.qid
+    )
+    SELECT qid, rank, nid, sim FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, nid) AS rank
+      FROM sims WHERE sim < 0.9
+    ) WHERE rank <= 5
+"""
+
+
+@_q("hard_negative_mining", HARD_NEG_SQL)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives (similarity.hard_negative_topk):
+    per query the 5 most similar vectors with cosine strictly below 0.9 —
+    hard, but not duplicates that would poison the negative set. The
+    threshold is applied INSIDE the matmul kernel before the local top-k
+    (filtering commutes with top-k), so the plan is the same join-free
+    exact-ANN shape, never a top-(k+buffer) heuristic that starves when
+    near-copies crowd a neighborhood."""
+    return similarity.hard_negative_topk(
+        _emb(spark, sf_dir), n_queries=5, k=5, dup_threshold=0.9
+    )
+
+
+_RR_SQL = r"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY md5('rr:' || doc_id::VARCHAR), doc_id)
+          AS rank_in_source
+      FROM documents
+    ), sizes AS (
+      SELECT lang, count(*)::BIGINT AS cnt,
+             (row_number() OVER (ORDER BY lang) - 1)::INT AS source_idx
+      FROM documents GROUP BY 1
+    )
+    SELECT r.doc_id, r.lang, r.rank_in_source, s.source_idx,
+           (SELECT sum(least(s2.cnt, r.rank_in_source - 1)
+                       + CASE WHEN s2.source_idx < s.source_idx
+                                   AND s2.cnt >= r.rank_in_source
+                              THEN 1 ELSE 0 END)::BIGINT
+            FROM sizes s2) AS global_pos
+    FROM ranked r JOIN sizes s ON s.lang = r.lang
+    ORDER BY global_pos
+"""
+
+
+@_q("round_robin_training_order", _RR_SQL)
+def round_robin_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-interleaved training order (curation.round_robin_interleave):
+    documents shuffled within each language, languages consumed
+    round-robin, and the 0-based global position computed ANALYTICALLY
+    from the tiny per-source size array — no global row_number window, so
+    no single reducer sorts the corpus. The oracle recomputes the closed
+    form per row."""
+    from blogparser_spark.dataops.curation import round_robin_interleave
+
+    return (
+        round_robin_interleave(
+            _docs(spark, sf_dir).select("doc_id", "lang"), "lang", "doc_id"
+        )
+        .select("doc_id", "lang", "rank_in_source", "source_idx", "global_pos")
+        .orderBy("global_pos")
+    )

@@ -1054,3 +1054,62 @@ def test_prefix_filter_pairs_brute_force_on_corpus(docs):
         if sa and sb and len(sa & sb) / len(sa | sb) >= t:
             expect.add((a, b))
     assert got == expect
+
+
+def test_hard_negative_topk_excludes_dups_exactly(spark):
+    from blogparser_spark.dataops.similarity import (
+        brute_force_topk,
+        hard_negative_topk,
+    )
+
+    # 3 queries; give query 0 two near-copies (sim ~1) that must vanish
+    import random
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(40)]
+    base[20] = [v * 1.001 for v in base[0]]   # near-copy of vec 0
+    base[21] = [v * 0.999 for v in base[0]]   # near-copy of vec 0
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    hard = hard_negative_topk(df, n_queries=3, k=5, dup_threshold=0.95)
+    got = {(r.qid, r.rank): (r.nid, r.sim) for r in hard.collect()}
+    assert all(sim < 0.95 for _, sim in got.values())
+    nids_q0 = {nid for (q, _), (nid, _) in got.items() if q == 0}
+    assert not {20, 21} & nids_q0
+
+    # exactness: equals the join-based all-pairs top-k filtered the same way
+    from pyspark.sql import Window as W
+
+    allp = brute_force_topk(df, n_queries=3, k=40)  # k >= corpus: all pairs
+    want_rows = (
+        allp.filter(F.col("sim") < 0.95)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .collect()
+    )
+    want = {(r.qid, r.rk): (r.nid, r.sim) for r in want_rows}
+    assert got == want
+
+
+def test_round_robin_interleave_is_true_round_robin(spark):
+    from blogparser_spark.dataops.curation import round_robin_interleave
+
+    rows = [(i, ["a", "b", "c"][min(i % 5, 2)]) for i in range(37)]  # skewed
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = round_robin_interleave(df, "src", "doc_id").collect()
+    assert len(out) == len(rows)
+    pos = sorted(r.global_pos for r in out)
+    assert pos == list(range(len(rows)))  # exact permutation, no global sort
+    # global_pos order == lexicographic (rank_in_source, source) order
+    by_pos = sorted(out, key=lambda r: r.global_pos)
+    keys = [(r.rank_in_source, r.src) for r in by_pos]
+    assert keys == sorted(keys)
+    # the first layer holds one row from each source, in name order
+    assert [r.src for r in by_pos[:3]] == ["a", "b", "c"]

@@ -775,3 +775,22 @@ for t, vs in byt.items():
     vs.sort()
     assert all(a[1] <= b[1] for a, b in zip(vs, vs[1:])), t
 print("DRIVE53 OK")
+
+# batch-5w: hard negatives — thresholded exact top-k stays under the cap
+from blogparser_spark.dataops.similarity import hard_negative_topk
+
+emb001 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+hn = hard_negative_topk(emb001, n_queries=3, k=4, dup_threshold=0.9).collect()
+assert hn and all(r.sim < 0.9 for r in hn)
+assert all(r.qid != r.nid for r in hn)
+print("DRIVE54 OK")
+
+# batch-5x: round-robin interleave — permutation + layer-0 one-per-source
+from blogparser_spark.dataops.curation import round_robin_interleave
+
+rr = round_robin_interleave(docs.select("doc_id", "lang"), "lang", "doc_id").collect()
+assert sorted(r.global_pos for r in rr) == list(range(len(rr)))
+langs = sorted({r.lang for r in rr})
+first_layer = sorted((r.global_pos, r.lang) for r in rr)[: len(langs)]
+assert [l for _, l in first_layer] == langs
+print("DRIVE55 OK")
