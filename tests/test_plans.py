@@ -321,3 +321,86 @@ def test_inverted_postings_single_key_shuffle_reuse(spark):
     # reuses that partitioning (no extra exchange).
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 2, plan[:2000]
+
+
+def test_psi_drift_plan_has_no_window(spark):
+    # PSI must stay a partial-agg + broadcast shape: a Window over the raw
+    # slices would serialize hot groups onto single tasks
+    from pyspark.sql import functions as F
+
+    from blogparser_spark.dataops.profile import psi_drift
+
+    df = spark.createDataFrame(
+        [("g", i % 8) for i in range(200)], "g string, bin long"
+    )
+    plan = _plan(psi_drift(df, df, ("g",), "bin", n_bins=8))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # totals ride back as a broadcast
+
+
+def test_rfm_plan_has_no_global_sort_window(spark):
+    # the whole point vs ntile(5): no Window with an empty partition spec
+    # over the user table (single-reducer global sort); the only windows
+    # allowed are the tiny boundary ranks inside equi_depth_bounds
+    from datetime import datetime
+
+    from blogparser_spark.dataops.timeseries import rfm_scores
+
+    df = spark.createDataFrame(
+        [(i, datetime(2024, 6, 1, i % 24), i % 11, "view", float(i % 7) + 0.5)
+         for i in range(300)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    plan = _plan(rfm_scores(df, 5))
+    # scoring side joins the 4-row boundary tables by broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "ntile" not in plan.lower()
+
+
+def test_content_fingerprint_plan_single_partial_agg_no_join(spark):
+    from blogparser_spark.operators.diff import content_fingerprint
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(100)], "id long, t string")
+    plan = _plan(content_fingerprint(df, ["id", "t"], 8))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final of ONE agg
+    assert "Exchange" in plan  # exactly the slice_id shuffle
+
+
+def test_hard_negative_plan_is_join_free(spark):
+    # same contract as the matmul exact-ANN plan: no join anywhere —
+    # candidates flow mapInPandas -> window top-k only
+    from blogparser_spark.dataops.similarity import hard_negative_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(hard_negative_topk(df, n_queries=2, k=3, dup_threshold=0.9))
+    assert "Join" not in plan
+    assert "Window" in plan  # the k-row global merge
+
+
+def test_round_robin_plan_no_global_window_over_rows(spark):
+    # rank_in_source partitions by source; global_pos must come from the
+    # closed form (broadcast size array), never row_number over everything
+    from blogparser_spark.dataops.curation import round_robin_interleave
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(100)], "doc_id long, src string"
+    )
+    plan = _plan(round_robin_interleave(df, "src", "doc_id"))
+    import re
+
+    # the window that ranks the RAW rows must be partitioned by source
+    # (windowspecdefinition's first argument is the partition column)
+    assert re.search(r"windowspecdefinition\(src#\d+,", plan), plan[:400]
+    # global_pos must come from the closed-form array aggregate over the
+    # broadcast size table, never a row_number over the whole row stream:
+    # every unpartitioned window in this plan consumes the tiny per-source
+    # Aggregate (its rank aliases _we0), not the scan
+    for m in re.finditer(
+        r"windowspecdefinition\((?!src#\d+,)[^)]*\)\) AS (\w+)", plan
+    ):
+        assert m.group(1).startswith("_we"), m.group(0)[:120]
+    assert "aggregate(" in plan  # the closed-form position expression
