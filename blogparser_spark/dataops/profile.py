@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -306,3 +306,49 @@ def fd_profile(
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_cols: Sequence[str],
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic over binned values, per
+    group: (group_cols..., n_ref, n_cur, ks_d) with
+    D = max over bins of |CDF_ref − CDF_cur| — PSI's complement (PSI
+    integrates log-ratio mass everywhere; KS reads the single worst CDF
+    gap, insensitive to smoothing choices and usable when one side has
+    empty bins that PSI must Laplace-patch).
+
+    Shape: per-side bin counts (partial aggs), a full outer join on
+    (group, bin), one cumulative window over the TINY per-group bin list,
+    one max agg. Each CDF value is an independent exact-int ratio and
+    max() is order-free, so no float-summation ordering exists at all —
+    round-6 on D alone."""
+    gc = list(group_cols)
+    a = ref.groupBy(*gc, bin_col).agg(F.count("*").alias("a"))
+    b = cur.groupBy(*gc, bin_col).agg(F.count("*").alias("b"))
+    cells = a.join(b, [*gc, bin_col], "full").fillna(0, ["a", "b"])
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gc])
+        .orderBy(bin_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy(*[F.col(c) for c in gc])
+    cum = cells.select(
+        *gc,
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+        F.sum("a").over(wg).alias("ta"),
+        F.sum("b").over(wg).alias("tb"),
+    )
+    gap = F.abs(
+        F.col("ca").cast("double") / F.col("ta")
+        - F.col("cb").cast("double") / F.col("tb")
+    )
+    return cum.groupBy(*gc).agg(
+        F.first("ta").alias("n_ref"),
+        F.first("tb").alias("n_cur"),
+        F.round(F.max(gap), 6).alias("ks_d"),
+    )

@@ -9,6 +9,8 @@ combine happens automatically); the per-conv window is ordered by
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -139,4 +141,39 @@ def funnel_counts(
         "step_idx",
         "step",
         F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_users"),
+    )
+
+
+def additive_state(
+    df: DataFrame, key_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """Mergeable additive aggregate state per key: (key_cols..., cnt,
+    vsum, vmin, vmax) with the value decimal-summed (exact — float sums
+    would make merge order observable). This is the 'partial aggregate as
+    a table' pattern: a 10^12-row log is folded slice by slice and the
+    stored state is merged, never the raw rows rescanned."""
+    return df.groupBy(*key_cols).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("vsum"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+
+
+def merge_additive_states(
+    *states: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Fold additive states: counts and decimal sums add, min/max reduce —
+    merge(state(A), state(B)) == state(A ∪ B) EXACTLY (the property the
+    tests pin), so checkpoint slices and stream micro-batches roll up
+    without touching raw history. avg derives at read time as
+    vsum / cnt."""
+    out = states[0]
+    for other in states[1:]:
+        out = out.unionByName(other)
+    return out.groupBy(*key_cols).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("vsum").cast("decimal(18,2)").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
     )

@@ -5968,3 +5968,114 @@ def round_robin_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "rank_in_source", "source_idx", "global_pos")
         .orderBy("global_pos")
     )
+
+
+_KS_SQL = r"""
+    WITH ev AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             least(greatest(floor(value)::BIGINT // 31, 0), 15) AS bin
+      FROM events
+    ), bounds AS (
+      SELECT min(day) AS mn, max(day) AS mx FROM ev
+    ), tagged AS (
+      SELECT event_type, bin, day <= mn + (mx - mn) // 2 AS is_ref
+      FROM ev, bounds
+    ), cnt AS (
+      SELECT event_type, bin,
+             count(*) FILTER (is_ref)::BIGINT AS a,
+             count(*) FILTER (NOT is_ref)::BIGINT AS b
+      FROM tagged GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type,
+             sum(a) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(b) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(a) OVER (PARTITION BY event_type) AS ta,
+             sum(b) OVER (PARTITION BY event_type) AS tb
+      FROM cnt
+    )
+    SELECT event_type, max(ta)::BIGINT AS n_ref, max(tb)::BIGINT AS n_cur,
+           round(max(abs(ca::DOUBLE / ta - cb::DOUBLE / tb)), 6) AS ks_d
+    FROM cum GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("ks_value_drift", _KS_SQL)
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift of the value distribution per event type,
+    first-half days vs second-half (profile.ks_drift) — PSI's complement:
+    the single worst CDF gap instead of integrated log-ratio mass, no
+    smoothing choices, and every CDF point is an independent exact-int
+    ratio so no float-sum ordering exists anywhere. Same split and bins
+    as psi_value_drift so the two gates read the same data."""
+    from blogparser_spark.dataops.profile import ks_drift
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+        F.expr(
+            "least(greatest(cast(floor(value) as bigint) div 31, 0), 15)"
+        ).alias("bin"),
+    )
+    bounds = ev.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    tagged = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "is_ref", F.expr("day <= mn + (mx - mn) div 2")
+    )
+    return ks_drift(
+        tagged.filter("is_ref"), tagged.filter("NOT is_ref"),
+        ("event_type",), "bin",
+    ).orderBy("event_type")
+
+
+_ADDITIVE_SQL = r"""
+    WITH state AS (
+      SELECT event_type, event_id % 2 AS slice_id,
+             count(*)::BIGINT AS cnt,
+             sum(value::DECIMAL(18,2)) AS vsum,
+             min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, sum(cnt)::BIGINT AS cnt,
+           sum(vsum)::DOUBLE AS vsum,
+           min(vmin) AS vmin, max(vmax) AS vmax,
+           round(sum(vsum)::DOUBLE / sum(cnt), 6) AS vavg
+    FROM state GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("additive_state_rollup", _ADDITIVE_SQL)
+def additive_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable additive aggregate state (aggregate.additive_state +
+    merge_additive_states): the event log folds slice by slice into
+    (cnt, decimal vsum, vmin, vmax) per event type and the stored states
+    MERGE exactly — merge(state(A), state(B)) == state(A ∪ B), the
+    contract that lets a 10^12-row log roll up without rescanning raw
+    history. The query builds states on the two event-id parity slices,
+    merges them, and derives avg at read time; the oracle folds the same
+    two slices in SQL."""
+    from blogparser_spark.operators.aggregate import (
+        additive_state,
+        merge_additive_states,
+    )
+
+    ev = _events(spark, sf_dir)
+    halves = [ev.filter(F.col("event_id") % 2 == i) for i in (0, 1)]
+    merged = merge_additive_states(
+        additive_state(halves[0], ["event_type"], "value"),
+        additive_state(halves[1], ["event_type"], "value"),
+        key_cols=["event_type"],
+    )
+    return merged.select(
+        "event_type",
+        "cnt",
+        F.col("vsum").cast("double").alias("vsum"),
+        "vmin",
+        "vmax",
+        F.round(
+            F.col("vsum").cast("double") / F.col("cnt"), 6
+        ).alias("vavg"),
+    ).orderBy("event_type")

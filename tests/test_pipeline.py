@@ -259,3 +259,36 @@ def test_diff_datasets_and_sample_keys(spark):
     assert sample == {
         (2, "changed"), (3, "changed"), (4, "only_left"), (5, "only_right")
     }
+
+
+def test_additive_state_merge_equals_from_scratch(spark):
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from blogparser_spark.operators.aggregate import (
+        additive_state,
+        merge_additive_states,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i % 5}", round(0.01 * ((i * 37) % 997), 2)) for i in range(400)],
+        "k string, v double",
+    )
+    halves = [df.filter(F.pmod(F.hash("v"), F.lit(2)) == i) for i in (0, 1)]
+    merged = merge_additive_states(
+        additive_state(halves[0], ["k"], "v"),
+        additive_state(halves[1], ["k"], "v"),
+        key_cols=["k"],
+    )
+    scratch = additive_state(df, ["k"], "v")
+    key = lambda r: (r.k, r.cnt, r.vsum, r.vmin, r.vmax)
+    assert sorted(map(key, merged.collect())) == sorted(map(key, scratch.collect()))
+    # decimal sums are exact: python Decimal twin agrees to the cent
+    rows = df.collect()
+    want = {}
+    for r in rows:
+        c, s = want.get(r.k, (0, Decimal(0)))
+        want[r.k] = (c + 1, s + Decimal(str(round(r.v, 2))))
+    for r in scratch.collect():
+        assert (r.cnt, r.vsum) == want[r.k]

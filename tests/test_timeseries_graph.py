@@ -810,3 +810,40 @@ def test_rfm_scores_python_twin(spark):
     freshest = max(got, key=lambda u: -got[u]["recency_us"])
     stalest = max(got, key=lambda u: got[u]["recency_us"])
     assert got[freshest]["r_score"] >= got[stalest]["r_score"]
+
+
+def test_ks_drift_python_twin(spark):
+    import random
+
+    from blogparser_spark.dataops.profile import ks_drift
+
+    rng = random.Random(53)
+    rows = [("g", "ref", rng.randrange(10)) for _ in range(300)] + [
+        ("g", "cur", min(rng.randrange(12), 9)) for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, side string, bin long")
+    r = ks_drift(
+        df.filter("side='ref'"), df.filter("side='cur'"), ("g",), "bin"
+    ).collect()[0]
+
+    from collections import Counter
+
+    a = Counter(b for _, s, b in rows if s == "ref")
+    b = Counter(bb for _, s, bb in rows if s == "cur")
+    ta, tb = sum(a.values()), sum(b.values())
+    bins = sorted(set(a) | set(b))
+    ca = cb = 0
+    d = 0.0
+    for bn in bins:
+        ca += a.get(bn, 0)
+        cb += b.get(bn, 0)
+        d = max(d, abs(ca / ta - cb / tb))
+    assert (r["n_ref"], r["n_cur"]) == (ta, tb)
+    assert r["ks_d"] == round(d, 6)
+    # identical sides -> D = 0
+    z = ks_drift(df, df, ("g",), "bin").collect()[0]
+    assert z["ks_d"] == 0.0
+    # disjoint supports -> D = 1
+    lo = spark.createDataFrame([("g", i % 3) for i in range(30)], "g string, bin long")
+    hi = spark.createDataFrame([("g", 10 + i % 3) for i in range(30)], "g string, bin long")
+    assert ks_drift(lo, hi, ("g",), "bin").collect()[0]["ks_d"] == 1.0

@@ -794,3 +794,25 @@ langs = sorted({r.lang for r in rr})
 first_layer = sorted((r.global_pos, r.lang) for r in rr)[: len(langs)]
 assert [l for _, l in first_layer] == langs
 print("DRIVE55 OK")
+
+# batch-5y: KS drift — 0 on identical sides, 1 on disjoint supports
+from blogparser_spark.dataops.profile import ks_drift
+
+kev = ev001.select("event_type", (_F.col("value") < 40).cast("long").alias("bin"))
+assert all(r.ks_d == 0.0 for r in ks_drift(kev, kev, ("event_type",), "bin").collect())
+shifted = kev.withColumn("bin", _F.col("bin") + 10)
+assert all(r.ks_d == 1.0 for r in ks_drift(kev, shifted, ("event_type",), "bin").collect())
+print("DRIVE56 OK")
+
+# batch-5z: additive state — merge equals from-scratch exactly
+from blogparser_spark.operators.aggregate import additive_state, merge_additive_states
+
+hv = [ev001.filter(_F.col("event_id") % 2 == i) for i in (0, 1)]
+m = merge_additive_states(
+    additive_state(hv[0], ["event_type"], "value"),
+    additive_state(hv[1], ["event_type"], "value"),
+    key_cols=["event_type"],
+)
+sc = additive_state(ev001, ["event_type"], "value")
+assert {tuple(r) for r in m.collect()} == {tuple(r) for r in sc.collect()}
+print("DRIVE57 OK")
