@@ -667,3 +667,33 @@ def round_robin_interleave(
         .cast("long"),
     )
     return j.withColumn("global_pos", pos).drop("_sizes")
+
+
+def temperature_rates_df(
+    df: DataFrame, strata_col: str = "lang", alpha: float = 0.5
+) -> DataFrame:
+    """Relational twin of temperature_rates: (strata, n_rows, keep_rate,
+    expected_kept) with rate_s = min(1, (count_s / count_min)^(alpha-1))
+    — the multilingual-LM resampling rule (expected kept ∝ count^alpha),
+    computed fully in-plan: one partial count agg, the min broadcast back
+    as a one-row cross join, one pow. Use this form when the mixing plan
+    feeds further relational stages (joins against stratified_sample
+    keys); the dict form is for driver-side job config. Exact-int inputs
+    to one pow, round-6."""
+    counts = df.groupBy(F.col(strata_col).alias("strata")).agg(
+        F.count("*").alias("n_rows")
+    )
+    cmin = counts.agg(F.min("n_rows").alias("_cmin"))
+    rate = F.least(
+        F.lit(1.0),
+        F.pow(
+            F.col("n_rows").cast("double") / F.col("_cmin"),
+            F.lit(alpha - 1.0),
+        ),
+    )
+    return counts.crossJoin(F.broadcast(cmin)).select(
+        "strata",
+        "n_rows",
+        F.round(rate, 6).alias("keep_rate"),
+        F.round(rate * F.col("n_rows"), 6).alias("expected_kept"),
+    )

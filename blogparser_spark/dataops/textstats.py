@@ -431,3 +431,53 @@ def inverted_postings(
         ).alias("postings_head"),
     )
     return agg.where(F.col("df") >= min_df)
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", top_n: int = 200
+) -> DataFrame:
+    """Zipf/power-law fit of the token frequency distribution: OLS of
+    ln(freq) on ln(rank) over the top_n terms — one row (n_terms, slope,
+    intercept). A healthy natural-language corpus reads slope ~ -1;
+    template/boilerplate-dominated corpora flatten or step. This is the
+    vocabulary-distribution audit a training-data pipeline runs next to
+    langid/quality.
+
+    Shape: explode -> per-token partial count (the only corpus-sized
+    stage), then a rank window over the VOCABULARY (orders of magnitude
+    smaller than the corpus; cap it upstream with min-count pruning if
+    vocab itself is huge), top_n filter, and a closed-form OLS aggregate
+    over <= top_n rows. Ties rank deterministically by (count desc,
+    token asc); float sums enter only in the final tiny aggregate
+    (round-6, the entropy convention)."""
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0
+            )
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    top = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    agg = top.agg(
+        F.count("*").alias("n_terms"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return agg.select(
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -6079,3 +6079,74 @@ def additive_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vsum").cast("double") / F.col("cnt"), 6
         ).alias("vavg"),
     ).orderBy("event_type")
+
+
+_TEMP_MIX_SQL = r"""
+    WITH c AS (
+      SELECT lang AS strata, count(*)::BIGINT AS n_rows
+      FROM documents GROUP BY 1
+    ), m AS (
+      SELECT min(n_rows) AS cmin FROM c
+    )
+    SELECT strata, n_rows,
+      round(least(1::DOUBLE, pow(n_rows::DOUBLE / cmin, -0.5)), 6)
+        AS keep_rate,
+      round(least(1::DOUBLE, pow(n_rows::DOUBLE / cmin, -0.5)) * n_rows, 6)
+        AS expected_kept
+    FROM c, m ORDER BY strata
+"""
+
+
+@_q("temperature_mixing_plan", _TEMP_MIX_SQL)
+def temperature_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature-sampling plan (alpha = 0.5) per language
+    (curation.temperature_rates_df): keep rates realizing expected kept
+    counts proportional to count^alpha — the data-mixing rule multilingual
+    LMs resample with. Fully in-plan (one count agg + a broadcast min +
+    one pow), so the plan composes with the stratified samplers instead
+    of round-tripping a dict through the driver."""
+    from blogparser_spark.dataops.curation import temperature_rates_df
+
+    return temperature_rates_df(
+        _docs(spark, sf_dir), "lang", alpha=0.5
+    ).orderBy("strata")
+
+
+_ZIPF_SQL = r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY 1
+    ), top AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+      FROM c QUALIFY rank <= 200
+    ), a AS (
+      SELECT count(*)::BIGINT AS n_terms,
+             sum(ln(rank::DOUBLE)) AS sx, sum(ln(cnt::DOUBLE)) AS sy,
+             sum(ln(rank::DOUBLE) * ln(cnt::DOUBLE)) AS sxy,
+             sum(ln(rank::DOUBLE) * ln(rank::DOUBLE)) AS sxx
+      FROM top
+    )
+    SELECT n_terms,
+      round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+        AS slope,
+      round((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx))
+             * sx) / n_terms, 6) AS intercept
+    FROM a
+"""
+
+
+@_q("zipf_token_slope", _ZIPF_SQL)
+def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus token distribution
+    (textstats.zipf_fit): OLS of ln(freq) on ln(rank) over the top-200
+    terms — the vocabulary-distribution audit (natural text reads slope
+    near -1; boilerplate flattens it). The only corpus-sized stage is the
+    per-token partial count; the rank window runs over the vocabulary and
+    the OLS aggregate over 200 rows."""
+    from blogparser_spark.dataops.textstats import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_n=200)

@@ -422,3 +422,35 @@ def test_chunk_documents_python_twin(spark):
     assert c0[-16:] == c1[:16]
     # full coverage: union of chunk tokens (dedup by position) == doc tokens
     assert {(1, i) in got for i in range(3)} == {True}
+
+
+def test_temperature_rates_df_matches_dict_twin(spark):
+    from blogparser_spark.dataops.curation import (
+        temperature_rates,
+        temperature_rates_df,
+    )
+
+    langs = ["en"] * 8 + ["ja"] * 3 + ["de"]
+    rows = [langs[i % 12] for i in range(240)]
+    df = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(rows)], "doc_id long, lang string"
+    )
+    want = temperature_rates(df, "lang", alpha=0.5)
+    got = {
+        r.strata: (r.n_rows, r.keep_rate, r.expected_kept)
+        for r in temperature_rates_df(df, "lang", alpha=0.5).collect()
+    }
+    import math
+
+    counts = {}
+    for l in rows:
+        counts[l] = counts.get(l, 0) + 1
+    for s, rate in want.items():
+        n, kr, ek = got[s]
+        assert n == counts[s]
+        assert kr == round(min(1.0, rate), 6)
+        # expected_kept uses the UNROUNDED rate (more accurate than kr * n)
+        assert ek == round(min(1.0, rate) * n, 6)
+    # the smallest stratum keeps everything
+    smallest = min(counts, key=counts.get)
+    assert got[smallest][1] == 1.0

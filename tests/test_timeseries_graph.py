@@ -847,3 +847,36 @@ def test_ks_drift_python_twin(spark):
     lo = spark.createDataFrame([("g", i % 3) for i in range(30)], "g string, bin long")
     hi = spark.createDataFrame([("g", 10 + i % 3) for i in range(30)], "g string, bin long")
     assert ks_drift(lo, hi, ("g",), "bin").collect()[0]["ks_d"] == 1.0
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    import math
+    from collections import Counter
+
+    from blogparser_spark.dataops.textstats import zipf_fit
+
+    # plant freq(rank r) = round(1000 / r): slope should come out near -1
+    words = []
+    for r in range(1, 61):
+        words += [f"w{r:03d}"] * max(1, round(1000 / r))
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    row = zipf_fit(df, top_n=60).collect()[0]
+    assert row.n_terms == 60
+    assert -1.1 < row.slope < -0.9
+
+    # exact twin of the OLS arithmetic
+    cnt = Counter(words)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:60]
+    xs = [math.log(i + 1) for i in range(60)]
+    ys = [math.log(c) for _, c in top]
+    n = 60.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    inter = (sy - slope * sx) / n
+    import pytest as _pt
+
+    assert row.slope == _pt.approx(slope, abs=1.5e-6)
+    assert row.intercept == _pt.approx(inter, abs=1.5e-6)

@@ -816,3 +816,16 @@ m = merge_additive_states(
 sc = additive_state(ev001, ["event_type"], "value")
 assert {tuple(r) for r in m.collect()} == {tuple(r) for r in sc.collect()}
 print("DRIVE57 OK")
+
+# batch-6a: temperature mixing + zipf audit
+from blogparser_spark.dataops.curation import temperature_rates, temperature_rates_df
+from blogparser_spark.dataops.textstats import zipf_fit
+
+tr = {r.strata: r.keep_rate for r in temperature_rates_df(docs, "lang", 0.5).collect()}
+td = temperature_rates(docs, "lang", 0.5)
+assert set(tr) == set(td) and all(abs(tr[s] - min(1.0, td[s])) < 1e-6 for s in tr)
+assert any(v == 1.0 for v in tr.values())
+zf = zipf_fit(docs, top_n=20).collect()[0]
+assert zf.n_terms == 20 and zf.slope < 0
+print("zipf slope:", zf.slope)
+print("DRIVE58 OK")
