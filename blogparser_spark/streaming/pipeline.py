@@ -270,3 +270,77 @@ def streaming_sessionize(
             "n_events",
         )
     )
+
+
+def run_streaming_drift(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    reference: DataFrame,
+    group_cols: tuple[str, ...] = ("role",),
+    n_bins: int = 16,
+    bin_div: int = 64,
+    text_col: str = "text",
+) -> None:
+    """Streaming drift monitor: every micro-batch's text-length
+    distribution is PSI-scored against a static REFERENCE slice, per
+    group, and the (batch_id, group, n_ref, n_cur, psi) rows append to
+    the monitor sink — the canary a production ingest runs so a schema
+    change or upstream regression (truncated bodies, exploding
+    boilerplate) alarms within one batch instead of one retraining.
+
+    Shape per batch: the reference histogram is tiny (groups x n_bins,
+    pre-aggregated ONCE here, broadcast into each batch's psi_drift
+    join); the batch reduces to its own histogram before any comparison.
+    Replay-safe the CMS way: a re-delivered batch id appends IDENTICAL
+    psi rows (the sketch is deterministic), and read_drift_state dedups
+    per (batch_id, group) before use."""
+    from blogparser_spark.dataops.profile import psi_drift
+
+    bin_col = F.least(
+        F.greatest(
+            (F.length(F.col(text_col)).cast("bigint") / F.lit(bin_div)).cast(
+                "bigint"
+            ),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    ref_binned = reference.select(*group_cols, bin_col.alias("bin"))
+
+    schema = transcripts_df(spark, n_convs=1, turns_per_conv=1).schema
+    stream = spark.readStream.schema(schema).parquet(input_path)
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = batch_df.select(*group_cols, bin_col.alias("bin"))
+        out = psi_drift(ref_binned, cur, group_cols, "bin", n_bins)
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(output_path)
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_drift_state(
+    spark: SparkSession, path: str, group_cols: tuple[str, ...] = ("role",)
+) -> DataFrame:
+    """Monitor readout: dedup replayed deliveries per (batch_id, group)
+    (identical rows by construction — first() is the no-op collapse),
+    ordered for alerting."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("batch_id", *group_cols)
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.first("psi").alias("psi"),
+        )
+        .orderBy("batch_id", *group_cols)
+    )

@@ -312,3 +312,64 @@ def test_stream_stream_join_lag_bound_excludes_slow_responses(spark, tmp_path):
     got = request_response_pairs(reqs, rsps, max_lag="30 minutes").collect()
     assert [r.conv_id for r in got] == ["c1"]
     assert got[0].latency_us == 5 * 60 * 1_000_000
+
+
+def test_streaming_drift_matches_batch_psi(spark, tmp_path):
+    """Per-batch streaming PSI rows must equal psi_drift computed in batch
+    over the same (reference, slice) pairs, and replayed appends must not
+    change the readout."""
+    from blogparser_spark.dataops.profile import psi_drift
+    from blogparser_spark.sources.synthetic import transcripts_df
+    from blogparser_spark.streaming.pipeline import (
+        read_drift_state,
+        run_streaming_drift,
+    )
+
+    ref = transcripts_df(spark, n_convs=25, turns_per_conv=4)
+    cur = transcripts_df(spark, n_convs=40, turns_per_conv=4)
+    inp = str(tmp_path / "in")
+    slice_a = cur.filter(F.col("conv_id").substr(-1, 1).isin("0", "1", "2"))
+    slice_b = cur.subtract(slice_a)
+    slice_a.write.mode("overwrite").parquet(inp)
+    slice_b.coalesce(1).write.mode("append").parquet(inp)
+
+    out = str(tmp_path / "drift")
+    run_streaming_drift(
+        spark, inp, out, str(tmp_path / "ckpt"), ref, group_cols=("role",)
+    )
+    got = {
+        (r.batch_id, r.role): (r.n_ref, r.n_cur, r.psi)
+        for r in read_drift_state(spark, out, ("role",)).collect()
+    }
+    assert got and len({b for b, _ in got}) >= 1
+
+    # batch twin over the union of everything streamed, per batch file set
+    bin_of = F.least(
+        F.greatest(
+            (F.length("text").cast("bigint") / F.lit(64)).cast("bigint"),
+            F.lit(0),
+        ),
+        F.lit(15),
+    )
+    ref_b = ref.select("role", bin_of.alias("bin"))
+    streamed = spark.read.parquet(inp).select("role", bin_of.alias("bin"))
+    whole = {
+        r.role: (r.n_ref, r.n_cur, r.psi)
+        for r in psi_drift(ref_b, streamed, ("role",), "bin", 16).collect()
+    }
+    # summing n_cur across batches == whole-input n_cur per role
+    per_role_n = {}
+    for (b, role), (_, n_cur, _) in got.items():
+        per_role_n[role] = per_role_n.get(role, 0) + n_cur
+    assert per_role_n == {k: v[1] for k, v in whole.items()}
+    # single-batch case: if only one batch fired, psi matches exactly
+    if len({b for b, _ in got}) == 1:
+        assert {r: v for (_, r), v in got.items()} == whole
+
+    # replay-idempotence
+    spark.read.parquet(out).write.mode("append").parquet(out)
+    again = {
+        (r.batch_id, r.role): (r.n_ref, r.n_cur, r.psi)
+        for r in read_drift_state(spark, out, ("role",)).collect()
+    }
+    assert again == got

@@ -829,3 +829,19 @@ zf = zipf_fit(docs, top_n=20).collect()[0]
 assert zf.n_terms == 20 and zf.slope < 0
 print("zipf slope:", zf.slope)
 print("DRIVE58 OK")
+
+# batch-6b: streaming drift monitor — scores land per batch, replay-safe
+import tempfile as _tf
+
+from blogparser_spark.sources.synthetic import transcripts_df as _tdf
+from blogparser_spark.streaming.pipeline import read_drift_state, run_streaming_drift
+
+_dd = _tf.mkdtemp(prefix="drv_drift_")
+_ref = _tdf(spark, n_convs=10, turns_per_conv=3)
+_cur = _tdf(spark, n_convs=15, turns_per_conv=3)
+_cur.write.mode("overwrite").parquet(f"{_dd}/in")
+run_streaming_drift(spark, f"{_dd}/in", f"{_dd}/out", f"{_dd}/ck", _ref, ("role",))
+_st = read_drift_state(spark, f"{_dd}/out", ("role",)).collect()
+assert _st and all(r.psi is not None and r.n_cur > 0 for r in _st)
+print("drift rows:", len(_st))
+print("DRIVE59 OK")
