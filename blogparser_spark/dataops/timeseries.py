@@ -414,3 +414,32 @@ def rfm_scores(events: DataFrame, n_bands: int = 5) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+def missing_daily_ranges(
+    df: DataFrame, ts_col: str = "ts", group_cols: list[str] | None = None
+) -> DataFrame:
+    """Backfill planner: contiguous runs of ABSENT days between the first
+    and last observed day, per group — (group..., gap_start_day,
+    gap_end_day, n_missing) in epoch-day units. The question an ingest
+    operator actually asks ("which date ranges do I re-run?"), answered
+    as ranges rather than a dense calendar of holes.
+
+    Shape: distinct observed days (partial-agg dedup; |days| rows per
+    group, never the raw log), one lag window over that tiny day list,
+    emit a row only where the jump exceeds one day. Contrast
+    gap_fill_daily, which DENSIFIES values over the calendar; this emits
+    only the holes, so a year with one missing week is 1 row."""
+    gc = list(group_cols or [])
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    days = df.select(*gc, day.alias("day")).distinct()
+    w = Window.partitionBy(*[F.col(c) for c in gc]).orderBy("day")
+    gaps = days.withColumn("_prev", F.lag("day").over(w)).filter(
+        F.col("_prev").isNotNull() & (F.col("day") > F.col("_prev") + 1)
+    )
+    return gaps.select(
+        *gc,
+        (F.col("_prev") + 1).alias("gap_start_day"),
+        (F.col("day") - 1).alias("gap_end_day"),
+        (F.col("day") - F.col("_prev") - 1).alias("n_missing"),
+    )

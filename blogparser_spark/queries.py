@@ -6150,3 +6150,109 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blogparser_spark.dataops.textstats import zipf_fit
 
     return zipf_fit(_docs(spark, sf_dir), top_n=200)
+
+
+_BACKFILL_SQL = r"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day
+      FROM events
+      WHERE (epoch_us(ts) // 86400000000) % 7 <> 3
+    ), days AS (
+      SELECT DISTINCT event_type, day FROM ev
+    ), lagged AS (
+      SELECT event_type, day,
+             lag(day) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      FROM days
+    )
+    SELECT event_type, (prev + 1)::BIGINT AS gap_start_day,
+           (day - 1)::BIGINT AS gap_end_day,
+           (day - prev - 1)::BIGINT AS n_missing
+    FROM lagged WHERE prev IS NOT NULL AND day > prev + 1
+    ORDER BY event_type, gap_start_day
+"""
+
+
+@_q("backfill_missing_ranges", _BACKFILL_SQL)
+def backfill_missing_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planning (timeseries.missing_daily_ranges): contiguous
+    runs of absent days per event type, emitted as re-run RANGES rather
+    than a dense calendar of holes. Every 7th day is deterministically
+    dropped first so the planner has real gaps to find. The scan reduces
+    to distinct (type, day) before the one lag window over that tiny
+    list."""
+    from blogparser_spark.dataops import timeseries
+
+    ev = _events(spark, sf_dir).filter(
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 86400000000) % 7 != 3"
+        )
+    )
+    return timeseries.missing_daily_ranges(ev, "ts", ["event_type"]).orderBy(
+        "event_type", "gap_start_day"
+    )
+
+
+_FUNNEL_LAT_SQL = f"""
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s1 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1
+    ), lat AS (
+      SELECT 'click' AS step,
+             epoch_us(s1.t) - epoch_us(s0.t) AS latency_us
+      FROM s1 JOIN s0 ON s1.user_id = s0.user_id
+      UNION ALL
+      SELECT 'purchase',
+             epoch_us(s2.t) - epoch_us(s1.t)
+      FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+    ), h AS (
+      SELECT step,
+        CAST(ceil(round(ln(CAST(latency_us AS DOUBLE)) / {_DD_LG!r}, 6))
+             AS BIGINT) AS bucket,
+        count(*)::BIGINT AS cnt
+      FROM lat WHERE latency_us > 0 GROUP BY 1, 2
+    ), c AS (
+      SELECT step, bucket,
+        sum(cnt) OVER (PARTITION BY step ORDER BY bucket)::BIGINT AS cum,
+        sum(cnt) OVER (PARTITION BY step)::BIGINT AS n
+      FROM h
+    ), qq AS (
+      SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                     CAST(0.99 AS DOUBLE)]) AS q
+    )
+    SELECT step, q, min(bucket) AS bucket,
+      round(2.0 * pow({_DD_G!r}, min(bucket)) / {_DD_G + 1.0!r}, 6) AS est
+    FROM c CROSS JOIN qq
+    WHERE cum >= floor(q * (n - 1)) + 1
+    GROUP BY step, q
+    ORDER BY step, q
+"""
+
+
+@_q("funnel_latency_quantiles", _FUNNEL_LAT_SQL)
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency SLO readout: time-to-convert between consecutive
+    funnel steps (aggregate.funnel_step_latencies — strictly-ordered
+    progression, integer microseconds) summarized by DDSketch relative-
+    error quantiles per step (sketches.dd_histogram + dd_quantiles) —
+    two families composed: the funnel's linear per-step min-agg passes
+    feed the mergeable quantile sketch, so the whole SLO pipeline stays
+    partial-aggregatable end to end."""
+    from blogparser_spark.dataops import sketches
+    from blogparser_spark.operators.aggregate import funnel_step_latencies
+
+    lat = funnel_step_latencies(_events(spark, sf_dir))
+    hist = sketches.dd_histogram(
+        lat, F.col("latency_us"), ("step",)
+    )
+    return (
+        sketches.dd_quantiles(hist, (0.5, 0.9, 0.99), ("step",))
+        .orderBy("step", "q")
+    )

@@ -880,3 +880,49 @@ def test_zipf_fit_recovers_planted_slope(spark):
 
     assert row.slope == _pt.approx(slope, abs=1.5e-6)
     assert row.intercept == _pt.approx(inter, abs=1.5e-6)
+
+
+def test_missing_daily_ranges_twin(spark):
+    base = datetime(2024, 2, 1)
+    # group A observed days 0,1,2, 6, 10,11 -> gaps [3-5], [7-9]
+    # group B contiguous -> no rows
+    rows = [("A", base + timedelta(days=d)) for d in (0, 1, 2, 6, 10, 11)]
+    rows += [("B", base + timedelta(days=d)) for d in range(4)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = sorted(
+        (r.g, r.gap_start_day, r.gap_end_day, r.n_missing)
+        for r in timeseries.missing_daily_ranges(df, "ts", ["g"]).collect()
+    )
+    d0 = int(base.timestamp() * 1_000_000) // 86_400_000_000
+    assert got == [
+        ("A", d0 + 3, d0 + 5, 3),
+        ("A", d0 + 7, d0 + 9, 3),
+    ]
+
+
+def test_funnel_step_latencies_strict_order_twin(spark):
+    from blogparser_spark.operators.aggregate import funnel_step_latencies
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        # user 1: view @0, click @10, purchase @25 -> click 10m, purchase 15m
+        (1, 1, "view", base, 0.0),
+        (2, 1, "click", base + timedelta(minutes=10), 0.0),
+        (3, 1, "purchase", base + timedelta(minutes=25), 0.0),
+        # user 2: click BEFORE view -> click never converts
+        (4, 2, "click", base, 0.0),
+        (5, 2, "view", base + timedelta(minutes=1), 0.0),
+        # user 3: view only
+        (6, 3, "view", base, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    got = sorted(
+        (r.user_id, r.step, r.latency_us)
+        for r in funnel_step_latencies(df).collect()
+    )
+    assert got == [
+        (1, "click", 600_000_000),
+        (1, "purchase", 900_000_000),
+    ]

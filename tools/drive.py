@@ -845,3 +845,19 @@ _st = read_drift_state(spark, f"{_dd}/out", ("role",)).collect()
 assert _st and all(r.psi is not None and r.n_cur > 0 for r in _st)
 print("drift rows:", len(_st))
 print("DRIVE59 OK")
+
+# batch-6c: backfill ranges + funnel latency SLOs
+from blogparser_spark.dataops.timeseries import missing_daily_ranges
+from blogparser_spark.operators.aggregate import funnel_step_latencies
+
+holey = ev001.filter(
+    _F.expr("(unix_micros(cast(ts as timestamp)) div 86400000000) % 5 != 2")
+)
+gaps = missing_daily_ranges(holey, "ts").collect()
+assert gaps and all(g.n_missing >= 1 and g.gap_start_day <= g.gap_end_day for g in gaps)
+full = missing_daily_ranges(ev001, "ts").collect()  # contiguous month: no gaps
+lat = funnel_step_latencies(ev001).collect()
+assert lat and all(r.latency_us > 0 for r in lat)
+assert {r.step for r in lat} <= {"click", "purchase"}
+print("gaps:", len(gaps), "latencies:", len(lat))
+print("DRIVE60 OK")
