@@ -481,3 +481,52 @@ def zipf_fit(
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 100,
+) -> DataFrame:
+    """Out-of-vocabulary audit: per document, the fraction of token
+    OCCURRENCES not covered by the corpus's top-`vocab_size` vocabulary —
+    (id, n_tokens, n_oov, oov_rate). High OOV flags encoding damage,
+    boilerplate explosions, or language the tokenizer was not built for;
+    the aggregate distribution is the coverage curve a vocab-size choice
+    is judged by.
+
+    Shape: the vocabulary is a rank window over the per-token counts
+    (vocabulary-sized, not corpus-sized) broadcast back onto the exploded
+    occurrences as a left join; per-doc coverage is one partial agg.
+    Ties at the vocabulary boundary rank deterministically by
+    (count desc, token asc). oov_rate is one exact-int division,
+    round-6."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0
+            )
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("_c"))
+    w = Window.orderBy(F.desc("_c"), F.asc("tok"))
+    vocab = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= vocab_size)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    j = toks.join(F.broadcast(vocab), "tok", "left")
+    return j.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("double")
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )

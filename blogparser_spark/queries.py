@@ -6256,3 +6256,38 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketches.dd_quantiles(hist, (0.5, 0.9, 0.99), ("step",))
         .orderBy("step", "q")
     )
+
+
+_OOV_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT tok, count(*)::BIGINT AS _c FROM toks GROUP BY 1
+    ), vocab AS (
+      SELECT tok FROM c
+      QUALIFY row_number() OVER (ORDER BY _c DESC, tok) <= 100
+    )
+    SELECT t.id AS doc_id, count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("oov_rate_docs", _OOV_SQL)
+def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer/vocabulary coverage audit (textstats.oov_rate): per
+    document, the fraction of token occurrences outside the corpus
+    top-100 vocabulary — the signal that flags encoding damage or
+    out-of-domain text, and the coverage curve vocab sizing is judged
+    by. Vocabulary ranks over the per-token counts (vocab-sized) and
+    broadcasts back onto the exploded occurrences; per-doc coverage is
+    one partial agg."""
+    from blogparser_spark.dataops.textstats import oov_rate
+
+    return oov_rate(_docs(spark, sf_dir), vocab_size=100).orderBy("doc_id")

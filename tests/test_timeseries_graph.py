@@ -926,3 +926,28 @@ def test_funnel_step_latencies_strict_order_twin(spark):
         (1, "click", 600_000_000),
         (1, "purchase", 900_000_000),
     ]
+
+
+def test_oov_rate_twin(spark):
+    from collections import Counter
+
+    from blogparser_spark.dataops.textstats import oov_rate
+
+    texts = {
+        1: "a a a b b c rare1",
+        2: "a b c c",
+        3: "rare2 rare3",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in oov_rate(df, vocab_size=3).collect()
+    }
+    cnt = Counter(t for s in texts.values() for t in s.split())
+    vocab = {t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]}
+    for d, s in texts.items():
+        tk = s.split()
+        oov = sum(1 for t in tk if t not in vocab)
+        assert got[d] == (len(tk), oov, round(oov / len(tk), 6)), d
+    assert vocab == {"a", "b", "c"}
+    assert got[3] == (2, 2, 1.0)  # all-rare doc flags fully OOV

@@ -861,3 +861,11 @@ assert lat and all(r.latency_us > 0 for r in lat)
 assert {r.step for r in lat} <= {"click", "purchase"}
 print("gaps:", len(gaps), "latencies:", len(lat))
 print("DRIVE60 OK")
+
+# batch-6d: OOV audit — rates in [0,1], vocab covers the common mass
+from blogparser_spark.dataops.textstats import oov_rate
+
+ov = oov_rate(docs, vocab_size=20).collect()
+assert ov and all(0.0 <= r.oov_rate <= 1.0 and r.n_oov <= r.n_tokens for r in ov)
+print("mean oov:", round(sum(r.oov_rate for r in ov) / len(ov), 3))
+print("DRIVE61 OK")
