@@ -6291,3 +6291,87 @@ def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blogparser_spark.dataops.textstats import oov_rate
 
     return oov_rate(_docs(spark, sf_dir), vocab_size=100).orderBy("doc_id")
+
+
+_DATASET_CARD_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> ''))::BIGINT AS n_tok,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+      FROM documents
+    ), med AS (
+      SELECT n_chars AS median_chars FROM (
+        SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM documents
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS total_tokens,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           round(sum(n_tok)::DOUBLE / count(*), 6) AS mean_tokens_per_doc,
+           min(n_chars)::BIGINT AS min_chars,
+           max(n_chars)::BIGINT AS max_chars,
+           (SELECT median_chars FROM med)::BIGINT AS median_chars,
+           (count(*) - count(DISTINCT h))::BIGINT AS n_exact_dups,
+           round((count(*) - count(DISTINCT h))::DOUBLE / count(*), 6)
+             AS exact_dup_rate
+    FROM toks
+"""
+
+
+@_q("dataset_card", _DATASET_CARD_SQL)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet in one pass: corpus size, token mass, language
+    spread, length extremes, the exact order-statistic median, and the
+    whitespace-normalized exact-duplicate rate — the summary table a
+    corpus release ships with (Gebru et al., 'Datasheets for Datasets').
+    Everything is a partial agg over one scan except the median (one rank
+    window over n_chars) and the distinct-hash count (shuffle of 32-byte
+    hashes, the dedup_exact_stats shape)."""
+    d = _docs(spark, sf_dir)
+    toks = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
+    ).cast("bigint")
+    h = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    base = d.select(
+        "doc_id", "lang", "n_chars", toks.alias("n_tok"), h.alias("h")
+    )
+    wmed = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    med = (
+        d.select("n_chars", "doc_id")
+        .withColumn("rn", F.row_number().over(wmed))
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("n_chars").alias("median_chars"))
+    )
+    agg = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            F.sum("n_tok").cast("double") / F.count("*"), 6
+        ).alias("mean_tokens_per_doc"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.count("*") - F.countDistinct("h")).alias("n_exact_dups"),
+        F.round(
+            (F.count("*") - F.countDistinct("h")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("exact_dup_rate"),
+    )
+    return agg.crossJoin(F.broadcast(med)).select(
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        "mean_tokens_per_doc",
+        "min_chars",
+        "max_chars",
+        F.col("median_chars").cast("bigint").alias("median_chars"),
+        "n_exact_dups",
+        "exact_dup_rate",
+    )

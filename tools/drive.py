@@ -869,3 +869,13 @@ ov = oov_rate(docs, vocab_size=20).collect()
 assert ov and all(0.0 <= r.oov_rate <= 1.0 and r.n_oov <= r.n_tokens for r in ov)
 print("mean oov:", round(sum(r.oov_rate for r in ov) / len(ov), 3))
 print("DRIVE61 OK")
+
+# batch-6e: dataset card — one-row datasheet, internally consistent
+import __spark_entry__ as _entry2
+
+card = _entry2.queries()["dataset_card"](spark, "/root/testdata/sf0.001").collect()[0]
+assert card.n_docs > 0 and card.total_tokens >= card.n_docs
+assert card.min_chars <= card.median_chars <= card.max_chars
+assert 0.0 <= card.exact_dup_rate < 1.0
+print("card:", card.n_docs, "docs,", card.total_tokens, "tokens,", card.n_langs, "langs")
+print("DRIVE62 OK")
