@@ -191,3 +191,72 @@ def apply_retention_deletes(
         "rows_deleted": rows_before - rows_after,
         "rows_after": rows_after,
     }
+
+
+def consistent_shard_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    vnodes: int = 32,
+    salt: str = "ring",
+) -> DataFrame:
+    """Consistent-hash shard routing (Karger et al., STOC'97): each shard
+    owns `vnodes` points on a 52-bit md5 ring; a key routes to the shard
+    owning the first ring point at or after the key's hash (wrapping).
+    The property plain `hash(key) % n` lacks: growing n_shards -> n+1
+    remaps only ~1/(n+1) of keys (test-pinned), so resharding a 100-TB
+    routed corpus moves one shard's worth of data, not all of it.
+
+    Shape: the ring is n_shards x vnodes points, built in-plan from shard
+    ids (no driver collect), sorted once into a one-row array and
+    cross-joined broadcast onto the keys; the lookup is an aggregate over
+    that small array per row (interpreted HOF — fine at <= a few hundred
+    ring points; for thousands, bucket the ring by hash prefix first).
+    Output adds (key_hash, shard)."""
+    ring_pts = (
+        df.sparkSession.range(n_shards)
+        .select(
+            F.col("id").cast("int").alias("shard"),
+            F.explode(F.sequence(F.lit(0), F.lit(vnodes - 1))).alias("v"),
+        )
+        .select(
+            "shard",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.lit(salt), F.col("shard"), F.col("v"))
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("pt"),
+        )
+    )
+    ring = ring_pts.agg(
+        F.sort_array(F.collect_list(F.struct("pt", "shard"))).alias("_ring")
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "#"), F.col(key_col).cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("key_hash")
+    )
+    keyed = df.withColumn("key_hash", h).crossJoin(F.broadcast(ring))
+    nxt = F.filter(
+        F.col("_ring"), lambda s: s["pt"] >= F.col("key_hash")
+    )
+    owner = F.when(F.size(nxt) > 0, F.element_at(nxt, 1)["shard"]).otherwise(
+        F.element_at(F.col("_ring"), 1)["shard"]
+    )
+    return keyed.withColumn("shard", owner.cast("int")).drop("_ring")

@@ -292,3 +292,40 @@ def test_additive_state_merge_equals_from_scratch(spark):
         want[r.k] = (c + 1, s + Decimal(str(round(r.v, 2))))
     for r in scratch.collect():
         assert (r.cnt, r.vsum) == want[r.k]
+
+
+def test_consistent_shard_minimal_movement(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from blogparser_spark.operators.route import consistent_shard_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    a = {
+        r.k: (r.key_hash, r.shard)
+        for r in consistent_shard_assign(df, "k", n_shards=8).collect()
+    }
+    b = {
+        r.k: r.shard
+        for r in consistent_shard_assign(df, "k", n_shards=9).collect()
+    }
+    assert len(a) == len(b) == 2000
+    # python ring twin for n=8
+    ring = sorted(
+        (int(hashlib.md5(f"ring:{s}:{v}".encode()).hexdigest()[:13], 16), s)
+        for s in range(8)
+        for v in range(32)
+    )
+    for k, (kh, shard) in a.items():
+        want_kh = int(hashlib.md5(f"ring#{k}".encode()).hexdigest()[:13], 16)
+        assert kh == want_kh
+        nxt = [s for pt, s in ring if pt >= kh]
+        assert shard == (nxt[0] if nxt else ring[0][1]), k
+    # elasticity: growing 8 -> 9 shards moves ~1/9 of keys, never most
+    moved = sum(1 for k in a if a[k][1] != b[k])
+    assert moved / 2000 < 2.5 / 9, moved  # ideal 1/9 with vnode variance
+    assert moved > 0
+    # all 8 / 9 shards receive keys (vnodes balance the ring)
+    assert len({s for _, s in a.values()}) == 8
+    assert len(set(b.values())) == 9

@@ -879,3 +879,17 @@ assert card.min_chars <= card.median_chars <= card.max_chars
 assert 0.0 <= card.exact_dup_rate < 1.0
 print("card:", card.n_docs, "docs,", card.total_tokens, "tokens,", card.n_langs, "langs")
 print("DRIVE62 OK")
+
+# batch-6f: consistent-hash routing — balance and n->n+1 minimal movement
+from blogparser_spark.operators.route import consistent_shard_assign
+
+uids = ev001.select("user_id").distinct()
+s8 = {r.user_id: r.shard for r in consistent_shard_assign(uids, "user_id", 8).collect()}
+s9 = {r.user_id: r.shard for r in consistent_shard_assign(uids, "user_id", 9).collect()}
+moved = sum(1 for k in s8 if s8[k] != s9[k])
+# sf0.001 has ~15 distinct users — coverage/movement asserts sized to that
+assert len(set(s8.values())) >= 5 and len(set(s9.values())) >= 5
+assert 0 <= moved / len(s8) < 0.4
+assert all(0 <= v < 8 for v in s8.values()) and all(0 <= v < 9 for v in s9.values())
+print("shard movement 8->9:", round(moved / len(s8), 3))
+print("DRIVE63 OK")
