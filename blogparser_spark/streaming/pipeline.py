@@ -344,3 +344,54 @@ def read_drift_state(
         )
         .orderBy("batch_id", *group_cols)
     )
+
+
+def run_streaming_kmv(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    group_cols: tuple[str, ...] = ("role",),
+    text_col: str = "text",
+    k: int = 64,
+) -> None:
+    """Streaming KMV distinct sketch: each micro-batch reduces to its
+    per-group min-k hash sample (<= k rows per group whatever the batch
+    size) and APPENDS it; the live sketch is the re-min-k of everything
+    appended (read_kmv_state). Like the HLL state, append + merge is
+    exactly correct under at-least-once delivery with NO batch-id
+    bookkeeping: min-k of a multiset union is idempotent, so a replayed
+    batch's duplicate sample rows change nothing. Unlike HLL, the merged
+    KMV supports set ALGEBRA downstream — kmv_pairwise_overlap between
+    live groups."""
+    from blogparser_spark.dataops import sketches
+
+    schema = transcripts_df(spark, n_convs=1, turns_per_conv=1).schema
+    stream = spark.readStream.schema(schema).parquet(input_path)
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        samp = sketches.kmv_sample(batch_df, F.col(text_col), group_cols, k)
+        samp.write.mode("append").parquet(output_path)
+
+    q = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_kmv_state(
+    spark: SparkSession,
+    path: str,
+    group_cols: tuple[str, ...] = ("role",),
+    k: int = 64,
+) -> DataFrame:
+    """Collapse appended per-batch samples to the live min-k sketch
+    (kmv_merge semantics: distinct then re-rank)."""
+    from blogparser_spark.dataops import sketches
+
+    return sketches.kmv_merge(
+        spark.read.parquet(path), group_cols=group_cols, k=k
+    )

@@ -373,3 +373,47 @@ def test_streaming_drift_matches_batch_psi(spark, tmp_path):
         for r in read_drift_state(spark, out, ("role",)).collect()
     }
     assert again == got
+
+
+def test_streaming_kmv_matches_batch_and_replay_idempotent(spark, tmp_path):
+    """The merged streaming KMV sample must equal the one-shot batch
+    sample over the same rows (min-k of a union == min-k of the union of
+    min-k's), and replayed appends must not change it — no batch-id
+    bookkeeping needed."""
+    from blogparser_spark.dataops import sketches
+    from blogparser_spark.sources.synthetic import transcripts_df
+    from blogparser_spark.streaming.pipeline import (
+        read_kmv_state,
+        run_streaming_kmv,
+    )
+
+    df = transcripts_df(spark, n_convs=30, turns_per_conv=5)
+    inp = str(tmp_path / "in")
+    df.filter(F.col("turn_idx") < 2).write.mode("overwrite").parquet(inp)
+    df.filter(F.col("turn_idx") >= 2).coalesce(1).write.mode("append").parquet(inp)
+
+    out = str(tmp_path / "kmv")
+    run_streaming_kmv(spark, inp, out, str(tmp_path / "ckpt"), ("role",), k=32)
+    merged = {
+        (r.role, r.h) for r in read_kmv_state(spark, out, ("role",), 32).collect()
+    }
+    batch = {
+        (r.role, r.h)
+        for r in sketches.kmv_sample(df, F.col("text"), ("role",), 32).collect()
+    }
+    assert merged == batch
+
+    # replay: append the whole state again — min-k is idempotent
+    spark.read.parquet(out).write.mode("append").parquet(out)
+    again = {
+        (r.role, r.h) for r in read_kmv_state(spark, out, ("role",), 32).collect()
+    }
+    assert again == batch
+
+    # the live sketch supports set algebra between streamed groups
+    ov = sketches.kmv_pairwise_overlap(
+        read_kmv_state(spark, out, ("role",), 32).withColumnRenamed("role", "g"),
+        "g",
+        32,
+    ).collect()
+    assert ov and all(r.union_est >= r.inter_est >= 0 for r in ov)

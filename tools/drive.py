@@ -893,3 +893,17 @@ assert 0 <= moved / len(s8) < 0.4
 assert all(0 <= v < 8 for v in s8.values()) and all(0 <= v < 9 for v in s9.values())
 print("shard movement 8->9:", round(moved / len(s8), 3))
 print("DRIVE63 OK")
+
+# batch-6g: streaming KMV — live sketch equals batch sample, replay-safe
+from blogparser_spark.dataops.sketches import kmv_sample as _kmvs
+from blogparser_spark.streaming.pipeline import read_kmv_state, run_streaming_kmv
+
+_kd = _tf.mkdtemp(prefix="drv_kmv_")
+_tdf(spark, n_convs=12, turns_per_conv=3).write.mode("overwrite").parquet(f"{_kd}/in")
+run_streaming_kmv(spark, f"{_kd}/in", f"{_kd}/out", f"{_kd}/ck", ("role",), k=16)
+live = {(r.role, r.h) for r in read_kmv_state(spark, f"{_kd}/out", ("role",), 16).collect()}
+whole = {(r.role, r.h) for r in _kmvs(
+    spark.read.parquet(f"{_kd}/in"), _F.col("text"), ("role",), 16
+).collect()}
+assert live == whole and live
+print("DRIVE64 OK")
