@@ -352,3 +352,48 @@ def ks_drift(
         F.first("tb").alias("n_cur"),
         F.round(F.max(gap), 6).alias("ks_d"),
     )
+
+
+def k_anonymity_groups(
+    df: DataFrame, qid_cols: Sequence[str], id_col: str, k: int = 5
+) -> DataFrame:
+    """Per quasi-identifier combination: row count, distinct-individual
+    count, and the k-anonymity risk flag (Sweeney 2002 — a release is
+    k-anonymous iff every quasi-identifier combination covers >= k
+    individuals). ONE hash aggregate keyed on the QID tuple; the exact
+    distinct-id count is Spark's standard two-phase expand, partial-agg
+    friendly, so the shuffle carries (qid, id) partials — never rows. At
+    10^12 rows the output stays QID-cardinality-sized."""
+    return df.groupBy(*qid_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(id_col).alias("n_ids"),
+        (F.countDistinct(id_col) < k).alias("at_risk"),
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qid_cols: Sequence[str],
+    id_col: str,
+    k: int = 5,
+    by: str | None = None,
+) -> DataFrame:
+    """Release-level k-anonymity audit, optionally per `by` slice: group
+    count, risky-group count, rows falling in risky groups, the minimum
+    group width, and the risky-row fraction — the numbers a privacy gate
+    alerts on before a dataset ships. Two stacked aggregates, both
+    map-side combinable."""
+    groups = k_anonymity_groups(df, qid_cols, id_col, k)
+    keys = [by] if by else []
+    risky_rows = F.sum(F.when(F.col("at_risk"), F.col("n_rows")).otherwise(0))
+    agg = groups.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("at_risk"), 1).otherwise(0)).cast("bigint").alias("n_risky_groups"),
+        risky_rows.cast("bigint").alias("n_rows_at_risk"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("n_ids").cast("bigint").alias("min_group_ids"),
+    )
+    return agg.withColumn(
+        "risky_row_frac",
+        F.round(F.col("n_rows_at_risk") / F.greatest(F.col("n_rows"), F.lit(1)), 6),
+    )

@@ -530,3 +530,118 @@ def oov_rate(
             6,
         ).alias("oov_rate"),
     )
+
+
+# ------------------------------------------------------- Gopher rule bank ---
+
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher"), Table A1 — the
+# canonical pre-training document filter bank. Thresholds are the paper's.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS = ("- ", "* ", "• ")
+
+
+def gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-document Gopher quality-rule evaluation: word-count band, mean
+    word length band [3,10], symbol-to-word ratio ('#' and '...') <= 0.1,
+    bullet-line fraction <= 0.9, ellipsis-line fraction <= 0.3, fraction of
+    words with an alphabetic character >= 0.8, and >= 2 of the 8 Gopher
+    stop words present — plus the conjunction `gopher_pass`.
+
+    All rules are native Column expressions over ONE let-bound token struct
+    and one let-bound line array (the split subtrees appear once in
+    codegen); threshold comparisons run on UNROUNDED small-integer ratios
+    so they are bit-equal across engines, and the reported fractions are
+    round-6 for the oracle. No shuffle: at 100 TB this is scan-speed, and a
+    `gopher_pass` filter pushes into the parquet scan."""
+    c = F.col(text_col)
+
+    tok_feats = _let(
+        tokens(c),
+        lambda toks: F.struct(
+            F.size(toks).alias("n"),
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+            ).alias("len_sum"),
+            F.size(
+                F.filter(toks, lambda t: F.length(F.regexp_replace(t, "[^A-Za-z]", "")) > 0)
+            ).alias("n_alpha"),
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.transform(toks, F.lower)),
+                    F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+                )
+            ).alias("n_stop"),
+        ),
+    )
+    line_feats = _let(
+        F.filter(F.split(c, "\n"), lambda l: l != ""),
+        lambda lines: F.struct(
+            F.size(lines).alias("n_lines"),
+            F.size(
+                F.filter(
+                    lines,
+                    lambda l: F.array_contains(
+                        F.array(*[F.ltrim(l).startswith(b) for b in GOPHER_BULLETS]),
+                        True,
+                    ),
+                )
+            ).alias("n_bullet"),
+            F.size(
+                F.filter(
+                    lines,
+                    lambda l: F.rtrim(l).endswith("...")
+                    | F.rtrim(l).endswith("…"),
+                )
+            ).alias("n_ellipsis"),
+        ),
+    )
+
+    n = F.col("_tf")["n"]
+    n1 = F.greatest(n, F.lit(1))
+    nl = F.greatest(F.col("_lf")["n_lines"], F.lit(1))
+    hash_cnt = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ell_cnt = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    mean_len = F.col("_tf")["len_sum"] / n1
+    sym_ratio = (hash_cnt + ell_cnt) / n1
+    bullet_frac = F.col("_lf")["n_bullet"] / nl
+    ell_frac = F.col("_lf")["n_ellipsis"] / nl
+    alpha_frac = F.col("_tf")["n_alpha"] / n1
+
+    return (
+        df.withColumn("_tf", tok_feats)
+        .withColumn("_lf", line_feats)
+        .select(
+            F.col(id_col),
+            n.cast("bigint").alias("n_words"),
+            F.round(mean_len, 6).alias("mean_word_len"),
+            F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+            F.round(bullet_frac, 6).alias("bullet_line_frac"),
+            F.round(ell_frac, 6).alias("ellipsis_line_frac"),
+            F.round(alpha_frac, 6).alias("alpha_word_frac"),
+            F.col("_tf")["n_stop"].cast("bigint").alias("n_stop_hits"),
+            ((n >= min_words) & (n <= max_words)).alias("pass_word_count"),
+            ((mean_len >= 3) & (mean_len <= 10)).alias("pass_mean_word_len"),
+            (sym_ratio <= 0.1).alias("pass_symbol_ratio"),
+            (bullet_frac <= 0.9).alias("pass_bullet"),
+            (ell_frac <= 0.3).alias("pass_ellipsis"),
+            (alpha_frac >= 0.8).alias("pass_alpha"),
+            (F.col("_tf")["n_stop"] >= 2).alias("pass_stopwords"),
+            (
+                (n >= min_words)
+                & (n <= max_words)
+                & (mean_len >= 3)
+                & (mean_len <= 10)
+                & (sym_ratio <= 0.1)
+                & (bullet_frac <= 0.9)
+                & (ell_frac <= 0.3)
+                & (alpha_frac >= 0.8)
+                & (F.col("_tf")["n_stop"] >= 2)
+            ).alias("gopher_pass"),
+        )
+    )

@@ -6419,3 +6419,147 @@ def consistent_shard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_keys"))
         .orderBy("shard")
     )
+
+
+# ===========================================================================
+# Gopher rule bank + k-anonymity privacy audit (round 3, late batch)
+# ===========================================================================
+
+# The synthetic documents are single-line word soup, so the query decorates
+# them deterministically (same convention as the HTML-payload queries):
+# ' table' starts a bulleted line, 'hash' gains a '#' symbol, doc_id%3 adds
+# Gopher stop words, doc_id%7 appends an ellipsis-terminated line — every
+# rule in the bank has both passing and failing documents at sf0.01.
+_GOPHER_SQL = r"""
+    WITH p0 AS (
+      SELECT doc_id,
+        replace(replace(text, ' table', chr(10) || '- table'),
+                'hash', '#hash') AS p1
+      FROM documents
+    ), pg AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 3 = 0 THEN p1 || ' of the and to' ELSE p1 END)
+        || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'the end is near...'
+                 ELSE '' END) AS page
+      FROM p0
+    ), feat AS (
+      SELECT doc_id, page,
+        list_filter(string_split(page, ' '), x -> x != '') AS tk,
+        list_filter(string_split(page, chr(10)), x -> x != '') AS ln
+      FROM pg
+    ), m AS (
+      SELECT doc_id,
+        len(tk)::BIGINT AS n_words,
+        greatest(len(tk), 1) AS n1,
+        list_sum(list_transform(tk, t -> length(t)))::BIGINT AS len_sum,
+        len(list_filter(tk,
+          t -> length(regexp_replace(t, '[^A-Za-z]', '', 'g')) > 0)) AS n_alpha,
+        len(list_intersect(list_distinct(list_transform(tk, t -> lower(t))),
+          ['the','be','to','of','and','that','have','with'])) AS n_stop,
+        length(page) - length(replace(page, '#', '')) AS hash_cnt,
+        (length(page) - length(replace(page, '...', ''))) / 3 AS ell_cnt,
+        greatest(len(ln), 1) AS nl,
+        len(list_filter(ln, l -> starts_with(ltrim(l), '- ')
+          OR starts_with(ltrim(l), '* ')
+          OR starts_with(ltrim(l), '• '))) AS n_bullet,
+        len(list_filter(ln, l -> ends_with(rtrim(l), '...')
+          OR ends_with(rtrim(l), '…'))) AS n_ellipsis
+      FROM feat
+    )
+    SELECT doc_id, n_words,
+      round(len_sum / n1, 6) AS mean_word_len,
+      round((hash_cnt + ell_cnt) / n1, 6) AS symbol_word_ratio,
+      round(n_bullet / nl, 6) AS bullet_line_frac,
+      round(n_ellipsis / nl, 6) AS ellipsis_line_frac,
+      round(n_alpha / n1, 6) AS alpha_word_frac,
+      n_stop::BIGINT AS n_stop_hits,
+      (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+      (len_sum / n1 >= 3 AND len_sum / n1 <= 10) AS pass_mean_word_len,
+      ((hash_cnt + ell_cnt) / n1 <= 0.1) AS pass_symbol_ratio,
+      (n_bullet / nl <= 0.9) AS pass_bullet,
+      (n_ellipsis / nl <= 0.3) AS pass_ellipsis,
+      (n_alpha / n1 >= 0.8) AS pass_alpha,
+      (n_stop >= 2) AS pass_stopwords,
+      ((n_words >= 50 AND n_words <= 100000)
+       AND (len_sum / n1 >= 3 AND len_sum / n1 <= 10)
+       AND ((hash_cnt + ell_cnt) / n1 <= 0.1)
+       AND (n_bullet / nl <= 0.9)
+       AND (n_ellipsis / nl <= 0.3)
+       AND (n_alpha / n1 >= 0.8)
+       AND (n_stop >= 2)) AS gopher_pass
+    FROM m ORDER BY doc_id
+"""
+
+
+@_q("gopher_quality_flags", _GOPHER_SQL)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher document-filter rule bank (Rae et al. 2021 Table A1;
+    dataops/textstats.gopher_flags): word-count band, mean-word-length
+    band, symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, stop-word presence, and the conjunction. Pure codegen over
+    one let-bound token struct and one line array — scan-speed at 100 TB,
+    and a gopher_pass filter pushes into the scan. Threshold comparisons
+    run on unrounded small-int ratios (bit-equal across engines); the
+    oracle replays every rule in DuckDB."""
+    from blogparser_spark.dataops.textstats import gopher_flags
+
+    c = F.col("text")
+    p1 = F.replace(
+        F.replace(c, F.lit(" table"), F.lit("\n- table")),
+        F.lit("hash"),
+        F.lit("#hash"),
+    )
+    p2 = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(p1, F.lit(" of the and to"))
+    ).otherwise(p1)
+    page = F.concat(
+        p2,
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\nthe end is near...")).otherwise(
+            F.lit("")
+        ),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", page.alias("text"))
+    return gopher_flags(d).orderBy("doc_id")
+
+
+_KANON_SQL = r"""
+    WITH g AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             floor(value)::BIGINT AS vb,
+             count(*)::BIGINT AS n_rows,
+             count(DISTINCT user_id)::BIGINT AS n_ids
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_groups,
+           sum(CASE WHEN n_ids < 5 THEN 1 ELSE 0 END)::BIGINT AS n_risky_groups,
+           sum(CASE WHEN n_ids < 5 THEN n_rows ELSE 0 END)::BIGINT AS n_rows_at_risk,
+           sum(n_rows)::BIGINT AS n_rows,
+           min(n_ids)::BIGINT AS min_group_ids,
+           round(sum(CASE WHEN n_ids < 5 THEN n_rows ELSE 0 END)
+                 / greatest(sum(n_rows), 1), 6) AS risky_row_frac
+    FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("k_anonymity_audit", _KANON_SQL)
+def k_anonymity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity privacy gate (Sweeney 2002; dataops/profile.py): events
+    grouped by the quasi-identifier tuple (event_type, day, value band),
+    each group's distinct-user width checked against k=5, then rolled up
+    per event_type into the audit a release gate alerts on (risky groups,
+    rows exposed, minimum group width). Two stacked map-side-combinable
+    aggregates; the exact distinct count is the standard two-phase expand
+    keyed on the QID — output stays QID-cardinality-sized at 10^12 rows."""
+    from blogparser_spark.dataops import profile
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.floor("value").cast("bigint").alias("vb"),
+        "user_id",
+    )
+    out = profile.k_anonymity_audit(
+        ev, ["event_type", "day", "vb"], "user_id", k=5, by="event_type"
+    )
+    return out.orderBy("event_type")

@@ -1113,3 +1113,73 @@ def test_round_robin_interleave_is_true_round_robin(spark):
     assert keys == sorted(keys)
     # the first layer holds one row from each source, in name order
     assert [r.src for r in by_pos[:3]] == ["a", "b", "c"]
+
+
+def test_gopher_flags_rule_bank(spark):
+    from blogparser_spark.dataops.textstats import gopher_flags
+
+    good = " ".join(["alpha beta gamma delta epsilon"] * 12)  # 60 words, stopword-free
+    rows = [
+        # passes everything except stopwords (none of the 8 present)
+        (1, good),
+        # word count too low
+        (2, "tiny doc with the and of that"),
+        # symbol ratio: >10% '#' marks (but still >80% alpha words)
+        (3, good + " " + " ".join(["#"] * 10) + " the of"),
+        # alpha fraction: a third of the words carry no letter at all
+        (8, good + " " + " ".join(["123"] * 30) + " the of"),
+        # bullet-heavy: >90% of lines are bullets
+        (4, "\n".join(["- item one two"] * 20) + "\nthe of " + good),
+        # ellipsis-heavy: every other line trails off
+        (5, "\n".join(["trailing words..."] * 10) + "\nthe of " + good),
+        # mean word length too long (hex blobs)
+        (6, " ".join(["abcdefabcdefabcdef"] * 60) + " the of"),
+        # full pass: long enough, stopwords, clean lines
+        (7, good + " the of and be"),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_flags(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["pass_word_count"] and not out[1]["pass_stopwords"]
+    assert not out[1]["gopher_pass"]
+    assert not out[2]["pass_word_count"]
+    assert not out[3]["pass_symbol_ratio"] and out[3]["pass_alpha"]
+    assert not out[8]["pass_alpha"]
+    assert not out[4]["pass_bullet"]
+    assert out[4]["bullet_line_frac"] > 0.9
+    assert not out[5]["pass_ellipsis"]
+    assert not out[6]["pass_mean_word_len"]
+    assert out[7]["gopher_pass"]
+    assert out[7]["n_stop_hits"] >= 2
+
+
+def test_k_anonymity_audit_counts(spark):
+    from blogparser_spark.dataops.profile import k_anonymity_audit, k_anonymity_groups
+
+    # qid (seg): A has 6 distinct users (safe at k=5), B has 2 (risky),
+    # C has rows from only 1 user repeated (risky).
+    rows = (
+        [("A", u) for u in range(6)]
+        + [("B", 100), ("B", 101), ("B", 100)]
+        + [("C", 200)] * 4
+    )
+    df = spark.createDataFrame(rows, "seg string, user_id long")
+    groups = {r["seg"]: r for r in k_anonymity_groups(df, ["seg"], "user_id").collect()}
+    assert not groups["A"]["at_risk"]
+    assert groups["B"]["at_risk"] and groups["B"]["n_ids"] == 2
+    assert groups["C"]["at_risk"] and groups["C"]["n_rows"] == 4
+
+    audit = k_anonymity_audit(df, ["seg"], "user_id", k=5).collect()[0]
+    assert audit["n_groups"] == 3
+    assert audit["n_risky_groups"] == 2
+    assert audit["n_rows_at_risk"] == 7
+    assert audit["n_rows"] == 13
+    assert audit["min_group_ids"] == 1
+    assert abs(audit["risky_row_frac"] - round(7 / 13, 6)) < 1e-9
+
+    # global audit (no `by`) must agree with the per-slice one summed
+    per = k_anonymity_audit(df, ["seg"], "user_id", k=5, by="seg").collect()
+    assert sum(r["n_rows_at_risk"] for r in per) == 7

@@ -907,3 +907,23 @@ whole = {(r.role, r.h) for r in _kmvs(
 ).collect()}
 assert live == whole and live
 print("DRIVE64 OK")
+
+# batch-6h: Gopher rule bank — drive through the registry query + direct op
+gf = _entry2.queries()["gopher_quality_flags"](spark, "/root/testdata/sf0.001").collect()
+assert gf and all(
+    (r.gopher_pass ==
+     (r.pass_word_count and r.pass_mean_word_len and r.pass_symbol_ratio
+      and r.pass_bullet and r.pass_ellipsis and r.pass_alpha and r.pass_stopwords))
+    for r in gf
+)
+assert any(r.gopher_pass for r in gf) and any(not r.gopher_pass for r in gf)
+print("gopher pass rate:", round(sum(r.gopher_pass for r in gf) / len(gf), 3))
+print("DRIVE65 OK")
+
+# batch-6i: k-anonymity audit — internal consistency of the privacy gate
+ka = _entry2.queries()["k_anonymity_audit"](spark, "/root/testdata/sf0.001").collect()
+assert ka and all(r.n_risky_groups <= r.n_groups for r in ka)
+assert all(r.n_rows_at_risk <= r.n_rows for r in ka)
+assert all(abs(r.risky_row_frac - round(r.n_rows_at_risk / r.n_rows, 6)) < 1e-9 for r in ka)
+print("k-anon risky groups:", sum(r.n_risky_groups for r in ka), "/", sum(r.n_groups for r in ka))
+print("DRIVE66 OK")
