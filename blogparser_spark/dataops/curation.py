@@ -697,3 +697,98 @@ def temperature_rates_df(
         F.round(rate, 6).alias("keep_rate"),
         F.round(rate * F.col("n_rows"), 6).alias("expected_kept"),
     )
+
+
+# ------------------------------------------------ DSIR importance weights ---
+
+DSIR_BUCKETS = 256  # hashed n-gram feature dimension (paper uses 10k; 256
+# keeps the oracle spine readable — the shape is bucket-count-invariant)
+
+
+def _dsir_grams(col: Column) -> Column:
+    """Unigram + bigram word features (Xie et al. 2023 §3: hashed bag of
+    uni/bigrams is the DSIR feature map)."""
+    return F.concat(shingles(col, 1), shingles(col, 2))
+
+
+def dsir_bucket_counts(
+    df: DataFrame, text_col: str = "text", n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """(bucket, cnt): hashed n-gram occurrence counts — the sufficient
+    statistic for a DSIR distribution. explode → codegen md5 bucket →
+    map-side-combinable count: the corpus never shuffles on text, only
+    (bucket, partial-count) rows move, bounded by n_buckets·partitions."""
+    g = df.select(F.explode(_dsir_grams(F.col(text_col))).alias("g"))
+    return (
+        g.select(
+            (
+                F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+                % n_buckets
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_log_ratios(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-bucket importance log-ratio dimension (bucket, tc, rc, lr_micro):
+    lr = ln p_target(bucket) − ln p_raw(bucket) under add-one smoothing over
+    the full bucket spine (absent buckets count 0 — smoothing must see
+    them). lr is quantized to integer MICRO units so downstream per-doc
+    sums are exact integers — order-independent across partitionings and
+    engines (the repo's forward-decay convention). The result is an
+    n_buckets-row dim: always broadcastable."""
+    spark = target.sparkSession
+    spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    tc = spine.join(
+        dsir_bucket_counts(target, text_col, n_buckets), "bucket", "left"
+    ).select("bucket", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("tc"))
+    rc = spine.join(
+        dsir_bucket_counts(raw, text_col, n_buckets), "bucket", "left"
+    ).select("bucket", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("rc"))
+    j = tc.join(rc, "bucket")
+    w = Window.partitionBy()  # n_buckets rows — a scalar total, not a shuffle risk
+    lr = F.log((F.col("tc") + 1) / (F.sum("tc").over(w) + n_buckets)) - F.log(
+        (F.col("rc") + 1) / (F.sum("rc").over(w) + n_buckets)
+    )
+    return j.select(
+        "bucket", "tc", "rc", F.round(lr * 1e6).cast("bigint").alias("lr_micro")
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    log_ratios: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: Σ over the doc's hashed
+    n-gram occurrences of lr(bucket) — documents resembling the target
+    domain score high and are kept/up-sampled by the resampling policy.
+    explode → codegen bucket → BROADCAST join on the n_buckets-row dim →
+    one partial agg per doc. The integer micro sum is exact; `logw` is the
+    round-6 convenience view. Docs too short for any gram survive with
+    n_grams=0, logw=0 (explode_outer)."""
+    occ = docs.select(
+        F.col(id_col), F.explode_outer(_dsir_grams(F.col(text_col))).alias("g")
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % n_buckets,
+    )
+    joined = occ.join(
+        F.broadcast(log_ratios.select("bucket", "lr_micro")), "bucket", "left"
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("g").alias("n_grams"),
+        F.sum(F.coalesce("lr_micro", F.lit(0))).cast("bigint").alias("logw_micro"),
+        F.round(
+            F.sum(F.coalesce("lr_micro", F.lit(0))).cast("double") / 1e6, 6
+        ).alias("logw"),
+    )

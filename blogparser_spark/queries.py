@@ -6563,3 +6563,72 @@ def k_anonymity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["event_type", "day", "vb"], "user_id", k=5, by="event_type"
     )
     return out.orderBy("event_type")
+
+
+# ------------------------------------------ DSIR importance resampling ---
+
+_DSIR_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, unnest(
+        toks
+        || (CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])
+                 ELSE [] END)
+      ) AS g
+      FROM t
+    ), bk AS (
+      SELECT doc_id, lang, g,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS bucket
+      FROM grams
+    ), spine AS (
+      SELECT unnest(range(256))::BIGINT AS bucket
+    ), tcnt AS (
+      SELECT bucket, count(*)::BIGINT AS c FROM bk WHERE lang = 'en' GROUP BY 1
+    ), rcnt AS (
+      SELECT bucket, count(*)::BIGINT AS c FROM bk GROUP BY 1
+    ), dim AS (
+      SELECT s.bucket, coalesce(tc.c, 0) AS tc, coalesce(rc.c, 0) AS rc
+      FROM spine s LEFT JOIN tcnt tc USING (bucket)
+                   LEFT JOIN rcnt rc USING (bucket)
+    ), tot AS (
+      SELECT sum(tc)::BIGINT AS t_tot, sum(rc)::BIGINT AS r_tot FROM dim
+    ), lr AS (
+      SELECT bucket,
+             round((ln((tc + 1.0) / (t_tot + 256))
+                    - ln((rc + 1.0) / (r_tot + 256))) * 1e6)::BIGINT AS lr_micro
+      FROM dim, tot
+    )
+    SELECT d.doc_id,
+           count(bk.g)::BIGINT AS n_grams,
+           coalesce(sum(lr.lr_micro), 0)::BIGINT AS logw_micro,
+           round(coalesce(sum(lr.lr_micro), 0) / 1e6, 6) AS logw
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN bk ON bk.doc_id = d.doc_id
+    LEFT JOIN lr ON lr.bucket = bk.bucket
+    GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+@_q("dsir_importance_weights", _DSIR_SQL)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. NeurIPS 2023, "Data Selection for
+    Language Models via Importance Resampling"; dataops/curation.py):
+    hashed uni+bigram bucket distributions are fit on the TARGET domain
+    (here the English slice) and the RAW corpus with add-one smoothing,
+    and every document scores Σ lr(bucket) over its gram occurrences —
+    the importance log-weight a resampler keeps/up-samples by. The
+    per-bucket log-ratio is integer-micro quantized so the per-doc sum is
+    exact (order-independent across engines/partitionings); the dim is
+    256 rows and broadcast, the corpus only ever moves (bucket,
+    partial-count) and (doc, partial-sum) rows. The oracle replays the
+    bucket hash, smoothing, and integer sums in DuckDB."""
+    from blogparser_spark.dataops import curation
+
+    docs = _docs(spark, sf_dir)
+    lr = curation.dsir_log_ratios(docs.filter(F.col("lang") == "en"), docs)
+    return curation.dsir_importance(docs, lr).orderBy("doc_id")

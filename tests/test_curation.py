@@ -454,3 +454,58 @@ def test_temperature_rates_df_matches_dict_twin(spark):
     # the smallest stratum keeps everything
     smallest = min(counts, key=counts.get)
     assert got[smallest][1] == 1.0
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    import math
+
+    from blogparser_spark.dataops.curation import (
+        dsir_bucket_counts,
+        dsir_importance,
+        dsir_log_ratios,
+    )
+
+    # target domain: python-flavored text; raw corpus: half python, half cooking
+    target = spark.createDataFrame(
+        [(i, "def spark job runs fast python code") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "def spark job runs fast python code"),
+         (2, "python code def spark job runs fast"),
+         (3, "bake the cake with sugar and butter"),
+         (4, "butter sugar cake bake slowly in oven")],
+        "doc_id long, text string",
+    )
+    lr = dsir_log_ratios(target, raw, n_buckets=64)
+    lrc = lr.collect()
+    assert len(lrc) == 64  # full spine, absent buckets included for smoothing
+    out = {r["doc_id"]: r for r in dsir_importance(raw, lr, n_buckets=64).collect()}
+    # python docs must outscore cooking docs under the python target
+    assert min(out[1]["logw"], out[2]["logw"]) > max(out[3]["logw"], out[4]["logw"])
+    # integer micro-sum is the exact source; logw is its round-6 view
+    for r in out.values():
+        assert abs(r["logw"] - round(r["logw_micro"] / 1e6, 6)) < 1e-9
+
+    # log-ratio replay: one bucket checked against the closed form
+    t_tot = sum(r["tc"] for r in lrc)
+    r_tot = sum(r["rc"] for r in lrc)
+    b0 = lrc[0]
+    expect = round(
+        (math.log((b0["tc"] + 1) / (t_tot + 64))
+         - math.log((b0["rc"] + 1) / (r_tot + 64))) * 1e6
+    )
+    assert b0["lr_micro"] == expect
+
+    # dim join must broadcast — the corpus never shuffles on text
+    plan = (
+        dsir_importance(raw, lr, n_buckets=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+    # bucket counts are occurrence counts: 7 unigrams + 6 bigrams per doc
+    total = sum(r["cnt"] for r in dsir_bucket_counts(raw, n_buckets=64).collect())
+    assert total == 4 * (7 + 6)

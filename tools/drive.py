@@ -927,3 +927,10 @@ assert all(r.n_rows_at_risk <= r.n_rows for r in ka)
 assert all(abs(r.risky_row_frac - round(r.n_rows_at_risk / r.n_rows, 6)) < 1e-9 for r in ka)
 print("k-anon risky groups:", sum(r.n_risky_groups for r in ka), "/", sum(r.n_groups for r in ka))
 print("DRIVE66 OK")
+
+# batch-6j: DSIR importance weights — target-domain docs outscore the rest
+dz = _entry2.queries()["dsir_importance_weights"](spark, "/root/testdata/sf0.001").collect()
+assert dz and all(abs(r.logw - round(r.logw_micro / 1e6, 6)) < 1e-9 for r in dz)
+assert any(r.logw > 0 for r in dz) and any(r.logw < 0 for r in dz)
+print("dsir logw range:", round(min(r.logw for r in dz), 2), "..", round(max(r.logw for r in dz), 2))
+print("DRIVE67 OK")
