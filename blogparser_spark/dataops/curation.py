@@ -753,9 +753,14 @@ def dsir_log_ratios(
         dsir_bucket_counts(raw, text_col, n_buckets), "bucket", "left"
     ).select("bucket", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("rc"))
     j = tc.join(rc, "bucket")
-    w = Window.partitionBy()  # n_buckets rows — a scalar total, not a shuffle risk
-    lr = F.log((F.col("tc") + 1) / (F.sum("tc").over(w) + n_buckets)) - F.log(
-        (F.col("rc") + 1) / (F.sum("rc").over(w) + n_buckets)
+    # scalar totals as a broadcast 1-row dim (not a global window: keeps the
+    # plan free of single-partition WindowExec even on this 256-row frame)
+    totals = j.agg(
+        F.sum("tc").alias("_t_tot"), F.sum("rc").alias("_r_tot")
+    )
+    j = j.crossJoin(F.broadcast(totals))
+    lr = F.log((F.col("tc") + 1) / (F.col("_t_tot") + n_buckets)) - F.log(
+        (F.col("rc") + 1) / (F.col("_r_tot") + n_buckets)
     )
     return j.select(
         "bucket", "tc", "rc", F.round(lr * 1e6).cast("bigint").alias("lr_micro")

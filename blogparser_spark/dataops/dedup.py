@@ -990,12 +990,13 @@ def prefix_filter_pairs(
     verified with an exact intersection count (cand ⋈ tokens ⋈ tokens —
     linear in candidates × doc size, never all-pairs).
 
-    Scale (100 TB): the global token rank is a vocabulary-sized sort
-    (vocab ≪ corpus; the two-pass range-partitioned rank of
-    curation.epoch_shuffle_rank is the drop-in when the vocab itself is
-    huge). The threshold filter runs on the UNROUNDED division — bit-equal
-    across engines on exact small-int inputs — and jaccard is rounded only
-    for output."""
+    Scale (100 TB): prefix selection needs only a TOTAL ORDER on tokens,
+    not contiguous ranks — the (df, token) pair IS that order, so the
+    per-doc position window sorts by it directly and NO global rank window
+    (single-partition sort of the whole vocabulary) exists anywhere in the
+    plan; the only windows are per-doc. The threshold filter runs on the
+    UNROUNDED division — bit-equal across engines on exact small-int
+    inputs — and jaccard is rounded only for output."""
     from blogparser_spark.dataops.textstats import tokens as _tok
 
     tok = df.select(
@@ -1003,13 +1004,10 @@ def prefix_filter_pairs(
         F.explode(F.array_distinct(_tok(F.col(text_col)))).alias("token"),
     )
     dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
-    order = dfreq.select(
-        "token", F.row_number().over(Window.orderBy("df", "token")).alias("rnk")
-    )
-    t2 = tok.join(order, "token")
+    t2 = tok.join(dfreq, "token")
     sizes = t2.groupBy("id").agg(F.count("*").alias("sz"))
     pos = t2.withColumn(
-        "pos", F.row_number().over(Window.partitionBy("id").orderBy("rnk"))
+        "pos", F.row_number().over(Window.partitionBy("id").orderBy("df", "token"))
     ).join(sizes, "id")
     pref = pos.where(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1

@@ -444,11 +444,13 @@ def zipf_fit(
     langid/quality.
 
     Shape: explode -> per-token partial count (the only corpus-sized
-    stage), then a rank window over the VOCABULARY (orders of magnitude
-    smaller than the corpus; cap it upstream with min-count pruning if
-    vocab itself is huge), top_n filter, and a closed-form OLS aggregate
-    over <= top_n rows. Ties rank deterministically by (count desc,
-    token asc); float sums enter only in the final tiny aggregate
+    stage), then a DISTRIBUTED top-n (orderBy+limit compiles to
+    TakeOrderedAndProject: each partition keeps its local top_n and the
+    driver merges n·partitions candidates — the vocabulary never funnels
+    through one partition), a rank window over the <= top_n survivors,
+    and a closed-form OLS aggregate. Ties rank deterministically by
+    (count desc, token asc); float sums enter only in the final tiny
+    aggregate
     (round-6, the entropy convention)."""
     toks = df.select(
         F.explode(
@@ -459,8 +461,10 @@ def zipf_fit(
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
-    top = counts.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= top_n
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w))
     )
     x = F.log(F.col("rank").cast("double"))
     y = F.log(F.col("cnt").cast("double"))
@@ -496,12 +500,13 @@ def oov_rate(
     the aggregate distribution is the coverage curve a vocab-size choice
     is judged by.
 
-    Shape: the vocabulary is a rank window over the per-token counts
-    (vocabulary-sized, not corpus-sized) broadcast back onto the exploded
-    occurrences as a left join; per-doc coverage is one partial agg.
-    Ties at the vocabulary boundary rank deterministically by
-    (count desc, token asc). oov_rate is one exact-int division,
-    round-6."""
+    Shape: the vocabulary is a DISTRIBUTED top-k over the per-token counts
+    (orderBy+limit = TakeOrderedAndProject: local top-k per partition, a
+    driver merge of k·partitions candidates — no single-partition window)
+    broadcast back onto the exploded occurrences as a left join; per-doc
+    coverage is one partial agg. Ties at the vocabulary boundary rank
+    deterministically by (count desc, token asc). oov_rate is one
+    exact-int division, round-6."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -511,10 +516,9 @@ def oov_rate(
         ).alias("tok"),
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("_c"))
-    w = Window.orderBy(F.desc("_c"), F.asc("tok"))
     vocab = (
-        counts.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= vocab_size)
+        counts.orderBy(F.desc("_c"), F.asc("tok"))
+        .limit(vocab_size)
         .select("tok", F.lit(1).alias("_in_vocab"))
     )
     j = toks.join(F.broadcast(vocab), "tok", "left")

@@ -362,16 +362,19 @@ def rfm_scores(events: DataFrame, n_bands: int = 5) -> DataFrame:
 
     Scale shape: the standard formulation is ntile(n) over the WHOLE user
     table — a global window, i.e. one reducer sorting every user. Here
-    band boundaries come from skew.equi_depth_bounds over the per-user
-    aggregate (tiny vs the raw log; at 10^9+ users swap in
-    sketches.dd_quantiles), then broadcast back as an (n_bands-1)-row
+    band boundaries come from skew.equi_depth_bounds_global over the
+    per-user aggregate — the histogram + range-shard form whose only
+    partition-less window runs over one row per shard, so even the
+    boundary computation never funnels the user table through one
+    partition (at 10^9+ users with approximate needs, swap in
+    sketches.dd_quantiles) — then broadcast back as an (n_bands-1)-row
     cross join, so scoring is an embarrassingly parallel comparison
     count. Ties at a boundary band by VALUE (equal values get equal
     scores) — the honest answer for low-cardinality metrics like
     frequency, where true ntile would split equal users arbitrarily.
     Monetary is round-6 BEFORE banding so float sum order can never flip
     a boundary comparison across engines."""
-    from blogparser_spark.operators.skew import equi_depth_bounds
+    from blogparser_spark.operators.skew import equi_depth_bounds_global
 
     per = events.groupBy("user_id").agg(
         F.max(F.expr("unix_micros(cast(ts as timestamp))")).alias("last_us"),
@@ -388,7 +391,7 @@ def rfm_scores(events: DataFrame, n_bands: int = 5) -> DataFrame:
         "monetary",
     )
     def band(col: str, invert: bool) -> DataFrame:
-        bs = equi_depth_bounds(met, [], col, n_buckets=n_bands).select(
+        bs = equi_depth_bounds_global(met, col, n_buckets=n_bands).select(
             F.col("boundary").alias("_b")
         )
         cnt = F.sum((F.col("_b") < F.col(col)).cast("int"))

@@ -113,3 +113,102 @@ def equi_depth_bounds(
         F.col(value_col).alias("boundary"),
         "n_rows",
     )
+
+
+def equi_depth_bounds_global(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    n_shards: int = 256,
+) -> DataFrame:
+    """Exact UNGROUPED equi-depth boundaries with no single-reducer sort:
+    (bucket, boundary, n_rows), value-identical to
+    `equi_depth_bounds(df, [], value_col)` on non-null values.
+
+    The grouped form's `row_number over Window.orderBy(value)` is a
+    global-sort window — the whole frame through one partition. Here the
+    rank never materializes per row:
+
+      1. value HISTOGRAM (groupBy value — distinct-value-sized, map-side
+         combined; equal values collapse, which is also why ties cost
+         nothing),
+      2. monotone range shard floor((v−min)·n_shards/span) from a
+         broadcast (min,max) scalar — a pure function of v, so shard order
+         is value order; local cumsum per shard plus broadcast per-shard
+         offsets (the epoch_shuffle_rank idiom — the only partition-less
+         window runs over one row per shard),
+      3. the k-th boundary (rank ceil(k·n/B)) falls in exactly ONE value's
+         (cum−cnt, cum] interval — a (B−1)-row broadcast non-equi join
+         picks it; no stage ever holds more than one shard's distinct
+         values."""
+    hist = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count("*").alias("_c")
+    )
+    span = hist.agg(
+        F.min("_v").alias("_lo"),
+        F.max("_v").alias("_hi"),
+        F.sum("_c").alias("_n"),
+    )
+    shard = F.least(
+        F.greatest(
+            F.floor(
+                (F.col("_v") - F.col("_lo"))
+                * n_shards
+                / F.greatest(F.col("_hi") - F.col("_lo"), F.lit(1e-300))
+            ),
+            F.lit(0),
+        ),
+        F.lit(n_shards - 1),
+    ).cast("long")
+    h = hist.crossJoin(F.broadcast(span)).withColumn("_shard", shard)
+    local = (
+        Window.partitionBy("_shard")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    h = h.withColumn("_lcum", F.sum("_c").over(local))
+    offsets = (
+        h.groupBy("_shard")
+        .agg(F.sum("_c").alias("_sn"))
+        .withColumn(
+            "_off",
+            # one row per shard — tiny frame; pmod keeps the partition
+            # spec non-empty (see epoch_shuffle_rank)
+            F.coalesce(
+                F.sum("_sn").over(
+                    Window.partitionBy(F.pmod(F.col("_shard"), F.lit(1)))
+                    .orderBy("_shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_shard", "_off")
+    )
+    cum = h.join(F.broadcast(offsets), "_shard").select(
+        "_v", "_c", (F.col("_lcum") + F.col("_off")).alias("_cum"), "_n"
+    )
+    spark = df.sparkSession
+    targets = (
+        spark.range(1, n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .crossJoin(F.broadcast(span.select("_n")))
+        .select(
+            "bucket",
+            F.ceil(F.col("bucket") * F.col("_n") / F.lit(n_buckets))
+            .cast("bigint")
+            .alias("_r"),
+        )
+    )
+    return (
+        cum.join(
+            F.broadcast(targets),
+            (F.col("_cum") - F.col("_c") < F.col("_r"))
+            & (F.col("_r") <= F.col("_cum")),
+        )
+        .select(
+            "bucket",
+            F.col("_v").alias("boundary"),
+            F.col("_n").cast("bigint").alias("n_rows"),
+        )
+    )

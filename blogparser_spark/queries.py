@@ -3523,10 +3523,14 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+    # distributed top-10 (TakeOrderedAndProject) BEFORE the rank window, so
+    # the only partition-less window in the plan sees exactly 10 rows — the
+    # aggregate output itself never funnels through one partition
     w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
     return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        rev.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rank")
     )
 
@@ -5692,13 +5696,10 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("path_len").alias("path_len"),
         F.count("*").alias("n_sessions"),
     )
-    rk = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
-    return (
-        top.withColumn("_rk", F.row_number().over(rk))
-        .filter(F.col("_rk") <= 20)
-        .drop("_rk")
-        .orderBy(F.desc("n_sessions"), F.asc("path"))
-    )
+    # orderBy+limit = distributed top-20 (TakeOrderedAndProject); the old
+    # rank-window-then-filter form funneled every distinct path through one
+    # partition just to keep 20 rows
+    return top.orderBy(F.desc("n_sessions"), F.asc("path")).limit(20)
 
 
 _CMS_JOIN_SQL = r"""
@@ -6327,9 +6328,10 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread, length extremes, the exact order-statistic median, and the
     whitespace-normalized exact-duplicate rate — the summary table a
     corpus release ships with (Gebru et al., 'Datasheets for Datasets').
-    Everything is a partial agg over one scan except the median (one rank
-    window over n_chars) and the distinct-hash count (shuffle of 32-byte
-    hashes, the dedup_exact_stats shape)."""
+    Everything is a partial agg over one scan except the median (an exact
+    histogram median over the distinct-length domain — see below) and the
+    distinct-hash count (shuffle of 32-byte hashes, the dedup_exact_stats
+    shape)."""
     d = _docs(spark, sf_dir)
     toks = F.size(
         F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
@@ -6340,12 +6342,22 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         "doc_id", "lang", "n_chars", toks.alias("n_tok"), h.alias("h")
     )
-    wmed = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    # exact histogram median: per-VALUE counts (distinct n_chars values —
+    # bounded by the length domain, not the corpus), a cumulative count
+    # over that value histogram, and the smallest value whose cumulative
+    # count reaches the middle position. Rows never sort globally; the only
+    # partition-less window runs over the value histogram.
+    hist = d.groupBy("n_chars").agg(F.count("*").alias("_c"))
+    tot = hist.agg(F.sum("_c").alias("_n"))
+    wcum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     med = (
-        d.select("n_chars", "doc_id")
-        .withColumn("rn", F.row_number().over(wmed))
-        .withColumn("n", F.count("*").over(Window.partitionBy()))
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        hist.withColumn("_cum", F.sum("_c").over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("_cum") >= F.expr("(_n + 1) div 2"))
+        .orderBy("n_chars")
+        .limit(1)
         .select(F.col("n_chars").alias("median_chars"))
     )
     agg = base.agg(

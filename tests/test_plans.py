@@ -340,8 +340,10 @@ def test_psi_drift_plan_has_no_window(spark):
 
 def test_rfm_plan_has_no_global_sort_window(spark):
     # the whole point vs ntile(5): no Window with an empty partition spec
-    # over the user table (single-reducer global sort); the only windows
-    # allowed are the tiny boundary ranks inside equi_depth_bounds
+    # ANYWHERE — equi_depth_bounds_global keeps even the boundary
+    # computation free of a single-reducer sort (its only partition-less
+    # window runs over one row per range shard, spec'd via pmod)
+    import re
     from datetime import datetime
 
     from blogparser_spark.dataops.timeseries import rfm_scores
@@ -352,6 +354,9 @@ def test_rfm_plan_has_no_global_sort_window(spark):
         "event_id long, ts timestamp, user_id long, event_type string, value double",
     )
     plan = _plan(rfm_scores(df, 5))
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        head = m.group(1).split(",")[0]
+        assert " ASC" not in head and " DESC" not in head, m.group(0)
     # scoring side joins the 4-row boundary tables by broadcast
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "ntile" not in plan.lower()

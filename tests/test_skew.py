@@ -131,3 +131,54 @@ def test_equi_depth_bounds_order_stat_twin(spark):
     assert got[("b", 1)][0] == got[("b", 2)][0] == 5.0
     # uniform group: boundaries are the exact quartiles
     assert [got[("a", k)][0] for k in (1, 2, 3)] == [25.0, 50.0, 75.0]
+
+
+def test_equi_depth_bounds_global_matches_grouped_form(spark):
+    # the histogram + range-shard form must be value-identical to the
+    # window form on the ungrouped path — ties, skew, and all-equal domains
+    from blogparser_spark.operators.skew import (
+        equi_depth_bounds,
+        equi_depth_bounds_global,
+    )
+
+    rows = (
+        [(float(v),) for v in range(1, 101)]
+        + [(5.0,)] * 37
+        + [(9.0,)] * 3
+        + [(-2.5,)] * 8
+    )
+    df = spark.createDataFrame(rows, "v double")
+    for B in (2, 4, 10):
+        want = {
+            r.bucket: (r.boundary, r.n_rows)
+            for r in equi_depth_bounds(df, [], "v", n_buckets=B).collect()
+        }
+        got = {
+            r.bucket: (r.boundary, r.n_rows)
+            for r in equi_depth_bounds_global(df, "v", n_buckets=B).collect()
+        }
+        assert got == want, B
+    # degenerate all-equal domain: every boundary is that value, one shard
+    same = spark.createDataFrame([(7.0,)] * 9, "v double")
+    got = equi_depth_bounds_global(same, "v", n_buckets=3).collect()
+    assert sorted((r.bucket, r.boundary, r.n_rows) for r in got) == [
+        (1, 7.0, 9),
+        (2, 7.0, 9),
+    ]
+
+
+def test_equi_depth_bounds_global_plan_has_no_global_sort_window(spark):
+    from blogparser_spark.operators.skew import equi_depth_bounds_global
+
+    df = spark.createDataFrame([(float(i % 13),) for i in range(200)], "v double")
+    plan = (
+        equi_depth_bounds_global(df, "v", n_buckets=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        head = m.group(1).split(",")[0]
+        assert " ASC" not in head and " DESC" not in head, m.group(0)
