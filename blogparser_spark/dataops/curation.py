@@ -567,7 +567,9 @@ def chunk_documents(
     than dropped tail tokens, and exactly one window for docs at or
     under chunk_tokens.
 
-    All native: whitespace split -> empty-token filter -> explode of a
+    All native: the canonical textstats.tokens split (ONE tokenizer
+    definition repo-wide, so chunk token counts agree with
+    pack_sequences and every other token stat) -> explode of a
     computed chunk-index sequence -> slice + array_join. The explode
     fan-out inherits the scan's partitioning (CLAUDE.md rule 4) —
     repartition the input before chunking a few-file scan. Per-row cost
@@ -576,9 +578,7 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
-    toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0
-    )
+    toks = tokens(F.col(text_col))
     base = df.select(*id_cols, toks.alias("_t")).select(
         *id_cols,
         "_t",

@@ -105,7 +105,14 @@ def contingency_chi2(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     Σ_all (o−e)²/e  =  Σ_observed ((o−e)²/e − e) + grand_total
     (because Σ_all e = grand_total), so the plan never builds absent
     cells. All inputs to the float math are exact integers, so round(…,6)
-    is engine-stable."""
+    is engine-stable.
+
+    Rows with a NULL in either categorical are excluded up front (the
+    standard complete-case chi2): a NULL cell would survive the groupBy
+    but never match the null-unsafe marginal joins, leaving its term out
+    of the sum while grand_total still counted it — an inflated chi2 and
+    n_obs < grand_total."""
+    df = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     obs = df.groupBy(col_a, col_b).agg(F.count("*").alias("o"))
     row_t = obs.groupBy(col_a).agg(F.sum("o").alias("row_total"))
     col_t = obs.groupBy(col_b).agg(F.sum("o").alias("col_total"))
@@ -343,10 +350,17 @@ def ks_drift(
         F.sum("a").over(wg).alias("ta"),
         F.sum("b").over(wg).alias("tb"),
     )
-    gap = F.abs(
-        F.col("ca").cast("double") / F.col("ta")
-        - F.col("cb").cast("double") / F.col("tb")
-    )
+    # a group present on only one side has ta or tb = 0: its empty-side
+    # CDF is 0 everywhere, so D correctly saturates to 1.0 — the
+    # new/dropped-segment answer a drift gate must report (a bare
+    # division would throw under ANSI and yield NaN otherwise)
+    cdf_a = F.when(
+        F.col("ta") > 0, F.col("ca").cast("double") / F.col("ta")
+    ).otherwise(F.lit(0.0))
+    cdf_b = F.when(
+        F.col("tb") > 0, F.col("cb").cast("double") / F.col("tb")
+    ).otherwise(F.lit(0.0))
+    gap = F.abs(cdf_a - cdf_b)
     return cum.groupBy(*gc).agg(
         F.first("ta").alias("n_ref"),
         F.first("tb").alias("n_cur"),
@@ -382,8 +396,12 @@ def k_anonymity_audit(
     count, risky-group count, rows falling in risky groups, the minimum
     group width, and the risky-row fraction — the numbers a privacy gate
     alerts on before a dataset ships. Two stacked aggregates, both
-    map-side combinable."""
-    groups = k_anonymity_groups(df, qid_cols, id_col, k)
+    map-side combinable. A `by` column outside the QIDs joins the QID
+    grouping (each slice is audited as its own release — QID groups do
+    not span slices); without this the inner aggregate would drop the
+    column and the slice rollup could not resolve it."""
+    qids = list(qid_cols) + ([by] if by and by not in qid_cols else [])
+    groups = k_anonymity_groups(df, qids, id_col, k)
     keys = [by] if by else []
     risky_rows = F.sum(F.when(F.col("at_risk"), F.col("n_rows")).otherwise(0))
     agg = groups.groupBy(*keys).agg(

@@ -92,7 +92,11 @@ def hll_registers(
     if p % 4 or not 4 <= p <= 16:
         raise ValueError("p must be a multiple of 4 in [4, 16]")
     nh = p // 4
-    base = df.select(*group_cols, F.md5(value).alias("h")).select(
+    # COUNT(DISTINCT) ignores NULLs; md5(NULL)=NULL would otherwise add a
+    # phantom (register=NULL, max_rank=NULL) row that skews the estimate
+    base = df.where(value.isNotNull()).select(
+        *group_cols, F.md5(value).alias("h")
+    ).select(
         *group_cols,
         F.conv(F.substring("h", 1, nh), 16, 10).cast("int").alias("register"),
         F.substring("h", nh + 1, _SUF_CHARS).alias("suf"),
@@ -588,7 +592,13 @@ def kmv_sample(
     the payoff is that every later union / intersection / rollup operates
     on <= k rows per group (kmv_merge, kmv_pairwise_overlap), never
     rescanning the raw data — the mergeable-summary contract."""
-    hashed = df.select(*group_cols, kmv_hash(value).alias("h")).distinct()
+    # NULL hashes sort first under the asc window and would evict a real
+    # k-th smallest hash; COUNT(DISTINCT) semantics exclude NULLs
+    hashed = (
+        df.where(value.isNotNull())
+        .select(*group_cols, kmv_hash(value).alias("h"))
+        .distinct()
+    )
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
     return (
         hashed.withColumn("_rn", F.row_number().over(w))

@@ -218,20 +218,25 @@ def daily_anomaly_flags(events: DataFrame, z_threshold: float = 2.0) -> DataFram
     """Volume-anomaly days: per-(event_type, day) counts z-scored against
     the type's own mean/stddev_pop (population — engine-exact formula),
     flagged at |z| > threshold. Two passes over a |types| x |days| grid;
-    the raw log is aggregated once."""
+    the raw log is aggregated once. A constant series (stddev 0 — e.g. a
+    type seen on one day) has no anomalies by definition: its z is pinned
+    to 0 rather than dividing by zero (ANSI sessions throw; non-ANSI
+    yields NaN, and NaN > t is TRUE in Spark — every day would flag)."""
     daily = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count("*").alias("n_events")
     )
     w = Window.partitionBy("event_type")
+    sd = F.stddev_pop("n_events").over(w)
     scored = daily.select(
         "event_type",
         "day",
         "n_events",
-        F.round(
-            (F.col("n_events") - F.avg("n_events").over(w))
-            / F.stddev_pop("n_events").over(w),
-            6,
-        ).alias("z_score"),
+        F.when(
+            sd > 0,
+            F.round((F.col("n_events") - F.avg("n_events").over(w)) / sd, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z_score"),
     )
     return scored.where(F.abs(F.col("z_score")) > z_threshold)
 

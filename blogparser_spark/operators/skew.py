@@ -68,7 +68,13 @@ def salted_exact_distinct(df: DataFrame, key_cols: list[str], value_col: str) ->
     |distinct-values| rows per key to a count. A single-stage
     count(distinct) over a hot key would put every one of its rows on one
     task; this caps per-task input at the distinct cardinality."""
-    deduped = df.select(*key_cols, value_col).distinct()
+    deduped = (
+        df.select(*key_cols, value_col)
+        # COUNT(DISTINCT value) ignores NULLs; distinct() would keep one
+        # (key, NULL) row and count('*') would count it — off by one
+        .where(F.col(value_col).isNotNull())
+        .distinct()
+    )
     return deduped.groupBy(*key_cols).agg(F.count("*").alias("n_distinct"))
 
 
@@ -140,9 +146,16 @@ def equi_depth_bounds_global(
       3. the k-th boundary (rank ceil(k·n/B)) falls in exactly ONE value's
          (cum−cnt, cum] interval — a (B−1)-row broadcast non-equi join
          picks it; no stage ever holds more than one shard's distinct
-         values."""
-    hist = df.groupBy(F.col(value_col).alias("_v")).agg(
-        F.count("*").alias("_c")
+         values.
+
+    NULL values are excluded up front (the shard expression would map
+    them to a NULL shard whose rows overlap shard 0's rank space and
+    inflate _n) — boundaries are order statistics of the non-null
+    values, the same contract as a SQL percentile."""
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count("*").alias("_c"))
     )
     span = hist.agg(
         F.min("_v").alias("_lo"),

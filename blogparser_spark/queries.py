@@ -4222,8 +4222,10 @@ def interarrival_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ), s AS (
       SELECT event_type, day, n_events,
-        round((n_events - avg(n_events) OVER (PARTITION BY event_type))
-          / stddev_pop(n_events) OVER (PARTITION BY event_type), 6) AS z_score
+        CASE WHEN stddev_pop(n_events) OVER (PARTITION BY event_type) > 0
+             THEN round((n_events - avg(n_events) OVER (PARTITION BY event_type))
+               / stddev_pop(n_events) OVER (PARTITION BY event_type), 6)
+             ELSE 0.0 END AS z_score
       FROM daily
     )
     SELECT * FROM s WHERE abs(z_score) > 2.0
@@ -5651,11 +5653,12 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path analysis: the 20 most common complete session journeys (event
     types joined in stable (ts, id) order, sessions cut at 30-min gaps —
     same rule as `events_sessionize`), restricted to paths of <= 6 events
-    so the path string stays bounded. Per-session assembly is a
-    sort_array(collect_list(struct)) over rows already grouped by
-    session — per-group state is the session's own bounded event list,
-    never the user's history; the top-k is a count agg into a 20-row
-    window."""
+    so the path string stays bounded. The length cut happens BEFORE any
+    array materializes — a window count per session drops long sessions
+    first, so collect_list state is provably <= 6 structs per group even
+    on a degenerate never-idle stream (filtering after the collect would
+    build the mega-session's array just to discard it); the top-k is a
+    count agg into a distributed orderBy+limit."""
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
@@ -5674,23 +5677,21 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = e.withColumn("new_sess", new_sess).withColumn(
         "session_id", F.sum("new_sess").over(run).cast("long")
     )
-    paths = (
-        sess.groupBy("user_id", "session_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct("ts", "event_id", "event_type")
-                        )
-                    ),
-                    lambda s: s["event_type"],
+    slen = F.count("*").over(Window.partitionBy("user_id", "session_id"))
+    short = sess.withColumn("_slen", slen).filter(F.col("_slen") <= 6)
+    paths = short.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
                 ),
-                ">",
-            ).alias("path"),
-            F.count("*").alias("path_len"),
-        )
-        .filter(F.col("path_len") <= 6)
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").alias("path_len"),
     )
     top = paths.groupBy("path").agg(
         F.min("path_len").alias("path_len"),
@@ -5781,8 +5782,7 @@ def cms_join_size_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_SQL = r"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\s+'),
-                         x -> x <> '') AS t
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
       FROM documents
     ), meta AS (
       SELECT doc_id, t, len(t) AS n,
@@ -5998,7 +5998,9 @@ _KS_SQL = r"""
       FROM cnt
     )
     SELECT event_type, max(ta)::BIGINT AS n_ref, max(tb)::BIGINT AS n_cur,
-           round(max(abs(ca::DOUBLE / ta - cb::DOUBLE / tb)), 6) AS ks_d
+           round(max(abs(
+             CASE WHEN ta > 0 THEN ca::DOUBLE / ta ELSE 0.0 END
+             - CASE WHEN tb > 0 THEN cb::DOUBLE / tb ELSE 0.0 END)), 6) AS ks_d
     FROM cum GROUP BY 1 ORDER BY 1
 """
 

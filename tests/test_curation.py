@@ -509,3 +509,19 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     # bucket counts are occurrence counts: 7 unigrams + 6 bigrams per doc
     total = sum(r["cnt"] for r in dsir_bucket_counts(raw, n_buckets=64).collect())
     assert total == 4 * (7 + 6)
+
+
+def test_chunk_documents_uses_canonical_tokenizer(spark):
+    # chunk token counts must agree with textstats.tokens (TOKEN_SPLIT),
+    # not a private \s+ split — tabs/newlines stay inside a token on both
+    from blogparser_spark.dataops.curation import chunk_documents
+    from blogparser_spark.dataops.textstats import tokens
+
+    df = spark.createDataFrame(
+        [(1, "a\tb " + " ".join(f"w{i}" for i in range(9)))], "doc_id long, text string"
+    )
+    n_tok = df.select(F.size(tokens(F.col("text"))).alias("n")).collect()[0].n
+    chunks = chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    assert n_tok == 10  # 'a\tb' is ONE canonical token
+    assert sum(c.n_tokens for c in chunks) >= n_tok  # overlap double-counts
+    assert chunks[0].chunk_text.startswith("a\tb ")

@@ -1183,3 +1183,23 @@ def test_k_anonymity_audit_counts(spark):
     # global audit (no `by`) must agree with the per-slice one summed
     per = k_anonymity_audit(df, ["seg"], "user_id", k=5, by="seg").collect()
     assert sum(r["n_rows_at_risk"] for r in per) == 7
+
+
+def test_k_anonymity_audit_by_outside_qids(spark):
+    # a `by` slice that is NOT a quasi-identifier must work: each slice is
+    # audited as its own release, QID groups do not span slices
+    from blogparser_spark.dataops.profile import k_anonymity_audit
+
+    rows = (
+        [("A", "s1", u) for u in range(6)]
+        + [("A", "s2", 50)] * 3          # same QID, other slice: risky there
+        + [("B", "s1", 100), ("B", "s1", 101)]
+    )
+    df = spark.createDataFrame(rows, "seg string, src string, user_id long")
+    per = {r["src"]: r for r in
+           k_anonymity_audit(df, ["seg"], "user_id", k=5, by="src").collect()}
+    assert per["s1"]["n_groups"] == 2
+    assert per["s1"]["n_risky_groups"] == 1      # B with 2 ids
+    assert per["s2"]["n_groups"] == 1
+    assert per["s2"]["n_risky_groups"] == 1      # A-in-s2 has 1 id
+    assert per["s2"]["n_rows_at_risk"] == 3

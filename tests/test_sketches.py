@@ -506,3 +506,22 @@ def test_dd_cdf_normalize_python_twin_and_monotone(spark):
     assert g2[0][1] < g2[-1][1]
     # cdf strictly inside (0, 1)
     assert all(0 < c < 1 for _, _, _, c in got if c is not None)
+
+
+def test_sketches_ignore_null_values(spark):
+    # COUNT(DISTINCT) ignores NULLs — so must the sketch states: adding
+    # NULL rows must leave HLL registers and the KMV sample bit-identical
+    from blogparser_spark.dataops import sketches
+
+    clean = spark.createDataFrame(
+        [(f"v{i}",) for i in range(100)], "v string"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([(None,), (None,)], "v string")
+    )
+    hc = sorted(map(tuple, sketches.hll_registers(clean, F.col("v")).collect()))
+    hd = sorted(map(tuple, sketches.hll_registers(dirty, F.col("v")).collect()))
+    assert hc == hd
+    kc = sorted(r.h for r in sketches.kmv_sample(clean, F.col("v"), k=16).collect())
+    kd = sorted(r.h for r in sketches.kmv_sample(dirty, F.col("v"), k=16).collect())
+    assert kc == kd

@@ -182,3 +182,34 @@ def test_equi_depth_bounds_global_plan_has_no_global_sort_window(spark):
     for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
         head = m.group(1).split(",")[0]
         assert " ASC" not in head and " DESC" not in head, m.group(0)
+
+
+def test_salted_exact_distinct_ignores_null_values(spark):
+    from blogparser_spark.operators.skew import salted_exact_distinct
+
+    df = spark.createDataFrame(
+        [("k", "a"), ("k", None), ("k", "b"), ("k", "a")], "k string, v string"
+    )
+    got = salted_exact_distinct(df, ["k"], "v").collect()[0]
+    want = df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()[0]
+    assert got.n_distinct == want.n == 2
+
+
+def test_equi_depth_bounds_global_ignores_nulls(spark):
+    from blogparser_spark.operators.skew import (
+        equi_depth_bounds,
+        equi_depth_bounds_global,
+    )
+
+    vals = [(float(v),) for v in range(1, 11)]
+    df = spark.createDataFrame(vals + [(None,)] * 5, "v double")
+    clean = spark.createDataFrame(vals, "v double")
+    got = {
+        r.bucket: (r.boundary, r.n_rows)
+        for r in equi_depth_bounds_global(df, "v", n_buckets=4).collect()
+    }
+    want = {
+        r.bucket: (r.boundary, r.n_rows)
+        for r in equi_depth_bounds(clean, [], "v", n_buckets=4).collect()
+    }
+    assert got == want and got[1][0] == 3.0

@@ -951,3 +951,77 @@ def test_oov_rate_twin(spark):
         assert got[d] == (len(tk), oov, round(oov / len(tk), 6)), d
     assert vocab == {"a", "b", "c"}
     assert got[3] == (2, 2, 1.0)  # all-rare doc flags fully OOV
+
+
+def test_daily_anomaly_constant_series_not_flagged(spark):
+    # stddev 0 (a type seen on one day / constant volume) must yield no
+    # anomalies — not a divide-by-zero (ANSI) or NaN>t=true flood (non-ANSI)
+    from datetime import datetime
+
+    from blogparser_spark.dataops.timeseries import daily_anomaly_flags
+
+    rows = [(i, datetime(2024, 6, 1, 12), 1, "solo", 1.0) for i in range(5)]
+    rows += [
+        (100 + d * 10 + j, datetime(2024, 6, 1 + d, 12), 2, "flat", 1.0)
+        for d in range(4)
+        for j in range(3)  # 3 events every day — constant series
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    assert daily_anomaly_flags(df, z_threshold=2.0).count() == 0
+
+
+def test_ks_drift_one_sided_group_reads_full_divergence(spark):
+    # a group present in only one side is the new/dropped-segment case:
+    # D must saturate to 1.0, not crash or go NaN
+    from blogparser_spark.dataops.profile import ks_drift
+
+    ref = spark.createDataFrame(
+        [("g1", b) for b in (0, 1, 2)] + [("g2", b) for b in (0, 1)],
+        "g string, bin int",
+    )
+    cur = spark.createDataFrame([("g1", b) for b in (1, 2, 3)], "g string, bin int")
+    out = {r.g: r for r in ks_drift(ref, cur, ("g",), "bin").collect()}
+    assert out["g2"].ks_d == 1.0 and out["g2"].n_cur == 0
+    assert 0.0 < out["g1"].ks_d <= 1.0
+
+
+def test_contingency_chi2_ignores_null_categories(spark):
+    # complete-case chi2: NULL-category rows must not inflate the statistic
+    from blogparser_spark.dataops.profile import contingency_chi2
+
+    base = [("a", "x")] * 6 + [("a", "y")] * 4 + [("b", "x")] * 3 + [("b", "y")] * 7
+    clean = spark.createDataFrame(base, "ca string, cb string")
+    dirty = spark.createDataFrame(
+        base + [(None, "x")] * 5 + [("a", None)] * 5, "ca string, cb string"
+    )
+    want = clean.select("*").collect()
+    rc = contingency_chi2(clean, "ca", "cb").collect()[0]
+    rd = contingency_chi2(dirty, "ca", "cb").collect()[0]
+    assert rc.asDict() == rd.asDict()
+    assert rd.n_obs == len(base)
+
+
+def test_session_paths_cut_before_collect(spark):
+    # degenerate never-idle stream: the long session must be dropped by the
+    # window-count filter BEFORE any array state builds, short ones survive
+    from datetime import datetime, timedelta
+
+    from blogparser_spark import queries
+
+    t0 = datetime(2024, 6, 1, 12)
+    rows = [(i, t0 + timedelta(minutes=i), 1, f"e{i % 3}", 1.0) for i in range(40)]
+    rows += [(100 + j, t0 + timedelta(minutes=j), 2, "a", 1.0) for j in range(3)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = queries.top_session_paths(spark, d).collect()
+    assert [r.path for r in out] == ["a>a>a"]
+    assert out[0].n_sessions == 1 and out[0].path_len == 3
