@@ -70,12 +70,20 @@ def apply_exact_dedup(
 
 
 def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-row corpus summary: total docs, distinct texts, removable dups."""
+    """One-row corpus summary: total docs, distinct texts, removable dups.
+
+    NULL texts form ONE dedup group in apply_exact_dedup (its window
+    partitions NULL hashes together, keeping one survivor), so the
+    distinct count adds that group back — countDistinct alone drops it
+    and would claim one more removable row than the materializer
+    removes."""
     h = F.md5(_norm(F.col(text_col)))
+    null_grp = F.max(F.when(F.col("h").isNull(), 1).otherwise(0))
+    n_distinct = F.countDistinct("h") + null_grp
     return df.select(h.alias("h")).agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct("h").alias("n_distinct"),
-        (F.count("*") - F.countDistinct("h")).alias("n_dup_rows"),
+        n_distinct.alias("n_distinct"),
+        (F.count("*") - n_distinct).alias("n_dup_rows"),
     )
 
 
@@ -168,6 +176,55 @@ def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 BUCKET_IDS_CAP = 100  # bucket-report arrays carry at most this many ids
 
 
+def chained_pairs(
+    bands: DataFrame, band_cols: list[str], id_col: str
+) -> DataFrame:
+    """THE bucket→pairs kernel (one definition for MinHash-LSH, SimHash,
+    and SRP bands): chained candidate pairs (id_a, id_b), id_a < id_b.
+    CHAINED, not all-pairs-per-bucket — consecutive members suffice to
+    connect a bucket's docs for clustering, keeping pair count linear in
+    bucket size. The chain is built with lag() over the (band..., id)
+    window — O(1) state per row, external-sortable — NEVER by collecting
+    a bucket's members into one array, which is unbounded on a degenerate
+    corpus (everything identical → one bucket holds every id)."""
+    w = Window.partitionBy(*band_cols).orderBy(id_col)
+    return (
+        bands.withColumn("_prev", F.lag(id_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+
+
+def capped_bucket_report(
+    bands: DataFrame,
+    band_cols: list[str],
+    id_col: str,
+    cap: int = BUCKET_IDS_CAP,
+) -> DataFrame:
+    """Bucket report (band..., n_docs, ids) for buckets holding >= 2 docs
+    — one definition for the MinHash and SimHash reports. `n_docs` is the
+    EXACT member count; `ids` is the first `cap` members in id order — a
+    bounded sample, not the full roster. The cap is enforced BEFORE the
+    collect (window rank <= cap), so per-group state stays bounded even
+    when a degenerate corpus funnels every doc into one bucket; pair
+    generation (chained_pairs) never reads this array."""
+    w = Window.partitionBy(*band_cols).orderBy(id_col)
+    return (
+        bands.withColumn("_rn", F.row_number().over(w))
+        .groupBy(*band_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= cap, F.col(id_col))
+                )
+            ).alias("ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -179,26 +236,10 @@ def minhash_lsh_candidates(
     members in id order — a bounded sample, not the full roster. On a
     degenerate corpus (everything identical) one bucket holds every doc;
     an uncapped collect_list would materialize the whole corpus's ids in
-    one aggregation buffer on one executor. The cap is enforced BEFORE the
-    collect (window rank ≤ cap), so per-group state is bounded; pair
-    generation (lsh_candidate_pairs) never reads this array — it chains
-    via lag() with O(1) per-row state."""
-    from pyspark.sql import Window
-
-    bands = minhash_bands(df, text_col, id_col)
-    w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
-    return (
-        bands.withColumn("_rn", F.row_number().over(w))
-        .groupBy("band_idx", "band_hash")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(F.col("_rn") <= BUCKET_IDS_CAP, F.col(id_col))
-                )
-            ).alias("ids"),
-        )
-        .filter(F.col("n_docs") >= 2)
+    one aggregation buffer on one executor. See capped_bucket_report (the
+    shared kernel) for the bounding mechanics."""
+    return capped_bucket_report(
+        minhash_bands(df, text_col, id_col), ["band_idx", "band_hash"], id_col
     )
 
 
@@ -407,19 +448,10 @@ def lsh_candidate_pairs(
     """MinHash-LSH buckets → chained candidate pairs (id_a, id_b), id_a <
     id_b. CHAINED, not all-pairs-per-bucket: consecutive members suffice to
     connect a bucket's docs for clustering, keeping pair count linear in
-    bucket size. The chain is built with lag() over the (band, id) window —
-    O(1) state per row, external-sortable — NEVER by collecting a bucket's
-    members into one array, which is unbounded on a degenerate corpus
-    (everything identical → one bucket holds every id)."""
-    from pyspark.sql import Window
-
-    bands = minhash_bands(df, text_col, id_col)
-    w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
-    return (
-        bands.withColumn("_prev", F.lag(id_col).over(w))
-        .filter(F.col("_prev").isNotNull())
-        .select(F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b"))
-        .distinct()
+    bucket size (chained_pairs is the shared kernel — its docstring has
+    the degenerate-corpus argument)."""
+    return chained_pairs(
+        minhash_bands(df, text_col, id_col), ["band_idx", "band_hash"], id_col
     )
 
 
@@ -625,28 +657,13 @@ def simhash_band_candidates(
     on either half are near-dup candidates (standard band argument: hamming
     distance ≤ 1 is always caught; larger distances probabilistically).
     As with minhash_lsh_candidates: n_docs is exact, ids is capped at
-    BUCKET_IDS_CAP (bounded per-group state on degenerate corpora)."""
-    from pyspark.sql import Window
-
+    BUCKET_IDS_CAP (capped_bucket_report is the shared kernel)."""
     bands = (
         simhash_df(df, text_col, id_col)
         .select(F.col(id_col), F.explode(_simhash_halves()).alias("b"))
         .select(id_col, "b.band_idx", "b.band_val")
     )
-    w = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
-    return (
-        bands.withColumn("_rn", F.row_number().over(w))
-        .groupBy("band_idx", "band_val")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(F.col("_rn") <= BUCKET_IDS_CAP, F.col(id_col))
-                )
-            ).alias("ids"),
-        )
-        .filter(F.col("n_docs") >= 2)
-    )
+    return capped_bucket_report(bands, ["band_idx", "band_val"], id_col)
 
 
 def _simhash_halves() -> Column:
@@ -677,13 +694,7 @@ def simhash_candidate_pairs(
         sig.select(F.col(id_col), F.explode(_simhash_halves()).alias("b"))
         .select(id_col, "b.band_idx", "b.band_val")
     )
-    w = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
-    return (
-        bands.withColumn("_prev", F.lag(id_col).over(w))
-        .filter(F.col("_prev").isNotNull())
-        .select(F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b"))
-        .distinct()
-    )
+    return chained_pairs(bands, ["band_idx", "band_val"], id_col)
 
 
 def verify_pairs_hamming(
@@ -855,18 +866,28 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of the
-    normalized text, keep the MINIMUM hash of every w-gram window, dedup.
-    Guarantees: any shared substring of length >= k + w - 1 between two
-    documents yields at least one shared fingerprint, and the kept set is
-    a ~2/(w+1) fraction of positions — a sparse, alignment-free signature
-    that (unlike MinHash's bag-of-shingles) localizes WHERE the overlap is.
+    normalized text; for EVERY window of w consecutive k-grams select the
+    rightmost minimum hash; dedup the selected set. Guarantees: any shared
+    substring of length >= k + w - 1 between two documents yields at least
+    one shared fingerprint, and the kept set is a ~2/(w+1) fraction of
+    positions — a sparse, alignment-free signature that (unlike MinHash's
+    bag-of-shingles) localizes WHERE the overlap is.
 
-    Kernel: the classic formulation rolls a Rabin-Karp hash in O(1) per
-    position; relationally the same signature is one posexplode over
-    positions + substring + md5-prefix (cross-engine integer, the SRP
-    derivation trick) + a min() over a ROWS sliding window per doc — all
-    codegen, shuffle keyed on the doc id only. Emits (id, fingerprint,
-    pos) with pos = the position of each kept minimum."""
+    Selection is per WINDOW, not per position: a position is kept iff it
+    is the (rightmost-tie-break) argmin of at least one covering window.
+    The earlier keep-if-min-of-the-window-starting-here rule looked
+    similar but broke the guarantee — a document's own following text
+    could hide a true window minimum (a strictly decreasing hash run
+    selected only its final position), so two docs sharing a k+w-1
+    substring could share zero fingerprints.
+
+    Kernel: posexplode over positions + substring + md5-prefix
+    (cross-engine integer, the SRP derivation trick), each position
+    exploded to the <= w windows covering it, rightmost-argmin per window
+    via a (doc, window) row_number — all codegen; shuffles key on
+    (doc, window), uniform. Docs shorter than k+w-1 k-grams still emit
+    one truncated-window fingerprint. Emits (id, fingerprint, pos) with
+    pos = the first position where each kept print occurs."""
     norm = _norm(F.col(text_col))
     t = df.select(F.col(id_col), norm.alias("_t")).filter(
         F.length("_t") >= k
@@ -874,20 +895,35 @@ def winnow_fingerprints(
     pos = t.select(
         id_col,
         F.col("_t"),
+        (F.length("_t") - k + 1).alias("_n"),
         F.explode(F.sequence(F.lit(1), F.length("_t") - k + 1)).alias("pos"),
     )
     kh = F.conv(F.substring(F.md5(F.substring(F.col("_t"), F.col("pos"), k)), 1, 8), 16, 10).cast(
         "long"
     )
-    hashed = pos.select(id_col, "pos", kh.alias("_h"))
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
+    hashed = pos.select(id_col, "pos", "_n", kh.alias("_h"))
+    # the windows covering pos: starts q in [pos-w+1, pos] clamped to the
+    # valid start range [1, n-w+1] (a doc with n < w gets one truncated
+    # window so every >= k-char doc fingerprints)
+    wq = hashed.select(
+        id_col,
+        "pos",
+        "_h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1), F.col("pos") - (w - 1)),
+                F.least(
+                    F.col("pos"), F.greatest(F.col("_n") - (w - 1), F.lit(1))
+                ),
+            )
+        ).alias("_q"),
+    )
+    wsel = Window.partitionBy(id_col, "_q").orderBy(
+        F.asc("_h"), F.desc("pos")
     )
     return (
-        hashed.withColumn("_m", F.min("_h").over(win))
-        .filter(F.col("_h") == F.col("_m"))  # this position IS a window min
+        wq.withColumn("_rn", F.row_number().over(wsel))
+        .filter(F.col("_rn") == 1)  # rightmost argmin of this window
         .groupBy(id_col, F.col("_h").alias("fingerprint"))
         .agg(F.min("pos").alias("pos"))
     )

@@ -239,6 +239,22 @@ def psi_drift(
     gc = list(group_cols)
     a = ref.groupBy(*gc, bin_col).agg(F.count("*").alias("a"))
     b = cur.groupBy(*gc, bin_col).agg(F.count("*").alias("b"))
+    return psi_from_counts(a, b, group_cols, bin_col, n_bins)
+
+
+def psi_from_counts(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: Sequence[str],
+    bin_col: str = "bin",
+    n_bins: int = 16,
+) -> DataFrame:
+    """psi_drift on PRE-AGGREGATED histograms: `a`/`b` carry
+    (group_cols..., bin_col, a/b counts). The entry point for callers that
+    hold one side as a static groups×n_bins artifact — a streaming monitor
+    scores every micro-batch against the same reference histogram without
+    rescanning the reference data (see run_streaming_drift)."""
+    gc = list(group_cols)
     groups = a.select(*gc).unionByName(b.select(*gc)).distinct()
     spine = groups.select(
         *gc, F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias(bin_col)

@@ -135,11 +135,14 @@ def brute_force_topk_matmul(
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
         .collect()
     )
+    out_schema = "qid long, nid long, sim double"
+    if not q_rows:
+        # no ids below n_queries: empty result, same as brute_force_topk
+        # (np.linalg.norm(axis=1) on a 0-row array would raise AxisError)
+        return df.sparkSession.createDataFrame([], out_schema)
     qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     Q = np.asarray([list(r["qv"]) for r in q_rows], dtype=np.float64)
     Qnorm = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
-
-    out_schema = "qid long, nid long, sim double"
 
     def per_batch(batches):
         for pdf in batches:
@@ -975,24 +978,17 @@ def srp_candidate_pairs(
     signatures: DataFrame | None = None,
 ) -> DataFrame:
     """SRP band buckets → chained candidate pairs (id_a, id_b), id_a < id_b.
-    Same bounded shape as dedup.lsh_candidate_pairs: lag() over the
-    (band_idx, band_val, id) window links consecutive bucket members — O(1)
-    per-row state, pair count linear in bucket size even on a degenerate
-    corpus where every vector lands in one bucket."""
+    Delegates to dedup.chained_pairs — ONE definition of the bounded
+    bucket→pairs kernel for MinHash-LSH, SimHash, and SRP bands (see its
+    docstring for the degenerate-corpus argument)."""
+    from blogparser_spark.dataops.dedup import chained_pairs
+
     sig = (
         signatures
         if signatures is not None
         else srp_band_values(df, id_col, vec_col)
     )
-    w = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
-    return (
-        sig.withColumn("_prev", F.lag(id_col).over(w))
-        .filter(F.col("_prev").isNotNull())
-        .select(
-            F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b")
-        )
-        .distinct()
-    )
+    return chained_pairs(sig, ["band_idx", "band_val"], id_col)
 
 
 def srp_verified_pairs(
@@ -1080,28 +1076,3 @@ def hard_negative_topk(
     )
 
 
-def hard_negative_topk(
-    df: DataFrame,
-    n_queries: int = 10,
-    k: int = 5,
-    dup_threshold: float = 0.95,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Hard-negative mining for contrastive training: per query, the k
-    MOST similar vectors whose cosine stays strictly below dup_threshold
-    — similar enough to be hard, not so similar they are duplicates or
-    near-copies (which would poison the negative set). Exactness: the
-    threshold is applied inside the matmul kernel before the local top-k
-    (filtering commutes with top-k), so this is the same join-free
-    <= k*parts*queries-row shuffle as the exact-ANN scale path — never a
-    top-(k+buffer) heuristic that can starve when duplicates crowd the
-    neighborhood."""
-    return brute_force_topk_matmul(
-        df,
-        n_queries=n_queries,
-        k=k,
-        id_col=id_col,
-        vec_col=vec_col,
-        max_sim=dup_threshold,
-    )

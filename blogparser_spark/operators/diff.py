@@ -70,7 +70,11 @@ def diff_datasets(
     """One-row audit: n_only_left, n_only_right, n_changed, n_equal, and a
     diff_<col> mismatch count per compared column (matched rows only)."""
     j, matched, col_neq = _compared(left, right, keys, compare_cols)
-    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    # coalesce: SUM over an empty (both-sides-empty) frame is NULL, and an
+    # equality gate reading n_changed == 0 must see 0, not None
+    cnt = lambda cond: F.coalesce(  # noqa: E731
+        F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+    ).cast("bigint")
     return j.agg(
         cnt(F.col("_in_r").isNull()).alias("n_only_left"),
         cnt(F.col("_in_l").isNull()).alias("n_only_right"),

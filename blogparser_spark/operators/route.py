@@ -68,12 +68,18 @@ def write_routed(
     salt = _sink_salt(files_per_sink)
     out = out.repartition(*[F.col(k) for k in SINK_KEYS], salt)
     if use_iceberg:
-        (
-            out.writeTo(path_or_table)
-            .using("iceberg")
-            .partitionedBy(*[F.col(k) for k in SINK_KEYS])
-            .createOrReplace()
+        writer = out.writeTo(path_or_table).using("iceberg").partitionedBy(
+            *[F.col(k) for k in SINK_KEYS]
         )
+        # honor `mode` — createOrReplace() on an append would silently
+        # destroy every previously routed row in the table
+        if mode == "append":
+            if spark.catalog.tableExists(path_or_table):
+                writer.append()
+            else:
+                writer.create()
+        else:
+            writer.createOrReplace()
     else:
         out.write.mode(mode).partitionBy(*SINK_KEYS).parquet(path_or_table)
 

@@ -763,8 +763,10 @@ def bm25_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact_stats",
     """
     SELECT count(*)::BIGINT AS n_docs,
-           count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))::BIGINT AS n_distinct,
-           (count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))))::BIGINT AS n_dup_rows
+           (count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+            + max(CASE WHEN text IS NULL THEN 1 ELSE 0 END))::BIGINT AS n_distinct,
+           (count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+            - max(CASE WHEN text IS NULL THEN 1 ELSE 0 END))::BIGINT AS n_dup_rows
     FROM documents
     """,
 )
@@ -3806,8 +3808,10 @@ def value_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared winnowing oracle fragment (Schleimer et al. 2003): k=16 char
-# k-grams over whitespace-normalized lowercase text, min-hash per w=4
-# window, md5-prefix integers via the same hex-cast derivation as SRP.
+# k-grams over whitespace-normalized lowercase text; for EVERY w=4 window
+# the rightmost minimum hash is selected (per-window argmin, pos DESC tie
+# break — the true winnowing rule; see dedup.winnow_fingerprints),
+# md5-prefix integers via the same hex-cast derivation as SRP.
 _WINNOW_FP_SQL = r"""
     wt AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS tx
@@ -3815,20 +3819,26 @@ _WINNOW_FP_SQL = r"""
     ), wt2 AS (
       SELECT doc_id, tx FROM wt WHERE length(tx) >= 16
     ), wpos AS (
-      SELECT doc_id, tx, unnest(range(1, length(tx) - 16 + 2)) AS pos FROM wt2
+      SELECT doc_id, tx, length(tx) - 16 + 1 AS n,
+             unnest(range(1, length(tx) - 16 + 2)) AS pos FROM wt2
     ), wh AS (
-      SELECT doc_id, pos,
+      SELECT doc_id, pos, n,
         CAST('0x'||substr(md5(substr(tx, CAST(pos AS INT), 16)),1,8) AS BIGINT)
           AS hh
       FROM wpos
-    ), wm AS (
+    ), wq AS (
       SELECT doc_id, pos, hh,
-        min(hh) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+        unnest(range(greatest(1, pos - 3),
+                     least(pos, greatest(n - 3, 1)) + 1)) AS q
       FROM wh
+    ), wsel AS (
+      SELECT doc_id, pos, hh,
+        row_number() OVER (PARTITION BY doc_id, q
+                           ORDER BY hh ASC, pos DESC) AS rn
+      FROM wq
     ), wfp AS MATERIALIZED (
       SELECT doc_id, hh AS fingerprint, min(pos) AS pos
-      FROM wm WHERE hh = mn GROUP BY 1, 2
+      FROM wsel WHERE rn = 1 GROUP BY 1, 2
     )"""
 
 

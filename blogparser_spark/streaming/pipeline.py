@@ -53,10 +53,14 @@ def streaming_transform(stream: DataFrame, watermark: str = "1 hour") -> DataFra
 def windowed_sink_counts(
     stream: DataFrame, window: str = "10 minutes", watermark: str = "1 hour"
 ) -> DataFrame:
-    """Tumbling-window per-sink counts on event time; with the watermark set
-    upstream, state for closed windows is evicted (bounded state at scale)."""
+    """Tumbling-window per-sink counts on event time. The watermark is
+    APPLIED here (earlier revisions accepted the parameter and silently
+    dropped it — in append mode that means no finalized windows and
+    unbounded state); re-declaring on a stream that already set one
+    upstream just moves the threshold for the ops below."""
     return (
-        stream.groupBy(F.window("ts", window).alias("win"), F.col("sink_id"))
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("sink_id"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.col("win.start").alias("window_start"),
@@ -290,13 +294,15 @@ def run_streaming_drift(
     change or upstream regression (truncated bodies, exploding
     boilerplate) alarms within one batch instead of one retraining.
 
-    Shape per batch: the reference histogram is tiny (groups x n_bins,
-    pre-aggregated ONCE here, broadcast into each batch's psi_drift
-    join); the batch reduces to its own histogram before any comparison.
+    Shape per batch: the reference histogram (groups x n_bins rows) is
+    aggregated ONCE here and collected into a static local frame, so a
+    10^9-row reference is scanned exactly once for the whole stream —
+    each batch compares against it via psi_from_counts, reducing itself
+    to its own histogram before any comparison.
     Replay-safe the CMS way: a re-delivered batch id appends IDENTICAL
     psi rows (the sketch is deterministic), and read_drift_state dedups
     per (batch_id, group) before use."""
-    from blogparser_spark.dataops.profile import psi_drift
+    from blogparser_spark.dataops.profile import psi_from_counts
 
     bin_col = F.least(
         F.greatest(
@@ -307,14 +313,25 @@ def run_streaming_drift(
         ),
         F.lit(n_bins - 1),
     )
-    ref_binned = reference.select(*group_cols, bin_col.alias("bin"))
+    # ONE reference scan for the whole stream: the histogram is
+    # groups×n_bins rows, rebuilt as a local static frame
+    hist_q = (
+        reference.select(*group_cols, bin_col.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("a"))
+    )
+    ref_hist = spark.createDataFrame(hist_q.collect(), schema=hist_q.schema)
 
     schema = transcripts_df(spark, n_convs=1, turns_per_conv=1).schema
     stream = spark.readStream.schema(schema).parquet(input_path)
 
     def score_batch(batch_df: DataFrame, batch_id: int) -> None:
-        cur = batch_df.select(*group_cols, bin_col.alias("bin"))
-        out = psi_drift(ref_binned, cur, group_cols, "bin", n_bins)
+        cur = (
+            batch_df.select(*group_cols, bin_col.alias("bin"))
+            .groupBy(*group_cols, "bin")
+            .agg(F.count("*").alias("b"))
+        )
+        out = psi_from_counts(ref_hist, cur, group_cols, "bin", n_bins)
         out.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(output_path)

@@ -64,8 +64,13 @@ def _update_conv_profile(
     for pdf in pdfs:
         n_turns += len(pdf)
         n_ok += int((pdf["parse_status"] == "ok").sum())
-        # normalize to ns regardless of the batch's arrow timestamp unit
-        ts_ns = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64")
+        # normalize to ns regardless of the batch's arrow timestamp unit.
+        # NULL ts rows still count as turns but must not enter the span:
+        # NaT casts to int64-min, which would poison first_ts forever
+        ts = pd.to_datetime(pdf["ts"]).dropna()
+        if len(ts) == 0:
+            continue
+        ts_ns = ts.astype("datetime64[ns]").astype("int64")
         lo, hi = int(ts_ns.min()), int(ts_ns.max())
         first_ns = lo if first_ns is None else min(first_ns, lo)
         last_ns = hi if last_ns is None else max(last_ns, hi)

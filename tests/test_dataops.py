@@ -1203,3 +1203,36 @@ def test_k_anonymity_audit_by_outside_qids(spark):
     assert per["s2"]["n_groups"] == 1
     assert per["s2"]["n_risky_groups"] == 1      # A-in-s2 has 1 id
     assert per["s2"]["n_rows_at_risk"] == 3
+
+
+def test_winnowing_guarantee_randomized(spark):
+    """The per-window argmin rule must honor the k+w-1 guarantee on EVERY
+    input — the earlier keep-if-min-of-forward-window rule failed ~1% of
+    random planted-overlap trials (a smaller hash later in the doc hid a
+    true window minimum)."""
+    import random as _r
+
+    from blogparser_spark.dataops.dedup import winnow_fingerprints
+
+    rng = _r.Random(20260819)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rows = []
+    for t in range(60):
+        shared = "".join(rng.choice(alpha) for _ in range(11))  # k+w-1
+        pre_a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        suf_a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        pre_b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        suf_b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        rows.append((2 * t, pre_a + shared + suf_a))
+        rows.append((2 * t + 1, pre_b + shared + suf_b))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(docs, k=8, w=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    missing = [
+        t
+        for t in range(60)
+        if not (by_doc.get(2 * t, set()) & by_doc.get(2 * t + 1, set()))
+    ]
+    assert missing == []
