@@ -88,10 +88,11 @@ def summarize_truncation(body_col: Column) -> Column:
     return truncate_summary(strip_tags(body_col))
 
 
-def split_sentences(col: Column) -> Column:
-    """splitSentences (summary.go:244-254): split on 。, trim, drop empties."""
+def split_sentences(col: Column, delim: str = P.SENTENCE_DELIM) -> Column:
+    """splitSentences (summary.go:244-254): split on 。 (or a caller-supplied
+    delimiter regex), trim, drop empties."""
     return F.filter(
-        F.transform(F.split(col, P.SENTENCE_DELIM), lambda s: F.trim(s)),
+        F.transform(F.split(col, delim), lambda s: F.trim(s)),
         lambda s: s != "",
     )
 

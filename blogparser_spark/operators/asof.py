@@ -63,6 +63,10 @@ def asof_join(
     left's (rename before calling).
     """
     r_val_cols = [c for c in right.columns if c not in {*key_cols, ts_col}]
+    # DuckDB ASOF (l.ts >= r.ts) never matches a NULL right timestamp; in
+    # the window below such a row would sort nulls-first and forward-fill
+    # its payload onto every left row until the first real right row
+    right = right.filter(F.col(ts_col).isNotNull())
     r = right.select(
         *key_cols,
         F.col(ts_col),

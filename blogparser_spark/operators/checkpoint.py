@@ -42,6 +42,7 @@ MANIFEST_DIR = "_manifests"
 class SliceManifest:
     slice_id: int
     n_slices: int
+    key_col: str
     predicate: str
     input_path: str
     input_snapshot: str
@@ -170,13 +171,21 @@ def run_sliced(
 
     Resume safety: a completed slice is skipped only if its manifest's
     input_snapshot matches the CURRENT input snapshot — after the input
-    changes, every slice re-runs rather than silently mixing lineages."""
+    changes, every slice re-runs rather than silently mixing lineages —
+    AND the manifest's (n_slices, key_col) match this run's: resuming a
+    4-slice output with n_slices=8 would keep pmod-4 slice outputs next
+    to pmod-8 ones, duplicating every row whose pmod8 ∈ {4..7}."""
     snapshot = input_snapshot_id(spark, input_path)
     done: set[int] = set()
     if resume:
         for s in completed_slices(output_base):
             m = read_manifest(output_base, s)
-            if m and m.get("input_snapshot") == snapshot:
+            if (
+                m
+                and m.get("input_snapshot") == snapshot
+                and m.get("n_slices") == n_slices
+                and m.get("key_col") == key_col
+            ):
                 done.add(s)
     sliced = _sliced_layout(input_path, n_slices, key_col)
     manifests: list[SliceManifest] = []
@@ -218,6 +227,7 @@ def run_sliced(
         m = SliceManifest(
             slice_id=s,
             n_slices=n_slices,
+            key_col=key_col,
             predicate=predicate,
             input_path=input_path,
             input_snapshot=snapshot,

@@ -128,10 +128,13 @@ def content_fingerprint(
     NULL differs from the empty string), first 13 hex chars as an exact
     52-bit int. Per slice, fp_xor = bit-XOR of the hashes (commutative /
     associative — partition order can never matter) and fp_sum = sum of
-    hash mod 1e9+7 (catches the even-multiplicity duplicate swaps XOR
-    cancels; at 10^12 rows per slice re-mod the partial sums
-    hierarchically). ONE scan, one partial agg; both engines replay the
-    md5 bit-for-bit."""
+    hash mod 1e9+7, RE-MODDED after the sum (catches the even-multiplicity
+    duplicate swaps XOR cancels). The sum runs over decimal(38,0): a
+    bigint sum of ~1e9-sized terms wraps past 2^63 after ~9.2e9 rows —
+    well inside a 10^12-row slice — silently under non-ANSI and with an
+    exception under ANSI; decimal(38) is exact to ~1e29 rows and the
+    final mod returns the comparison to bigint. ONE scan, one partial
+    agg; both engines replay the md5 bit-for-bit."""
     sent = F.lit(chr(0))
     parts = [F.coalesce(F.col(c).cast("string"), sent) for c in cols]
     h = F.md5(F.concat_ws(chr(31), *parts))
@@ -143,7 +146,12 @@ def content_fingerprint(
         .agg(
             F.count("*").alias("n_rows"),
             F.expr("bit_xor(_h)").alias("fp_xor"),
-            F.sum(F.col("_h") % F.lit(1000000007)).alias("fp_sum"),
+            (
+                F.sum((F.col("_h") % F.lit(1000000007)).cast("decimal(38,0)"))
+                % F.lit(1000000007)
+            )
+            .cast("bigint")
+            .alias("fp_sum"),
         )
         .orderBy("slice_id")
     )

@@ -249,11 +249,14 @@ def _clean_content_vec(s: pd.Series) -> pd.Series:
     c = c.str.replace(P.BLOCK_TAGS, "", regex=True)
     c = c.str.replace(P.STRAY_BLOCK_CLOSE, "", regex=True)
     c = c.combine_first(sub)  # dirty-but-markup-free rows pass through
-    # needle gates from the ORIGINAL text: removals only delete content, so
-    # an absent needle stays absent — the initial mask is removal-stable
-    low0 = m.str.lower()
+    # needle gates from the CURRENT text, not the original: a deletion can
+    # splice a needle into existence ('goo<!-- x -->gle-auto-placed' becomes
+    # 'google-auto-placed' after comment removal), and the oracle applies
+    # the bank to the post-removal text — so gate on `c` and refresh the
+    # lowercase view of only the rows each pattern touched
+    low = c.str.lower()
     for needle, pat in P.GLOBAL_REMOVE_PATTERNS:
-        mask = low0.str.contains(needle, regex=False).eq(True)
+        mask = low.str.contains(needle, regex=False).eq(True)
         if not mask.any():
             continue
         if isinstance(pat, P.ElementPattern):
@@ -264,8 +267,10 @@ def _clean_content_vec(s: pd.Series) -> pd.Series:
             c = c.where(~mask).combine_first(
                 c.where(mask).str.replace(pat, "", regex=True)
             )
+        low = low.where(~mask).combine_first(c.where(mask).str.lower())
     # .eq(True): NA-body rows (non-dirty) → False without dtype downcasting
-    scoped = c.str.lower().str.contains("skin-entrybody", regex=False).eq(True)
+    # (`low` tracks c row-for-row through the loop above, so no re-lowercase)
+    scoped = low.str.contains("skin-entrybody", regex=False).eq(True)
     if scoped.any():
         c = c.where(~scoped).combine_first(
             c.where(scoped).map(P.scrub_ameblo, na_action="ignore")
@@ -328,6 +333,11 @@ def _images_rows(text: str) -> list[dict]:
 @F.pandas_udf(EXTRACT_TYPE)
 def extract_udf(texts: pd.Series) -> pd.DataFrame:
     """The single JVM↔Python boundary of the parse stage."""
+    # per-record error isolation (parser.go's per-file loop never aborts the
+    # run): a NULL text must ROUTE (no_title) rather than poison the Arrow
+    # batch — None propagates NA through the boolean gates below and
+    # `~NA` raises, killing the whole task for one bad row
+    texts = texts.fillna("")
     lower = texts.str.lower()
     title_raw = _extract_title_vec(texts)
     title = _clean_title_vec(title_raw)
@@ -348,7 +358,10 @@ def extract_udf(texts: pd.Series) -> pd.DataFrame:
 
     has_cat = any_of(*P.CATEGORY_GATE_NEEDLES)
     has_tag = any_of(*P.TAG_GATE_NEEDLES)
-    has_date = any_of("date", "<time")  # covers pubdate/datePublished
+    # "date" covers pubdate/datePublished/DATE_META_NAME; the OGP meta key
+    # article:published_time contains neither literal, so it needs its own
+    # needle or its rows never reach _date_candidates
+    has_date = any_of("date", "<time", "published_time")
     has_img = any_of("og:image", "twitter:image", "<img")
 
     categories = [

@@ -186,7 +186,9 @@ def bm25_summary(
     text, delimiters included (summary.go:110-112)."""
     from blogparser_spark.functions.text import split_sentences, truncate_summary
 
-    n_sents = F.size(split_sentences(F.col(text_col)))
+    # count with the SAME delimiter the explode uses, or a custom delim
+    # routes every doc to the `few` branch (1 "sentence" per doc)
+    n_sents = F.size(split_sentences(F.col(text_col), delim))
     few = df.filter(n_sents <= top_k).select(
         F.col(doc_col).alias("doc"),
         truncate_summary(F.col(text_col)).alias("summary"),

@@ -5409,7 +5409,7 @@ _FINGERPRINT_SQL = r"""
     )
     SELECT slice_id, count(*)::BIGINT AS n_rows,
            bit_xor(h52) AS fp_xor,
-           sum(h52 % 1000000007)::BIGINT AS fp_sum
+           (sum(h52 % 1000000007) % 1000000007)::BIGINT AS fp_sum
     FROM hashed GROUP BY 1 ORDER BY 1
 """
 

@@ -94,8 +94,10 @@ def _make_text(rng: random.Random, i: int) -> str:
         return f"<h1>{title_word}</h1><article>{'x' * 99}</article>"
     if v == 10:  # multibyte: 40 Japanese chars = 120 bytes ≥ 100 (byte gate!)
         return f"<h1>{title_word}</h1><article>{'あ' * 40}</article>"
-    if v == 11:  # multibyte: 34 chars = 102 bytes ok; 33 = 99 would fail
-        return f"<h1>{title_word}</h1><article>{'い' * 33}</article>"  # 99 bytes → no_content
+    if v == 11:  # multibyte PASS boundary: 34 chars = 102 bytes ≥ 100 (ok);
+        # 33 chars = 99 bytes would fail — a char-length gate (34 < 100)
+        # would wrongly reject this row, so it guards the BYTE semantics
+        return f"<h1>{title_word}</h1><article>{'い' * 34}</article>"
     if v == 12:  # cleaning bank: comments, script, style, global removeTags
         return (
             f"<h1>{title_word}</h1>"

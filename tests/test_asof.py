@@ -163,3 +163,21 @@ def test_range_join_bucket_size_invariant(spark):
             ).collect()
         )
     assert out[3600] == out[86400] == out[60] and out[3600]
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    """DuckDB ASOF (l.ts >= r.ts) never matches a NULL right timestamp; a
+    NULL-ts config row must not forward-fill onto subsequent left rows."""
+    from blogparser_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(2), "e2"), (2, "u1", _ts(8), "e8")],
+        "event_id long, user_id string, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [("u1", None, 999.0), ("u1", _ts(5), 100.0)],
+        "user_id string, ts timestamp, cfg double",
+    )
+    rows = {r["event_id"]: r for r in asof_join(left, right, ["user_id"], "ts").collect()}
+    assert rows[1]["cfg"] is None and rows[1]["asof_ts"] is None
+    assert rows[2]["cfg"] == 100.0

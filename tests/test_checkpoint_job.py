@@ -180,3 +180,22 @@ def test_unknown_status_lands_in_other_bucket(spark, tmp_path):
         assert sum(m.sink_counts.values()) == m.rows_in
         assert m.sink_counts.get("other", 0) > 0 or "weird_status" not in str(m)
     assert any(m.sink_counts.get("other", 0) > 0 for m in ms)
+
+
+def test_resume_reruns_when_slice_params_change(spark, tmp_path):
+    """Resuming with a different n_slices (or key_col) must NOT trust old
+    manifests: mixing pmod-4 slice outputs with pmod-8 predicates would
+    duplicate every row whose pmod8 lands in {4..7}."""
+    from blogparser_spark.job import transform
+    from blogparser_spark.operators.checkpoint import run_sliced
+
+    inp = _write_input(spark, tmp_path)
+    out = str(tmp_path / "out_params")
+    first = run_sliced(spark, inp, out, transform, n_slices=4)
+    assert [m.slice_id for m in first] == [0, 1, 2, 3]
+    # widened slice count → every slice re-runs (no silent subset skip)
+    rerun = run_sliced(spark, inp, out, transform, n_slices=8)
+    assert [m.slice_id for m in rerun] == list(range(8))
+    # different key_col → same full re-run
+    rerun2 = run_sliced(spark, inp, out, transform, n_slices=8, key_col="turn_idx")
+    assert [m.slice_id for m in rerun2] == list(range(8))

@@ -152,6 +152,8 @@ def test_content_fingerprint_order_and_change_sensitivity(spark):
         slc = int(h[13:17], 16) % 8
         n, x, m = want.get(slc, (0, 0, 0))
         want[slc] = (n + 1, x ^ h52, m + h52 % 1000000007)
+    # fp_sum re-mods after the sum (bigint-safe at any row count)
+    want = {k: (n, x, m % 1000000007) for k, (n, x, m) in want.items()}
     assert got == want
 
     # order-independence: reversed input produces identical fingerprints

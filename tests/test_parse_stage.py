@@ -91,3 +91,66 @@ def test_content_fast_path_defers_to_balanced_semantics():
         want = pyref.extract_content(p)
         g = got.iloc[i]
         assert (pd.isna(g) and want is None) or g == want, (i, g, want)
+
+
+def test_null_text_routes_per_record(spark):
+    """Per-record error isolation: a NULL text row must ROUTE (no_title),
+    never poison its Arrow batch — `~NA` over the plain-text-fallback gate
+    used to raise TypeError and kill the task for every row in the batch."""
+    from blogparser_spark.operators.parse import parse_stage
+
+    pad = "word " * 30
+    df = spark.createDataFrame(
+        [
+            ("c", 0, None),
+            ("c", 1, f"<h1>Title</h1><article>{pad}</article>"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = {r["turn_idx"]: r for r in parse_stage(df).collect()}
+    assert rows[0]["parse_status"] == "no_title"
+    assert rows[1]["parse_status"] == "ok"
+
+
+def test_published_time_only_date_reaches_extractor(spark):
+    """A document whose ONLY date source is the OGP article:published_time
+    meta (no literal 'date', no <time>) must still get created_at — the
+    vectorized gate needs its own needle for this key."""
+    from blogparser_spark.operators.parse import parse_stage
+    from blogparser_spark.oracle import pyref
+
+    pad = "word " * 30
+    text = (
+        '<meta property="article:published_time" content="2023-05-01T10:00:00Z">'
+        f"<h1>Title</h1><article>{pad}</article>"
+    )
+    assert "date" not in text.lower() and "<time" not in text.lower()
+    want = pyref.extract_date(text)
+    assert want is not None
+    df = spark.createDataFrame([("c", 0, text)], "conv_id string, turn_idx int, text string")
+    got = parse_stage(df).collect()[0]
+    assert got["parse_status"] == "ok"
+    assert got["created_at"] == want
+
+
+def test_clean_content_needle_spliced_by_comment_removal():
+    """Comment removal can splice a remove-bank needle into existence
+    ('goo<!-- x -->gle-auto-placed' → 'google-auto-placed'); the oracle
+    applies the bank AFTER comment removal, so the vectorized gate must
+    too — gating on the original text skips the removal."""
+    import pandas as pd
+
+    from blogparser_spark.operators.parse import _clean_content_vec
+    from blogparser_spark.oracle import pyref
+
+    pad = "keep " * 30
+    payloads = [
+        f'<div class="goo<!-- x -->gle-auto-placed">AD</div>{pad}',
+        f'<div class="google-auto-placed">AD</div>{pad}',  # plain needle
+        pad,  # bank-free row
+    ]
+    got = _clean_content_vec(pd.Series(payloads))
+    for i, p in enumerate(payloads):
+        want = pyref.clean_content(p)
+        assert got.iloc[i] == want, (i, got.iloc[i], want)
+    assert "AD" not in got.iloc[0]

@@ -246,3 +246,23 @@ def test_lemma_spark_matches_python_twin(spark):
     got = [(r["surface"], r["lemma"], r["pos"]) for r in rows]
     assert sorted(got) == sorted(want)
     assert any(l != s for s, l, _ in got)  # de-inflection actually fired
+
+
+def test_bm25_summary_custom_delim_routes_to_scoring(spark):
+    """The few/many routing must count sentences with the CALLER's
+    delimiter — counting with the default 。 on ascii text saw one
+    'sentence' per doc and silently truncated instead of scoring."""
+    from blogparser_spark.operators.summary_bm25 import bm25_summary
+
+    text = "[.]".join(
+        [
+            "common words common words common words",
+            "rare unique tokens zebra quark",
+            "common words common words common words",
+            "singular exotic lexeme phoenix griffin",
+        ]
+    )
+    df = spark.createDataFrame([("d", text)], "doc string, text string")
+    out = bm25_summary(df, "doc", "text", delim=r"\[\.\]").collect()[0]["summary"]
+    s1, s3 = "rare unique tokens zebra quark", "singular exotic lexeme phoenix griffin"
+    assert out == s1 + s3  # scored + original order, not a truncation of text
