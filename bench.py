@@ -25,11 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 TURNS_PER_DOC = int(os.environ.get("SPARK_GRAFT_TURNS_PER_DOC", "100"))
 
 
-def build_transcripts(spark, sf_dir: str):
+def build_transcripts(spark, sf_dir: str, turns_per_doc: int | None = None):
     """documents → K turns each, generated executor-side (explode, no driver
     loop). conv_id = doc, turn_idx 0..K-1, payload variants exercise every
     parse path."""
     from pyspark.sql import functions as F
+
+    turns = TURNS_PER_DOC if turns_per_doc is None else turns_per_doc
 
     # the docs parquet is one file → one scan partition; the explode fan-out
     # inherits it, which would feed the whole corpus to ONE core. Repartition
@@ -41,7 +43,7 @@ def build_transcripts(spark, sf_dir: str):
         F.concat(F.lit("conv-"), F.col("doc_id")).alias("conv_id"),
         F.col("doc_id"),
         F.col("text").alias("payload"),
-        F.explode(F.sequence(F.lit(0), F.lit(TURNS_PER_DOC - 1))).alias("turn_idx"),
+        F.explode(F.sequence(F.lit(0), F.lit(turns - 1))).alias("turn_idx"),
     )
     v = (F.col("doc_id") + F.col("turn_idx")) % 4
     roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool"))
@@ -92,18 +94,12 @@ def transcripts_parquet(spark, sf_dir: str, turns_per_doc: int | None = None) ->
     corpus scan, so the row generator (HTML concat per turn, pure bench
     scaffolding) must not sit inside the timed plan. 64 output files give
     balanced splits at every parallelism level."""
-    global TURNS_PER_DOC
     turns = TURNS_PER_DOC if turns_per_doc is None else turns_per_doc
     path = f"/tmp/spark_graft_bench/transcripts_{os.path.basename(sf_dir.rstrip('/'))}_{turns}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        saved = TURNS_PER_DOC
-        TURNS_PER_DOC = turns
-        try:
-            build_transcripts(spark, sf_dir).repartition(64).write.mode(
-                "overwrite"
-            ).parquet(path)
-        finally:
-            TURNS_PER_DOC = saved
+        build_transcripts(spark, sf_dir, turns).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 

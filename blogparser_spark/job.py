@@ -1,8 +1,8 @@
 """spark-submit entry point for the full pipeline.
 
-    spark-submit --py-files blogparser_spark.zip -m blogparser_spark.job \
+    spark-submit --py-files blogparser_spark.zip blogparser_spark/job.py \
         --input /path/transcripts --output /path/out [--resume] \
-        [--slices 64] [--sf-dir ...]
+        [--slices 64] [--key-col conv_id] [--salt-parts 0]
 
 Runs the sliced, resumable parse→enrich pipeline (checkpoint manifests per
 slice), then the aggregate reports over the routed output. On a cluster the
@@ -72,7 +72,12 @@ def main(argv: list[str] | None = None) -> int:
         key_col=args.key_col,
         resume=args.resume,
     )
-    routed = spark.read.parquet(args.output + "/slice=*")
+    # read exactly THIS run's slice set — a bare slice=* glob would also
+    # pick up stale slice dirs left by an earlier run with a larger
+    # --slices value, double-counting every row they hold
+    routed = spark.read.parquet(
+        *[f"{args.output}/slice={s}" for s in range(args.slices)]
+    )
     report = {
         "slices_run": [m.slice_id for m in manifests],
         "rows_in": sum(m.rows_in for m in manifests),

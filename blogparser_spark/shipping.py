@@ -13,6 +13,8 @@ artifact instead of a stale cache hit.
 
 from __future__ import annotations
 
+import uuid
+
 import hashlib
 import os
 import tempfile
@@ -38,11 +40,18 @@ def _package_zip() -> str:
         tempfile.gettempdir(), f"blogparser_spark-{h.hexdigest()[:12]}.zip"
     )
     if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            for p in sources:
-                z.write(p, os.path.relpath(p, root))
-        os.replace(tmp, zpath)
+        # uuid-suffixed tmp name: two sessions building the zip concurrently
+        # (pytest workers, bench + oracle check) must not truncate each
+        # other's half-written archive; os.replace publishes atomically
+        tmp = f"{zpath}.tmp.{uuid.uuid4().hex[:8]}"
+        try:
+            with zipfile.ZipFile(tmp, "w") as z:
+                for p in sources:
+                    z.write(p, os.path.relpath(p, root))
+            os.replace(tmp, zpath)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return zpath
 
 

@@ -199,3 +199,19 @@ def test_resume_reruns_when_slice_params_change(spark, tmp_path):
     # different key_col → same full re-run
     rerun2 = run_sliced(spark, inp, out, transform, n_slices=8, key_col="turn_idx")
     assert [m.slice_id for m in rerun2] == list(range(8))
+
+
+def test_job_report_ignores_stale_slice_dirs(spark, tmp_path, capsys):
+    """Re-running the job with a SMALLER --slices must not double-count rows
+    from the stale slice dirs the wider run left behind: the report reads
+    exactly this run's slice set, not a slice=* glob."""
+    from blogparser_spark import job
+
+    inp = _write_input(spark, tmp_path)
+    out = str(tmp_path / "out_stale")
+    assert job.main(["--input", inp, "--output", out, "--slices", "4"]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert job.main(["--input", inp, "--output", out, "--slices", "2"]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["rows_in"] == r2["rows_in"]
+    assert r1["sink_counts"] == r2["sink_counts"]

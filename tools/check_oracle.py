@@ -51,6 +51,11 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    # a typo'd query name must not silently run nothing and report ALL PASS
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown queries: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

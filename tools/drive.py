@@ -855,7 +855,8 @@ holey = ev001.filter(
 )
 gaps = missing_daily_ranges(holey, "ts").collect()
 assert gaps and all(g.n_missing >= 1 and g.gap_start_day <= g.gap_end_day for g in gaps)
-full = missing_daily_ranges(ev001, "ts").collect()  # contiguous month: no gaps
+full = missing_daily_ranges(ev001, "ts").collect()
+assert not full  # contiguous month: a gapless input must yield zero ranges
 lat = funnel_step_latencies(ev001).collect()
 assert lat and all(r.latency_us > 0 for r in lat)
 assert {r.step for r in lat} <= {"click", "purchase"}

@@ -59,6 +59,11 @@ def main() -> int:
     spec.loader.exec_module(entry)
     qs = entry.queries()
     only = set(sys.argv[2:])
+    # a typo'd query name must not silently audit nothing and print CLEAN
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown queries: {sorted(unknown)}")
+        return 2
     spark = get_spark(app_name="plan_audit")
 
     bad = 0

@@ -1,4 +1,5 @@
-"""Append one paired scaling sample (local[4] then local[16], 5M turns) to
+"""Append one paired scaling sample (local[4] then local[16]; turns/doc from
+argv[1], default 400 = 2M turns over the 5k-doc sf0.1 corpus) to
 /tmp/scaling_samples.jsonl, with a memory-bandwidth canary before each level
 so host interference is visible in the record.
 
@@ -28,7 +29,7 @@ def bandwidth_canary() -> float:
     t0 = time.time()
     for _ in range(10):
         b = a.copy()  # noqa: F841
-    return round(2.0 / (time.time() - t0) * 10 / 10, 2)  # GB/s (r+w counted once)
+    return round(2.0 / (time.time() - t0), 2)  # GB/s (r+w counted once)
 
 
 def main() -> None:
