@@ -797,3 +797,244 @@ def dsir_importance(
             F.sum(F.coalesce("lr_micro", F.lit(0))).cast("double") / 1e6, 6
         ).alias("logw"),
     )
+
+
+# ------------------------------------------------- conversation-structure QA ---
+
+
+def conv_role_grammar(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Per-conversation role-sequence validation for SFT curation: agent
+    transcripts must open with system/user, roles should not repeat
+    back-to-back, and a tool turn is only well-formed directly after the
+    assistant turn that called it. Emits per conversation
+    (n_turns, first_role, last_role, n_same_role_runs,
+    n_orphan_tool_turns, is_valid) so a curation funnel can drop or
+    re-segment malformed conversations before training export.
+
+    Scale: one shuffle on the conv key shared by the lag window and the
+    rollup (the window's hash partitioning satisfies the groupBy — no
+    second exchange); per-conv state is a handful of counters. first/last
+    role via min_by/max_by on the turn index, never a global sort."""
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    role, prev = F.col(role_col), F.lag(role_col).over(w)
+    t = df.select(
+        conv_col,
+        idx_col,
+        role.alias("_role"),
+        prev.alias("_prev"),
+    )
+    same = F.when(F.col("_prev") == F.col("_role"), 1).otherwise(0)
+    orphan = F.when(
+        (F.col("_role") == "tool")
+        & (F.col("_prev").isNull() | (F.col("_prev") != "assistant")),
+        1,
+    ).otherwise(0)
+    return (
+        t.groupBy(conv_col)
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.min_by("_role", F.col(idx_col)).alias("first_role"),
+            F.max_by("_role", F.col(idx_col)).alias("last_role"),
+            F.sum(same).cast("bigint").alias("n_same_role_runs"),
+            F.sum(orphan).cast("bigint").alias("n_orphan_tool_turns"),
+        )
+        .withColumn(
+            "is_valid",
+            F.col("first_role").isin("system", "user")
+            & (F.col("n_same_role_runs") == 0)
+            & (F.col("n_orphan_tool_turns") == 0),
+        )
+    )
+
+
+def conv_sft_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-conversation instruction-tuning mix stats: role turn counts,
+    byte volume per side, the assistant/user byte ratio SFT filters gate
+    on (assistant-heavy = good demonstration data; user-heavy = the model
+    would train mostly on prompts), and tool-use rate. Pure conditional
+    partial aggregation — one shuffle on the conv key, no window, no UDF;
+    byte lengths so the multibyte convention matches octet_length."""
+    role = F.col(role_col)
+    n_bytes = F.octet_length(text_col)
+    ratio_den = F.sum(F.when(role == "user", n_bytes).otherwise(0))
+    return df.groupBy(conv_col).agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.when(role == "user", 1).otherwise(0)).cast("bigint").alias("n_user"),
+        F.sum(F.when(role == "assistant", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_assistant"),
+        F.sum(F.when(role == "user", n_bytes).otherwise(0))
+        .cast("bigint")
+        .alias("user_bytes"),
+        F.sum(F.when(role == "assistant", n_bytes).otherwise(0))
+        .cast("bigint")
+        .alias("assistant_bytes"),
+        F.round(
+            F.sum(F.when(role == "assistant", n_bytes).otherwise(0)).cast("double")
+            / F.when(ratio_den > 0, ratio_den),
+            6,
+        ).alias("assistant_user_ratio"),
+        F.sum(F.when(F.col(tool_col) != "none", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tool_turns"),
+    )
+
+
+def conv_budget_truncate(
+    df: DataFrame,
+    budget_tokens: int,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Prefix-truncate each conversation to a context-window token budget:
+    keep turns, in stable turn order, while the RUNNING whitespace-token
+    total stays within `budget_tokens` (the standard context-packing rule —
+    a turn either fits entirely or it and everything after it is dropped).
+    Returns the kept turns with (n_tokens, cum_tokens) attached.
+
+    Scale: token counts are a per-row F.size (no explode, no fan-out);
+    the cumulative sum is one window over the conv key ordered by turn —
+    the same single shuffle every stable-ordering stage in this pipeline
+    pays; the keep decision is a pushable per-row filter on the running
+    total. No global sort, no collect."""
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(tokens(F.col(text_col)))
+    out = df.withColumn("n_tokens", n_tok).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    return out.filter(F.col("cum_tokens") <= budget_tokens)
+
+
+def conv_budget_stats(
+    df: DataFrame,
+    budget_tokens: int,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rollup view of conv_budget_truncate for auditing a packing budget:
+    per conversation, turns/tokens before and after the prefix cut plus a
+    `truncated` flag — the number a data engineer checks before committing
+    a context-window size ('how much of the corpus survives at 8k?').
+    Same single conv-key shuffle; the window and both aggregations share
+    its partitioning."""
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(tokens(F.col(text_col)))
+    t = df.select(F.col(conv_col), F.col(idx_col), n_tok.alias("_n")).withColumn(
+        "_cum", F.sum("_n").over(w)
+    )
+    kept = F.when(F.col("_cum") <= budget_tokens, 1).otherwise(0)
+    return (
+        t.groupBy(conv_col)
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("_n").cast("bigint").alias("n_tokens"),
+            F.sum(kept).cast("bigint").alias("n_turns_kept"),
+            F.sum(F.when(F.col("_cum") <= budget_tokens, F.col("_n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+        )
+        .withColumn("truncated", F.col("n_turns_kept") < F.col("n_turns"))
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """DPO-style preference-pair assembly: within each prompt group, pair
+    the highest-scoring candidate (chosen) against the lowest (rejected),
+    keeping only groups with ≥2 candidates and a strictly positive score
+    gap — the standard recipe for turning a scored candidate pool into
+    alignment training pairs (Rafailov et al. 2023 use human labels; a
+    scored pool substitutes any preference signal).
+
+    One shuffle on the group key: both extremes come from the same window
+    partitioning (row_number under score-desc and score-asc orderings,
+    deterministic id tie-break), folded to one row per group by
+    conditional struct-max — never a self-join of the candidate pool."""
+    w_hi = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    w_lo = Window.partitionBy(group_col).orderBy(
+        F.asc(score_col), F.asc(id_col)
+    )
+    t = (
+        df.select(group_col, id_col, score_col)
+        .withColumn("_rh", F.row_number().over(w_hi))
+        .withColumn("_rl", F.row_number().over(w_lo))
+    )
+    picked = t.groupBy(group_col).agg(
+        F.count("*").alias("n_candidates"),
+        F.max(
+            F.when(F.col("_rh") == 1, F.struct(id_col, score_col))
+        ).alias("_ch"),
+        F.max(
+            F.when(F.col("_rl") == 1, F.struct(id_col, score_col))
+        ).alias("_rj"),
+    )
+    return (
+        picked.filter(F.col("n_candidates") >= 2)
+        .select(
+            group_col,
+            "n_candidates",
+            F.col("_ch")[id_col].alias("chosen_id"),
+            F.col("_rj")[id_col].alias("rejected_id"),
+            F.round(
+                F.col("_ch")[score_col] - F.col("_rj")[score_col], 6
+            ).alias("score_gap"),
+        )
+        .filter(F.col("score_gap") > 0)
+    )
+
+
+def sft_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Extract (user turn → immediately-following assistant turn) training
+    pairs from conversations — the instruction-tuning example assembler.
+    Adjacency under stable turn ordering is the pairing rule (a user turn
+    answered two turns later, or never, yields no pair). Emits one row per
+    pair with prompt/response byte sizes for downstream length filters.
+
+    One lead() window on the conv key; byte lengths are per-row; the
+    role-adjacency filter collapses the corpus to |pairs| before anything
+    else consumes it."""
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    t = df.select(
+        conv_col,
+        idx_col,
+        F.col(role_col).alias("_role"),
+        F.octet_length(text_col).alias("prompt_bytes"),
+    ).withColumn("_nrole", F.lead("_role").over(w)).withColumn(
+        "response_bytes", F.lead("prompt_bytes").over(w)
+    )
+    return t.filter(
+        (F.col("_role") == "user") & (F.col("_nrole") == "assistant")
+    ).select(conv_col, idx_col, "prompt_bytes", "response_bytes")

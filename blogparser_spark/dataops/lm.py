@@ -120,3 +120,73 @@ def lm_quality_scores(
     c2, c1 = bigram_lm(bg)
     vocab = stream.agg(F.countDistinct("w").cast("bigint").alias("vocab"))
     return score_with_lm(bg, c2, c1, vocab, id_col)
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_retrieval(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Corpus-level BM25 document retrieval for a fixed query-term set —
+    the search-index primitive (Robertson idf: ln(1 + (N-df+0.5)/(df+0.5)),
+    Lucene's non-negative variant) as one relational plan. This is the
+    DOCUMENT-retrieval sibling of summary_bm25's sentence scorer
+    (parser/summary.go:28-60 semantics, corpus-scoped instead of
+    doc-scoped).
+
+    Scale shape:
+      - doc length is a per-row F.size — no explode for dl;
+      - only tokens IN the query set survive the explode (the filter sits
+        directly on the generator output, so the shuffled volume is
+        |hits|, not token volume);
+      - tf = one partial hash agg on (doc, term); df = a second agg over
+        the tf table (term cardinality ≤ |query|, trivially broadcast
+        back);
+      - corpus N / avgdl ride a 1-row broadcast;
+      - top-k is TakeOrdered (global sort never materializes).
+
+    Determinism: each (doc, term) score is a function of four exact ints
+    (tf, df, N, dl) and avgdl; round-6 then integer-quantize (×1e6) per
+    term so the per-doc sum is order-independent and engine-exact
+    (module convention). Returns (doc_id, n_terms_hit, score_u) with
+    score_u = sum of per-term micro-scores."""
+    stats = docs.select(
+        F.size(tokens(F.lower(F.col(text_col)))).alias("dl")
+    ).agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # dl rides each hit row through the explode (dl is functionally
+    # dependent on the doc id, so grouping on it is free) — no second
+    # corpus-sized join just to re-attach document length
+    hits = docs.select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("dl"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term").isin(*query_terms))
+    tf = hits.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").join(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    term_u = F.round(F.round(idf * tf_part, 6) * 1e6, 0).cast("bigint")
+    return (
+        scored.select(F.col(id_col), term_u.alias("_u"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+            F.sum("_u").cast("bigint").alias("score_u"),
+        )
+        .orderBy(F.desc("score_u"), F.asc(id_col))
+        .limit(top_k)
+    )

@@ -6656,3 +6656,275 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     lr = curation.dsir_log_ratios(docs.filter(F.col("lang") == "en"), docs)
     return curation.dsir_importance(docs, lr).orderBy("doc_id")
+
+
+# ===========================================================================
+# Conversation-structure QA + corpus retrieval (round-3 late additions)
+# ===========================================================================
+
+_WRAPPED_T_SQL = """
+    t AS (
+      SELECT source AS conv_id,
+        row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS turn_idx,
+        ['user','assistant','system','tool'][(doc_id % 4)::INT + 1] AS role,
+        ['search','browser','python','bash','none'][(doc_id % 5)::INT + 1] AS tool,
+        CASE WHEN doc_id % 4 = 0 THEN '<h1>Doc ' || doc_id::VARCHAR
+               || '</h1><span class="date">2023-10-20</span><div class="entry-content">'
+               || text || '</div>'
+             WHEN doc_id % 4 = 1 THEN '<meta property="og:title" content="Doc '
+               || doc_id::VARCHAR || '"><article>' || text || '</article>'
+             WHEN doc_id % 4 = 2 THEN '<article>no title ' || text || '</article>'
+             ELSE text END AS text
+      FROM documents
+    )"""
+
+
+_ROLE_MIX_SQL = """['user','assistant','system','tool'][
+          (('0x' || substr(md5(conv_id || ':' || turn_idx::VARCHAR), 1, 4))::BIGINT
+           % 4)::INT + 1]"""
+
+
+@_q(
+    "conv_role_grammar",
+    f"""
+    WITH {_WRAPPED_T_SQL}, m AS (
+      SELECT conv_id, turn_idx, {_ROLE_MIX_SQL} AS role
+      FROM t
+    ), g AS (
+      SELECT conv_id, turn_idx, role,
+        lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+      FROM m
+    )
+    SELECT conv_id, count(*)::BIGINT AS n_turns,
+      min_by(role, turn_idx) AS first_role,
+      max_by(role, turn_idx) AS last_role,
+      sum(CASE WHEN prev = role THEN 1 ELSE 0 END)::BIGINT AS n_same_role_runs,
+      sum(CASE WHEN role = 'tool' AND (prev IS NULL OR prev != 'assistant')
+               THEN 1 ELSE 0 END)::BIGINT AS n_orphan_tool_turns,
+      (min_by(role, turn_idx) IN ('system', 'user')
+       AND sum(CASE WHEN prev = role THEN 1 ELSE 0 END) = 0
+       AND sum(CASE WHEN role = 'tool' AND (prev IS NULL OR prev != 'assistant')
+                    THEN 1 ELSE 0 END) = 0) AS is_valid
+    FROM g GROUP BY conv_id
+    """,
+)
+def conv_role_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-sequence validation of every conversation (curation.
+    conv_role_grammar): transcripts must open with system/user, never
+    repeat a role back-to-back, and tool turns must directly follow the
+    assistant call — the structural gate an SFT curation funnel applies
+    before export. One conv-key shuffle shared by the lag window and the
+    rollup. The synthetic transcript builder derives role from doc_id%4,
+    which is CONSTANT within a conversation (the source stride is a
+    multiple of 4) — every counter would be degenerate — so this entry
+    re-keys role by an md5 mix of (conv_id, turn_idx), exercising real
+    run/orphan variation; the oracle replays the same hash."""
+    from blogparser_spark.dataops import curation
+
+    return curation.conv_role_grammar(_mixed_role_transcripts(spark, sf_dir))
+
+
+@_q(
+    "conv_sft_stats",
+    f"""
+    WITH {_WRAPPED_T_SQL}
+    SELECT conv_id, count(*)::BIGINT AS n_turns,
+      sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+      sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+      sum(CASE WHEN role = 'user' THEN strlen(text) ELSE 0 END)::BIGINT AS user_bytes,
+      sum(CASE WHEN role = 'assistant' THEN strlen(text) ELSE 0 END)::BIGINT
+        AS assistant_bytes,
+      round(sum(CASE WHEN role = 'assistant' THEN strlen(text) ELSE 0 END)::DOUBLE
+            / nullif(sum(CASE WHEN role = 'user' THEN strlen(text) ELSE 0 END), 0),
+            6) AS assistant_user_ratio,
+      sum(CASE WHEN tool != 'none' THEN 1 ELSE 0 END)::BIGINT AS n_tool_turns
+    FROM t GROUP BY conv_id
+    """,
+)
+def conv_sft_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation instruction-tuning mix profile (curation.
+    conv_sft_stats): role turn counts, byte volume per side, the
+    assistant/user byte ratio SFT filters gate on, and tool-use rate.
+    Pure conditional partial aggregation — one shuffle, no window."""
+    from blogparser_spark.dataops import curation
+
+    return curation.conv_sft_stats(documents_as_transcripts(spark, sf_dir))
+
+
+@_q(
+    "conv_budget_stats",
+    f"""
+    WITH {_WRAPPED_T_SQL}, c AS (
+      SELECT conv_id,
+        len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n,
+        sum(len(list_filter(string_split(text, ' '), x -> x != '')))
+          OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT conv_id, count(*)::BIGINT AS n_turns, sum(n)::BIGINT AS n_tokens,
+      sum(CASE WHEN cum <= 1400 THEN 1 ELSE 0 END)::BIGINT AS n_turns_kept,
+      sum(CASE WHEN cum <= 1400 THEN n ELSE 0 END)::BIGINT AS n_tokens_kept,
+      (sum(CASE WHEN cum <= 1400 THEN 1 ELSE 0 END) < count(*)) AS truncated
+    FROM c GROUP BY conv_id
+    """,
+)
+def conv_budget_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window budget audit (curation.conv_budget_stats): per
+    conversation, turns/tokens before and after a 1400-token prefix cut —
+    the survival numbers checked before committing a packing budget. The
+    running-total window and both aggregations share one conv-key
+    shuffle; token counts are per-row F.size, no explode."""
+    from blogparser_spark.dataops import curation
+
+    return curation.conv_budget_stats(
+        documents_as_transcripts(spark, sf_dir), budget_tokens=1400
+    )
+
+
+@_q(
+    "bm25_doc_retrieval",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id,
+        len(list_filter(string_split(lower(text), ' '), x -> x != ''))::BIGINT AS dl
+      FROM documents
+    ), stats AS (
+      SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT t.doc_id, d.dl, term, count(*)::BIGINT AS tf
+      FROM tok t JOIN dl d USING (doc_id)
+      WHERE term IN ('hash', 'join', 'vector', 'stream')
+      GROUP BY 1, 2, 3
+    ), dfreq AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+      sum(CAST(round(round(
+        ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+        ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (t.dl / s.avgdl))))
+      , 6) * 1e6, 0) AS BIGINT))::BIGINT AS score_u
+    FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s
+    GROUP BY doc_id
+    ORDER BY score_u DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BM25 document retrieval (lm.bm25_retrieval) for a
+    fixed query-term set — the search-index primitive as one relational
+    plan: per-row doc length (no explode for dl), hits filtered at the
+    generator, tf/df as two partial aggs, corpus stats on a 1-row
+    broadcast, TakeOrdered top-k. Per-term scores integer-micro
+    quantized so the per-doc sum is exact across engines."""
+    from blogparser_spark.dataops import lm
+
+    return lm.bm25_retrieval(
+        _docs(spark, sf_dir), ["hash", "join", "vector", "stream"], top_k=10
+    )
+
+
+def _mixed_role_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents_as_transcripts with role re-keyed by an md5 mix of
+    (conv_id, turn_idx): the builder's doc_id%4 role is CONSTANT within a
+    conversation (the source stride is a multiple of 4), which would make
+    every role-sequence operator degenerate. The oracle-side twin is
+    _ROLE_MIX_SQL."""
+    roles = F.array(
+        F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")
+    )
+    return documents_as_transcripts(spark, sf_dir).withColumn(
+        "role",
+        F.element_at(
+            roles,
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", "conv_id", "turn_idx")), 1, 4
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 4
+                + 1
+            ).cast("int"),
+        ),
+    )
+
+
+@_q(
+    "sft_pair_extraction",
+    f"""
+    WITH {_WRAPPED_T_SQL}, m AS (
+      SELECT conv_id, turn_idx, {_ROLE_MIX_SQL} AS role,
+        strlen(text) AS nb
+      FROM t
+    ), g AS (
+      SELECT conv_id, turn_idx, role, nb,
+        lead(role) OVER w AS nrole,
+        lead(nb) OVER w AS next_nb
+      FROM m WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    )
+    SELECT conv_id, turn_idx::INT AS turn_idx,
+      nb::BIGINT AS prompt_bytes, next_nb::BIGINT AS response_bytes
+    FROM g WHERE role = 'user' AND nrole = 'assistant'
+    """,
+)
+def sft_pair_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning example assembly (curation.sft_pairs): pair each
+    user turn with the immediately-following assistant turn under stable
+    turn ordering — the adjacency rule that turns a transcript corpus into
+    (prompt, response) examples. One lead() window on the conv key; roles
+    via the md5 mix (see _mixed_role_transcripts)."""
+    from blogparser_spark.dataops import curation
+
+    out = curation.sft_pairs(_mixed_role_transcripts(spark, sf_dir))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("prompt_bytes").cast("long").alias("prompt_bytes"),
+        F.col("response_bytes").cast("long").alias("response_bytes"),
+    )
+
+
+@_q(
+    "preference_pair_mining",
+    f"""
+    WITH {_quality_feature_ctes("documents")}, q AS (
+      SELECT d.source, doc_id, {_QUALITY_SCORE_SQL} AS quality
+      FROM qf JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
+    ), r AS (
+      SELECT source, doc_id, quality,
+        row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rh,
+        row_number() OVER (PARTITION BY source ORDER BY quality ASC, doc_id) AS rl,
+        count(*) OVER (PARTITION BY source) AS n
+      FROM q
+    )
+    SELECT source, max(n)::BIGINT AS n_candidates,
+      max(CASE WHEN rh = 1 THEN doc_id END) AS chosen_id,
+      max(CASE WHEN rl = 1 THEN doc_id END) AS rejected_id,
+      round(max(CASE WHEN rh = 1 THEN quality END)
+            - max(CASE WHEN rl = 1 THEN quality END), 6) AS score_gap
+    FROM r GROUP BY source
+    HAVING max(n) >= 2
+       AND round(max(CASE WHEN rh = 1 THEN quality END)
+                 - max(CASE WHEN rl = 1 THEN quality END), 6) > 0
+    """,
+)
+def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO-style preference-pair assembly (curation.preference_pairs):
+    within each source group, the highest-quality document (chosen)
+    against the lowest (rejected), for groups of ≥2 with a positive gap.
+    Quality is the oracle-shared composite score; both extremes come from
+    one window partitioning, folded by conditional struct-max — never a
+    candidate self-join."""
+    from blogparser_spark.dataops import curation, textstats
+
+    scored = textstats.with_quality(_docs(spark, sf_dir)).select(
+        "source", "doc_id", "quality"
+    )
+    return curation.preference_pairs(scored, group_col="source")

@@ -525,3 +525,152 @@ def test_chunk_documents_uses_canonical_tokenizer(spark):
     assert n_tok == 10  # 'a\tb' is ONE canonical token
     assert sum(c.n_tokens for c in chunks) >= n_tok  # overlap double-counts
     assert chunks[0].chunk_text.startswith("a\tb ")
+
+
+def test_conv_role_grammar(spark):
+    from blogparser_spark.dataops.curation import conv_role_grammar
+
+    rows = [
+        # c1: well-formed — opens system, no repeats, tool follows assistant
+        ("c1", 0, "system"), ("c1", 1, "user"), ("c1", 2, "assistant"),
+        ("c1", 3, "tool"),
+        # c2: opens assistant + a same-role run; its tool follows assistant
+        ("c2", 0, "assistant"), ("c2", 1, "assistant"), ("c2", 2, "tool"),
+        # c3: orphan tool (follows user) and an orphan opening tool in c4
+        ("c3", 0, "user"), ("c3", 1, "tool"),
+        ("c4", 0, "tool"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = {r["conv_id"]: r for r in conv_role_grammar(df).collect()}
+    c1 = out["c1"]
+    assert (c1["n_turns"], c1["first_role"], c1["last_role"]) == (4, "system", "tool")
+    assert c1["n_same_role_runs"] == 0 and c1["n_orphan_tool_turns"] == 0
+    assert c1["is_valid"] is True
+    c2 = out["c2"]
+    assert c2["n_same_role_runs"] == 1 and c2["n_orphan_tool_turns"] == 0
+    assert c2["is_valid"] is False  # opens with assistant
+    assert out["c3"]["n_orphan_tool_turns"] == 1 and out["c3"]["is_valid"] is False
+    c4 = out["c4"]  # a lone tool turn: orphan via NULL prev
+    assert c4["n_orphan_tool_turns"] == 1 and c4["first_role"] == "tool"
+
+
+def test_conv_budget_truncate_and_stats(spark):
+    from blogparser_spark.dataops.curation import (
+        conv_budget_stats,
+        conv_budget_truncate,
+    )
+
+    rows = [
+        ("c1", 0, "a b c"),        # 3 tokens, cum 3
+        ("c1", 1, "d e f g"),      # 4 tokens, cum 7
+        ("c1", 2, "h i j k l"),    # 5 tokens, cum 12 > 8 → dropped
+        ("c2", 0, "x y"),          # fits whole
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    kept = conv_budget_truncate(df, budget_tokens=8).collect()
+    got = sorted((r["conv_id"], r["turn_idx"], r["cum_tokens"]) for r in kept)
+    assert got == [("c1", 0, 3), ("c1", 1, 7), ("c2", 0, 2)]
+    stats = {r["conv_id"]: r for r in conv_budget_stats(df, budget_tokens=8).collect()}
+    c1 = stats["c1"]
+    assert (c1["n_turns"], c1["n_tokens"], c1["n_turns_kept"], c1["n_tokens_kept"]) == (
+        3, 12, 2, 7,
+    )
+    assert c1["truncated"] is True
+    assert stats["c2"]["truncated"] is False
+    assert stats["c2"]["n_tokens_kept"] == 2
+
+
+def test_conv_sft_stats_byte_semantics(spark):
+    from blogparser_spark.dataops.curation import conv_sft_stats
+
+    rows = [
+        ("c1", 0, "user", "あい", "none"),       # 6 BYTES (multibyte), 2 chars
+        ("c1", 1, "assistant", "abcd", "search"),  # 4 bytes
+        ("c1", 2, "system", "sys", "none"),
+        ("c2", 0, "assistant", "zz", "none"),      # no user turn → NULL ratio
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    out = {r["conv_id"]: r for r in conv_sft_stats(df).collect()}
+    c1 = out["c1"]
+    assert (c1["n_user"], c1["n_assistant"], c1["n_tool_turns"]) == (1, 1, 1)
+    assert (c1["user_bytes"], c1["assistant_bytes"]) == (6, 4)  # octet, not chars
+    assert c1["assistant_user_ratio"] == round(4 / 6, 6)
+    assert out["c2"]["assistant_user_ratio"] is None  # no division by zero
+
+
+def test_bm25_retrieval_exact_scores(spark):
+    import math
+
+    from blogparser_spark.dataops.lm import bm25_retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash"),
+            (2, "join vector"),
+            (3, "scan table"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_retrieval(docs, ["hash", "join"], top_k=10).collect()
+
+    # independent recomputation of the Robertson/Lucene formula
+    def term_u(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        tfp = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return int(round(round(idf * tfp, 6) * 1e6))
+
+    n, avgdl = 3, (3 + 2 + 2) / 3
+    want = {
+        1: (2, term_u(2, 1, n, 3, avgdl) + term_u(1, 2, n, 3, avgdl)),
+        2: (1, term_u(1, 2, n, 2, avgdl)),  # only "join" is queried
+    }
+    got = {r["doc_id"]: (r["n_terms_hit"], r["score_u"]) for r in out}
+    assert got == want
+    # ordering: score desc, id asc
+    assert [r["doc_id"] for r in out] == sorted(
+        want, key=lambda d: (-want[d][1], d)
+    )
+
+
+def test_preference_pairs(spark):
+    from blogparser_spark.dataops.curation import preference_pairs
+
+    rows = [
+        ("g1", 1, 0.9), ("g1", 2, 0.3), ("g1", 3, 0.6),   # pair (1, 2)
+        ("g2", 4, 0.5), ("g2", 5, 0.5),                     # zero gap → dropped
+        ("g3", 6, 0.8),                                     # singleton → dropped
+        ("g4", 7, 0.2), ("g4", 8, 0.2), ("g4", 9, 0.7),    # tie on min: lowest id
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, quality double")
+    out = {r["source"]: r for r in preference_pairs(df).collect()}
+    assert set(out) == {"g1", "g4"}
+    g1 = out["g1"]
+    assert (g1["chosen_id"], g1["rejected_id"], g1["n_candidates"]) == (1, 2, 3)
+    assert g1["score_gap"] == round(0.9 - 0.3, 6)
+    g4 = out["g4"]  # rejected tie (7, 8 both 0.2) → deterministic lowest id
+    assert (g4["chosen_id"], g4["rejected_id"]) == (9, 7)
+
+
+def test_sft_pairs_adjacency(spark):
+    from blogparser_spark.dataops.curation import sft_pairs
+
+    rows = [
+        ("c1", 0, "user", "hi"),          # → paired with turn 1
+        ("c1", 1, "assistant", "hello!"),
+        ("c1", 2, "user", "q2"),          # followed by tool → NO pair
+        ("c1", 3, "tool", "result"),
+        ("c1", 4, "assistant", "a2"),     # assistant not preceded by user
+        ("c1", 5, "user", "trailing"),    # last turn → NO pair
+        ("c2", 0, "user", "あい"),         # multibyte prompt, 6 bytes
+        ("c2", 1, "assistant", "ok"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["prompt_bytes"], r["response_bytes"])
+        for r in sft_pairs(df).collect()
+    )
+    assert got == [("c1", 0, 2, 6), ("c2", 0, 6, 2)]

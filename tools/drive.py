@@ -935,3 +935,30 @@ assert dz and all(abs(r.logw - round(r.logw_micro / 1e6, 6)) < 1e-9 for r in dz)
 assert any(r.logw > 0 for r in dz) and any(r.logw < 0 for r in dz)
 print("dsir logw range:", round(min(r.logw for r in dz), 2), "..", round(max(r.logw for r in dz), 2))
 print("DRIVE67 OK")
+
+# batch-6k: conversation-structure QA + budget truncation + BM25 retrieval
+rg = _entry2.queries()["conv_role_grammar"](spark, "/root/testdata/sf0.001").collect()
+assert rg and all(
+    (r.is_valid ==
+     (r.first_role in ("system", "user")
+      and r.n_same_role_runs == 0 and r.n_orphan_tool_turns == 0))
+    for r in rg
+)
+bt = _entry2.queries()["conv_budget_stats"](spark, "/root/testdata/sf0.001").collect()
+assert bt and all(r.n_turns_kept <= r.n_turns and r.n_tokens_kept <= r.n_tokens for r in bt)
+assert all(r.truncated == (r.n_turns_kept < r.n_turns) for r in bt)
+sf_ = _entry2.queries()["conv_sft_stats"](spark, "/root/testdata/sf0.001").collect()
+assert sf_ and all(r.n_user + r.n_assistant <= r.n_turns for r in sf_)
+br = _entry2.queries()["bm25_doc_retrieval"](spark, "/root/testdata/sf0.001").collect()
+assert br and all(br[i].score_u >= br[i + 1].score_u for i in range(len(br) - 1))
+print("conv QA:", len(rg), "convs;", sum(r.truncated for r in bt), "truncated; bm25 top:", br[0].doc_id)
+print("DRIVE68 OK")
+
+# batch-6l: SFT pair extraction + preference-pair mining
+sp = _entry2.queries()["sft_pair_extraction"](spark, "/root/testdata/sf0.001").collect()
+assert sp and all(r.prompt_bytes > 0 and r.response_bytes > 0 for r in sp)
+pp = _entry2.queries()["preference_pair_mining"](spark, "/root/testdata/sf0.001").collect()
+assert pp and all(r.score_gap > 0 and r.chosen_id != r.rejected_id for r in pp)
+assert all(r.n_candidates >= 2 for r in pp)
+print("sft pairs:", len(sp), "; preference pairs:", len(pp))
+print("DRIVE69 OK")
