@@ -1038,3 +1038,110 @@ def sft_pairs(
     return t.filter(
         (F.col("_role") == "user") & (F.col("_nrole") == "assistant")
     ).select(conv_col, idx_col, "prompt_bytes", "response_bytes")
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "domaincap",
+) -> DataFrame:
+    """Per-domain document cap (the C4 recipe: bound any single domain's
+    share of the corpus so boilerplate-heavy hosts can't dominate
+    training): keep at most `cap` docs per domain, selected by
+    deterministic md5 order — reruns, backfills, and different cluster
+    sizes keep the identical row set, like stratified_sample.
+
+    One shuffle on the domain key; the rank window's per-partition state
+    is one counter. Emits the input rows + (domain_rank, kept)."""
+    key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(key.asc(), F.col(id_col).asc())
+    return df.withColumn("domain_rank", F.row_number().over(w)).withColumn(
+        "kept", F.col("domain_rank") <= cap
+    )
+
+
+def padding_efficiency(
+    df: DataFrame,
+    batch_size: int,
+    bucket_width: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_size: int = 100_000,
+) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching (the inference /
+    training dataloader question: how many pad tokens does a (bucket
+    width, batch size) policy burn?). Sequences are grouped into
+    fixed-width length buckets; within a (bucket, shard) they batch in
+    (length, id) order; a batch pads every member to its own max length.
+    Emits per (bucket, shard, batch): rows, max/sum length, pad tokens,
+    and the padding fraction.
+
+    Scale: the shard (a bounded id-range block, the pack_sequences
+    pattern) bounds every window partition, so no (bucket) partition ever
+    holds a corpus-scale sort; batching locality within a shard is what
+    real dataloaders do anyway. All downstream rollups are partial
+    aggs."""
+    n_tok = F.size(tokens(F.col(text_col)))
+    t = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        (n_tok / bucket_width).cast("int").alias("len_bucket"),
+        (F.col(id_col) / shard_size).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("len_bucket", "shard").orderBy(
+        F.asc("n_tokens"), F.asc(id_col)
+    )
+    b = t.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / batch_size).cast("int")
+    )
+    out = b.groupBy("len_bucket", "shard", "batch_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.max("n_tokens").cast("bigint").alias("max_len"),
+        F.sum("n_tokens").cast("bigint").alias("sum_len"),
+    )
+    pad = out["n_rows"] * out["max_len"] - out["sum_len"]
+    return out.select(
+        "len_bucket",
+        "shard",
+        "batch_id",
+        "n_rows",
+        "max_len",
+        "sum_len",
+        pad.alias("pad_tokens"),
+        F.round(
+            pad / F.greatest(out["n_rows"] * out["max_len"], F.lit(1)), 6
+        ).alias("pad_frac"),
+    )
+
+
+def contrastive_chunk_pairs(
+    chunks: DataFrame,
+    id_cols: Sequence[str] = ("doc_id",),
+    idx_col: str = "chunk_idx",
+    text_col: str = "chunk_text",
+) -> DataFrame:
+    """Adjacent-chunk positive pairs for contrastive embedding training
+    (the standard self-supervised recipe: neighboring windows of the same
+    document are semantically related, so (chunk_i, chunk_i+1) is a
+    positive; in-batch negatives come free at training time). Consumes
+    chunk_documents output. Emits one row per adjacent pair with byte
+    sizes and an md5 pair fingerprint that pins the exact pair text
+    cross-engine without shipping it.
+
+    One lead() window on the doc key (the chunker's own fan-out key), a
+    per-row hash, nothing corpus-quadratic."""
+    w = Window.partitionBy(*id_cols).orderBy(idx_col)
+    t = chunks.select(
+        *id_cols, idx_col, F.col(text_col).alias("_a")
+    ).withColumn("_p", F.lead("_a").over(w))
+    return t.filter(F.col("_p").isNotNull()).select(
+        *id_cols,
+        F.col(idx_col).alias("anchor_idx"),
+        F.octet_length("_a").cast("bigint").alias("anchor_bytes"),
+        F.octet_length("_p").cast("bigint").alias("positive_bytes"),
+        F.substring(
+            F.md5(F.concat(F.col("_a"), F.lit(chr(31)), F.col("_p"))), 1, 16
+        ).alias("pair_fp"),
+    )

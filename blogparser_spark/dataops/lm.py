@@ -190,3 +190,53 @@ def bm25_retrieval(
         .orderBy(F.desc("score_u"), F.asc(id_col))
         .limit(top_k)
     )
+
+
+RRF_K = 60  # Cormack et al. 2009 reciprocal-rank-fusion constant
+
+
+def rank_fusion_rrf(
+    scored_a: DataFrame,
+    scored_b: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    n: int = 100,
+    k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    two ranked shortlists: rrf(d) = Σ_lists 1/(k + rank_d), the standard
+    way to merge retrieval signals (e.g. BM25 and embedding similarity)
+    without score calibration. Each input is (id, score), higher = better.
+
+    Scale: each list is first cut to its top-n via orderBy+limit —
+    TakeOrderedAndProject, a per-partition local top-n + n-row merge,
+    never a global sort — so the rank windows that follow run over
+    BOUNDED ≤n-row frames (whitelisted single-partition windows, bounded
+    by construction like zipf_token_slope). The fusion join is between
+    two ≤n-row sides. micro-quantized rrf so cross-engine sums are
+    exact."""
+
+    def ranked(df: DataFrame, tag: str) -> DataFrame:
+        top = df.select(
+            F.col(id_col), F.col(score_col).alias("_s")
+        ).orderBy(F.desc("_s"), F.asc(id_col)).limit(n)
+        w = Window.orderBy(F.desc("_s"), F.asc(id_col))
+        return top.select(
+            F.col(id_col), F.row_number().over(w).alias(f"rank_{tag}")
+        )
+    a, b = ranked(scored_a, "a"), ranked(scored_b, "b")
+    fused = a.join(b, id_col, "full_outer")
+    contrib_a = F.when(
+        F.col("rank_a").isNotNull(),
+        F.round(F.lit(1.0) / (k + F.col("rank_a")), 6) * 1e6,
+    ).otherwise(0)
+    contrib_b = F.when(
+        F.col("rank_b").isNotNull(),
+        F.round(F.lit(1.0) / (k + F.col("rank_b")), 6) * 1e6,
+    ).otherwise(0)
+    return fused.select(
+        id_col,
+        "rank_a",
+        "rank_b",
+        F.round(contrib_a + contrib_b, 0).cast("bigint").alias("rrf_u"),
+    ).orderBy(F.desc("rrf_u"), F.asc(id_col))

@@ -1076,3 +1076,40 @@ def hard_negative_topk(
     )
 
 
+
+
+def matryoshka_energy(
+    emb: DataFrame,
+    dims: tuple[int, ...] = (4, 8, 16),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-representation audit (Kusupati et al., NeurIPS 2022):
+    the fraction of each vector's energy (squared L2 norm) captured by
+    its first-d prefix, for a ladder of truncation dims — the number that
+    says whether serving can truncate stored embeddings to d dims (MRL
+    training front-loads information; an un-front-loaded embedding shows
+    flat fractions ≈ d/D). Per-row arithmetic over a bounded-length
+    array (no fan-out, no shuffle); floats cast to double before any
+    arithmetic so both engines run identical fp ops in identical order
+    (left fold), fractions rounded to 6."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def energy(arr):
+        return F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+
+    total = energy(v)
+    cols = [
+        F.round(
+            energy(F.slice(v, 1, d)) / F.greatest(total, F.lit(1e-12)), 6
+        ).alias(f"energy_frac_{d}")
+        for d in dims
+    ]
+    return emb.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).alias("n_dims"),
+        F.round(total, 6).alias("energy_total"),
+        *cols,
+    )

@@ -649,3 +649,30 @@ def gopher_flags(
             ).alias("gopher_pass"),
         )
     )
+
+
+def keyword_tags(
+    docs: DataFrame,
+    keyword_to_tag: dict[str, str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dictionary-based document tagging: map tokens through a broadcast
+    (keyword → tag) dimension and collect each document's distinct tag
+    set — the taxonomy-labeling pass (topic routing, compliance flags)
+    that precedes per-tag sampling policies. The dim is bounded by
+    construction (a curated dictionary), so the join is broadcast; the
+    corpus moves only matched (id, tag) rows into one partial agg. Tags
+    come back sorted and joined (the cross-engine array convention) with
+    the match count."""
+    spark = docs.sparkSession
+    dim = spark.createDataFrame(
+        sorted(keyword_to_tag.items()), "kw string, tag string"
+    )
+    occ = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("kw")
+    ).join(F.broadcast(dim), "kw")
+    return occ.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_keyword_hits"),
+        F.array_join(F.array_sort(F.collect_set("tag")), ",").alias("tags"),
+    )

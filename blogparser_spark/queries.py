@@ -6928,3 +6928,215 @@ def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", "quality"
     )
     return curation.preference_pairs(scored, group_col="source")
+
+
+@_q(
+    "domain_cap_counts",
+    """
+    WITH r AS (
+      SELECT source, doc_id,
+        row_number() OVER (PARTITION BY source
+          ORDER BY md5('domaincap:' || doc_id::VARCHAR), doc_id) AS rnk
+      FROM documents
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+      sum(CASE WHEN rnk <= 15 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      sum(CASE WHEN rnk <= 15 THEN doc_id ELSE 0 END)::BIGINT AS kept_id_sum
+    FROM r GROUP BY source
+    """,
+)
+def domain_cap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap audit (curation.domain_cap, the C4 recipe): at most
+    15 docs kept per source, selected in deterministic md5 order so any
+    rerun or cluster size keeps the identical set; kept_id_sum pins the
+    exact selection cross-engine. One shuffle on the domain key."""
+    from blogparser_spark.dataops import curation
+
+    capped = curation.domain_cap(_docs(spark, sf_dir), cap=15)
+    kept = F.when(F.col("kept"), 1).otherwise(0)
+    return capped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("doc_id")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_id_sum"),
+    )
+
+
+@_q(
+    "padding_efficiency_audit",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text, ' '), x -> x != ''))::INT AS n_tokens
+      FROM documents
+    ), z AS (
+      SELECT doc_id, n_tokens,
+        floor(n_tokens / 32)::INT AS len_bucket,
+        floor(doc_id / 100000)::INT AS shard
+      FROM t
+    ), w AS (
+      SELECT len_bucket, shard, n_tokens,
+        floor((row_number() OVER (PARTITION BY len_bucket, shard
+               ORDER BY n_tokens, doc_id) - 1) / 8)::INT AS batch_id
+      FROM z
+    )
+    SELECT len_bucket, shard, batch_id, count(*)::BIGINT AS n_rows,
+      max(n_tokens)::BIGINT AS max_len, sum(n_tokens)::BIGINT AS sum_len,
+      (count(*) * max(n_tokens) - sum(n_tokens))::BIGINT AS pad_tokens,
+      round((count(*) * max(n_tokens) - sum(n_tokens))::DOUBLE
+            / greatest(count(*) * max(n_tokens), 1), 6) AS pad_frac
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def padding_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching (curation.
+    padding_efficiency): 32-token buckets, batches of 8 in (length, id)
+    order within a bounded (bucket, shard) block — per batch, the pad
+    tokens the policy burns. The dataloader-tuning number."""
+    from blogparser_spark.dataops import curation
+
+    return curation.padding_efficiency(
+        _docs(spark, sf_dir), batch_size=8, bucket_width=32
+    )
+
+
+@_q(
+    "rrf_fusion_topk",
+    f"""
+    WITH a0 AS (
+      SELECT doc_id, quality AS s FROM (
+        WITH {_quality_feature_ctes("documents")}
+        SELECT doc_id, {_QUALITY_SCORE_SQL} AS quality FROM qf
+      )
+    ), b0 AS (
+      SELECT doc_id, avg_logprob AS s FROM ({_LMPPL_SQL})
+    ), ra AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id)::INT AS rank_a
+      FROM (SELECT * FROM a0 ORDER BY s DESC, doc_id LIMIT 100)
+    ), rb AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id)::INT AS rank_b
+      FROM (SELECT * FROM b0 ORDER BY s DESC, doc_id LIMIT 100)
+    )
+    SELECT doc_id, rank_a, rank_b,
+      CAST(round(coalesce(round(1.0 / (60 + rank_a), 6) * 1e6, 0)
+               + coalesce(round(1.0 / (60 + rank_b), 6) * 1e6, 0), 0) AS BIGINT)
+        AS rrf_u
+    FROM ra FULL OUTER JOIN rb USING (doc_id)
+    """,
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (lm.rank_fusion_rrf; Cormack et al. SIGIR
+    2009) of the two calibration-free quality signals this pipeline
+    already computes — the composite heuristic score and the bigram-LM
+    mean log-probability — into one shortlist without score calibration.
+    Each list is cut to its top-100 via TakeOrdered before any ranking,
+    so the rank windows run over bounded frames."""
+    from blogparser_spark.dataops import lm, textstats
+
+    docs = _docs(spark, sf_dir)
+    a = textstats.with_quality(docs).select(
+        "doc_id", F.col("quality").alias("score")
+    )
+    b = lm.lm_quality_scores(docs).select(
+        "doc_id", F.col("avg_logprob").alias("score")
+    )
+    return lm.rank_fusion_rrf(a, b, n=100)
+
+
+@_q(
+    "contrastive_chunk_pairs",
+    f"""
+    WITH ch AS ({_CHUNK_SQL}), g AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+        lead(chunk_text) OVER (PARTITION BY doc_id ORDER BY chunk_idx)
+          AS next_text
+      FROM ch
+    )
+    SELECT doc_id, chunk_idx::INT AS anchor_idx,
+      strlen(chunk_text)::BIGINT AS anchor_bytes,
+      strlen(next_text)::BIGINT AS positive_bytes,
+      substr(md5(chunk_text || chr(31) || next_text), 1, 16) AS pair_fp
+    FROM g WHERE next_text IS NOT NULL
+    """,
+)
+def contrastive_chunk_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-chunk positive pairs for contrastive embedding training
+    (curation.contrastive_chunk_pairs over the 64/16 chunker): one lead()
+    window on the chunker's own doc key; the md5 pair fingerprint pins
+    the exact pair text cross-engine."""
+    from blogparser_spark.dataops.curation import (
+        chunk_documents,
+        contrastive_chunk_pairs,
+    )
+
+    ch = chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+    out = contrastive_chunk_pairs(ch)
+    return out.withColumn("anchor_idx", F.col("anchor_idx").cast("int"))
+
+
+@_q(
+    "matryoshka_energy_audit",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), en AS (
+      SELECT vec_id, len(e)::INT AS n_dims,
+        list_aggregate(list_transform(e, x -> x * x), 'sum') AS tot,
+        list_aggregate(list_transform(e[1:4], x -> x * x), 'sum') AS e4,
+        list_aggregate(list_transform(e[1:8], x -> x * x), 'sum') AS e8,
+        list_aggregate(list_transform(e[1:16], x -> x * x), 'sum') AS e16
+      FROM v
+    )
+    SELECT vec_id, n_dims, round(tot, 6) AS energy_total,
+      round(e4 / greatest(tot, 1e-12), 6) AS energy_frac_4,
+      round(e8 / greatest(tot, 1e-12), 6) AS energy_frac_8,
+      round(e16 / greatest(tot, 1e-12), 6) AS energy_frac_16
+    FROM en
+    """,
+)
+def matryoshka_energy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (similarity.matryoshka_energy): per
+    vector, the energy fraction captured by the 4/8/16-dim prefixes — the
+    serving question 'can stored embeddings be truncated?'. Per-row
+    bounded-array arithmetic, no shuffle."""
+    from blogparser_spark.dataops.similarity import matryoshka_energy
+
+    return matryoshka_energy(_emb(spark, sf_dir), dims=(4, 8, 16))
+
+
+@_q(
+    "keyword_tag_docs",
+    """
+    WITH occ AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x != '')) AS kw
+      FROM documents
+    ), m AS (
+      SELECT occ.doc_id, d.tag
+      FROM occ JOIN (VALUES ('hash', 'indexing'), ('join', 'relational'),
+                            ('scan', 'io'), ('stream', 'streaming'),
+                            ('vector', 'ann')) AS d(kw, tag)
+        USING (kw)
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_keyword_hits,
+      string_agg(DISTINCT tag, ',' ORDER BY tag) AS tags
+    FROM m GROUP BY doc_id
+    """,
+)
+def keyword_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dictionary taxonomy tagging (textstats.keyword_tags):
+    tokens mapped through a bounded (keyword → tag) dim, distinct tag
+    set + hit count per document; corpus moves only matched rows."""
+    from blogparser_spark.dataops.textstats import keyword_tags
+
+    return keyword_tags(
+        _docs(spark, sf_dir),
+        {
+            "hash": "indexing",
+            "join": "relational",
+            "scan": "io",
+            "stream": "streaming",
+            "vector": "ann",
+        },
+    )

@@ -674,3 +674,130 @@ def test_sft_pairs_adjacency(spark):
         for r in sft_pairs(df).collect()
     )
     assert got == [("c1", 0, 2, 6), ("c2", 0, 6, 2)]
+
+
+def test_domain_cap_deterministic(spark):
+    from blogparser_spark.dataops.curation import domain_cap
+
+    rows = [(f"s{i % 3}", i) for i in range(60)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    a = domain_cap(df, cap=5)
+    kept1 = sorted(r["doc_id"] for r in a.filter("kept").collect())
+    kept2 = sorted(
+        r["doc_id"] for r in domain_cap(df, cap=5).filter("kept").collect()
+    )
+    assert kept1 == kept2 and len(kept1) == 15  # 3 domains × cap 5
+    # each domain contributes exactly cap rows; ranks are 1..n per domain
+    per = domain_cap(df, cap=5).groupBy("source").agg(
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("k"),
+        F.max("domain_rank").alias("mx"),
+    )
+    assert all(r["k"] == 5 and r["mx"] == 20 for r in per.collect())
+    # a domain smaller than the cap keeps everything
+    small = spark.createDataFrame([("tiny", 1), ("tiny", 2)], "source string, doc_id long")
+    assert domain_cap(small, cap=5).filter("kept").count() == 2
+
+
+def test_padding_efficiency(spark):
+    from blogparser_spark.dataops.curation import padding_efficiency
+
+    # 5 docs in one length bucket (width 100 → bucket 0), batch size 2:
+    # batches in (len, id) order: [3,4], [5,7], [9]
+    rows = [
+        (1, "w " * 3), (2, "w " * 4), (3, "w " * 5), (4, "w " * 7),
+        (5, "w " * 9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["batch_id"]: r
+        for r in padding_efficiency(df, batch_size=2, bucket_width=100).collect()
+    }
+    assert out[0]["max_len"] == 4 and out[0]["pad_tokens"] == 1  # 2*4-7
+    assert out[1]["max_len"] == 7 and out[1]["pad_tokens"] == 2  # 2*7-12
+    assert out[2]["n_rows"] == 1 and out[2]["pad_tokens"] == 0   # lone row
+    assert out[1]["pad_frac"] == round(2 / 14, 6)
+
+
+def test_rank_fusion_rrf(spark):
+    from blogparser_spark.dataops.lm import rank_fusion_rrf
+
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(3, 5.0), (4, 4.0), (1, 3.0)], "doc_id long, score double"
+    )
+    out = {r["doc_id"]: r for r in rank_fusion_rrf(a, b, n=10).collect()}
+    assert set(out) == {1, 2, 3, 4}
+
+    def u(rank):
+        return round(round(1.0 / (60 + rank), 6) * 1e6)
+
+    assert out[1]["rrf_u"] == u(1) + u(3)  # rank 1 in a, rank 3 in b
+    assert out[3]["rrf_u"] == u(3) + u(1)
+    assert out[2]["rrf_u"] == u(2)  # only in list a
+    assert out[4]["rrf_u"] == u(2)  # only in list b
+    assert out[2]["rank_b"] is None and out[4]["rank_a"] is None
+    # doc in both lists beats single-list docs of comparable rank
+    assert out[1]["rrf_u"] > out[2]["rrf_u"]
+
+
+def test_contrastive_chunk_pairs(spark):
+    from blogparser_spark.dataops.curation import (
+        chunk_documents,
+        contrastive_chunk_pairs,
+    )
+
+    # 100 tokens → chunks at 0 and 48 (64/16 chunker): exactly one pair
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))), (2, "short doc only")],
+        "doc_id long, text string",
+    )
+    ch = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    out = contrastive_chunk_pairs(ch).collect()
+    assert len(out) == 1  # single-chunk doc 2 yields no pair
+    r = out[0]
+    assert r["doc_id"] == 1 and r["anchor_idx"] == 0
+    assert r["anchor_bytes"] > 0 and r["positive_bytes"] > 0
+    assert len(r["pair_fp"]) == 16
+    # the pair shares the 16-token overlap: both texts contain w48..w63
+    texts = {c["chunk_idx"]: c["chunk_text"] for c in ch.filter("doc_id = 1").collect()}
+    assert texts[0].split()[48:] == texts[1].split()[:16]
+
+
+def test_matryoshka_energy(spark):
+    from blogparser_spark.dataops.similarity import matryoshka_energy
+
+    # vector with ALL energy in the first 4 dims vs spread evenly
+    front = [2.0, 2.0, 2.0, 2.0] + [0.0] * 12
+    flat = [1.0] * 16
+    df = spark.createDataFrame(
+        [(1, front), (2, flat)], "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: r for r in matryoshka_energy(df, dims=(4, 8)).collect()}
+    assert out[1]["energy_frac_4"] == 1.0 and out[1]["energy_frac_8"] == 1.0
+    assert out[2]["energy_frac_4"] == 0.25 and out[2]["energy_frac_8"] == 0.5
+    assert out[1]["energy_total"] == 16.0 and out[2]["n_dims"] == 16
+
+
+def test_keyword_tags(spark):
+    from blogparser_spark.dataops.textstats import keyword_tags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hash JOIN hash again"),   # case-folded, dup keyword
+            (2, "nothing matches here"),
+            (3, "stream processing stream stream"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in keyword_tags(
+            docs, {"hash": "indexing", "join": "relational", "stream": "streaming"}
+        ).collect()
+    }
+    assert set(out) == {1, 3}  # unmatched docs absent
+    assert out[1]["n_keyword_hits"] == 3
+    assert out[1]["tags"] == "indexing,relational"  # sorted, distinct
+    assert out[3]["tags"] == "streaming" and out[3]["n_keyword_hits"] == 3

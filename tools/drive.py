@@ -962,3 +962,27 @@ assert pp and all(r.score_gap > 0 and r.chosen_id != r.rejected_id for r in pp)
 assert all(r.n_candidates >= 2 for r in pp)
 print("sft pairs:", len(sp), "; preference pairs:", len(pp))
 print("DRIVE69 OK")
+
+# batch-6m: domain caps, padding audit, RRF fusion
+dc = _entry2.queries()["domain_cap_counts"](spark, "/root/testdata/sf0.001").collect()
+assert dc and all(r.n_kept <= 15 and r.n_kept <= r.n_docs for r in dc)
+pe = _entry2.queries()["padding_efficiency_audit"](spark, "/root/testdata/sf0.001").collect()
+assert pe and all(r.pad_tokens == r.n_rows * r.max_len - r.sum_len for r in pe)
+assert all(0 <= r.pad_frac < 1 for r in pe)
+rf = _entry2.queries()["rrf_fusion_topk"](spark, "/root/testdata/sf0.001").collect()
+assert rf and all(r.rrf_u > 0 for r in rf)
+assert any(r.rank_a is not None and r.rank_b is not None for r in rf)
+print("domains:", len(dc), "; batches:", len(pe), "; fused:", len(rf))
+print("DRIVE70 OK")
+
+# batch-6n: contrastive pairs, matryoshka audit, keyword tagging
+cp_ = _entry2.queries()["contrastive_chunk_pairs"](spark, "/root/testdata/sf0.001").collect()
+assert cp_ and all(len(r.pair_fp) == 16 and r.anchor_bytes > 0 for r in cp_)
+me = _entry2.queries()["matryoshka_energy_audit"](spark, "/root/testdata/sf0.001").collect()
+assert me and all(
+    0 <= r.energy_frac_4 <= r.energy_frac_8 <= r.energy_frac_16 <= 1.000001 for r in me
+)
+kt = _entry2.queries()["keyword_tag_docs"](spark, "/root/testdata/sf0.001").collect()
+assert kt and all(r.n_keyword_hits >= 1 and r.tags == ",".join(sorted(r.tags.split(","))) for r in kt)
+print("pairs:", len(cp_), "; vectors:", len(me), "; tagged:", len(kt))
+print("DRIVE71 OK")

@@ -32,6 +32,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "dataset_card",
     # source_idx over the distinct-sources frame (a handful of rows)
     "round_robin_training_order",
+    # rank windows over two <= top-100 TakeOrdered shortlists (RRF fusion)
+    "rrf_fusion_topk",
 }
 
 
