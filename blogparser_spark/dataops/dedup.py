@@ -1072,3 +1072,56 @@ def prefix_filter_pairs(
     return inter.where(jac >= threshold).select(
         "id_a", "id_b", "sz_a", "sz_b", "n_shared", F.round(jac, 6).alias("jaccard")
     )
+
+
+def conv_fingerprints(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Order-SENSITIVE conversation fingerprint: md5 over the turn texts
+    joined in stable turn order (chr(31) separator, so turn boundaries
+    can't alias). Two conversations collide iff they have identical turn
+    sequences — the conversation-level analog of doc_fingerprint, which
+    dedups whole transcripts (same dialogue ingested twice via different
+    exports) where doc/segment hashing would only catch per-turn repeats.
+
+    One conv-key shuffle: collect_list of (idx, text) structs under a
+    partial agg, array_sort on the struct (idx leads, so the sort IS the
+    stable turn order), join, md5. Per-group state is one conversation —
+    bounded by the longest conversation, not the corpus."""
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(idx_col, text_col))),
+            lambda s: s[text_col],
+        ),
+        chr(31),
+    )
+    return df.groupBy(conv_col).agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.md5(joined).alias("conv_fp"),
+    )
+
+
+def conv_exact_dup_groups(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level exact-duplicate groups: fingerprint every
+    conversation, keep fingerprints shared by ≥2 convs, emit per group
+    the size and the survivor (min conv id — the deterministic keep rule
+    exact dedup applies). Second shuffle is keyed on the 32-byte
+    fingerprint only."""
+    fp = conv_fingerprints(df, conv_col, idx_col, text_col)
+    return (
+        fp.groupBy("conv_fp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_convs"),
+            F.min(conv_col).alias("survivor"),
+            F.max("n_turns").cast("bigint").alias("n_turns"),
+        )
+        .filter(F.col("n_convs") >= 2)
+    )

@@ -7140,3 +7140,43 @@ def keyword_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vector": "ann",
         },
     )
+
+
+@_q(
+    "conv_exact_dup_groups",
+    f"""
+    WITH {_WRAPPED_T_SQL}, u AS (
+      SELECT conv_id, turn_idx, text FROM t
+      UNION ALL
+      SELECT conv_id || '-dup', turn_idx, text FROM t
+      WHERE ('0x' || substr(md5(conv_id), 1, 4))::BIGINT % 3 = 0
+    ), fp AS (
+      SELECT conv_id, count(*)::BIGINT AS n_turns,
+        md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS conv_fp
+      FROM u GROUP BY conv_id
+    )
+    SELECT conv_fp, count(*)::BIGINT AS n_convs, min(conv_id) AS survivor,
+      max(n_turns)::BIGINT AS n_turns
+    FROM fp GROUP BY conv_fp HAVING count(*) >= 2
+    """,
+)
+def conv_exact_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup (dedup.conv_exact_dup_groups):
+    order-sensitive md5 fingerprint of each conversation's turn sequence,
+    grouped to find whole-transcript duplicates with a deterministic
+    min-id survivor. The synthetic corpus has no duplicate conversations,
+    so the query unions a deterministically-selected echo (md5(conv)%3)
+    to exercise real group formation; the oracle replays the same echo."""
+    from blogparser_spark.dataops.dedup import conv_exact_dup_groups
+
+    t = documents_as_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "text"
+    )
+    pick = (
+        F.conv(F.substring(F.md5("conv_id"), 1, 4), 16, 10).cast("long") % 3
+        == 0
+    )
+    echo = t.filter(pick).withColumn(
+        "conv_id", F.concat("conv_id", F.lit("-dup"))
+    )
+    return conv_exact_dup_groups(t.unionByName(echo))

@@ -1236,3 +1236,35 @@ def test_winnowing_guarantee_randomized(spark):
         if not (by_doc.get(2 * t, set()) & by_doc.get(2 * t + 1, set()))
     ]
     assert missing == []
+
+
+def test_conv_exact_dup_groups(spark):
+    from blogparser_spark.dataops.dedup import (
+        conv_exact_dup_groups,
+        conv_fingerprints,
+    )
+
+    rows = [
+        # c1 and c3: identical turn sequences (order-normalized) → one group
+        ("c1", 0, "hello"), ("c1", 1, "world"),
+        ("c3", 1, "world"), ("c3", 0, "hello"),  # shuffled input order
+        # c2: same texts, DIFFERENT order → different fingerprint
+        ("c2", 0, "world"), ("c2", 1, "hello"),
+        # c4: unique
+        ("c4", 0, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    fps = {r["conv_id"]: r["conv_fp"] for r in conv_fingerprints(df).collect()}
+    assert fps["c1"] == fps["c3"]           # order-insensitive to INPUT order
+    assert fps["c1"] != fps["c2"]           # sensitive to TURN order
+    groups = conv_exact_dup_groups(df).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_convs"] == 2 and g["survivor"] == "c1" and g["n_turns"] == 2
+    # turn-boundary aliasing: ("ab","c") must differ from ("a","bc")
+    alias = spark.createDataFrame(
+        [("x", 0, "ab"), ("x", 1, "c"), ("y", 0, "a"), ("y", 1, "bc")],
+        "conv_id string, turn_idx int, text string",
+    )
+    afps = {r["conv_id"]: r["conv_fp"] for r in conv_fingerprints(alias).collect()}
+    assert afps["x"] != afps["y"]

@@ -986,3 +986,9 @@ kt = _entry2.queries()["keyword_tag_docs"](spark, "/root/testdata/sf0.001").coll
 assert kt and all(r.n_keyword_hits >= 1 and r.tags == ",".join(sorted(r.tags.split(","))) for r in kt)
 print("pairs:", len(cp_), "; vectors:", len(me), "; tagged:", len(kt))
 print("DRIVE71 OK")
+
+# batch-6o: conversation-level exact dedup
+cd_ = _entry2.queries()["conv_exact_dup_groups"](spark, "/root/testdata/sf0.001").collect()
+assert cd_ and all(r.n_convs >= 2 and not r.survivor.endswith("-dup") for r in cd_)
+print("conv dup groups:", len(cd_))
+print("DRIVE72 OK")
