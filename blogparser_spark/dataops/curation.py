@@ -891,6 +891,24 @@ def conv_sft_stats(
     )
 
 
+def _budget_running(
+    df: DataFrame, conv_col: str, idx_col: str, text_col: str
+) -> DataFrame:
+    """Shared budget accounting: df + (n_tokens, cum_tokens) under the
+    stable turn-order running total — the SINGLE definition both
+    conv_budget_truncate (filters it) and conv_budget_stats (aggregates
+    it) consume, so the audit numbers can never diverge from what
+    truncation actually keeps."""
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "n_tokens", F.size(tokens(F.col(text_col)))
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+
+
 def conv_budget_truncate(
     df: DataFrame,
     budget_tokens: int,
@@ -909,16 +927,9 @@ def conv_budget_truncate(
     the same single shuffle every stable-ordering stage in this pipeline
     pays; the keep decision is a pushable per-row filter on the running
     total. No global sort, no collect."""
-    w = (
-        Window.partitionBy(conv_col)
-        .orderBy(idx_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _budget_running(df, conv_col, idx_col, text_col).filter(
+        F.col("cum_tokens") <= budget_tokens
     )
-    n_tok = F.size(tokens(F.col(text_col)))
-    out = df.withColumn("n_tokens", n_tok).withColumn(
-        "cum_tokens", F.sum("n_tokens").over(w)
-    )
-    return out.filter(F.col("cum_tokens") <= budget_tokens)
 
 
 def conv_budget_stats(
@@ -933,24 +944,19 @@ def conv_budget_stats(
     `truncated` flag — the number a data engineer checks before committing
     a context-window size ('how much of the corpus survives at 8k?').
     Same single conv-key shuffle; the window and both aggregations share
-    its partitioning."""
-    w = (
-        Window.partitionBy(conv_col)
-        .orderBy(idx_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    n_tok = F.size(tokens(F.col(text_col)))
-    t = df.select(F.col(conv_col), F.col(idx_col), n_tok.alias("_n")).withColumn(
-        "_cum", F.sum("_n").over(w)
-    )
-    kept = F.when(F.col("_cum") <= budget_tokens, 1).otherwise(0)
+    its partitioning. Built on the same _budget_running accounting the
+    truncator filters, so the audit can never diverge from it."""
+    t = _budget_running(df, conv_col, idx_col, text_col)
+    in_budget = F.col("cum_tokens") <= budget_tokens
     return (
         t.groupBy(conv_col)
         .agg(
             F.count("*").alias("n_turns"),
-            F.sum("_n").cast("bigint").alias("n_tokens"),
-            F.sum(kept).cast("bigint").alias("n_turns_kept"),
-            F.sum(F.when(F.col("_cum") <= budget_tokens, F.col("_n")).otherwise(0))
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(in_budget, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_turns_kept"),
+            F.sum(F.when(in_budget, F.col("n_tokens")).otherwise(0))
             .cast("bigint")
             .alias("n_tokens_kept"),
         )

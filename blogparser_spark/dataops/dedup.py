@@ -1090,10 +1090,22 @@ def conv_fingerprints(
     One conv-key shuffle: collect_list of (idx, text) structs under a
     partial agg, array_sort on the struct (idx leads, so the sort IS the
     stable turn order), join, md5. Per-group state is one conversation —
-    bounded by the longest conversation, not the corpus."""
+    bounded by the longest conversation, not the corpus. NULL turn texts
+    take a chr(0) sentinel (the content_fingerprint convention):
+    array_join would otherwise DROP the element and its separator, so a
+    conversation differing only by a NULL turn would falsely collide."""
     joined = F.array_join(
         F.transform(
-            F.array_sort(F.collect_list(F.struct(idx_col, text_col))),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(idx_col),
+                        F.coalesce(F.col(text_col), F.lit(chr(0))).alias(
+                            text_col
+                        ),
+                    )
+                )
+            ),
             lambda s: s[text_col],
         ),
         chr(31),

@@ -158,16 +158,18 @@ def bm25_retrieval(
     term so the per-doc sum is order-independent and engine-exact
     (module convention). Returns (doc_id, n_terms_hit, score_u) with
     score_u = sum of per-term micro-scores."""
-    stats = docs.select(
-        F.size(tokens(F.lower(F.col(text_col)))).alias("dl")
-    ).agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # tokenize ONCE per row per scan (the chunk_documents pattern): later
+    # projections reference the materialized `_t` column instead of
+    # re-running the interpreted filter-HOF tokenizer per expression
+    base = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_t")
+    ).select(F.col(id_col), F.size("_t").alias("dl"), F.col("_t"))
+    stats = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     # dl rides each hit row through the explode (dl is functionally
     # dependent on the doc id, so grouping on it is free) — no second
     # corpus-sized join just to re-attach document length
-    hits = docs.select(
-        F.col(id_col),
-        F.size(tokens(F.lower(F.col(text_col)))).alias("dl"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    hits = base.select(
+        F.col(id_col), F.col("dl"), F.explode("_t").alias("term")
     ).filter(F.col("term").isin(*query_terms))
     tf = hits.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))

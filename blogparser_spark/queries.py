@@ -7152,7 +7152,8 @@ def keyword_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE ('0x' || substr(md5(conv_id), 1, 4))::BIGINT % 3 = 0
     ), fp AS (
       SELECT conv_id, count(*)::BIGINT AS n_turns,
-        md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS conv_fp
+        md5(string_agg(coalesce(text, chr(0)), chr(31) ORDER BY turn_idx))
+          AS conv_fp
       FROM u GROUP BY conv_id
     )
     SELECT conv_fp, count(*)::BIGINT AS n_convs, min(conv_id) AS survivor,

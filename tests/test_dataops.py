@@ -1268,3 +1268,18 @@ def test_conv_exact_dup_groups(spark):
     )
     afps = {r["conv_id"]: r["conv_fp"] for r in conv_fingerprints(alias).collect()}
     assert afps["x"] != afps["y"]
+
+
+def test_conv_fingerprints_null_turn_not_dropped(spark):
+    """array_join drops NULL elements AND their separators — a NULL turn
+    must take the chr(0) sentinel so a conversation differing only by a
+    NULL-text turn never collides with one that lacks the turn."""
+    from blogparser_spark.dataops.dedup import conv_fingerprints
+
+    rows = [
+        ("a", 0, "hi"), ("a", 1, None), ("a", 2, "bye"),
+        ("b", 0, "hi"), ("b", 1, "bye"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    fps = {r["conv_id"]: r["conv_fp"] for r in conv_fingerprints(df).collect()}
+    assert fps["a"] != fps["b"]
