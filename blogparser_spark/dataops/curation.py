@@ -1151,3 +1151,79 @@ def contrastive_chunk_pairs(
             F.md5(F.concat(F.col("_a"), F.lit(chr(31)), F.col("_p"))), 1, 16
         ).alias("pair_fp"),
     )
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    corruption_rate: float = 0.15,
+    mean_span: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "spancorrupt",
+) -> DataFrame:
+    """T5-style span-corruption mask plan (Raffel et al., JMLR 2020,
+    §3.1.4: corrupt 15% of tokens in spans of mean length 3): for each
+    document, pick span anchors deterministically (top positions by
+    md5(salt:doc:pos) — the engine-portable stand-in for the sampler),
+    give each span a deterministic length in {2,3,4} (mean 3), clip at
+    the document end, and count the DISTINCT masked positions (overlaps
+    merge, as in the reference implementation). Emits per doc
+    (n_tokens, n_spans, n_masked, mask_frac) — the plan a denoising
+    pretraining data builder materializes before writing sentinel-token
+    targets. Docs shorter than mean_span take no mask (absent).
+
+    Scale: positions come from exploding a SEQUENCE (never the token
+    array — only counts matter here), anchor selection is one rank
+    window on the doc key, span expansion fans out ≤4 rows per anchor,
+    and the merge/rollup are partial aggs on (doc, pos) / doc."""
+    n_tok = F.size(tokens(F.col(text_col)))
+    base = df.select(F.col(id_col), n_tok.alias("n")).filter(
+        F.col("n") >= mean_span
+    )
+    pos = base.select(
+        id_col, "n", F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("p")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col), F.col("p"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    n_spans = F.greatest(
+        F.lit(1),
+        F.round(F.col("n") * corruption_rate / mean_span, 0).cast("long"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("_h"), F.asc("p"))
+    anchors = (
+        pos.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_spans)
+        .withColumn("_len", F.lit(mean_span - 1) + F.col("_h") % 3)
+    )
+    masked = (
+        anchors.select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("p"),
+                    F.least(F.col("p") + F.col("_len") - 1, F.col("n") - 1),
+                )
+            ).alias("mpos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_masked"))
+    )
+    spans = anchors.groupBy(id_col, "n").agg(
+        F.count("*").cast("bigint").alias("n_spans")
+    )
+    return spans.join(masked, id_col).select(
+        F.col(id_col),
+        F.col("n").cast("bigint").alias("n_tokens"),
+        "n_spans",
+        "n_masked",
+        F.round(F.col("n_masked") / F.col("n"), 6).alias("mask_frac"),
+    )

@@ -7181,3 +7181,49 @@ def conv_exact_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", F.concat("conv_id", F.lit("-dup"))
     )
     return conv_exact_dup_groups(t.unionByName(echo))
+
+
+@_q(
+    "span_corruption_plan",
+    """
+    WITH base AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x != '')) >= 3
+    ), pos AS (
+      SELECT doc_id, n, i AS p,
+        ('0x' || substr(md5('spancorrupt:' || doc_id::VARCHAR || ':'
+                            || i::VARCHAR), 1, 8))::BIGINT AS h
+      FROM base, unnest(range(0, n)) AS u(i)
+    ), anch AS (
+      SELECT doc_id, n, p, h,
+        row_number() OVER (PARTITION BY doc_id ORDER BY h, p) AS rn,
+        greatest(1, round(n * 0.15 / 3, 0)::BIGINT) AS n_spans
+      FROM pos
+    ), sel AS (
+      SELECT doc_id, n, p, 2 + (h % 3) AS len FROM anch WHERE rn <= n_spans
+    ), mp AS (
+      SELECT DISTINCT doc_id, m.m
+      FROM sel, unnest(range(p, least(p + len - 1, n - 1) + 1)) AS m(m)
+    ), mc AS (
+      SELECT doc_id, count(*)::BIGINT AS n_masked FROM mp GROUP BY 1
+    ), sc AS (
+      SELECT doc_id, max(n)::BIGINT AS n_tokens, count(*)::BIGINT AS n_spans
+      FROM sel GROUP BY 1
+    )
+    SELECT sc.doc_id, n_tokens, n_spans, n_masked,
+      round(n_masked::DOUBLE / n_tokens, 6) AS mask_frac
+    FROM sc JOIN mc USING (doc_id)
+    """,
+)
+def span_corruption_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption mask plan (curation.span_corruption_plan;
+    Raffel et al. 2020 §3.1.4): 15% of tokens masked in deterministic
+    spans of mean length 3, overlaps merged — the denoising-pretraining
+    plan a data builder materializes before writing sentinel targets.
+    Positions explode from a sequence (never the token array); anchor
+    selection is one rank window on the doc key."""
+    from blogparser_spark.dataops.curation import span_corruption_plan
+
+    return span_corruption_plan(_docs(spark, sf_dir))

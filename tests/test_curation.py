@@ -801,3 +801,28 @@ def test_keyword_tags(spark):
     assert out[1]["n_keyword_hits"] == 3
     assert out[1]["tags"] == "indexing,relational"  # sorted, distinct
     assert out[3]["tags"] == "streaming" and out[3]["n_keyword_hits"] == 3
+
+
+def test_span_corruption_plan(spark):
+    from blogparser_spark.dataops.curation import span_corruption_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(100))),  # 100 tokens → 5 spans
+            (2, "a b c"),                                 # 3 tokens → 1 span
+            (3, "x y"),                                   # < mean_span → absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_corruption_plan(docs).collect()}
+    assert set(out) == {1, 2}
+    d1 = out[1]
+    assert d1["n_spans"] == 5  # round(100 * 0.15 / 3)
+    # spans are 2-4 long, overlaps merge, clipped at doc end
+    assert 5 * 2 <= d1["n_masked"] <= 5 * 4
+    assert d1["mask_frac"] == round(d1["n_masked"] / 100, 6)
+    d2 = out[2]
+    assert d2["n_spans"] == 1 and 2 <= d2["n_masked"] <= 3  # clipped at 3
+    # determinism: identical plan on rerun
+    again = {r["doc_id"]: r["n_masked"] for r in span_corruption_plan(docs).collect()}
+    assert again == {k: v["n_masked"] for k, v in out.items()}

@@ -992,3 +992,10 @@ cd_ = _entry2.queries()["conv_exact_dup_groups"](spark, "/root/testdata/sf0.001"
 assert cd_ and all(r.n_convs >= 2 and not r.survivor.endswith("-dup") for r in cd_)
 print("conv dup groups:", len(cd_))
 print("DRIVE72 OK")
+
+# batch-6p: T5 span-corruption mask plan
+sc_ = _entry2.queries()["span_corruption_plan"](spark, "/root/testdata/sf0.001").collect()
+assert sc_ and all(r.n_masked >= r.n_spans and r.n_masked <= 4 * r.n_spans for r in sc_)
+assert all(0 < r.mask_frac <= 1 for r in sc_)
+print("span plans:", len(sc_), "mean mask_frac:", round(sum(r.mask_frac for r in sc_) / len(sc_), 3))
+print("DRIVE73 OK")
