@@ -1227,3 +1227,67 @@ def span_corruption_plan(
         "n_masked",
         F.round(F.col("n_masked") / F.col("n"), 6).alias("mask_frac"),
     )
+
+
+def group_advantage(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Group-relative advantage (the GRPO normalization, Shao et al. 2024,
+    DeepSeekMath: advantage = (score - mean(group)) / std(group)) — the
+    calibration-free reward shaping RL-from-scores applies within each
+    prompt's candidate group before policy updates. Zero-variance and
+    singleton groups take advantage 0 (nothing to prefer).
+
+    One shuffle on the group key; mean/std ride the same window
+    partitioning as explicit moment averages (avg, avg of squares) so
+    both engines run the identical closed-form arithmetic instead of
+    engine-specific streaming-variance algorithms; round-6 absorbs
+    partial-sum order skew."""
+    wg = Window.partitionBy(group_col)
+    s = F.col(score_col).cast("double")
+    m = F.avg(s).over(wg)
+    m2 = F.avg(s * s).over(wg)
+    std = F.sqrt(F.greatest(m2 - m * m, F.lit(0.0)))
+    return df.select(
+        group_col,
+        id_col,
+        F.col(score_col),
+        F.round(
+            F.when(std > 1e-12, (s - m) / std).otherwise(0.0), 6
+        ).alias("advantage"),
+    )
+
+
+def sft_loss_mask_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    trainable_roles: Sequence[str] = ("assistant",),
+) -> DataFrame:
+    """SFT loss-mask accounting: training computes loss only on the
+    assistant's tokens (prompts are context, not targets), so the
+    trainable-token fraction per conversation is the number that says how
+    much signal an epoch actually contains — a corpus of long prompts
+    and one-word answers trains far less than its token count suggests.
+    Pure conditional partial agg on per-row token counts; one shuffle."""
+    n_tok = F.size(tokens(F.col(text_col)))
+    trainable = F.when(F.col(role_col).isin(*trainable_roles), n_tok).otherwise(0)
+    return (
+        df.groupBy(conv_col)
+        .agg(
+            F.sum(n_tok).cast("bigint").alias("n_tokens_total"),
+            F.sum(trainable).cast("bigint").alias("n_tokens_trainable"),
+        )
+        .withColumn(
+            "trainable_frac",
+            F.round(
+                F.col("n_tokens_trainable")
+                / F.greatest(F.col("n_tokens_total"), F.lit(1)),
+                6,
+            ),
+        )
+    )

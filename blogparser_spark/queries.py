@@ -7227,3 +7227,61 @@ def span_corruption_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blogparser_spark.dataops.curation import span_corruption_plan
 
     return span_corruption_plan(_docs(spark, sf_dir))
+
+
+@_q(
+    "group_advantage_scores",
+    f"""
+    WITH {_quality_feature_ctes("documents")}, q AS (
+      SELECT d.source, doc_id, {_QUALITY_SCORE_SQL} AS quality
+      FROM qf JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
+    ), g AS (
+      SELECT source, doc_id, quality,
+        avg(quality) OVER (PARTITION BY source) AS m,
+        avg(quality * quality) OVER (PARTITION BY source) AS m2
+      FROM q
+    )
+    SELECT source, doc_id, quality,
+      round(CASE WHEN sqrt(greatest(m2 - m * m, 0.0)) > 1e-12
+                 THEN (quality - m) / sqrt(greatest(m2 - m * m, 0.0))
+                 ELSE 0.0 END, 6) AS advantage
+    FROM g
+    """,
+)
+def group_advantage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO group-relative advantage (curation.group_advantage): quality
+    z-scored within each source's candidate group via closed-form moment
+    averages — the calibration-free reward normalization RL-from-scores
+    applies before policy updates."""
+    from blogparser_spark.dataops import curation, textstats
+
+    scored = textstats.with_quality(_docs(spark, sf_dir)).select(
+        "source", "doc_id", "quality"
+    )
+    return curation.group_advantage(scored)
+
+
+@_q(
+    "sft_loss_mask_stats",
+    f"""
+    WITH {_WRAPPED_T_SQL}, m AS (
+      SELECT conv_id, {_ROLE_MIX_SQL} AS role,
+        len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n
+      FROM t
+    )
+    SELECT conv_id, sum(n)::BIGINT AS n_tokens_total,
+      sum(CASE WHEN role = 'assistant' THEN n ELSE 0 END)::BIGINT
+        AS n_tokens_trainable,
+      round(sum(CASE WHEN role = 'assistant' THEN n ELSE 0 END)::DOUBLE
+            / greatest(sum(n), 1), 6) AS trainable_frac
+    FROM m GROUP BY conv_id
+    """,
+)
+def sft_loss_mask_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask accounting (curation.sft_loss_mask_stats): the
+    trainable-token fraction per conversation under assistant-only loss —
+    how much signal an epoch actually contains. Conditional partial agg
+    on per-row token counts; roles via the md5 mix."""
+    from blogparser_spark.dataops import curation
+
+    return curation.sft_loss_mask_stats(_mixed_role_transcripts(spark, sf_dir))

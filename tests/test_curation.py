@@ -826,3 +826,39 @@ def test_span_corruption_plan(spark):
     # determinism: identical plan on rerun
     again = {r["doc_id"]: r["n_masked"] for r in span_corruption_plan(docs).collect()}
     assert again == {k: v["n_masked"] for k, v in out.items()}
+
+
+def test_group_advantage(spark):
+    import math
+
+    from blogparser_spark.dataops.curation import group_advantage
+
+    rows = [
+        ("g1", 1, 1.0), ("g1", 2, 2.0), ("g1", 3, 3.0),  # mean 2, pop std
+        ("g2", 4, 5.0), ("g2", 5, 5.0),                    # zero variance
+        ("g3", 6, 7.0),                                     # singleton
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, quality double")
+    out = {r["doc_id"]: r["advantage"] for r in group_advantage(df).collect()}
+    std = math.sqrt(2 / 3)  # population std of [1,2,3]
+    assert out[1] == round(-1 / std, 6) and out[3] == round(1 / std, 6)
+    assert out[2] == 0.0
+    assert out[4] == 0.0 and out[5] == 0.0  # zero variance → 0
+    assert out[6] == 0.0  # singleton → 0
+
+
+def test_sft_loss_mask_stats(spark):
+    from blogparser_spark.dataops.curation import sft_loss_mask_stats
+
+    rows = [
+        ("c1", "user", "one two three four"),     # 4 context tokens
+        ("c1", "assistant", "five six"),           # 2 trainable
+        ("c1", "tool", "seven"),                   # masked
+        ("c2", "user", "only prompts here"),       # nothing trainable
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, role string, text string")
+    out = {r["conv_id"]: r for r in sft_loss_mask_stats(df).collect()}
+    c1 = out["c1"]
+    assert (c1["n_tokens_total"], c1["n_tokens_trainable"]) == (7, 2)
+    assert c1["trainable_frac"] == round(2 / 7, 6)
+    assert out["c2"]["n_tokens_trainable"] == 0 and out["c2"]["trainable_frac"] == 0.0

@@ -409,3 +409,78 @@ def test_round_robin_plan_no_global_window_over_rows(spark):
     ):
         assert m.group(1).startswith("_we"), m.group(0)[:120]
     assert "aggregate(" in plan  # the closed-form position expression
+
+
+def test_bm25_retrieval_plan_contracts(spark):
+    """BM25 retrieval: generator-level term filter, broadcast df/stats,
+    TakeOrdered top-k — never a global sort or a corpus self-join."""
+    from blogparser_spark.dataops.lm import bm25_retrieval
+
+    df = spark.createDataFrame(
+        [(i, "hash join scan " * 3) for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan(bm25_retrieval(df, ["hash", "join"], top_k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_conv_qa_single_exchange(spark):
+    """Role grammar / budget stats: the lag or running-total window and the
+    rollup share ONE conv-key exchange."""
+    from blogparser_spark.dataops.curation import conv_budget_stats, conv_role_grammar
+
+    df = spark.createDataFrame(
+        [("c", i, "user" if i % 2 == 0 else "assistant", "w " * 5) for i in range(8)],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    for out in (conv_role_grammar(df), conv_budget_stats(df, budget_tokens=10)):
+        plan = _plan(out)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_domain_cap_single_exchange(spark):
+    from blogparser_spark.dataops.curation import domain_cap
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", i) for i in range(30)], "source string, doc_id long"
+    )
+    plan = _plan(domain_cap(df, cap=5))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rrf_fusion_bounded_shortlists(spark):
+    """Both rank windows must sit above TakeOrdered limits (bounded frames),
+    and the fusion join of two <= n-row sides must not be a sort-merge."""
+    from blogparser_spark.dataops.lm import rank_fusion_rrf
+
+    a = spark.createDataFrame([(i, float(i)) for i in range(40)], "doc_id long, score double")
+    b = spark.createDataFrame([(i, float(-i)) for i in range(40)], "doc_id long, score double")
+    plan = _plan(rank_fusion_rrf(a, b, n=10))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_keyword_tags_broadcast_dim(spark):
+    from blogparser_spark.dataops.textstats import keyword_tags
+
+    df = spark.createDataFrame([(1, "hash join")], "doc_id long, text string")
+    plan = _plan(keyword_tags(df, {"hash": "x"}))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_corruption_no_token_explode(spark):
+    """Positions must explode from a sequence of the token COUNT — the plan
+    contains generators but never shuffles exploded token text (the only
+    exchanges are the doc-key window and the final partial aggs)."""
+    from blogparser_spark.dataops.curation import span_corruption_plan
+
+    df = spark.createDataFrame(
+        [(1, "w " * 50)], "doc_id long, text string"
+    )
+    plan = _plan(span_corruption_plan(df))
+    assert "Generate explode(sequence" in plan.replace("\n", " ") or "sequence(0" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "doc_id" in plan

@@ -999,3 +999,11 @@ assert sc_ and all(r.n_masked >= r.n_spans and r.n_masked <= 4 * r.n_spans for r
 assert all(0 < r.mask_frac <= 1 for r in sc_)
 print("span plans:", len(sc_), "mean mask_frac:", round(sum(r.mask_frac for r in sc_) / len(sc_), 3))
 print("DRIVE73 OK")
+
+# batch-6q: GRPO advantage + SFT loss-mask accounting
+ga = _entry2.queries()["group_advantage_scores"](spark, "/root/testdata/sf0.001").collect()
+assert ga and any(r.advantage > 0 for r in ga) and any(r.advantage < 0 for r in ga)
+lm_ = _entry2.queries()["sft_loss_mask_stats"](spark, "/root/testdata/sf0.001").collect()
+assert lm_ and all(0 <= r.trainable_frac <= 1 and r.n_tokens_trainable <= r.n_tokens_total for r in lm_)
+print("advantages:", len(ga), "; convs:", len(lm_))
+print("DRIVE74 OK")
