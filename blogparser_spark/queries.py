@@ -7285,3 +7285,56 @@ def sft_loss_mask_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blogparser_spark.dataops import curation
 
     return curation.sft_loss_mask_stats(_mixed_role_transcripts(spark, sf_dir))
+
+
+from blogparser_spark.functions.grok import compile_grok as _compile_grok
+
+_GROK_LINE_PATTERN = (
+    "[%{TIMESTAMP_ISO8601:ts}] %{LOGLEVEL:level} "
+    "user=%{NOTSPACE:user} evt=%{WORD:evt} id=%{INT:id}"
+)
+_GROK_RX, _GROK_FIELDS = _compile_grok(_GROK_LINE_PATTERN)
+
+
+@_q(
+    "grok_parse_log_lines",
+    f"""
+    WITH lines AS (
+      SELECT '[' || strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') || '] '
+        || ['INFO','WARN','ERROR'][(event_id % 3)::INT + 1]
+        || ' user=' || user_id || ' evt=' || event_type
+        || ' id=' || event_id::VARCHAR AS line
+      FROM events
+    )
+    SELECT regexp_extract(line, '{_GROK_RX}', 1) AS ts,
+           regexp_extract(line, '{_GROK_RX}', 2) AS level,
+           regexp_extract(line, '{_GROK_RX}', 3) AS user,
+           regexp_extract(line, '{_GROK_RX}', 4) AS evt,
+           regexp_extract(line, '{_GROK_RX}', 5) AS id
+    FROM lines
+    """,
+)
+def grok_parse_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok-DSL log parsing (functions/grok.py): telemetry lines built
+    deterministically from the events table are parsed back through one
+    compiled `%{NAME:field}` pattern — N regexp_extract columns in a
+    single codegen pass, no UDF; the oracle runs the IDENTICAL compiled
+    regex (Java ∩ RE2 subset). The north-rule 'grok-style regex bank'
+    surface as an explicit, reusable compiler."""
+    from blogparser_spark.functions.grok import grok_extract
+
+    e = _events(spark, sf_dir)
+    levels = F.array(F.lit("INFO"), F.lit("WARN"), F.lit("ERROR"))
+    line = F.concat(
+        F.lit("["),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"),
+        F.lit("] "),
+        F.element_at(levels, (F.col("event_id") % 3 + 1).cast("int")),
+        F.lit(" user="),
+        F.col("user_id"),
+        F.lit(" evt="),
+        F.col("event_type"),
+        F.lit(" id="),
+        F.col("event_id"),
+    )
+    return grok_extract(e.select(line.alias("line")), _GROK_LINE_PATTERN, "line")

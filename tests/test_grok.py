@@ -1,0 +1,75 @@
+"""Grok mini-compiler: DSL expansion, field capture, Spark extraction."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from blogparser_spark.functions.grok import GROK_BANK, compile_grok
+
+
+def test_compile_basic_capture_and_literal_escape():
+    rx, fields = compile_grok("%{IP:client} - %{WORD:method} (%{INT:code})")
+    assert fields == ["client", "method", "code"]
+    m = re.fullmatch(rx, "10.2.3.4 - GET (200)")
+    assert m.groups() == ("10.2.3.4", "GET", "200")
+    # literal parens were escaped, not treated as groups
+    assert re.fullmatch(rx, "10.2.3.4 - GET 200") is None
+
+
+def test_unnamed_pattern_matches_without_capturing():
+    rx, fields = compile_grok("%{IP} %{WORD:w}")
+    assert fields == ["w"]
+    assert re.fullmatch(rx, "1.2.3.4 hi").groups() == ("hi",)
+
+
+def test_unknown_pattern_raises():
+    with pytest.raises(KeyError):
+        compile_grok("%{NOPE:x}")
+
+
+def test_custom_bank_and_nesting():
+    bank = {"HOSTPORT": r"%{IP}:%{INT}"}
+    rx, fields = compile_grok("%{HOSTPORT:hp}", bank=bank)
+    assert re.fullmatch(rx, "1.2.3.4:8080").group(1) == "1.2.3.4:8080"
+
+
+def test_bank_patterns_all_compile_and_match_samples():
+    samples = {
+        "INT": "-42",
+        "NUMBER": "3.14",
+        "WORD": "abc_1",
+        "NOTSPACE": "a/b:c",
+        "IP": "192.168.0.1",
+        "QUOTEDSTRING": '"hello world"',
+        "TIMESTAMP_ISO8601": "2024-06-01T12:00:00.123+02:00",
+        "LOGLEVEL": "ERROR",
+        "UUID": "123e4567-e89b-12d3-a456-426614174000",
+        "PATH": "/var/log/app.log",
+    }
+    for name, sample in samples.items():
+        assert re.fullmatch(GROK_BANK[name], sample), name
+
+
+def test_grok_extract_spark(spark):
+    from blogparser_spark.functions.grok import grok_extract
+
+    df = spark.createDataFrame(
+        [
+            ("[2024-01-01 10:00:00] INFO user=u1 evt=click id=7",),
+            ("malformed line",),
+        ],
+        "text string",
+    )
+    rows = grok_extract(
+        df,
+        "[%{TIMESTAMP_ISO8601:ts}] %{LOGLEVEL:level} "
+        "user=%{NOTSPACE:user} evt=%{WORD:evt} id=%{INT:id}",
+    ).collect()
+    good = next(r for r in rows if r["id"] == "7")
+    assert (good["ts"], good["level"], good["user"], good["evt"]) == (
+        "2024-01-01 10:00:00", "INFO", "u1", "click",
+    )
+    bad = next(r for r in rows if r["id"] != "7")
+    assert bad["ts"] == "" and bad["level"] == ""  # non-match → empty strings

@@ -1007,3 +1007,10 @@ lm_ = _entry2.queries()["sft_loss_mask_stats"](spark, "/root/testdata/sf0.001").
 assert lm_ and all(0 <= r.trainable_frac <= 1 and r.n_tokens_trainable <= r.n_tokens_total for r in lm_)
 print("advantages:", len(ga), "; convs:", len(lm_))
 print("DRIVE74 OK")
+
+# batch-6r: grok DSL parse of event-built telemetry lines
+gk = _entry2.queries()["grok_parse_log_lines"](spark, "/root/testdata/sf0.001").collect()
+assert gk and all(r.level in ("INFO", "WARN", "ERROR") for r in gk)
+assert all(r.id.isdigit() or (r.id and r.id[0] == '-') for r in gk)
+print("grok lines parsed:", len(gk))
+print("DRIVE75 OK")
