@@ -1201,7 +1201,13 @@ def span_corruption_plan(
         pos.withColumn("_h", h)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_spans)
-        .withColumn("_len", F.lit(mean_span - 1) + F.col("_h") % 3)
+        # greatest(1, ·): a length-0 span would make the sequence below run
+        # DESCENDING (Spark infers step -1 when start > stop), masking the
+        # position BEFORE the anchor — with mean_span=1 some lengths hit 0
+        .withColumn(
+            "_len",
+            F.greatest(F.lit(1), F.lit(mean_span - 1) + F.col("_h") % 3),
+        )
     )
     masked = (
         anchors.select(

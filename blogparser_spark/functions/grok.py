@@ -68,11 +68,15 @@ def compile_grok(pattern: str, bank: dict[str, str] | None = None) -> tuple[str,
             name, field = m.group(1), m.group(2)
             if name not in bank:
                 raise KeyError(f"unknown grok pattern %{{{name}}}")
-            inner = expand(bank[name], depth + 1, literal=False)
             if field:
+                # the OUTER group opens before any nested named capture, so
+                # its field must be appended before the recursive expansion
+                # — fields[i] must stay aligned with capture group i+1
                 fields.append(field)
+                inner = expand(bank[name], depth + 1, literal=False)
                 out.append(f"({inner})")
             else:
+                inner = expand(bank[name], depth + 1, literal=False)
                 out.append(f"(?:{inner})")
             last = m.end()
         out.append(esc(p[last:]))
@@ -82,13 +86,18 @@ def compile_grok(pattern: str, bank: dict[str, str] | None = None) -> tuple[str,
 
 
 def grok_extract(
-    df: DataFrame, pattern: str, text_col: str = "text", keep: bool = False
+    df: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    keep: bool = False,
+    bank: dict[str, str] | None = None,
 ) -> DataFrame:
     """Apply a grok pattern as one codegen pass: each captured field
     becomes a string column (empty string when the line doesn't match —
     regexp_extract's convention, identical in DuckDB). `keep` retains the
-    original columns alongside the extracted fields."""
-    regex, fields = compile_grok(pattern)
+    original columns alongside the extracted fields; `bank` supplies
+    custom pattern aliases on top of GROK_BANK."""
+    regex, fields = compile_grok(pattern, bank)
     cols: list[Column] = [
         F.regexp_extract(F.col(text_col), regex, i + 1).alias(f)
         for i, f in enumerate(fields)

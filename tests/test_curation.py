@@ -862,3 +862,16 @@ def test_sft_loss_mask_stats(spark):
     assert (c1["n_tokens_total"], c1["n_tokens_trainable"]) == (7, 2)
     assert c1["trainable_frac"] == round(2 / 7, 6)
     assert out["c2"]["n_tokens_trainable"] == 0 and out["c2"]["trainable_frac"] == 0.0
+
+
+def test_span_corruption_mean_span_one_never_masks_backwards(spark):
+    from blogparser_spark.dataops.curation import span_corruption_plan
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)))], "doc_id long, text string"
+    )
+    out = span_corruption_plan(docs, mean_span=1).collect()[0]
+    # lengths clamp to >= 1: each span masks at least its anchor, never a
+    # negative position, so n_masked stays within [n_spans, 3 * n_spans]
+    assert out["n_spans"] <= out["n_masked"] <= 3 * out["n_spans"]
+    assert out["n_masked"] <= out["n_tokens"]

@@ -73,3 +73,26 @@ def test_grok_extract_spark(spark):
     )
     bad = next(r for r in rows if r["id"] != "7")
     assert bad["ts"] == "" and bad["level"] == ""  # non-match → empty strings
+
+
+def test_nested_named_captures_align_with_fields():
+    """Outer group opens before nested named captures — fields[i] must map
+    to capture group i+1 even with nested %{...:name} refs."""
+    bank = {"HOSTPORT": r"%{IP:ip}:%{INT:port}"}
+    rx, fields = compile_grok("%{HOSTPORT:hp} %{WORD:w}", bank=bank)
+    assert fields == ["hp", "ip", "port", "w"]
+    m = re.fullmatch(rx, "1.2.3.4:8080 ok")
+    assert dict(zip(fields, m.groups())) == {
+        "hp": "1.2.3.4:8080", "ip": "1.2.3.4", "port": "8080", "w": "ok",
+    }
+
+
+def test_grok_extract_custom_bank(spark):
+    from blogparser_spark.functions.grok import grok_extract
+
+    df = spark.createDataFrame([("9.9.9.9:443 up",)], "text string")
+    r = grok_extract(
+        df, "%{HOSTPORT:hp} %{WORD:state}",
+        bank={"HOSTPORT": r"%{IP}:%{INT}"},
+    ).collect()[0]
+    assert r["hp"] == "9.9.9.9:443" and r["state"] == "up"

@@ -483,4 +483,7 @@ def test_span_corruption_no_token_explode(spark):
     plan = _plan(span_corruption_plan(df))
     assert "Generate explode(sequence" in plan.replace("\n", " ") or "sequence(0" in plan
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan or "doc_id" in plan
+    # the only join allowed is the per-doc rollup merge keyed on doc_id
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "doc_id" in line, line
