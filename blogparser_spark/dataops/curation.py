@@ -1297,3 +1297,68 @@ def sft_loss_mask_stats(
             ),
         )
     )
+
+
+# UL2 mixture-of-denoisers (Tay et al. 2023): deterministic assignment of
+# each document to an R / S / X denoiser with the paper's regime params.
+DENOISER_MIX: tuple[tuple[str, float, int, float], ...] = (
+    # (name, corruption_rate, mean_span, mixture_weight)
+    ("R", 0.15, 3, 0.25),   # regular span corruption
+    ("S", 0.25, 0, 0.25),   # sequential / prefix-LM: mask the SUFFIX
+    ("X", 0.50, 32, 0.50),  # extreme: long spans, high rate
+)
+
+
+def denoiser_mix_plan(
+    df: DataFrame,
+    mix: tuple[tuple[str, float, int, float], ...] = DENOISER_MIX,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "ul2mix",
+) -> DataFrame:
+    """UL2 mixture-of-denoisers assignment (Tay et al., ICLR 2023): each
+    document draws a denoiser regime — R (regular span corruption), S
+    (prefix-LM: the suffix is the target), X (extreme) — by deterministic
+    md5 bucket against the mixture weights, and gets its regime's plan
+    numbers: masked-token estimate round(rate·n) for R/X, suffix length
+    for S. The assignment step every UL2-style pretraining data builder
+    runs before materializing sentinel targets (span_corruption_plan
+    materializes the R/X positions; this picks who gets which regime).
+
+    Pure per-row arithmetic: one md5, a weight-CDF CASE chain over a
+    bounded literal mix, no shuffle at all."""
+    n = F.size(tokens(F.col(text_col)))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**8)
+    )
+    total = sum(w for _, _, _, w in mix)
+    den, rate, span = None, None, None
+    cdf = 0.0
+    for name, r, s, w in mix:
+        cdf += w / total
+        cond = u < cdf
+        den = F.when(cond, name) if den is None else den.when(cond, name)
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+        span = F.when(cond, s) if span is None else span.when(cond, s)
+    # float edge: u == 1.0 falls through → last regime
+    last = mix[-1]
+    den = den.otherwise(last[0])
+    rate = rate.otherwise(last[1])
+    span = span.otherwise(last[2])
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        den.alias("denoiser"),
+        rate.alias("corruption_rate"),
+        span.cast("int").alias("mean_span"),
+        F.round(n * rate, 0).cast("bigint").alias("n_targets"),
+    )

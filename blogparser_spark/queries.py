@@ -7338,3 +7338,36 @@ def grok_parse_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id"),
     )
     return grok_extract(e.select(line.alias("line")), _GROK_LINE_PATTERN, "line")
+
+
+@_q(
+    "ul2_denoiser_mix",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n,
+        ('0x' || substr(md5('ul2mix:' || doc_id::VARCHAR), 1, 8))::BIGINT
+          / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, n AS n_tokens,
+      CASE WHEN u < 0.25 THEN 'R' WHEN u < 0.5 THEN 'S' ELSE 'X' END
+        AS denoiser,
+      CASE WHEN u < 0.25 THEN 0.15 WHEN u < 0.5 THEN 0.25 ELSE 0.5 END
+        AS corruption_rate,
+      (CASE WHEN u < 0.25 THEN 3 WHEN u < 0.5 THEN 0 ELSE 32 END)::INT
+        AS mean_span,
+      round(n * CASE WHEN u < 0.25 THEN 0.15 WHEN u < 0.5 THEN 0.25
+                     ELSE 0.5 END, 0)::BIGINT AS n_targets
+    FROM t
+    """,
+)
+def ul2_denoiser_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UL2 mixture-of-denoisers assignment (curation.denoiser_mix_plan;
+    Tay et al. ICLR 2023): R/S/X regime per document by deterministic md5
+    bucket against the mixture weights, with the regime's plan numbers —
+    the assignment step before span_corruption_plan materializes
+    positions. Pure per-row arithmetic, zero shuffles."""
+    from blogparser_spark.dataops.curation import denoiser_mix_plan
+
+    return denoiser_mix_plan(_docs(spark, sf_dir))

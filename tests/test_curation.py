@@ -875,3 +875,25 @@ def test_span_corruption_mean_span_one_never_masks_backwards(spark):
     # negative position, so n_masked stays within [n_spans, 3 * n_spans]
     assert out["n_spans"] <= out["n_masked"] <= 3 * out["n_spans"]
     assert out["n_masked"] <= out["n_tokens"]
+
+
+def test_denoiser_mix_plan(spark):
+    from blogparser_spark.dataops.curation import denoiser_mix_plan
+
+    df = spark.createDataFrame(
+        [(i, "w " * 40) for i in range(300)], "doc_id long, text string"
+    )
+    rows = denoiser_mix_plan(df).collect()
+    by_den = {}
+    for r in rows:
+        by_den.setdefault(r["denoiser"], []).append(r)
+    # all three regimes drawn; X (weight .5) dominates
+    assert set(by_den) == {"R", "S", "X"}
+    assert len(by_den["X"]) > len(by_den["R"]) and len(by_den["X"]) > len(by_den["S"])
+    for r in rows:
+        want_rate = {"R": 0.15, "S": 0.25, "X": 0.5}[r["denoiser"]]
+        assert r["corruption_rate"] == want_rate
+        assert r["n_targets"] == round(40 * want_rate)
+    # deterministic across reruns
+    again = {r["doc_id"]: r["denoiser"] for r in denoiser_mix_plan(df).collect()}
+    assert again == {r["doc_id"]: r["denoiser"] for r in rows}

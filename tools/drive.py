@@ -1014,3 +1014,10 @@ assert gk and all(r.level in ("INFO", "WARN", "ERROR") for r in gk)
 assert all(r.id.isdigit() or (r.id and r.id[0] == '-') for r in gk)
 print("grok lines parsed:", len(gk))
 print("DRIVE75 OK")
+
+# batch-6s: UL2 denoiser mixture assignment
+u2 = _entry2.queries()["ul2_denoiser_mix"](spark, "/root/testdata/sf0.001").collect()
+assert u2 and {r.denoiser for r in u2} <= {"R", "S", "X"}
+assert all(r.n_targets <= r.n_tokens for r in u2)
+print("ul2 mix:", {d: sum(1 for r in u2 if r.denoiser == d) for d in ("R", "S", "X")})
+print("DRIVE76 OK")
