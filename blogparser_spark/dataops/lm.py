@@ -242,3 +242,115 @@ def rank_fusion_rrf(
         "rank_b",
         F.round(contrib_a + contrib_b, 0).cast("bigint").alias("rrf_u"),
     ).orderBy(F.desc("rrf_u"), F.asc(id_col))
+
+
+def word_freq_dict(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(word, cnt) frequency dictionary — the classic BPE training input:
+    corpus-scale token volume collapses to a VOCABULARY-scale table in one
+    partial hash agg, and everything downstream (pair counting, merge
+    application) operates on the dictionary weighted by cnt, never on the
+    corpus again. This reduction is what makes distributed BPE cheap."""
+    return (
+        docs.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def _adjacent_pairs(sym_col):
+    """array<string> → array<struct(l, r)> of adjacent symbol pairs."""
+    n = F.size(sym_col)
+    return F.arrays_zip(
+        F.slice(sym_col, 1, n - 1).alias("l"),
+        F.slice(sym_col, 2, n - 1).alias("r"),
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """First-iteration BPE pair statistics (Sennrich et al., ACL 2016):
+    adjacent character-pair frequencies over the word dictionary, weighted
+    by word count — the table whose argmax IS the first learned merge.
+    Shape: corpus → word dict (one partial agg) → character explode and
+    pair counting over VOCAB-sized rows → TakeOrdered top-k with a
+    deterministic (l, r) tie-break."""
+    wd = word_freq_dict(docs, text_col)
+    sym = wd.select("cnt", F.split("word", "").alias("s")).filter(
+        F.size("s") >= 2
+    )
+    pairs = sym.select(
+        "cnt", F.explode(_adjacent_pairs(F.col("s"))).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p")["l"].alias("l"), F.col("p")["r"].alias("r")
+        )
+        .agg(F.sum("cnt").cast("bigint").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("l"), F.asc("r"))
+        .limit(top_k)
+    )
+
+
+def _apply_merge(sym_col, left, right):
+    """Greedy left-to-right merge of adjacent (left, right) symbol pairs
+    in one array — the BPE merge step as a fold. Interpreted HOF, but it
+    runs over the VOCAB-sized dictionary, not the corpus."""
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (x == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Learn the first n_merges BPE merges distributed (Sennrich et al.,
+    ACL 2016): per round, count weighted adjacent pairs over the symbol
+    dictionary, take the global argmax (ONE row to the driver — bounded
+    like kmeans centroid state), apply the merge to every word, repeat.
+    Returns [(left, right, weight)] in merge order.
+
+    localCheckpoint per round truncates the growing lineage (the
+    connected-components convention); per-round cost is vocab-sized."""
+    wd = word_freq_dict(docs, text_col)
+    sym = wd.select("cnt", F.split("word", "").alias("s")).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = sym.select(
+            "cnt", F.explode(_adjacent_pairs(F.col("s"))).alias("p")
+        )
+        top = (
+            pairs.groupBy(
+                F.col("p")["l"].alias("l"), F.col("p")["r"].alias("r")
+            )
+            .agg(F.sum("cnt").cast("bigint").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, w = top[0]["l"], top[0]["r"], int(top[0]["weight"])
+        merges.append((l, r, w))
+        sym = sym.select(
+            "cnt", _apply_merge(F.col("s"), l, r).alias("s")
+        ).localCheckpoint()
+    return merges

@@ -7371,3 +7371,34 @@ def ul2_denoiser_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blogparser_spark.dataops.curation import denoiser_mix_plan
 
     return denoiser_mix_plan(_docs(spark, sf_dir))
+
+
+@_q(
+    "bpe_pair_counts",
+    """
+    WITH w AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x != '')) AS word
+      FROM documents
+    ), wc AS (
+      SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1
+    ), sym AS (
+      SELECT cnt, string_split(word, '') AS s FROM wc WHERE strlen(word) >= 2
+    ), pairs AS (
+      SELECT cnt, s[i] AS l, s[i + 1] AS r
+      FROM sym, unnest(range(1, len(s))) AS t(i)
+    )
+    SELECT l, r, sum(cnt)::BIGINT AS weight
+    FROM pairs GROUP BY l, r
+    ORDER BY weight DESC, l, r LIMIT 20
+    """,
+)
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE pair statistics (lm.bpe_pair_counts; Sennrich
+    et al. 2016): adjacent character-pair frequencies weighted by word
+    count over the vocabulary dictionary — the table whose argmax is the
+    first learned merge. Corpus collapses to vocab size in one partial
+    agg; top-k is TakeOrdered with a deterministic tie-break."""
+    from blogparser_spark.dataops.lm import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_k=20)

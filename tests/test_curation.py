@@ -897,3 +897,46 @@ def test_denoiser_mix_plan(spark):
     # deterministic across reruns
     again = {r["doc_id"]: r["denoiser"] for r in denoiser_mix_plan(df).collect()}
     assert again == {r["doc_id"]: r["denoiser"] for r in rows}
+
+
+def test_bpe_learn_merges_matches_python_twin(spark):
+    from collections import Counter
+
+    from blogparser_spark.dataops.lm import bpe_learn_merges
+
+    texts = ["low lower lowest low low", "new newer newest new", "low new"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    # pure-Python BPE twin (Sennrich-style, word-frequency weighted,
+    # deterministic (weight desc, l, r) argmax)
+    words = Counter(w for t in texts for w in t.lower().split())
+    vocab = {w: list(w) for w in words}
+
+    def twin(n):
+        out = []
+        for _ in range(n):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += words[w]
+            if not pc:
+                break
+            (l, r), wt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((l, r, wt))
+            for w, syms in vocab.items():
+                res = []
+                for x in syms:
+                    if res and res[-1] == l and x == r:
+                        res[-1] = l + r
+                    else:
+                        res.append(x)
+                vocab[w] = res
+        return out
+
+    got = bpe_learn_merges(df, n_merges=4)
+    assert got == twin(4)
+    assert len(got) == 4 and all(w > 0 for _, _, w in got)
+    # the first merge must be a pair from 'low'/'new' stems (highest mass)
+    assert got[0][2] >= got[1][2] >= got[2][2] >= got[3][2]

@@ -1021,3 +1021,12 @@ assert u2 and {r.denoiser for r in u2} <= {"R", "S", "X"}
 assert all(r.n_targets <= r.n_tokens for r in u2)
 print("ul2 mix:", {d: sum(1 for r in u2 if r.denoiser == d) for d in ("R", "S", "X")})
 print("DRIVE76 OK")
+
+# batch-6t: distributed BPE — pair stats + learned merges
+bp = _entry2.queries()["bpe_pair_counts"](spark, "/root/testdata/sf0.001").collect()
+assert bp and all(bp[i].weight >= bp[i + 1].weight for i in range(len(bp) - 1))
+from blogparser_spark.dataops.lm import bpe_learn_merges as _bpe
+mg = _bpe(docs.limit(50), n_merges=3)
+assert len(mg) == 3 and mg[0][2] >= mg[1][2] >= mg[2][2]
+print("bpe top pair:", (bp[0].l, bp[0].r, bp[0].weight), "; merges:", mg)
+print("DRIVE77 OK")
