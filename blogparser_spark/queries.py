@@ -7402,3 +7402,96 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blogparser_spark.dataops.lm import bpe_pair_counts
 
     return bpe_pair_counts(_docs(spark, sf_dir), top_k=20)
+
+
+@_q(
+    "conv_packing_curve",
+    f"""
+    WITH {_WRAPPED_T_SQL}, c AS (
+      SELECT conv_id,
+        len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n,
+        sum(len(list_filter(string_split(text, ' '), x -> x != '')))
+          OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ), per AS (
+      SELECT conv_id, count(*)::BIGINT AS n_turns, sum(n)::BIGINT AS n_tokens,
+        sum(CASE WHEN cum <= 500 THEN 1 ELSE 0 END)::BIGINT AS k500,
+        sum(CASE WHEN cum <= 1000 THEN 1 ELSE 0 END)::BIGINT AS k1000,
+        sum(CASE WHEN cum <= 2000 THEN 1 ELSE 0 END)::BIGINT AS k2000,
+        sum(CASE WHEN cum <= 4000 THEN 1 ELSE 0 END)::BIGINT AS k4000,
+        sum(CASE WHEN cum <= 500 THEN n ELSE 0 END)::BIGINT AS t500,
+        sum(CASE WHEN cum <= 1000 THEN n ELSE 0 END)::BIGINT AS t1000,
+        sum(CASE WHEN cum <= 2000 THEN n ELSE 0 END)::BIGINT AS t2000,
+        sum(CASE WHEN cum <= 4000 THEN n ELSE 0 END)::BIGINT AS t4000
+      FROM c GROUP BY conv_id
+    )
+    SELECT b.budget,
+      count(*)::BIGINT AS n_convs,
+      sum(CASE b.budget WHEN 500 THEN k500 WHEN 1000 THEN k1000
+          WHEN 2000 THEN k2000 ELSE k4000 END)::BIGINT AS turns_kept,
+      sum(n_turns)::BIGINT AS turns_total,
+      sum(CASE b.budget WHEN 500 THEN t500 WHEN 1000 THEN t1000
+          WHEN 2000 THEN t2000 ELSE t4000 END)::BIGINT AS tokens_kept,
+      sum(n_tokens)::BIGINT AS tokens_total,
+      round(sum(CASE b.budget WHEN 500 THEN t500 WHEN 1000 THEN t1000
+                WHEN 2000 THEN t2000 ELSE t4000 END)::DOUBLE
+            / greatest(sum(n_tokens), 1), 6) AS token_survival,
+      sum(CASE WHEN (CASE b.budget WHEN 500 THEN k500 WHEN 1000 THEN k1000
+                     WHEN 2000 THEN k2000 ELSE k4000 END) = n_turns
+               THEN 1 ELSE 0 END)::BIGINT AS convs_fully_kept
+    FROM per CROSS JOIN (VALUES (500), (1000), (2000), (4000)) AS b(budget)
+    GROUP BY b.budget
+    """,
+)
+def conv_packing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing curve: conv_budget_stats swept over a budget
+    ladder (500/1k/2k/4k tokens) and rolled up corpus-wide — token
+    survival and fully-kept-conversation counts per budget, the curve an
+    engineer reads to PICK the context size instead of auditing one. ONE
+    running-total pass serves the whole ladder (the budgets are just
+    conditional sums over the same cumulative column — never one scan per
+    budget); the ladder itself rides a 4-row broadcast join."""
+    from blogparser_spark.dataops.curation import _budget_running
+
+    t = documents_as_transcripts(spark, sf_dir)
+    budgets = [500, 1000, 2000, 4000]
+    run = _budget_running(t, "conv_id", "turn_idx", "text")
+    aggs = [
+        F.count("*").alias("n_turns"),
+        F.sum("n_tokens").alias("n_tokens"),
+    ]
+    for b in budgets:
+        fits = F.col("cum_tokens") <= b
+        aggs.append(F.sum(F.when(fits, 1).otherwise(0)).alias(f"k{b}"))
+        aggs.append(
+            F.sum(F.when(fits, F.col("n_tokens")).otherwise(0)).alias(f"t{b}")
+        )
+    per = run.groupBy("conv_id").agg(*aggs)
+    ladder = spark.createDataFrame([(b,) for b in budgets], "budget int")
+    joined = per.join(F.broadcast(ladder))
+    kept_turns = F.when(F.col("budget") == 500, F.col("k500"))
+    kept_toks = F.when(F.col("budget") == 500, F.col("t500"))
+    for b in budgets[1:]:
+        kept_turns = kept_turns.when(F.col("budget") == b, F.col(f"k{b}"))
+        kept_toks = kept_toks.when(F.col("budget") == b, F.col(f"t{b}"))
+    joined = joined.select(
+        "budget",
+        "n_turns",
+        "n_tokens",
+        kept_turns.alias("_kt"),
+        kept_toks.alias("_tt"),
+    )
+    return joined.groupBy("budget").agg(
+        F.count("*").cast("bigint").alias("n_convs"),
+        F.sum("_kt").cast("bigint").alias("turns_kept"),
+        F.sum("n_turns").cast("bigint").alias("turns_total"),
+        F.sum("_tt").cast("bigint").alias("tokens_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.round(
+            F.sum("_tt") / F.greatest(F.sum("n_tokens"), F.lit(1)), 6
+        ).alias("token_survival"),
+        F.sum(F.when(F.col("_kt") == F.col("n_turns"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("convs_fully_kept"),
+    )

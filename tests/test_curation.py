@@ -940,3 +940,28 @@ def test_bpe_learn_merges_matches_python_twin(spark):
     assert len(got) == 4 and all(w > 0 for _, _, w in got)
     # the first merge must be a pair from 'low'/'new' stems (highest mass)
     assert got[0][2] >= got[1][2] >= got[2][2] >= got[3][2]
+
+
+def test_conv_packing_curve_consistency(spark):
+    """The curve query must agree with conv_budget_stats at each budget."""
+    import blogparser_spark.queries as Q
+    from blogparser_spark.dataops.curation import conv_budget_stats
+
+    sf = "/root/testdata/sf0.001"
+    curve = {r["budget"]: r for r in Q.QUERIES["conv_packing_curve"](spark, sf).collect()}
+    assert set(curve) == {500, 1000, 2000, 4000}
+    t = Q.documents_as_transcripts(spark, sf)
+    for b in (500, 2000):
+        stats = conv_budget_stats(t, budget_tokens=b).collect()
+        assert curve[b]["turns_kept"] == sum(r["n_turns_kept"] for r in stats)
+        assert curve[b]["tokens_kept"] == sum(r["n_tokens_kept"] for r in stats)
+        assert curve[b]["convs_fully_kept"] == sum(
+            1 for r in stats if not r["truncated"]
+        )
+    # monotone: larger budget never keeps fewer tokens
+    assert (
+        curve[500]["tokens_kept"]
+        <= curve[1000]["tokens_kept"]
+        <= curve[2000]["tokens_kept"]
+        <= curve[4000]["tokens_kept"]
+    )

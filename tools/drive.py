@@ -1030,3 +1030,11 @@ mg = _bpe(docs.limit(50), n_merges=3)
 assert len(mg) == 3 and mg[0][2] >= mg[1][2] >= mg[2][2]
 print("bpe top pair:", (bp[0].l, bp[0].r, bp[0].weight), "; merges:", mg)
 print("DRIVE77 OK")
+
+# batch-6u: packing curve over the budget ladder
+pc2 = {r.budget: r for r in _entry2.queries()["conv_packing_curve"](spark, "/root/testdata/sf0.001").collect()}
+assert set(pc2) == {500, 1000, 2000, 4000}
+assert pc2[500].tokens_kept <= pc2[4000].tokens_kept <= pc2[4000].tokens_total
+assert all(r.convs_fully_kept <= r.n_convs for r in pc2.values())
+print("packing curve survival:", {b: r.token_survival for b, r in sorted(pc2.items())})
+print("DRIVE78 OK")
