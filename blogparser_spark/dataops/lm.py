@@ -354,3 +354,47 @@ def bpe_learn_merges(
             "cnt", _apply_merge(F.col("s"), l, r).alias("s")
         ).localCheckpoint()
     return merges
+
+
+def bpe_encode(
+    sym: DataFrame, merges: list[tuple[str, str, int]], sym_col: str = "s"
+) -> DataFrame:
+    """Apply a learned merge list to a symbol dictionary in merge order —
+    the deterministic encode step (other columns pass through). Each merge
+    is one vocab-sized fold; the composition is exactly what the reference
+    BPE encoder does word-by-word, batched over the dictionary."""
+    for left, right, _w in merges:
+        sym = sym.withColumn(
+            sym_col, _apply_merge(F.col(sym_col), left, right)
+        )
+    return sym
+
+
+def bpe_fertility(
+    docs: DataFrame, merges: list[tuple[str, str, int]], text_col: str = "text"
+) -> dict[str, float]:
+    """Corpus tokenizer-fertility audit after a merge list: weighted
+    tokens-per-word and chars-per-token — the number that says how much a
+    vocabulary actually compresses the corpus (fertility falls from 1
+    symbol/char toward word-level as merges accumulate). Everything runs
+    over the vocab-sized dictionary; the corpus is touched once for word
+    counts."""
+    wd = word_freq_dict(docs, text_col)
+    sym = wd.select(
+        "cnt", F.split("word", "").alias("s"), F.length("word").alias("chars")
+    )
+    enc = bpe_encode(sym, merges)
+    row = enc.agg(
+        F.sum(F.col("cnt") * F.size("s")).alias("tok_occ"),
+        F.sum("cnt").alias("word_occ"),
+    ).collect()[0]
+    chars = wd.agg(
+        F.sum(F.col("cnt") * F.length("word")).alias("c")
+    ).collect()[0]["c"]
+    tokens_per_word = row["tok_occ"] / max(row["word_occ"], 1)
+    chars_per_token = chars / max(row["tok_occ"], 1)
+    return {
+        "tokens_per_word": round(tokens_per_word, 6),
+        "chars_per_token": round(chars_per_token, 6),
+        "n_token_occurrences": int(row["tok_occ"]),
+    }

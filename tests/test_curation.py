@@ -965,3 +965,44 @@ def test_conv_packing_curve_consistency(spark):
         <= curve[2000]["tokens_kept"]
         <= curve[4000]["tokens_kept"]
     )
+
+
+def test_bpe_encode_and_fertility(spark):
+    from blogparser_spark.dataops.lm import (
+        bpe_encode,
+        bpe_fertility,
+        bpe_learn_merges,
+        word_freq_dict,
+    )
+
+    texts = ["low low low lower lowest", "new newer newest"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_learn_merges(df, n_merges=3)
+    assert len(merges) == 3
+
+    # encode twin: apply merges greedily in order, word by word
+    def enc_twin(word):
+        syms = list(word)
+        for l, r, _ in merges:
+            res = []
+            for x in syms:
+                if res and res[-1] == l and x == r:
+                    res[-1] = l + r
+                else:
+                    res.append(x)
+            syms = res
+        return syms
+
+    sym = word_freq_dict(df).select("word", "cnt", F.split("word", "").alias("s"))
+    got = {r["word"]: list(r["s"]) for r in bpe_encode(sym, merges).collect()}
+    assert got == {w: enc_twin(w) for w in got}
+    assert any(len(v) < len(w) for w, v in got.items())  # merges actually fired
+
+    # fertility falls as merges accumulate; chars/token rises
+    f0 = bpe_fertility(df, [])
+    f3 = bpe_fertility(df, merges)
+    assert f3["tokens_per_word"] < f0["tokens_per_word"]
+    assert f3["chars_per_token"] > f0["chars_per_token"]
+    assert f0["chars_per_token"] == 1.0  # no merges = one char per token

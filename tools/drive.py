@@ -1038,3 +1038,11 @@ assert pc2[500].tokens_kept <= pc2[4000].tokens_kept <= pc2[4000].tokens_total
 assert all(r.convs_fully_kept <= r.n_convs for r in pc2.values())
 print("packing curve survival:", {b: r.token_survival for b, r in sorted(pc2.items())})
 print("DRIVE78 OK")
+
+# batch-6v: BPE encode + fertility audit on learned merges
+from blogparser_spark.dataops.lm import bpe_fertility as _bpf
+f0 = _bpf(docs.limit(40), [])
+f2 = _bpf(docs.limit(40), mg)
+assert f0["chars_per_token"] == 1.0 and f2["tokens_per_word"] < f0["tokens_per_word"]
+print("fertility:", f0["tokens_per_word"], "->", f2["tokens_per_word"])
+print("DRIVE79 OK")
