@@ -412,3 +412,121 @@ def read_kmv_state(
     return sketches.kmv_merge(
         spark.read.parquet(path), group_cols=group_cols, k=k
     )
+
+
+def lateness_audit(query) -> list[dict]:
+    """Per-micro-batch late-data accounting from a finished (or running)
+    StreamingQuery: rows the watermark DROPPED, rows the state operators
+    kept, and the watermark each batch ran with — the observability
+    counterpart of dropDuplicatesWithinWatermark / windowed aggregation,
+    where late rows vanish SILENTLY unless someone reads these metrics.
+    A pipeline that dedups or windows without this audit cannot tell
+    'no late data' from 'late data discarded'.
+
+    Caveat (measured on Spark 4.1): windowed aggregations can ADMIT
+    sub-watermark rows into state and evict them at commit without
+    incrementing numRowsDroppedByWatermark, and
+    dropDuplicatesWithinWatermark passes late rows through by design —
+    so 0 here does not prove no late data. run_streaming_lateness below
+    is the explicit accountant to alert on.
+
+    Pure driver-side read of query.recentProgress (Spark keeps the last
+    ~100 progress events); no effect on the stream. Returns one dict per
+    batch: batch_id, input_rows, dropped_by_watermark (summed over state
+    operators), state_rows, watermark."""
+    out: list[dict] = []
+    for p in query.recentProgress:
+        ops = p.get("stateOperators") or []
+        out.append(
+            {
+                "batch_id": p.get("batchId"),
+                "input_rows": int(p.get("numInputRows") or 0),
+                "dropped_by_watermark": sum(
+                    int(o.get("numRowsDroppedByWatermark") or 0) for o in ops
+                ),
+                "state_rows": sum(int(o.get("numRowsTotal") or 0) for o in ops),
+                "watermark": (p.get("eventTime") or {}).get("watermark"),
+            }
+        )
+    return out
+
+
+def run_streaming_lateness(
+    spark: SparkSession,
+    input_path: str,
+    state_path: str,
+    checkpoint: str,
+    delay_seconds: int = 600,
+    ts_col: str = "ts",
+) -> None:
+    """Explicit per-micro-batch late-data accounting: foreachBatch tracks
+    the running max event time and counts each batch's rows older than
+    (running max − delay) — exactly the rows a watermark of that delay
+    would make a stateful operator silently discard. Spark's own
+    numRowsDroppedByWatermark metric is operator- and version-dependent
+    (4.x windowed aggs admit-then-evict without counting a drop — see
+    lateness_audit), so pipelines that must ALERT on late data need this
+    explicit accountant, not the engine metric.
+
+    Appends one row per batch (batch_id, rows, late_rows, min/max event
+    micros, watermark micros); the watermark is recomputed from the state
+    sink itself, so a restart resumes the same running max without any
+    side state. Per-batch cost: one max + one filtered count."""
+
+    schema = transcripts_df(spark, n_convs=1, turns_per_conv=1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per batch: arrival order
+        .parquet(input_path)
+    )
+    delay_us = delay_seconds * 1_000_000
+
+    def audit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        try:
+            prev = spark.read.parquet(state_path).agg(
+                F.max("max_event_us")
+            ).collect()[0][0]
+        except Exception:
+            prev = None  # first batch: no state yet → nothing is late
+        wm = (prev - delay_us) if prev is not None else None
+        row = batch_df.agg(
+            F.count("*").alias("rows"),
+            F.min(us).alias("min_event_us"),
+            F.max(us).alias("max_event_us"),
+            F.sum(
+                F.when(us < F.lit(wm), 1).otherwise(0)
+                if wm is not None
+                else F.lit(0)
+            ).alias("late_rows"),
+        ).collect()[0]
+        out = spark.createDataFrame(
+            [
+                (
+                    batch_id,
+                    int(row["rows"]),
+                    int(row["late_rows"] or 0),
+                    row["min_event_us"],
+                    # running max is monotone across batches
+                    max(row["max_event_us"] or 0, prev or 0) or None,
+                    wm,
+                )
+            ],
+            "batch_id long, rows long, late_rows long, min_event_us long, "
+            "max_event_us long, watermark_us long",
+        )
+        out.write.mode("append").parquet(state_path)
+
+    q = (
+        stream.writeStream.foreachBatch(audit_batch)
+        .option("checkpointLocation", checkpoint)
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_lateness_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The audit rows in batch order."""
+    return spark.read.parquet(state_path).orderBy("batch_id")

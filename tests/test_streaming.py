@@ -417,3 +417,45 @@ def test_streaming_kmv_matches_batch_and_replay_idempotent(spark, tmp_path):
         32,
     ).collect()
     assert ov and all(r.union_est >= r.inter_est >= 0 for r in ov)
+
+
+def test_streaming_lateness_accounting(spark, tmp_path):
+    """A file arriving with event times far older than the running
+    watermark must surface as late_rows > 0 — the explicit accountant is
+    the only reliable way to tell 'no late data' from 'late data silently
+    discarded' (Spark 4.x windowed aggs admit-then-evict late rows
+    without incrementing numRowsDroppedByWatermark)."""
+    import os
+    import time
+
+    from blogparser_spark.sources.synthetic import transcripts_df
+    from blogparser_spark.streaming.pipeline import (
+        read_lateness_state,
+        run_streaming_lateness,
+    )
+
+    base = transcripts_df(spark, n_convs=6, turns_per_conv=3).cache()
+    n = base.count()
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    # file 1: fresh rows (sets the running max event time high)
+    fresh = base.withColumn("ts", F.col("ts") + F.expr("interval 2 hours"))
+    fresh.coalesce(1).write.mode("append").parquet(inp)
+    time.sleep(1.1)  # mtime order = arrival order with maxFilesPerTrigger=1
+    # file 2: event times 2h older — every row is below (max − 10 min)
+    late = base.withColumn("turn_idx", F.col("turn_idx") + F.lit(100))
+    late.coalesce(1).write.mode("append").parquet(inp)
+
+    st = str(tmp_path / "state")
+    run_streaming_lateness(
+        spark, inp, st, str(tmp_path / "ckpt"), delay_seconds=600
+    )
+    audit = {r["batch_id"]: r for r in read_lateness_state(spark, st).collect()}
+    assert len(audit) == 2
+    assert sum(r["rows"] for r in audit.values()) == 2 * n
+    first, second = audit[0], audit[1]
+    assert first["late_rows"] == 0 and first["watermark_us"] is None
+    assert second["late_rows"] == n  # ALL of the old file is late
+    assert second["watermark_us"] == first["max_event_us"] - 600 * 1_000_000
+    # the running max is monotone even though batch 2's events are older
+    assert second["max_event_us"] == first["max_event_us"]

@@ -1046,3 +1046,18 @@ f2 = _bpf(docs.limit(40), mg)
 assert f0["chars_per_token"] == 1.0 and f2["tokens_per_word"] < f0["tokens_per_word"]
 print("fertility:", f0["tokens_per_word"], "->", f2["tokens_per_word"])
 print("DRIVE79 OK")
+
+# batch-6w: streaming lateness accountant
+from blogparser_spark.streaming.pipeline import run_streaming_lateness, read_lateness_state
+with tempfile.TemporaryDirectory() as td2:
+    li, ls, lc = (os.path.join(td2, x) for x in ("in", "state", "ck"))
+    os.makedirs(li)
+    f1 = transcripts_df(spark, n_convs=4, turns_per_conv=2)
+    f1.withColumn("ts", _F.col("ts") + _F.expr("interval 2 hours")).coalesce(1).write.mode("append").parquet(li)
+    import time as _t; _t.sleep(1.1)
+    f1.withColumn("turn_idx", _F.col("turn_idx") + _F.lit(50)).coalesce(1).write.mode("append").parquet(li)
+    run_streaming_lateness(spark, li, ls, lc, delay_seconds=600)
+    la = read_lateness_state(spark, ls).collect()
+    assert len(la) == 2 and la[1].late_rows == la[1].rows and la[0].late_rows == 0
+    print("lateness audit:", [(r.batch_id, r.rows, r.late_rows) for r in la])
+print("DRIVE80 OK")
