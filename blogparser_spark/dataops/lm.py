@@ -244,9 +244,7 @@ def rank_fusion_rrf(
     ).orderBy(F.desc("rrf_u"), F.asc(id_col))
 
 
-def word_freq_dict(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
+def word_freq_dict(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) frequency dictionary — the classic BPE training input:
     corpus-scale token volume collapses to a VOCABULARY-scale table in one
     partial hash agg, and everything downstream (pair counting, merge
@@ -270,6 +268,22 @@ def _adjacent_pairs(sym_col):
     )
 
 
+def _pair_weights(sym: DataFrame) -> DataFrame:
+    """(cnt, s) symbol dictionary → (l, r, weight) adjacent-pair counts,
+    ordered by (weight desc, l, r) — the ONE definition of the BPE
+    pair-ranking rule, shared by the reported statistics
+    (bpe_pair_counts) and the learner's per-round argmax so the two can
+    never disagree on which pair wins."""
+    pairs = sym.filter(F.size("s") >= 2).select(
+        "cnt", F.explode(_adjacent_pairs(F.col("s"))).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p")["l"].alias("l"), F.col("p")["r"].alias("r"))
+        .agg(F.sum("cnt").cast("bigint").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("l"), F.asc("r"))
+    )
+
+
 def bpe_pair_counts(
     docs: DataFrame,
     text_col: str = "text",
@@ -282,20 +296,8 @@ def bpe_pair_counts(
     pair counting over VOCAB-sized rows → TakeOrdered top-k with a
     deterministic (l, r) tie-break."""
     wd = word_freq_dict(docs, text_col)
-    sym = wd.select("cnt", F.split("word", "").alias("s")).filter(
-        F.size("s") >= 2
-    )
-    pairs = sym.select(
-        "cnt", F.explode(_adjacent_pairs(F.col("s"))).alias("p")
-    )
-    return (
-        pairs.groupBy(
-            F.col("p")["l"].alias("l"), F.col("p")["r"].alias("r")
-        )
-        .agg(F.sum("cnt").cast("bigint").alias("weight"))
-        .orderBy(F.desc("weight"), F.asc("l"), F.asc("r"))
-        .limit(top_k)
-    )
+    sym = wd.select("cnt", F.split("word", "").alias("s"))
+    return _pair_weights(sym).limit(top_k)
 
 
 def _apply_merge(sym_col, left, right):
@@ -334,18 +336,7 @@ def bpe_learn_merges(
     sym = wd.select("cnt", F.split("word", "").alias("s")).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
-        pairs = sym.select(
-            "cnt", F.explode(_adjacent_pairs(F.col("s"))).alias("p")
-        )
-        top = (
-            pairs.groupBy(
-                F.col("p")["l"].alias("l"), F.col("p")["r"].alias("r")
-            )
-            .agg(F.sum("cnt").cast("bigint").alias("weight"))
-            .orderBy(F.desc("weight"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()
-        )
+        top = _pair_weights(sym).limit(1).collect()
         if not top:
             break
         l, r, w = top[0]["l"], top[0]["r"], int(top[0]["weight"])
@@ -357,16 +348,28 @@ def bpe_learn_merges(
 
 
 def bpe_encode(
-    sym: DataFrame, merges: list[tuple[str, str, int]], sym_col: str = "s"
+    sym: DataFrame,
+    merges: list[tuple[str, str, int]],
+    sym_col: str = "s",
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Apply a learned merge list to a symbol dictionary in merge order —
     the deterministic encode step (other columns pass through). Each merge
     is one vocab-sized fold; the composition is exactly what the reference
-    BPE encoder does word-by-word, batched over the dictionary."""
-    for left, right, _w in merges:
+    BPE encoder does word-by-word, batched over the dictionary.
+
+    Every `checkpoint_every` merges the (vocab-sized) frame is
+    localCheckpointed: real merge lists run to thousands, and composing
+    that many interpreted folds into ONE projection sends Catalyst
+    analysis quadratic and stacks N interpreted passes per row (CLAUDE.md
+    rules 1 and 9 — the same reason bpe_learn_merges truncates each
+    round)."""
+    for i, (left, right, _w) in enumerate(merges, start=1):
         sym = sym.withColumn(
             sym_col, _apply_merge(F.col(sym_col), left, right)
         )
+        if checkpoint_every and i % checkpoint_every == 0:
+            sym = sym.localCheckpoint()
     return sym
 
 
@@ -384,15 +387,20 @@ def bpe_fertility(
         "cnt", F.split("word", "").alias("s"), F.length("word").alias("chars")
     )
     enc = bpe_encode(sym, merges)
+    # ONE agg over the encoded dictionary: `chars` rode through the encode
+    # (columns pass through), so no second corpus/vocab scan; coalesce
+    # guards the empty/token-free corpus where the sums come back NULL
     row = enc.agg(
-        F.sum(F.col("cnt") * F.size("s")).alias("tok_occ"),
-        F.sum("cnt").alias("word_occ"),
+        F.coalesce(F.sum(F.col("cnt") * F.size("s")), F.lit(0)).alias(
+            "tok_occ"
+        ),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("word_occ"),
+        F.coalesce(F.sum(F.col("cnt") * F.col("chars")), F.lit(0)).alias(
+            "char_occ"
+        ),
     ).collect()[0]
-    chars = wd.agg(
-        F.sum(F.col("cnt") * F.length("word")).alias("c")
-    ).collect()[0]["c"]
     tokens_per_word = row["tok_occ"] / max(row["word_occ"], 1)
-    chars_per_token = chars / max(row["tok_occ"], 1)
+    chars_per_token = row["char_occ"] / max(row["tok_occ"], 1)
     return {
         "tokens_per_word": round(tokens_per_word, 6),
         "chars_per_token": round(chars_per_token, 6),

@@ -470,25 +470,33 @@ def run_streaming_lateness(
 
     Appends one row per batch (batch_id, rows, late_rows, min/max event
     micros, watermark micros); the watermark is recomputed from the state
-    sink itself, so a restart resumes the same running max without any
-    side state. Per-batch cost: one max + one filtered count."""
+    sink itself, so a restart resumes the same running max without side
+    state. Replay safety (the run_streaming_kmv convention): the running
+    max is read from rows with batch_id < the current batch only, so a
+    replayed batch recomputes the IDENTICAL row regardless of its own
+    crashed attempt, and read_lateness_state dedupes on batch_id — the
+    audit is exactly-correct under at-least-once foreachBatch delivery.
+    Per-batch cost: one max + one filtered count."""
+    import os
 
-    schema = transcripts_df(spark, n_convs=1, turns_per_conv=1).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)  # one file per batch: arrival order
-        .parquet(input_path)
-    )
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger=1)
     delay_us = delay_seconds * 1_000_000
 
     def audit_batch(batch_df: DataFrame, batch_id: int) -> None:
         us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-        try:
-            prev = spark.read.parquet(state_path).agg(
-                F.max("max_event_us")
-            ).collect()[0][0]
-        except Exception:
-            prev = None  # first batch: no state yet → nothing is late
+        # missing state dir = first batch; any OTHER read failure must fail
+        # the batch loudly — treating it as "first batch" would reset the
+        # watermark and record genuinely late rows as on-time, the exact
+        # silent failure this accountant exists to prevent
+        if os.path.isdir(state_path):
+            prev = (
+                spark.read.parquet(state_path)
+                .filter(F.col("batch_id") < batch_id)
+                .agg(F.max("max_event_us"))
+                .collect()[0][0]
+            )
+        else:
+            prev = None
         wm = (prev - delay_us) if prev is not None else None
         row = batch_df.agg(
             F.count("*").alias("rows"),
@@ -500,6 +508,13 @@ def run_streaming_lateness(
                 else F.lit(0)
             ).alias("late_rows"),
         ).collect()[0]
+        # explicit None handling: `or`-chains would clamp legitimate
+        # zero/negative epochs (pre-1970 corruption — exactly what a
+        # lateness audit should surface) to NULL and disable detection
+        candidates = [
+            x for x in (row["max_event_us"], prev) if x is not None
+        ]
+        running = max(candidates) if candidates else None
         out = spark.createDataFrame(
             [
                 (
@@ -507,8 +522,7 @@ def run_streaming_lateness(
                     int(row["rows"]),
                     int(row["late_rows"] or 0),
                     row["min_event_us"],
-                    # running max is monotone across batches
-                    max(row["max_event_us"] or 0, prev or 0) or None,
+                    running,  # monotone across batches
                     wm,
                 )
             ],
@@ -520,7 +534,6 @@ def run_streaming_lateness(
     q = (
         stream.writeStream.foreachBatch(audit_batch)
         .option("checkpointLocation", checkpoint)
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
@@ -528,5 +541,10 @@ def run_streaming_lateness(
 
 
 def read_lateness_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """The audit rows in batch order."""
-    return spark.read.parquet(state_path).orderBy("batch_id")
+    """The audit rows in batch order. dropDuplicates on the full row: a
+    replayed batch (crash between append and checkpoint commit) appends a
+    byte-identical duplicate — its recomputation reads only earlier
+    batch_ids — so dedup restores exactly-once semantics for readers."""
+    return spark.read.parquet(state_path).dropDuplicates(["batch_id"]).orderBy(
+        "batch_id"
+    )

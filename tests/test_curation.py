@@ -1006,3 +1006,14 @@ def test_bpe_encode_and_fertility(spark):
     assert f3["tokens_per_word"] < f0["tokens_per_word"]
     assert f3["chars_per_token"] > f0["chars_per_token"]
     assert f0["chars_per_token"] == 1.0  # no merges = one char per token
+
+
+def test_bpe_fertility_empty_corpus(spark):
+    from blogparser_spark.dataops.lm import bpe_fertility
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    blank = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    for df in (empty, blank):
+        f = bpe_fertility(df, [])
+        assert f["n_token_occurrences"] == 0
+        assert f["tokens_per_word"] == 0.0

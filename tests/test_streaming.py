@@ -459,3 +459,40 @@ def test_streaming_lateness_accounting(spark, tmp_path):
     assert second["watermark_us"] == first["max_event_us"] - 600 * 1_000_000
     # the running max is monotone even though batch 2's events are older
     assert second["max_event_us"] == first["max_event_us"]
+
+
+def test_lateness_audit_metrics_reader(spark, tmp_path):
+    """lateness_audit parses recentProgress into per-batch rows — pinned
+    here so a Spark-version rename of the progress keys surfaces."""
+    from blogparser_spark.sources.synthetic import transcripts_df
+    from blogparser_spark.streaming.pipeline import (
+        lateness_audit,
+        read_transcript_stream,
+    )
+
+    inp = str(tmp_path / "in")
+    transcripts_df(spark, n_convs=4, turns_per_conv=2).write.parquet(inp)
+    stream = read_transcript_stream(spark, inp)
+    counted = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .count()
+    )
+    q = (
+        counted.select("window.start", "count")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    audit = lateness_audit(q)
+    assert audit and all(
+        set(a) == {"batch_id", "input_rows", "dropped_by_watermark",
+                   "state_rows", "watermark"}
+        for a in audit
+    )
+    assert sum(a["input_rows"] for a in audit) > 0
+    assert all(a["state_rows"] >= 0 and a["dropped_by_watermark"] >= 0 for a in audit)
