@@ -7495,3 +7495,74 @@ def conv_packing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("convs_fully_kept"),
     )
+
+
+@_q(
+    "record_linkage_topk",
+    """
+    WITH pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+        levenshtein(substr(c.c_name, 10, 20), substr(s.s_name, 10, 20)) AS lev_entno,
+        CASE WHEN abs(c.c_acctbal - s.s_acctbal) < 100 THEN 0 ELSE 9 END
+          AS lev_bal
+      FROM customer c
+      JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    )
+    SELECT c_custkey, s_suppkey, lev_entno, lev_bal,
+      ((CASE WHEN lev_entno = 0 THEN 4000000
+             WHEN lev_entno <= 2 THEN 1500000 ELSE -2000000 END)
+       + (CASE WHEN lev_bal = 0 THEN 800000 ELSE -400000 END))::BIGINT
+        AS score_u
+    FROM pairs
+    ORDER BY score_u DESC, c_custkey, s_suppkey
+    LIMIT 25
+    """,
+)
+def record_linkage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage (dataops/linkage.py): customers ↔
+    suppliers blocked on nation, compared on the entity-number token
+    (edit-distance levels) and account-balance proximity, scored by
+    integer-micro log-odds weights — the cross-table entity-resolution
+    primitive dedup doesn't cover. Blocked equi-join, never all-pairs;
+    top-k is TakeOrdered."""
+    from blogparser_spark.dataops.linkage import FieldSpec, fs_linkage
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nationkey"),
+        F.substring("c_name", 10, 20).alias("c_entno"),
+        "c_acctbal",
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nationkey"),
+        F.substring("s_name", 10, 20).alias("s_entno"),
+        "s_acctbal",
+    )
+    fields = [
+        FieldSpec(
+            "entno",
+            F.col("c_entno"),
+            F.col("s_entno"),
+            w_exact_u=4_000_000,
+            w_close_u=1_500_000,
+            w_diff_u=-2_000_000,
+            close_max_lev=2,
+        ),
+        # balance proximity is numeric, not edit-distance: a 0/9
+        # pseudo-distance reuses the same agreement-level machinery
+        FieldSpec(
+            "bal",
+            F.lit(""),
+            F.lit(""),
+            w_exact_u=800_000,
+            w_close_u=0,
+            w_diff_u=-400_000,
+            distance=F.when(
+                F.abs(F.col("c_acctbal") - F.col("s_acctbal")) < 100, 0
+            ).otherwise(9),
+        ),
+    ]
+    return fs_linkage(
+        cust, supp, ["nationkey"], fields, "c_custkey", "s_suppkey", top_k=25
+    )

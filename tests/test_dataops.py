@@ -1283,3 +1283,37 @@ def test_conv_fingerprints_null_turn_not_dropped(spark):
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
     fps = {r["conv_id"]: r["conv_fp"] for r in conv_fingerprints(df).collect()}
     assert fps["a"] != fps["b"]
+
+
+def test_fs_linkage(spark):
+    from blogparser_spark.dataops.linkage import FieldSpec, fs_linkage
+
+    left = spark.createDataFrame(
+        [(1, "b1", "alpha"), (2, "b1", "beta"), (3, "b2", "gamma")],
+        "lid long, blk string, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, "b1", "alpha"), (11, "b1", "betta"), (12, "b2", "zzzzzz"),
+         (13, "b3", "alpha")],
+        "rid long, blk string, rname string",
+    )
+    fields = [
+        FieldSpec("name", F.col("lname"), F.col("rname"),
+                  w_exact_u=3_000_000, w_close_u=1_000_000,
+                  w_diff_u=-1_000_000, close_max_lev=1),
+    ]
+    rows = fs_linkage(left, right, ["blk"], fields, "lid", "rid").collect()
+    got = {(r["lid"], r["rid"]): (r["lev_name"], r["score_u"]) for r in rows}
+    # blocking: b3's right row never pairs; b1 pairs 2x2, b2 pairs 1x1
+    assert len(got) == 5 and (1, 13) not in got
+    assert got[(1, 10)] == (0, 3_000_000)      # exact
+    assert got[(2, 11)] == (1, 1_000_000)      # close (1 edit)
+    assert got[(3, 12)][1] == -1_000_000       # disagree
+    # ordering: best score first with deterministic id tie-break
+    assert (rows[0]["lid"], rows[0]["rid"]) == (1, 10)
+    # custom pseudo-distance replaces levenshtein
+    f2 = [FieldSpec("flag", F.lit(""), F.lit(""), 500_000, 0, -100,
+                    distance=F.when(F.col("lid") == 1, 0).otherwise(9))]
+    r2 = {(r["lid"], r["rid"]): r["score_u"]
+          for r in fs_linkage(left, right, ["blk"], f2, "lid", "rid").collect()}
+    assert r2[(1, 10)] == 500_000 and r2[(2, 10)] == -100

@@ -1061,3 +1061,10 @@ with tempfile.TemporaryDirectory() as td2:
     assert len(la) == 2 and la[1].late_rows == la[1].rows and la[0].late_rows == 0
     print("lateness audit:", [(r.batch_id, r.rows, r.late_rows) for r in la])
 print("DRIVE80 OK")
+
+# batch-6x: Fellegi-Sunter record linkage
+rl = _entry2.queries()["record_linkage_topk"](spark, "/root/testdata/sf0.001").collect()
+assert rl and all(rl[i].score_u >= rl[i + 1].score_u for i in range(len(rl) - 1))
+assert all(r.lev_entno >= 0 for r in rl)
+print("linkage top score:", rl[0].score_u, "pairs:", len(rl))
+print("DRIVE81 OK")
