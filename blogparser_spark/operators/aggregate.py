@@ -210,3 +210,54 @@ def funnel_step_latencies(
         "step",
         (F.col("_t1") - F.col("_t0")).alias("latency_us"),
     )
+
+
+def retractable_state(
+    df: DataFrame, key_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """Retraction-maintainable aggregate state per key: (cnt, vsum) only —
+    the DISTRIBUTIVE aggregates deletes can decrement. min/max are
+    deliberately absent: a deleted extremum cannot be repaired without
+    raw history (use additive_state for insert-only feeds). Decimal sums
+    so maintenance order is never observable."""
+    return df.groupBy(*key_cols).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("vsum"),
+    )
+
+
+def apply_retractable_delta(
+    state: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental materialized-view maintenance with retractions: delta
+    rows carry op ∈ {'I', 'D'}; an insert contributes (+1, +v), a delete
+    (−1, −v). The refreshed state EXACTLY equals recomputing
+    retractable_state over (base ∪ inserts) − deletes — the algebra a
+    10^12-row view relies on to absorb CDC feeds without rescanning
+    history. Groups whose count reaches zero vanish (as a recompute would
+    show); a count driven negative (delete of a row the view never held)
+    surfaces as cnt < 0 rather than being silently clamped — it means the
+    feed and the view disagree and must be reconciled.
+
+    Shape: one partial agg over the delta + one merge agg keyed on the
+    view key; the base state is never rescanned at raw-row granularity."""
+    sign = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
+    dstate = delta.groupBy(*key_cols).agg(
+        F.sum(sign).cast("bigint").alias("cnt"),
+        F.sum(sign * F.col(value_col).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("vsum"),
+    )
+    return (
+        state.unionByName(dstate)
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("vsum").cast("decimal(18,2)").alias("vsum"),
+        )
+        .filter(F.col("cnt") != 0)
+    )

@@ -7566,3 +7566,45 @@ def record_linkage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_linkage(
         cust, supp, ["nationkey"], fields, "c_custkey", "s_suppkey", top_k=25
     )
+
+
+@_q(
+    "ivm_refresh_counts",
+    """
+    SELECT event_type, count(*)::BIGINT AS cnt,
+      sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS vsum
+    FROM events
+    WHERE NOT (event_id % 7 = 0 AND event_id % 10 != 0)
+    GROUP BY event_type
+    """,
+)
+def ivm_refresh_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance with retractions (aggregate.
+    apply_retractable_delta): the base view is built WITHOUT the
+    event_id%10==0 rows, then a CDC delta inserts them and deletes the
+    event_id%7==0 rows — the refreshed state must EXACTLY equal a full
+    recompute over the final row set (which is what the oracle computes
+    directly). The algebra that lets a 10^12-row view absorb change
+    feeds without rescanning history."""
+    from blogparser_spark.operators.aggregate import (
+        apply_retractable_delta,
+        retractable_state,
+    )
+
+    e = _events(spark, sf_dir)
+    base_rows = e.filter(F.col("event_id") % 10 != 0)
+    state = retractable_state(base_rows, ["event_type"], "value")
+    inserts = e.filter(F.col("event_id") % 10 == 0).withColumn(
+        "op", F.lit("I")
+    )
+    deletes = (
+        e.filter((F.col("event_id") % 7 == 0) & (F.col("event_id") % 10 != 0))
+        .withColumn("op", F.lit("D"))
+    )
+    delta = inserts.unionByName(deletes)
+    out = apply_retractable_delta(state, delta, ["event_type"], "value")
+    # exact decimal maintenance inside; double at the comparison surface
+    # (cross-engine decimal rendering differs — CLAUDE.md rule 7)
+    return out.select(
+        "event_type", "cnt", F.col("vsum").cast("double").alias("vsum")
+    )

