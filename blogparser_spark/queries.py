@@ -7608,3 +7608,100 @@ def ivm_refresh_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "cnt", F.col("vsum").cast("double").alias("vsum")
     )
+
+
+@_q(
+    "linkage_entity_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT c.c_custkey * 2 AS u, s.s_suppkey * 2 + 1 AS v,
+        ((CASE WHEN levenshtein(substr(c.c_name, 10, 20),
+                                substr(s.s_name, 10, 20)) = 0 THEN 4000000
+               WHEN levenshtein(substr(c.c_name, 10, 20),
+                                substr(s.s_name, 10, 20)) <= 2 THEN 1500000
+               ELSE -2000000 END)
+         + (CASE WHEN abs(c.c_acctbal - s.s_acctbal) < 100 THEN 800000
+                 ELSE -400000 END)) AS score_u
+      FROM customer c
+      JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    ), match AS (
+      SELECT u, v FROM pairs WHERE score_u >= 2000000
+    ), edges AS (
+      SELECT u, v FROM match UNION SELECT v, u FROM match
+    ), nodes AS (
+      SELECT DISTINCT u AS node FROM edges
+    ), reach AS (
+      SELECT node, node AS m FROM nodes
+      UNION
+      SELECT e.u AS node, r.m FROM edges e JOIN reach r ON e.v = r.node
+    ), labeled AS (
+      SELECT node, min(m) AS component FROM reach GROUP BY node
+    )
+    SELECT component::BIGINT AS component,
+      count(*)::BIGINT AS n_members,
+      sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_customers,
+      sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_suppliers
+    FROM labeled GROUP BY component
+    """,
+)
+def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-cluster formation over record-linkage matches: pairs whose
+    Fellegi–Sunter score clears the match threshold become edges (the two
+    id spaces interleaved into one numeric namespace: customer → 2k,
+    supplier → 2k+1) and the same pointer-jumping connected components
+    that clusters near-duplicates groups them into entities — the
+    resolve step of an ER pipeline, with per-cluster side counts. The
+    oracle replays the scoring and a recursive transitive closure."""
+    from blogparser_spark.dataops.dedup import connected_components
+    from blogparser_spark.dataops.linkage import FieldSpec, fs_linkage
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nationkey"),
+        F.substring("c_name", 10, 20).alias("c_entno"),
+        "c_acctbal",
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nationkey"),
+        F.substring("s_name", 10, 20).alias("s_entno"),
+        "s_acctbal",
+    )
+    fields = [
+        FieldSpec(
+            "entno",
+            F.col("c_entno"),
+            F.col("s_entno"),
+            w_exact_u=4_000_000,
+            w_close_u=1_500_000,
+            w_diff_u=-2_000_000,
+            close_max_lev=2,
+        ),
+        FieldSpec(
+            "bal",
+            F.lit(""),
+            F.lit(""),
+            w_exact_u=800_000,
+            w_close_u=0,
+            w_diff_u=-400_000,
+            distance=F.when(
+                F.abs(F.col("c_acctbal") - F.col("s_acctbal")) < 100, 0
+            ).otherwise(9),
+        ),
+    ]
+    scored = fs_linkage(cust, supp, ["nationkey"], fields, "c_custkey", "s_suppkey")
+    match = scored.filter(F.col("score_u") >= 2_000_000).select(
+        (F.col("c_custkey") * 2).alias("id_a"),
+        (F.col("s_suppkey") * 2 + 1).alias("id_b"),
+    )
+    labels = connected_components(match)
+    node = F.col("node")
+    return labels.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum(F.when(node % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_customers"),
+        F.sum(F.when(node % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suppliers"),
+    )

@@ -1074,3 +1074,10 @@ iv = _entry2.queries()["ivm_refresh_counts"](spark, "/root/testdata/sf0.001").co
 assert iv and all(r.cnt > 0 for r in iv)
 print("ivm groups:", len(iv), "rows:", sum(r.cnt for r in iv))
 print("DRIVE82 OK")
+
+# batch-6z: linkage matches -> entity clusters
+lc_ = _entry2.queries()["linkage_entity_clusters"](spark, "/root/testdata/sf0.001").collect()
+assert lc_ and all(r.n_members == r.n_customers + r.n_suppliers for r in lc_)
+assert all(r.n_members >= 2 for r in lc_)
+print("entity clusters:", len(lc_), "largest:", max(r.n_members for r in lc_))
+print("DRIVE83 OK")
