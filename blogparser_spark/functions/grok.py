@@ -43,17 +43,33 @@ GROK_BANK: dict[str, str] = {
     "PATH": r"(?:/[\w.-]*)+",
 }
 
-_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
 _MAX_DEPTH = 8  # alias nesting bound — the bank is acyclic by construction
 
+# Logstash grok `:type` coercion suffixes → (Spark cast type, DuckDB cast
+# type). int/float are the Logstash core pair; long/double/bool accepted as
+# the ECS-style aliases. Both engines cast post-extraction, so a non-match
+# ('' capture) and a malformed capture both land as NULL: Spark's non-ANSI
+# cast and DuckDB's TRY_CAST share that contract.
+GROK_TYPES: dict[str, tuple[str, str]] = {
+    "int": ("long", "BIGINT"),
+    "long": ("long", "BIGINT"),
+    "float": ("double", "DOUBLE"),
+    "double": ("double", "DOUBLE"),
+    "bool": ("boolean", "BOOLEAN"),
+}
 
-def compile_grok(pattern: str, bank: dict[str, str] | None = None) -> tuple[str, list[str]]:
-    """Compile a grok expression to (regex, captured_fields). `%{NAME:f}`
-    becomes a capturing group; `%{NAME}` matches without capturing;
-    literal text is regex-escaped. Field order = capture-group order
-    (group i+1 extracts fields[i])."""
+
+def compile_grok_typed(
+    pattern: str, bank: dict[str, str] | None = None
+) -> tuple[str, list[tuple[str, str | None]]]:
+    """Compile a grok expression to (regex, [(field, type_suffix|None)]).
+    `%{NAME:f}` becomes a capturing group; `%{NAME:f:int}` additionally
+    records the Logstash-style coercion suffix; `%{NAME}` matches without
+    capturing; literal text is regex-escaped. Field order = capture-group
+    order (group i+1 extracts fields[i])."""
     bank = dict(GROK_BANK, **(bank or {}))
-    fields: list[str] = []
+    fields: list[tuple[str, str | None]] = []
 
     def expand(p: str, depth: int, literal: bool) -> str:
         # literal=True: the user's pattern — non-ref text is escaped.
@@ -65,14 +81,16 @@ def compile_grok(pattern: str, bank: dict[str, str] | None = None) -> tuple[str,
         last = 0
         for m in _REF.finditer(p):
             out.append(esc(p[last : m.start()]))
-            name, field = m.group(1), m.group(2)
+            name, field, typ = m.group(1), m.group(2), m.group(3)
             if name not in bank:
                 raise KeyError(f"unknown grok pattern %{{{name}}}")
+            if typ is not None and typ not in GROK_TYPES:
+                raise KeyError(f"unknown grok type suffix :{typ}")
             if field:
                 # the OUTER group opens before any nested named capture, so
                 # its field must be appended before the recursive expansion
                 # — fields[i] must stay aligned with capture group i+1
-                fields.append(field)
+                fields.append((field, typ))
                 inner = expand(bank[name], depth + 1, literal=False)
                 out.append(f"({inner})")
             else:
@@ -85,23 +103,42 @@ def compile_grok(pattern: str, bank: dict[str, str] | None = None) -> tuple[str,
     return expand(pattern, 0, literal=True), fields
 
 
+def compile_grok(
+    pattern: str, bank: dict[str, str] | None = None
+) -> tuple[str, list[str]]:
+    """Untyped view of compile_grok_typed: (regex, field names) — the
+    original API, kept for callers that handle coercion themselves."""
+    regex, typed = compile_grok_typed(pattern, bank)
+    return regex, [f for f, _ in typed]
+
+
 def grok_extract(
     df: DataFrame,
     pattern: str,
     text_col: str = "text",
     keep: bool = False,
     bank: dict[str, str] | None = None,
+    with_matched: bool = False,
 ) -> DataFrame:
     """Apply a grok pattern as one codegen pass: each captured field
     becomes a string column (empty string when the line doesn't match —
-    regexp_extract's convention, identical in DuckDB). `keep` retains the
-    original columns alongside the extracted fields; `bank` supplies
+    regexp_extract's convention, identical in DuckDB), and a `:type`
+    suffix casts the capture (Logstash coercion; non-ANSI cast, so
+    non-match/malformed → NULL — DuckDB's TRY_CAST twin). `with_matched`
+    adds a `grok_matched` boolean (the same unanchored predicate
+    regexp_extract evaluates), the dead-letter routing key a pipeline
+    filters on instead of guessing from all-empty fields. `keep` retains
+    the original columns alongside the extracted fields; `bank` supplies
     custom pattern aliases on top of GROK_BANK."""
-    regex, fields = compile_grok(pattern, bank)
-    cols: list[Column] = [
-        F.regexp_extract(F.col(text_col), regex, i + 1).alias(f)
-        for i, f in enumerate(fields)
-    ]
+    regex, fields = compile_grok_typed(pattern, bank)
+    cols: list[Column] = []
+    for i, (f, typ) in enumerate(fields):
+        c = F.regexp_extract(F.col(text_col), regex, i + 1)
+        if typ is not None:
+            c = c.cast(GROK_TYPES[typ][0])
+        cols.append(c.alias(f))
+    if with_matched:
+        cols.append(F.col(text_col).rlike(regex).alias("grok_matched"))
     if keep:
         return df.select("*", *cols)
     return df.select(*cols)

@@ -7291,53 +7291,111 @@ from blogparser_spark.functions.grok import compile_grok as _compile_grok
 
 _GROK_LINE_PATTERN = (
     "[%{TIMESTAMP_ISO8601:ts}] %{LOGLEVEL:level} "
-    "user=%{NOTSPACE:user} evt=%{WORD:evt} id=%{INT:id}"
+    "user=%{NOTSPACE:user} evt=%{WORD:evt} id=%{INT:id:int} "
+    "dur=%{NUMBER:dur_ms:float}"
 )
 _GROK_RX, _GROK_FIELDS = _compile_grok(_GROK_LINE_PATTERN)
 
-
-@_q(
-    "grok_parse_log_lines",
-    f"""
-    WITH lines AS (
+# Deterministic line builder shared by the grok queries: event_id % 11 == 0
+# lines carry a level token outside the LOGLEVEL alphabet ('BOGUS'), so the
+# compiled pattern does not match them anywhere — the dead-letter subset.
+_GROK_LINES_SQL = """
+    lines AS (
       SELECT '[' || strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') || '] '
-        || ['INFO','WARN','ERROR'][(event_id % 3)::INT + 1]
+        || CASE WHEN event_id % 11 = 0 THEN 'BOGUS'
+                ELSE ['INFO','WARN','ERROR'][(event_id % 3)::INT + 1] END
         || ' user=' || user_id || ' evt=' || event_type
-        || ' id=' || event_id::VARCHAR AS line
+        || ' id=' || event_id::VARCHAR
+        || ' dur=' || (event_id % 97)::VARCHAR || '.'
+        || (event_id % 10)::VARCHAR AS line
       FROM events
     )
+"""
+
+_GROK_TYPED_SQL = f"""
+    WITH {_GROK_LINES_SQL}
     SELECT regexp_extract(line, '{_GROK_RX}', 1) AS ts,
            regexp_extract(line, '{_GROK_RX}', 2) AS level,
            regexp_extract(line, '{_GROK_RX}', 3) AS user,
            regexp_extract(line, '{_GROK_RX}', 4) AS evt,
-           regexp_extract(line, '{_GROK_RX}', 5) AS id
+           TRY_CAST(regexp_extract(line, '{_GROK_RX}', 5) AS BIGINT) AS id,
+           TRY_CAST(regexp_extract(line, '{_GROK_RX}', 6) AS DOUBLE) AS dur_ms,
+           regexp_matches(line, '{_GROK_RX}') AS grok_matched
     FROM lines
-    """,
-)
-def grok_parse_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grok-DSL log parsing (functions/grok.py): telemetry lines built
-    deterministically from the events table are parsed back through one
-    compiled `%{NAME:field}` pattern — N regexp_extract columns in a
-    single codegen pass, no UDF; the oracle runs the IDENTICAL compiled
-    regex (Java ∩ RE2 subset). The north-rule 'grok-style regex bank'
-    surface as an explicit, reusable compiler."""
-    from blogparser_spark.functions.grok import grok_extract
+"""
 
+
+def _grok_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     levels = F.array(F.lit("INFO"), F.lit("WARN"), F.lit("ERROR"))
     line = F.concat(
         F.lit("["),
         F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"),
         F.lit("] "),
-        F.element_at(levels, (F.col("event_id") % 3 + 1).cast("int")),
+        F.when(F.col("event_id") % 11 == 0, F.lit("BOGUS")).otherwise(
+            F.element_at(levels, (F.col("event_id") % 3 + 1).cast("int"))
+        ),
         F.lit(" user="),
         F.col("user_id"),
         F.lit(" evt="),
         F.col("event_type"),
         F.lit(" id="),
         F.col("event_id"),
+        F.lit(" dur="),
+        F.col("event_id") % 97,
+        F.lit("."),
+        F.col("event_id") % 10,
     )
-    return grok_extract(e.select(line.alias("line")), _GROK_LINE_PATTERN, "line")
+    return e.select(line.alias("line"))
+
+
+@_q("grok_parse_log_lines", _GROK_TYPED_SQL)
+def grok_parse_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok-DSL log parsing with Logstash `:type` coercion and dead-letter
+    flagging (functions/grok.py): telemetry lines built deterministically
+    from the events table — a BOGUS-level subset included — are parsed
+    back through one compiled `%{NAME:field[:type]}` pattern: N
+    regexp_extract columns + typed casts + one rlike, all in a single
+    codegen pass, no UDF; the oracle runs the IDENTICAL compiled regex
+    (Java ∩ RE2 subset) with TRY_CAST (the non-ANSI-cast twin). id/dur_ms
+    are NULL and grok_matched false on the dead-letter lines — typed
+    fields and routing key, not all-empty-string ambiguity."""
+    from blogparser_spark.functions.grok import grok_extract
+
+    return grok_extract(
+        _grok_lines(spark, sf_dir), _GROK_LINE_PATTERN, "line",
+        with_matched=True,
+    )
+
+
+@_q(
+    "grok_mismatch_route_counts",
+    f"""
+    WITH {_GROK_LINES_SQL}, parsed AS (
+      SELECT TRY_CAST(regexp_extract(line, '{_GROK_RX}', 5) AS BIGINT) AS id,
+             regexp_matches(line, '{_GROK_RX}') AS grok_matched
+      FROM lines
+    )
+    SELECT grok_matched, count(*)::BIGINT AS n,
+           count(id)::BIGINT AS n_typed_ok
+    FROM parsed GROUP BY grok_matched
+    """,
+)
+def grok_mismatch_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing readout for the grok stage: per grok_matched
+    bucket, the line count and how many produced a typed id — the audit a
+    pipeline keeps next to its quarantine sink (the PERMISSIVE-JSONL
+    convention applied to grok). One partial hash agg over the parse
+    projection; the matched predicate is the same compiled regex."""
+    from blogparser_spark.functions.grok import grok_extract
+
+    parsed = grok_extract(
+        _grok_lines(spark, sf_dir), _GROK_LINE_PATTERN, "line",
+        with_matched=True,
+    )
+    return parsed.groupBy("grok_matched").agg(
+        F.count("*").alias("n"), F.count("id").alias("n_typed_ok")
+    )
 
 
 @_q(

@@ -98,6 +98,51 @@ def test_grok_extract_custom_bank(spark):
     assert r["hp"] == "9.9.9.9:443" and r["state"] == "up"
 
 
+def test_compile_typed_suffixes():
+    from blogparser_spark.functions.grok import compile_grok_typed
+
+    rx, fields = compile_grok_typed(
+        "%{INT:code:int} %{NUMBER:dur:float} %{WORD:tag}"
+    )
+    assert fields == [("code", "int"), ("dur", "float"), ("tag", None)]
+    m = re.fullmatch(rx, "-3 2.5 ok")
+    assert m.groups() == ("-3", "2.5", "ok")
+    # untyped view drops the suffixes but keeps names/order
+    rx2, names = compile_grok("%{INT:code:int} %{WORD:tag}")
+    assert names == ["code", "tag"]
+
+
+def test_unknown_type_suffix_raises():
+    with pytest.raises(KeyError):
+        compile_grok("%{INT:code:decimal}")
+
+
+def test_grok_extract_typed_and_matched(spark):
+    from blogparser_spark.functions.grok import grok_extract
+
+    df = spark.createDataFrame(
+        [
+            ("code=7 dur=1.5",),
+            ("totally bogus",),
+            ("code=x dur=y",),
+        ],
+        "text string",
+    )
+    out = grok_extract(
+        df, "code=%{INT:code:int} dur=%{NUMBER:dur:float}",
+        with_matched=True,
+    )
+    assert dict(out.dtypes) == {
+        "code": "bigint", "dur": "double", "grok_matched": "boolean"
+    }
+    rows = {r["grok_matched"]: r for r in out.collect()}
+    assert rows[True]["code"] == 7 and rows[True]["dur"] == 1.5
+    # both mismatch shapes route to the dead-letter side with NULL fields
+    bad = [r for r in out.collect() if not r["grok_matched"]]
+    assert len(bad) == 2
+    assert all(r["code"] is None and r["dur"] is None for r in bad)
+
+
 def test_grok_roundtrip_property():
     """Property: for ANY literal filler (regex metacharacters included) and
     any sampled bank patterns, the compiled grok expression fullmatches a
@@ -138,5 +183,21 @@ def test_grok_roundtrip_property():
                 rebuilt += m.group(i + 1) + lit
             assert rebuilt == line
             assert fields == [f"f{i}" for i in range(len(parts))]
+
+        # typed variant: suffixing :int/:float on numeric refs must leave
+        # the compiled REGEX unchanged (coercion is post-extraction) and
+        # record the suffixes aligned with the same fields
+        from blogparser_spark.functions.grok import compile_grok_typed
+
+        suffix = {"INT": ":int", "NUMBER": ":float"}
+        tpat = "".join(
+            f"%{{{name}:f{i}{suffix.get(name, '')}}}{lit}"
+            for i, (name, lit) in enumerate(parts)
+        )
+        trx, tfields = compile_grok_typed(tpat)
+        assert trx == rx
+        assert [f for f, _ in tfields] == [f"f{i}" for i in range(len(parts))]
+        for (name, _lit), (_f, typ) in zip(parts, tfields):
+            assert typ == {"INT": "int", "NUMBER": "float"}.get(name)
 
     check()

@@ -1008,11 +1008,15 @@ assert lm_ and all(0 <= r.trainable_frac <= 1 and r.n_tokens_trainable <= r.n_to
 print("advantages:", len(ga), "; convs:", len(lm_))
 print("DRIVE74 OK")
 
-# batch-6r: grok DSL parse of event-built telemetry lines
+# batch-6r: grok DSL parse of event-built telemetry lines (typed casts +
+# dead-letter flag: BOGUS-level lines route with grok_matched=False/NULLs)
 gk = _entry2.queries()["grok_parse_log_lines"](spark, "/root/testdata/sf0.001").collect()
-assert gk and all(r.level in ("INFO", "WARN", "ERROR") for r in gk)
-assert all(r.id.isdigit() or (r.id and r.id[0] == '-') for r in gk)
-print("grok lines parsed:", len(gk))
+good = [r for r in gk if r.grok_matched]
+bad = [r for r in gk if not r.grok_matched]
+assert good and all(r.level in ("INFO", "WARN", "ERROR") for r in good)
+assert all(isinstance(r.id, int) and isinstance(r.dur_ms, float) for r in good)
+assert bad and all(r.id is None and r.dur_ms is None for r in bad)
+print("grok lines parsed:", len(good), "dead-lettered:", len(bad))
 print("DRIVE75 OK")
 
 # batch-6s: UL2 denoiser mixture assignment
