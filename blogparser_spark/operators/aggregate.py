@@ -226,6 +226,162 @@ def retractable_state(
     )
 
 
+def extremum_ledger(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    k: int = 8,
+    largest: bool = True,
+) -> DataFrame:
+    """Retraction-capable extremum state: per key, the k most extreme
+    DISTINCT values with their multiplicities — the standard candidate
+    ledger that makes min/max maintainable under deletes (which
+    retractable_state documents as impossible for bare aggregates). A
+    delete of the current extremum promotes the next candidate; only
+    when the ledger exhausts does the view need a recompute.
+
+    Schema: (key..., value, cnt, floor). `floor` is the most extreme
+    value ever DROPPED by truncation (NULL if the ledger never
+    truncated). Soundness invariant served on read (extremum_serve):
+    every untracked live value is bounded by `floor`, so the ledger
+    extremum is trustworthy iff it is on the extreme side of floor.
+
+    Shape: one (key, value) partial hash agg + one per-key window over
+    DISTINCT values (not raw rows) — the one-time build cost; refreshes
+    never rescan raw history (refresh_extremum_ledger)."""
+    vorder = F.col(value_col).desc() if largest else F.col(value_col).asc()
+    g = df.groupBy(*key_cols, value_col).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy(*key_cols).orderBy(vorder)
+    ranked = g.withColumn("_r", F.row_number().over(w))
+    fagg = F.max(value_col) if largest else F.min(value_col)
+    floors = (
+        ranked.filter(F.col("_r") > k)
+        .groupBy(*key_cols)
+        .agg(fagg.alias("floor"))
+    )
+    return ranked.filter(F.col("_r") <= k).drop("_r").join(
+        floors, list(key_cols), "left"
+    )
+
+
+def refresh_extremum_ledger(
+    state: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    k: int = 8,
+    largest: bool = True,
+    op_col: str = "op",
+) -> DataFrame:
+    """Fold a retraction delta (op ∈ {'I','D'}) into an extremum ledger
+    without touching raw history: signed per-(key, value) counts merge
+    with the ledger, exact cancels vanish, deletes of UNTRACKED values
+    (bounded by floor — mass the ledger consciously dropped) are
+    discarded, while a negative count on the tracked side of floor stays
+    visible as cnt < 0 (feed/view disagreement, the
+    apply_retractable_delta convention). The merged ledger re-truncates
+    to the k most extreme values and the floor advances over anything
+    dropped now; a key whose ledger empties while floor says untracked
+    mass may remain keeps a (value=NULL, cnt=0) marker row so the serve
+    step flags it needs-recompute instead of silently serving nothing.
+
+    Shape: one partial agg over the delta + one merge agg + one per-key
+    window over ≤ k + |delta values| rows per key."""
+    kc = list(key_cols)
+    sign = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
+    dsigned = delta.groupBy(*kc, value_col).agg(
+        F.sum(sign).cast("bigint").alias("cnt")
+    )
+    value_type = dict(state.dtypes)[value_col]
+    old_floor = state.groupBy(*kc).agg(F.max("floor").alias("floor"))
+    merged = (
+        state.filter(F.col("cnt") != 0)  # drop empty-ledger marker rows
+        .select(*kc, value_col, "cnt")
+        .unionByName(dsigned)
+        .groupBy(*kc, value_col)
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .join(old_floor, kc, "left")
+    )
+    untracked = (
+        (F.col(value_col) <= F.col("floor"))
+        if largest
+        else (F.col(value_col) >= F.col("floor"))
+    )
+    merged = merged.filter(F.col("cnt") != 0).filter(
+        ~((F.col("cnt") < 0) & F.coalesce(untracked, F.lit(False)))
+    )
+    vorder = F.col(value_col).desc() if largest else F.col(value_col).asc()
+    ranked = merged.withColumn(
+        "_r", F.row_number().over(Window.partitionBy(*kc).orderBy(vorder))
+    )
+    fagg = F.max(value_col) if largest else F.min(value_col)
+    fmerge = F.greatest if largest else F.least
+    dropped = (
+        ranked.filter(F.col("_r") > k)
+        .groupBy(*kc)
+        .agg(fagg.alias("_dropped"))
+    )
+    kept = (
+        ranked.filter(F.col("_r") <= k)
+        .drop("_r", "floor")
+        .join(old_floor, kc, "left")
+        .join(dropped, kc, "left")
+        .select(
+            *kc,
+            value_col,
+            "cnt",
+            fmerge(
+                F.coalesce(F.col("floor"), F.col("_dropped")),
+                F.coalesce(F.col("_dropped"), F.col("floor")),
+            ).alias("floor"),
+        )
+    )
+    exhausted = (
+        old_floor.filter(F.col("floor").isNotNull())
+        .join(kept.select(*kc).distinct(), kc, "left_anti")
+        .select(
+            *kc,
+            F.lit(None).cast(value_type).alias(value_col),
+            F.lit(0).cast("bigint").alias("cnt"),
+            "floor",
+        )
+    )
+    return kept.unionByName(exhausted)
+
+
+def extremum_serve(
+    state: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    largest: bool = True,
+) -> DataFrame:
+    """Read the extremum off a ledger: (key..., extremum, needs_recompute).
+    needs_recompute is true when the ledger is empty but floor says
+    untracked mass may remain, or when every tracked value sits on the
+    wrong side of floor (inserts refilled the ledger below values that
+    truncation dropped) — the two cases where serving the ledger extremum
+    could be stale. Flagging instead of guessing is the contract."""
+    fagg = F.max(value_col) if largest else F.min(value_col)
+    g = state.groupBy(*key_cols).agg(
+        fagg.alias("extremum"), F.max("floor").alias("floor")
+    )
+    unsound = (
+        (F.col("extremum") < F.col("floor"))
+        if largest
+        else (F.col("extremum") > F.col("floor"))
+    )
+    return g.select(
+        *key_cols,
+        "extremum",
+        (
+            F.col("extremum").isNull()
+            | F.coalesce(unsound, F.lit(False))
+        ).alias("needs_recompute"),
+    )
+
+
 def apply_retractable_delta(
     state: DataFrame,
     delta: DataFrame,

@@ -2080,7 +2080,8 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# Flagship pipeline (no SQL oracle — pandas-UDF parse; rows-only check)
+# Flagship pipeline (pandas-UDF parse; exact DuckDB oracle replays the
+# extraction semantics via the shared pattern bank since round 3)
 # ===========================================================================
 
 
@@ -7665,6 +7666,66 @@ def ivm_refresh_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (cross-engine decimal rendering differs — CLAUDE.md rule 7)
     return out.select(
         "event_type", "cnt", F.col("vsum").cast("double").alias("vsum")
+    )
+
+
+@_q(
+    "ivm_extremum_refresh",
+    """
+    WITH base AS (
+      SELECT event_type, value FROM events WHERE event_id % 10 != 0
+    ), mx AS (
+      SELECT event_type, max(value) AS m FROM base GROUP BY event_type
+    ), final AS (
+      SELECT b.event_type, b.value
+      FROM base b JOIN mx ON b.event_type = mx.event_type
+      WHERE b.value < mx.m
+      UNION ALL
+      SELECT event_type, value FROM events WHERE event_id % 10 = 0
+    )
+    SELECT event_type, round(max(value), 6) AS max_value,
+           FALSE AS needs_recompute
+    FROM final GROUP BY event_type
+    """,
+)
+def ivm_extremum_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extremum maintenance under retractions (aggregate.extremum_ledger):
+    the base view's per-event_type MAX rows are all DELETED by a CDC delta
+    while the held-out event_id%10 rows are inserted — the ledger promotes
+    the next candidate (or adopts a larger insert) and the served max must
+    EXACTLY equal a full recompute over the final row set (the oracle).
+    This is the standard bounded top-k candidate ledger that closes the
+    min/max gap retractable_state documents: deletes of the current
+    extremum never rescan history, and ledger exhaustion flags
+    needs_recompute instead of silently serving a stale value (the flag is
+    provably false here — k=6 candidates, one distinct value deleted)."""
+    from blogparser_spark.operators.aggregate import (
+        extremum_ledger,
+        extremum_serve,
+        refresh_extremum_ledger,
+    )
+
+    e = _events(spark, sf_dir)
+    base = e.filter(F.col("event_id") % 10 != 0)
+    state = extremum_ledger(base, ["event_type"], "value", k=6)
+    mx = base.groupBy("event_type").agg(F.max("value").alias("_m"))
+    deletes = (
+        base.join(F.broadcast(mx), "event_type")
+        .filter(F.col("value") == F.col("_m"))
+        .drop("_m")
+        .withColumn("op", F.lit("D"))
+    )
+    inserts = e.filter(F.col("event_id") % 10 == 0).withColumn(
+        "op", F.lit("I")
+    )
+    refreshed = refresh_extremum_ledger(
+        state, deletes.unionByName(inserts), ["event_type"], "value", k=6
+    )
+    out = extremum_serve(refreshed, ["event_type"], "value")
+    return out.select(
+        "event_type",
+        F.round(F.col("extremum"), 6).alias("max_value"),
+        "needs_recompute",
     )
 
 

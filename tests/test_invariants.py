@@ -224,3 +224,98 @@ def test_retractable_ivm_equals_recompute(spark):
         retractable_state(base, ["k"], "value"), phantom, ["k"], "value"
     ).filter("k = 'k9'").collect()
     assert neg and neg[0]["cnt"] == -1
+
+
+def test_extremum_ledger_refresh_and_serve(spark):
+    """The top-k candidate ledger keeps max maintainable under deletes:
+    delete-the-max promotes the next candidate; refresh equals recompute
+    whenever the ledger is not exhausted; exhaustion and refill-below-floor
+    flag needs_recompute instead of serving a stale extremum."""
+    from pyspark.sql import functions as F
+
+    from blogparser_spark.operators.aggregate import (
+        extremum_ledger,
+        extremum_serve,
+        refresh_extremum_ledger,
+    )
+
+    rows = [(i, "k%d" % (i % 2), float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, k string, value double")
+    state = extremum_ledger(df, ["k"], "value", k=4)
+
+    # build serves the true max per key, no recompute flag
+    served = {r["k"]: r for r in extremum_serve(state, ["k"], "value").collect()}
+    assert served["k0"]["extremum"] == 18.0 and not served["k0"]["needs_recompute"]
+    assert served["k1"]["extremum"] == 19.0
+
+    # delete the max rows of both keys + insert a new global max for k0
+    delta = spark.createDataFrame(
+        [
+            (18, "k0", 18.0, "D"),
+            (19, "k1", 19.0, "D"),
+            (100, "k0", 50.0, "I"),
+        ],
+        "id long, k string, value double, op string",
+    )
+    refreshed = refresh_extremum_ledger(state, delta, ["k"], "value", k=4)
+    served = {r["k"]: r for r in extremum_serve(refreshed, ["k"], "value").collect()}
+    # k0: inserted 50 wins; k1: deleted max promotes the next candidate 17
+    assert served["k0"]["extremum"] == 50.0 and not served["k0"]["needs_recompute"]
+    assert served["k1"]["extremum"] == 17.0 and not served["k1"]["needs_recompute"]
+
+    # refresh == recompute over the final row set (ledger not exhausted)
+    final = df.filter("id not in (18, 19)").unionByName(
+        spark.createDataFrame([(100, "k0", 50.0)], "id long, k string, value double")
+    )
+    want = {r["k"]: r["m"] for r in final.groupBy("k").agg(F.max("value").alias("m")).collect()}
+    assert {k: r["extremum"] for k, r in served.items()} == want
+
+    # delete of an UNTRACKED value (below floor) leaves the ledger alone
+    low = spark.createDataFrame(
+        [(2, "k0", 2.0, "D")], "id long, k string, value double, op string"
+    )
+    r2 = refresh_extremum_ledger(refreshed, low, ["k"], "value", k=4)
+    assert not any(r["cnt"] < 0 for r in r2.collect())
+
+    # EXHAUSTION: wipe every tracked value of k1 (ledger holds 17,15,13,11;
+    # floor = 9 says untracked mass remains) -> marker row + recompute flag
+    wipe = spark.createDataFrame(
+        [(0, "k1", float(v), "D") for v in (17, 15, 13, 11)],
+        "id long, k string, value double, op string",
+    )
+    r3 = refresh_extremum_ledger(refreshed, wipe, ["k"], "value", k=4)
+    served3 = {r["k"]: r for r in extremum_serve(r3, ["k"], "value").collect()}
+    assert served3["k1"]["needs_recompute"] and served3["k1"]["extremum"] is None
+
+    # REFILL BELOW FLOOR: ledger non-empty but everything sits under floor
+    refill = spark.createDataFrame(
+        [(0, "k1", float(v), "D") for v in (17, 15, 13, 11)]
+        + [(1, "k1", 1.5, "I")],
+        "id long, k string, value double, op string",
+    )
+    r4 = refresh_extremum_ledger(refreshed, refill, ["k"], "value", k=4)
+    served4 = {r["k"]: r for r in extremum_serve(r4, ["k"], "value").collect()}
+    assert served4["k1"]["needs_recompute"] and served4["k1"]["extremum"] == 1.5
+
+
+def test_extremum_ledger_min_direction(spark):
+    """largest=False maintains MIN with the floor acting as a ceiling."""
+    from blogparser_spark.operators.aggregate import (
+        extremum_ledger,
+        extremum_serve,
+        refresh_extremum_ledger,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(10)], "id long, k string, value double"
+    )
+    state = extremum_ledger(df, ["k"], "value", k=3, largest=False)
+    delta = df.sparkSession.createDataFrame(
+        [(0, "a", 0.0, "D"), (1, "a", 1.0, "D")],
+        "id long, k string, value double, op string",
+    )
+    refreshed = refresh_extremum_ledger(
+        state, delta, ["k"], "value", k=3, largest=False
+    )
+    r = extremum_serve(refreshed, ["k"], "value", largest=False).collect()[0]
+    assert r["extremum"] == 2.0 and not r["needs_recompute"]

@@ -1085,3 +1085,16 @@ assert lc_ and all(r.n_members == r.n_customers + r.n_suppliers for r in lc_)
 assert all(r.n_members >= 2 for r in lc_)
 print("entity clusters:", len(lc_), "largest:", max(r.n_members for r in lc_))
 print("DRIVE83 OK")
+
+# batch-7a: extremum IVM ledger (delete-the-max promotes next candidate)
+ex = _entry2.queries()["ivm_extremum_refresh"](spark, "/root/testdata/sf0.001").collect()
+assert ex and all(not r.needs_recompute and r.max_value is not None for r in ex)
+print("extremum keys:", len(ex), "max of maxes:", max(r.max_value for r in ex))
+print("DRIVE84 OK")
+
+# batch-7b: grok dead-letter routing counts
+gm = _entry2.queries()["grok_mismatch_route_counts"](spark, "/root/testdata/sf0.001").collect()
+gmd = {r.grok_matched: (r.n, r.n_typed_ok) for r in gm}
+assert gmd[True][0] == gmd[True][1] and gmd[False][1] == 0
+print("grok route counts:", gmd)
+print("DRIVE85 OK")
