@@ -347,6 +347,104 @@ def bpe_learn_merges(
     return merges
 
 
+def _signed_pairs(sym_df: DataFrame, sign: int) -> DataFrame:
+    """Adjacent-pair rows of a symbol dict slice with a signed weight —
+    the retraction/insert halves of the incremental pair-count delta."""
+    return (
+        sym_df.filter(F.size("s") >= 2)
+        .select(
+            (F.col("cnt") * F.lit(sign)).cast("bigint").alias("w"),
+            F.explode(_adjacent_pairs(F.col("s"))).alias("p"),
+        )
+        .select(F.col("p")["l"].alias("l"), F.col("p")["r"].alias("r"), "w")
+    )
+
+
+def bpe_learn_merges_incremental(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    round_stats: list[dict] | None = None,
+) -> list[tuple[str, str, int]]:
+    """bpe_learn_merges with DELTA-MAINTAINED pair counts — the
+    production-learner shape (Sennrich's own fast path): instead of
+    recounting every adjacent pair over the whole symbol dictionary each
+    round (O(n_merges × vocab) total work — infeasible for a 32k-merge
+    vocab over a 100-TB corpus dictionary), the pair-weight table is a
+    persistent state folded with signed deltas, the same IVM algebra as
+    operators/aggregate.apply_retractable_delta:
+
+      per round: argmax over the MAINTAINED pair table (pair-type-sized,
+      one row to the driver) → candidate words via a codegen-native
+      array_contains(l) AND array_contains(r) prefilter (a SUPERSET of
+      the truly affected words is sound — a word whose pairs don't change
+      retracts and re-inserts the identical multiset, netting zero) →
+      retract the candidates' old pairs, insert their merged pairs, fold
+      into the state, swap the candidate slice of the dictionary.
+
+    Per-round cost is O(|affected words|) explode+agg instead of
+    O(vocab); the two codegen filter passes over the dictionary carry no
+    shuffle. Returns [(left, right, weight)] identical (including the
+    (weight desc, l, r) tie-break) to bpe_learn_merges — pinned by test.
+    `round_stats`, when given, receives per-round observe() metrics
+    ({l, r, weight, n_affected}) so the shrinkage is measurable."""
+    from pyspark.sql import Observation
+
+    wd = word_freq_dict(docs, text_col)
+    sym = wd.select("cnt", F.split("word", "").alias("s")).localCheckpoint()
+    state = _pair_weights(sym).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            state.orderBy(F.desc("weight"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, w = top[0]["l"], top[0]["r"], int(top[0]["weight"])
+        merges.append((l, r, w))
+        cand = F.array_contains(F.col("s"), l) & F.array_contains(
+            F.col("s"), r
+        )
+        affected = sym.filter(cand)
+        obs = None
+        if round_stats is not None:
+            obs = Observation()
+            affected = affected.observe(
+                obs, F.count(F.lit(1)).alias("n_affected")
+            )
+        affected = affected.localCheckpoint()
+        merged = affected.select(
+            "cnt", _apply_merge(F.col("s"), l, r).alias("s")
+        )
+        delta = _signed_pairs(affected, -1).unionByName(
+            _signed_pairs(merged, 1)
+        )
+        state = (
+            state.unionByName(
+                delta.groupBy("l", "r").agg(
+                    F.sum("w").cast("bigint").alias("weight")
+                )
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("weight").cast("bigint").alias("weight"))
+            .filter(F.col("weight") > 0)
+            .localCheckpoint()
+        )
+        sym = sym.filter(~cand).unionByName(merged).localCheckpoint()
+        if round_stats is not None:
+            round_stats.append(
+                {
+                    "l": l,
+                    "r": r,
+                    "weight": w,
+                    "n_affected": int(obs.get["n_affected"]),
+                }
+            )
+    return merges
+
+
 def bpe_encode(
     sym: DataFrame,
     merges: list[tuple[str, str, int]],

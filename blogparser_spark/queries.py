@@ -7463,6 +7463,75 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir), top_k=20)
 
 
+def _bpe_iter_sql(prev: str, this: str, it: int) -> str:
+    """One BPE merge round as DuckDB CTEs replaying the incremental
+    learner: symbols live in a chr(31)-delimited string where every symbol
+    is wrapped '<us>sym<us>', so the greedy left-to-right merge fold is
+    EXACTLY one non-overlapping replace('<us>l<us><us>r<us>' →
+    '<us>lr<us>') — the scanner never re-enters replaced output, which is
+    the same skip-past-the-merge the fold performs. Argmax per round is
+    (weight DESC, l, r), the learner's tie-break."""
+    return f"""
+    sy{it} AS (
+      SELECT cnt, string_split(substr(rep, 2, length(rep) - 2),
+                               chr(31) || chr(31)) AS s
+      FROM {prev}
+    ), p{it} AS (
+      SELECT s[i] AS l, s[i+1] AS r, sum(cnt)::BIGINT AS weight
+      FROM sy{it}, unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ), m{it} AS MATERIALIZED (
+      SELECT {it} AS merge_idx, l, r, weight FROM p{it}
+      ORDER BY weight DESC, l, r LIMIT 1
+    ), {this} AS MATERIALIZED (
+      SELECT cnt,
+        replace(rep, chr(31) || m.l || chr(31) || chr(31) || m.r || chr(31),
+                     chr(31) || m.l || m.r || chr(31)) AS rep
+      FROM {prev} CROSS JOIN m{it} m
+    )"""
+
+
+_BPE_LEARN_SQL = f"""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x != '')) AS word
+      FROM documents
+    ), wc AS (
+      SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1
+    ), s0 AS MATERIALIZED (
+      SELECT cnt, chr(31) || array_to_string(string_split(word, ''),
+                                             chr(31) || chr(31)) || chr(31)
+        AS rep
+      FROM wc
+    ),{_bpe_iter_sql("s0", "s1", 1)},{_bpe_iter_sql("s1", "s2", 2)},{
+        _bpe_iter_sql("s2", "s3", 3)},{_bpe_iter_sql("s3", "s4", 4)}
+    SELECT merge_idx::INT AS merge_idx, l, r, weight FROM (
+      SELECT * FROM m1 UNION ALL SELECT * FROM m2
+      UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4
+    )
+"""
+
+
+@_q("bpe_learned_merges", _BPE_LEARN_SQL)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge LEARNING with delta-maintained pair counts
+    (lm.bpe_learn_merges_incremental; Sennrich et al. 2016): four merge
+    rounds where each round's recount touches only words containing both
+    merge symbols — retraction/insert pair deltas folded into a persistent
+    pair-weight state (the apply_retractable_delta algebra) instead of an
+    O(vocab) rescan per merge. The learned list is k-bounded driver state
+    (the kmeans-centroid convention); the oracle replays all four rounds
+    as unrolled CTEs with a delimited-string replace as the greedy merge
+    fold."""
+    from blogparser_spark.dataops.lm import bpe_learn_merges_incremental
+
+    merges = bpe_learn_merges_incremental(_docs(spark, sf_dir), n_merges=4)
+    return spark.createDataFrame(
+        [(i + 1, l, r, w) for i, (l, r, w) in enumerate(merges)],
+        "merge_idx int, l string, r string, weight bigint",
+    )
+
+
 @_q(
     "conv_packing_curve",
     f"""

@@ -942,6 +942,43 @@ def test_bpe_learn_merges_matches_python_twin(spark):
     assert got[0][2] >= got[1][2] >= got[2][2] >= got[3][2]
 
 
+def test_bpe_incremental_matches_classic_and_shrinks_scans(spark):
+    """The delta-maintained learner must produce IDENTICAL merges
+    (including tie-breaks) to the per-round-recount learner, while each
+    round's pair recount touches only the affected-candidate subset of
+    the dictionary — the observe() metric proves the O(vocab)-per-round
+    scan is gone."""
+    from blogparser_spark.dataops.lm import (
+        bpe_learn_merges,
+        bpe_learn_merges_incremental,
+    )
+
+    texts = [
+        "low low low lower lowest newer newest wider wide new",
+        "apple apply appalling zebra zone quiz jazz fuzz",
+        "banana bandana cabana can ban nan anna",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    classic = bpe_learn_merges(df, 8)
+    stats: list[dict] = []
+    inc = bpe_learn_merges_incremental(df, 8, round_stats=stats)
+    assert inc == classic and len(inc) == 8
+
+    n_vocab = (
+        df.selectExpr("explode(split(lower(text), ' ')) AS w")
+        .filter("w != ''")
+        .distinct()
+        .count()
+    )
+    # every round's delta recount covers strictly less than the dictionary
+    assert all(0 < s["n_affected"] < n_vocab for s in stats)
+    assert max(s["n_affected"] for s in stats) <= n_vocab // 2
+
+    # exhaustion: single-char words only → no pairs → empty merge list
+    tiny = spark.createDataFrame([("a b c",)], "text string")
+    assert bpe_learn_merges_incremental(tiny, 3) == []
+
+
 def test_conv_packing_curve_consistency(spark):
     """The curve query must agree with conv_budget_stats at each budget."""
     import blogparser_spark.queries as Q

@@ -1098,3 +1098,12 @@ gmd = {r.grok_matched: (r.n, r.n_typed_ok) for r in gm}
 assert gmd[True][0] == gmd[True][1] and gmd[False][1] == 0
 print("grok route counts:", gmd)
 print("DRIVE85 OK")
+
+# batch-7c: incremental BPE merge learning (delta-maintained pair counts)
+bl = _entry2.queries()["bpe_learned_merges"](spark, "/root/testdata/sf0.001").collect()
+assert len(bl) == 4 and all(bl[i].weight >= bl[i + 1].weight for i in range(len(bl) - 1))
+from blogparser_spark.dataops.lm import bpe_learn_merges as _bpe_classic
+assert [(r.l, r.r, r.weight) for r in bl] == _bpe_classic(
+    __import__("blogparser_spark.queries", fromlist=["_docs"])._docs(spark, "/root/testdata/sf0.001"), 4)
+print("learned merges:", [(r.l, r.r) for r in bl])
+print("DRIVE86 OK")
