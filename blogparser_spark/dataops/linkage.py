@@ -62,6 +62,88 @@ class FieldSpec:
         )
 
 
+def fs_em_weights(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: Sequence[str],
+    fields: Sequence[FieldSpec],
+    iters: int = 2,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> DataFrame:
+    """Estimate Fellegi–Sunter m/u probabilities by EM over the blocked
+    comparison vectors (Winkler 1988; the Splink training loop) instead
+    of taking fixed log-odds: per iteration, the E-step scores every
+    pair's match responsibility from the current (p, m, u) and the
+    M-step re-estimates them from responsibility-weighted agreement
+    counts. Fixed iteration count and deterministic init, so the run is
+    replayable; a field AGREES when its distance ≤ close_max_lev.
+
+    Cross-engine exactness (the kmeans/DSIR convention): per-pair
+    responsibilities are quantized to integer micros with a tie-free
+    floor(x·1e6 + 0.5) — M-step sums are then exact integer sums, so
+    aggregation order is never observable — and parameters re-quantize
+    to 6dp at each iteration boundary. The per-iteration state that
+    reaches the driver is |fields|-sized (the kmeans-centroid bound);
+    each iteration is ONE partial agg over the blocked pairs, which are
+    computed once and localCheckpointed, never re-joined.
+
+    Returns (field, m, u, p) — feed m/u into integer-micro log-odds
+    (log2(m/u), log2((1-m)/(1-u))) to weight fs_linkage."""
+    import math
+
+    def _round6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    ag = (
+        left.join(right, list(block_cols))
+        .select(
+            *[
+                (f.lev() <= f.close_max_lev).cast("int").alias(f"g_{f.name}")
+                for f in fields
+            ]
+        )
+        .localCheckpoint()
+    )
+    p = init_p
+    m = {f.name: init_m for f in fields}
+    u = {f.name: init_u for f in fields}
+    for _ in range(iters):
+        num: Column = F.lit(p)
+        den: Column = F.lit(1.0 - p)
+        for f in fields:
+            g = F.col(f"g_{f.name}")
+            num = num * F.when(g == 1, F.lit(m[f.name])).otherwise(
+                F.lit(1.0 - m[f.name])
+            )
+            den = den * F.when(g == 1, F.lit(u[f.name])).otherwise(
+                F.lit(1.0 - u[f.name])
+            )
+        r = F.floor(num / (num + den) * F.lit(1e6) + F.lit(0.5)).cast(
+            "bigint"
+        )
+        aggs = [F.sum(r).alias("sr"), F.count("*").alias("n")]
+        for f in fields:
+            g = F.col(f"g_{f.name}").cast("bigint")
+            aggs.append(F.sum(r * g).alias(f"srg_{f.name}"))
+            aggs.append(F.sum(g).alias(f"sg_{f.name}"))
+        row = ag.agg(*aggs).collect()[0]
+        sr, n = int(row["sr"]), int(row["n"])
+        for f in fields:
+            srg = int(row[f"srg_{f.name}"])
+            sg = int(row[f"sg_{f.name}"])
+            m[f.name] = _round6(srg / max(sr, 1))
+            u[f.name] = _round6(
+                (1_000_000 * sg - srg) / max(1_000_000 * n - sr, 1)
+            )
+        p = _round6(sr / (1_000_000 * n))
+    return left.sparkSession.createDataFrame(
+        [(f.name, m[f.name], u[f.name], p) for f in fields],
+        "field string, m double, u double, p double",
+    )
+
+
 def fs_linkage(
     left: DataFrame,
     right: DataFrame,

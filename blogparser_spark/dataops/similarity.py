@@ -265,6 +265,102 @@ def ivf_topk(
     )
 
 
+def ivf_recall_nprobe_sweep(
+    df: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF tuning curve: recall@k at every nprobe level in ONE plan —
+    the recall-vs-cells-read trade a deployment sweeps to pick nprobe
+    (FAISS's standard evaluation). Candidates are scored ONCE against the
+    union of each query's top-max(nprobes) cells, tagged with the cell's
+    similarity rank (crank); each sweep level is then just a crank filter
+    + per-(nprobe, qid) window top-k over the already-scored rows, so
+    adding levels adds no similarity math and no corpus rescans. The
+    exact matmul top-k is the ground truth (brute_force_topk_matmul).
+
+    Returns (nprobe, qid, n_exact, n_hits, recall); recall is
+    non-decreasing in nprobe by construction (a superset of cells can
+    only add candidates). At 100 TB the cand join is the partitioned
+    probe (cell IN top-nprobe cells → partition pruning); the sweep adds
+    one small explode by |nprobes| over k-bounded shortlists."""
+    max_np = max(nprobes)
+    spark = df.sparkSession
+    cents = (
+        df.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cv"))
+        .withColumn("cn", norm(F.col("cv")))
+    )
+    queries = (
+        df.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), _dvec(F.col(vec_col)).alias("qv"))
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
+    qranks = (
+        queries.join(F.broadcast(cents))
+        .withColumn(
+            "csim",
+            _pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+        )
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= max_np)
+        .select("qid", F.col("cid").alias("cell"), "crank", "qv", "qn")
+    )
+    cells = assign_ivf_cells(df, n_cells, id_col, vec_col)
+    corpus = (
+        df.join(cells.select(id_col, "cell"), id_col)
+        .select(
+            F.col(id_col).alias("nid"),
+            F.col("cell").alias("ncell"),
+            _dvec(F.col(vec_col)).alias("nv"),
+        )
+        .withColumn("nn", norm(F.col("nv")))
+    )
+    cand = (
+        corpus.join(
+            F.broadcast(qranks),
+            (F.col("ncell") == F.col("cell")) & (F.col("nid") != F.col("qid")),
+        )
+        .withColumn(
+            "sim",
+            _pair_cosine(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")),
+        )
+        .select("qid", "nid", "crank", "sim")
+    )
+    levels = spark.createDataFrame([(int(n),) for n in nprobes], "nprobe int")
+    wl = Window.partitionBy("nprobe", "qid").orderBy(
+        F.desc("sim"), F.asc("nid")
+    )
+    approx = (
+        cand.join(F.broadcast(levels), F.col("crank") <= F.col("nprobe"))
+        .withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= k)
+        .select("nprobe", "qid", "nid", F.lit(1).alias("_hit"))
+    )
+    exact = brute_force_topk_matmul(df, n_queries=n_queries, k=k).select(
+        "qid", "nid"
+    )
+    return (
+        exact.crossJoin(F.broadcast(levels))
+        .join(approx, ["nprobe", "qid", "nid"], "left")
+        .groupBy("nprobe", "qid")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def write_ivf_partitioned(
     df: DataFrame,
     path: str,

@@ -1607,6 +1607,71 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ann_recall_nprobe_sweep",
+    f"""
+    WITH {_IVF_CELLS},
+    exactq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    exacts AS (
+      SELECT q.qid, x.vec_id AS nid,
+        round({_COS.format(a="q.qv", b="x.v")}, 6) AS sim
+      FROM e x JOIN exactq q ON x.vec_id != q.qid
+    ),
+    exact AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r
+        FROM exacts
+      ) WHERE r <= 5
+    ),
+    qranks AS (
+      SELECT vec_id AS qid, cid AS cell, r AS crank FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS r
+        FROM cscored WHERE vec_id < 5
+      ) WHERE r <= 4
+    ),
+    cand AS (
+      SELECT qr.qid, x.vec_id AS nid, qr.crank,
+        round({_COS.format(a="qe.v", b="x.v")}, 6) AS sim
+      FROM qranks qr
+      JOIN e qe ON qe.vec_id = qr.qid
+      JOIN cells cx ON cx.cell = qr.cell
+      JOIN e x ON x.vec_id = cx.vec_id AND x.vec_id != qr.qid
+    ),
+    levels AS (SELECT unnest([1, 2, 4]) AS nprobe),
+    approx AS (
+      SELECT nprobe, qid, nid FROM (
+        SELECT l.nprobe, c.qid, c.nid,
+          row_number() OVER (PARTITION BY l.nprobe, c.qid
+                             ORDER BY c.sim DESC, c.nid) AS r
+        FROM cand c JOIN levels l ON c.crank <= l.nprobe
+      ) WHERE r <= 5
+    )
+    SELECT l.nprobe::INT AS nprobe, exact.qid, count(*)::BIGINT AS n_exact,
+      sum(CASE WHEN approx.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        AS n_hits,
+      round(sum(CASE WHEN approx.nid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+            / count(*), 6) AS recall
+    FROM exact CROSS JOIN levels l
+    LEFT JOIN approx ON approx.nprobe = l.nprobe
+      AND approx.qid = exact.qid AND approx.nid = exact.nid
+    GROUP BY l.nprobe, exact.qid
+    """,
+)
+def ann_recall_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning curve (similarity.ivf_recall_nprobe_sweep):
+    recall@5 at nprobe ∈ {1,2,4} against the exact matmul top-k, in one
+    plan — candidates scored once against each query's top-4 cells and
+    tagged with the cell rank, each sweep level a crank filter + window
+    top-k over already-scored rows. The readout a deployment uses to pick
+    its recall-vs-cells-read operating point; recall is non-decreasing in
+    nprobe by construction."""
+    return similarity.ivf_recall_nprobe_sweep(
+        _emb(spark, sf_dir), n_queries=5, k=5, n_cells=8, nprobes=(1, 2, 4)
+    )
+
+
+@_q(
     "embedding_near_dup_pairs",
     f"""
     WITH {_IVF_CELLS},
@@ -7736,6 +7801,112 @@ def ivm_refresh_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "cnt", F.col("vsum").cast("double").alias("vsum")
     )
+
+
+def _linkem_iter_sql(prev: str | None, this: str, it: int) -> str:
+    """One EM iteration over the blocked comparison vectors as DuckDB
+    CTEs: E-step responsibilities quantized with the tie-free
+    floor(x·1e6 + 0.5) (no round() half-mode dependence), M-step ratios
+    of exact integer sums re-quantized to 6dp — fs_em_weights' iteration
+    contract, so the replay is bit-identical. `prev=None` uses the
+    deterministic init (p=.1, m=.9, u=.1); literals are cast to DOUBLE
+    because bare decimal literals parse as DECIMAL in DuckDB."""
+    if prev is None:
+        p, me, ue = "CAST(0.1 AS DOUBLE)", "CAST(0.9 AS DOUBLE)", "CAST(0.1 AS DOUBLE)"
+        mb, ub = "CAST(0.9 AS DOUBLE)", "CAST(0.1 AS DOUBLE)"
+        src = "lpairs"
+    else:
+        p, me, ue = "z.p", "z.m_entno", "z.u_entno"
+        mb, ub = "z.m_bal", "z.u_bal"
+        src = f"lpairs CROSS JOIN {prev} z"
+    q6 = "floor(({x}) * 1000000 + 0.5) / 1000000.0"
+    return f"""
+    r{it} AS (
+      SELECT g_entno, g_bal,
+        floor(num / (num + den) * 1000000 + 0.5)::BIGINT AS r
+      FROM (
+        SELECT g_entno, g_bal,
+          {p} * (CASE WHEN g_entno = 1 THEN {me} ELSE 1 - {me} END)
+              * (CASE WHEN g_bal = 1 THEN {mb} ELSE 1 - {mb} END) AS num,
+          (1 - {p}) * (CASE WHEN g_entno = 1 THEN {ue} ELSE 1 - {ue} END)
+                    * (CASE WHEN g_bal = 1 THEN {ub} ELSE 1 - {ub} END) AS den
+        FROM {src}
+      )
+    ), {this} AS MATERIALIZED (
+      SELECT
+        {q6.format(x="sum(r)::DOUBLE / (1000000 * count(*))")} AS p,
+        {q6.format(x="sum(r * g_entno)::DOUBLE / greatest(sum(r), 1)")} AS m_entno,
+        {q6.format(x="(1000000 * sum(g_entno) - sum(r * g_entno))::DOUBLE"
+                     " / greatest(1000000 * count(*) - sum(r), 1)")} AS u_entno,
+        {q6.format(x="sum(r * g_bal)::DOUBLE / greatest(sum(r), 1)")} AS m_bal,
+        {q6.format(x="(1000000 * sum(g_bal) - sum(r * g_bal))::DOUBLE"
+                     " / greatest(1000000 * count(*) - sum(r), 1)")} AS u_bal
+      FROM r{it}
+    )"""
+
+
+_LINKEM_SQL = f"""
+    WITH lpairs AS MATERIALIZED (
+      SELECT
+        CASE WHEN levenshtein(substr(c.c_name, 10, 20),
+                              substr(s.s_name, 10, 20)) <= 2
+             THEN 1 ELSE 0 END AS g_entno,
+        CASE WHEN abs(c.c_acctbal - s.s_acctbal) < 100 THEN 1 ELSE 0 END
+          AS g_bal
+      FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    ),{_linkem_iter_sql(None, "it1", 1)},{_linkem_iter_sql("it1", "it2", 2)}
+    SELECT 'entno' AS field, m_entno AS m, u_entno AS u, p FROM it2
+    UNION ALL
+    SELECT 'bal' AS field, m_bal AS m, u_bal AS u, p FROM it2
+"""
+
+
+@_q("linkage_em_weights", _LINKEM_SQL)
+def linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-learned Fellegi–Sunter parameters (linkage.fs_em_weights;
+    Winkler 1988, the Splink training loop): 2 deterministic EM rounds
+    over the nation-blocked customer↔supplier comparison vectors estimate
+    each field's m/u agreement probabilities and the match proportion p —
+    replacing record_linkage_topk's fixed log-odds with learned ones.
+    Integer-micro responsibility quantization makes every M-step sum
+    exact; the oracle replays both rounds as unrolled CTEs."""
+    from blogparser_spark.dataops.linkage import FieldSpec, fs_em_weights
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nationkey"),
+        F.substring("c_name", 10, 20).alias("c_entno"),
+        "c_acctbal",
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nationkey"),
+        F.substring("s_name", 10, 20).alias("s_entno"),
+        "s_acctbal",
+    )
+    fields = [
+        FieldSpec(
+            "entno",
+            F.col("c_entno"),
+            F.col("s_entno"),
+            w_exact_u=4_000_000,
+            w_close_u=1_500_000,
+            w_diff_u=-2_000_000,
+            close_max_lev=2,
+        ),
+        FieldSpec(
+            "bal",
+            F.lit(""),
+            F.lit(""),
+            w_exact_u=800_000,
+            w_close_u=0,
+            w_diff_u=-400_000,
+            distance=F.when(
+                F.abs(F.col("c_acctbal") - F.col("s_acctbal")) < 100, 0
+            ).otherwise(9),
+        ),
+    ]
+    return fs_em_weights(cust, supp, ["nationkey"], fields, iters=2)
 
 
 @_q(

@@ -139,6 +139,42 @@ def test_ivf_subset_of_corpus(emb):
     assert approx.count() <= 6  # cells may hold < k+1 members
 
 
+def test_ivf_recall_nprobe_sweep_monotone_and_exact_at_full_probe(emb):
+    """Recall must be non-decreasing in nprobe (superset of cells), reach
+    1.0 when every cell is probed (nprobe = n_cells ⇒ exhaustive scan),
+    and the nprobe=1 row must agree with the single-probe recall that
+    ann_recall_eval computes (ivf_topk path)."""
+    from blogparser_spark.dataops.similarity import (
+        ivf_recall_nprobe_sweep,
+        ivf_topk,
+        brute_force_topk_matmul,
+    )
+
+    out = ivf_recall_nprobe_sweep(
+        emb, n_queries=3, k=4, n_cells=4, nprobes=(1, 2, 4)
+    ).collect()
+    assert len(out) == 9
+    by_q: dict[int, dict[int, float]] = {}
+    for r in out:
+        by_q.setdefault(r["qid"], {})[r["nprobe"]] = r["recall"]
+    for q, curve in by_q.items():
+        assert curve[1] <= curve[2] <= curve[4]
+        assert curve[4] == 1.0  # all 4 cells probed == exhaustive
+
+    # nprobe=1 agrees with the ivf_topk-based single-probe recall
+    exact = {
+        (r["qid"], r["nid"])
+        for r in brute_force_topk_matmul(emb, n_queries=3, k=4).collect()
+    }
+    approx1 = {
+        (r["qid"], r["nid"])
+        for r in ivf_topk(emb, n_queries=3, k=4, n_cells=4).collect()
+    }
+    for q, curve in by_q.items():
+        want = len({p for p in exact if p[0] == q} & approx1) / 4
+        assert abs(curve[1] - want) < 1e-9
+
+
 def test_brute_force_matmul_equivalence(spark):
     """The BLAS scale path must return exactly the join-based baseline's
     results (same ids, same round-6 sims, same ranks)."""
@@ -1317,3 +1353,77 @@ def test_fs_linkage(spark):
     r2 = {(r["lid"], r["rid"]): r["score_u"]
           for r in fs_linkage(left, right, ["blk"], f2, "lid", "rid").collect()}
     assert r2[(1, 10)] == 500_000 and r2[(2, 10)] == -100
+
+
+def test_fs_em_weights_matches_python_twin(spark):
+    """fs_em_weights' 2-round distributed EM must reproduce a pure-Python
+    EM over the same comparison vectors bit-for-bit (same integer-micro
+    responsibility quantization, same 6dp parameter re-quantization), and
+    must separate m > u on a fixture with real matches."""
+    import math
+
+    from blogparser_spark.dataops.linkage import FieldSpec, fs_em_weights
+
+    left_rows = [(i, "b%d" % (i % 3), "name%03d" % i, float(i * 10)) for i in range(30)]
+    # 10 true matches (identical name/bal), 20 noise rows
+    right_rows = [
+        (100 + i, "b%d" % (i % 3), "name%03d" % i, float(i * 10)) for i in range(10)
+    ] + [
+        (200 + i, "b%d" % (i % 3), "zz%05d" % (i * 7), float(i * 13 + 5))
+        for i in range(20)
+    ]
+    left = spark.createDataFrame(left_rows, "lid long, blk string, lname string, lbal double")
+    right = spark.createDataFrame(right_rows, "rid long, blk string, rname string, rbal double")
+    fields = [
+        FieldSpec("name", F.col("lname"), F.col("rname"), 3_000_000, 1_000_000,
+                  -1_000_000, close_max_lev=1),
+        FieldSpec("bal", F.lit(""), F.lit(""), 800_000, 0, -400_000,
+                  distance=F.when(F.abs(F.col("lbal") - F.col("rbal")) < 1, 0).otherwise(9)),
+    ]
+    got = {r["field"]: (r["m"], r["u"], r["p"]) for r in
+           fs_em_weights(left, right, ["blk"], fields, iters=2).collect()}
+
+    # python twin over the same blocked comparison vectors
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    vecs = []
+    for lid, lb, ln, lv in left_rows:
+        for rid, rb, rn, rv in right_rows:
+            if lb == rb:
+                vecs.append((int(lev(ln, rn) <= 1), int(abs(lv - rv) < 1)))
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    p, m, u = 0.1, [0.9, 0.9], [0.1, 0.1]
+    for _ in range(2):
+        sr, srg, sg = 0, [0, 0], [0, 0]
+        for g in vecs:
+            num, den = p, 1.0 - p
+            for f in range(2):
+                num *= m[f] if g[f] == 1 else 1.0 - m[f]
+                den *= u[f] if g[f] == 1 else 1.0 - u[f]
+            r = math.floor(num / (num + den) * 1e6 + 0.5)
+            sr += r
+            for f in range(2):
+                srg[f] += r * g[f]
+                sg[f] += g[f]
+        n = len(vecs)
+        for f in range(2):
+            m[f] = r6(srg[f] / max(sr, 1))
+            u[f] = r6((1_000_000 * sg[f] - srg[f]) / max(1_000_000 * n - sr, 1))
+        p = r6(sr / (1_000_000 * n))
+
+    assert got["name"] == (m[0], u[0], p)
+    assert got["bal"] == (m[1], u[1], p)
+    # EM separated the classes: agreement is far likelier among matches
+    for f in ("name", "bal"):
+        assert got[f][0] > got[f][1]
+    assert 0 < got["name"][2] < 1

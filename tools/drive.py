@@ -1107,3 +1107,18 @@ assert [(r.l, r.r, r.weight) for r in bl] == _bpe_classic(
     __import__("blogparser_spark.queries", fromlist=["_docs"])._docs(spark, "/root/testdata/sf0.001"), 4)
 print("learned merges:", [(r.l, r.r) for r in bl])
 print("DRIVE86 OK")
+
+# batch-7d: IVF nprobe recall sweep (one plan, monotone curve)
+sw = _entry2.queries()["ann_recall_nprobe_sweep"](spark, "/root/testdata/sf0.001").collect()
+curve = {}
+for r in sw:
+    curve.setdefault(r.qid, {})[r.nprobe] = r.recall
+assert curve and all(c[1] <= c[2] <= c[4] for c in curve.values())
+print("recall curves:", {q: [c[1], c[2], c[4]] for q, c in sorted(curve.items())})
+print("DRIVE87 OK")
+
+# batch-7e: EM-learned Fellegi-Sunter m/u weights
+em = _entry2.queries()["linkage_em_weights"](spark, "/root/testdata/sf0.001").collect()
+assert len(em) == 2 and all(0 <= r.u <= 1 and 0 <= r.m <= 1 and 0 < r.p < 1 for r in em)
+print("em params:", [(r.field, r.m, r.u) for r in em])
+print("DRIVE88 OK")
