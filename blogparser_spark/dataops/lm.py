@@ -31,6 +31,7 @@ exact integers, round-6 absorbs libm ulp skew between engines).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -469,6 +470,63 @@ def bpe_encode(
         if checkpoint_every and i % checkpoint_every == 0:
             sym = sym.localCheckpoint()
     return sym
+
+
+def bpe_encode_fast(
+    sym: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    sym_col: str = "s",
+) -> DataFrame:
+    """BPE encode for LONG merge lists: bpe_encode composes one
+    interpreted fold per merge — fine for dozens, but a real 32k-merge
+    vocabulary would mean 32k passes over the dictionary (the encode-side
+    twin of the learning-loop problem bpe_learn_merges_incremental
+    fixes). This variant applies ALL merges in one Arrow-batched pass per
+    word with the canonical rank-dict algorithm (Sennrich's apply_bpe /
+    the GPT-2 encoder): repeatedly merge the lowest-rank adjacent pair
+    present, left-to-right across its occurrences, until none remains —
+    O(|word| · merges_present) per word instead of O(n_merges) dictionary
+    scans.
+
+    Requires a WELL-FORMED learned list (compound symbols appear only
+    after the merges that build them — what both learners produce); under
+    that invariant min-rank iteration is exactly equivalent to sequential
+    application, pinned by test against bpe_encode. Python executes only
+    at the Arrow batch boundary over the VOCAB-sized dictionary, never
+    the corpus; the rank dict ships once per executor in the UDF
+    closure."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def enc(col: pd.Series) -> pd.Series:
+        def one(word):
+            w = list(word)
+            while len(w) >= 2:
+                best = None
+                for i in range(len(w) - 1):
+                    rk = ranks.get((w[i], w[i + 1]))
+                    if rk is not None and (best is None or rk < best):
+                        best = rk
+                if best is None:
+                    break
+                l, r = merges[best][0], merges[best][1]
+                out = []
+                i = 0
+                while i < len(w):
+                    if i < len(w) - 1 and w[i] == l and w[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(w[i])
+                        i += 1
+                w = out
+            return w
+
+        return col.apply(one)
+
+    return sym.withColumn(sym_col, enc(F.col(sym_col)))
 
 
 def bpe_fertility(

@@ -87,6 +87,26 @@ def _build_lemma_rules() -> tuple[tuple[str, str], ...]:
 
 
 LEMMA_RULES: tuple[tuple[str, str], ...] = _build_lemma_rules()
+
+# Irregular verbs (サ変 する, カ変 来る/くる): their inflected forms don't
+# follow the godan/ichidan suffix rows (します would suffix-rewrite to しる,
+# きました to きる), so — like every dictionary — they are an exact-match
+# table consulted BEFORE the suffix rules. Only BARE forms are listed:
+# kanji-noun+する compounds (勉強しました) are lexically ambiguous with
+# godan す-verbs (話しました→話す) without a real dictionary, and remain
+# part of the documented lattice-morphology deviation.
+IRREGULAR_LEMMAS: dict[str, str] = {
+    # する
+    "します": "する", "しました": "する", "しません": "する",
+    "しましょう": "する", "して": "する", "した": "する", "しない": "する",
+    "すれば": "する", "しよう": "する",
+    # くる (hiragana)
+    "きます": "くる", "きました": "くる", "きません": "くる",
+    "きて": "くる", "きた": "くる", "こない": "くる", "こよう": "くる",
+    # 来る (kanji stem)
+    "来ます": "来る", "来ました": "来る", "来ません": "来る",
+    "来て": "来る", "来た": "来る", "来ない": "来る",
+}
 # tokens eligible for de-inflection: optional kanji stem + hiragana tail
 _INFLECTABLE_RE = r"^[一-龯々]*[ぁ-ゖ]+$"
 
@@ -147,7 +167,13 @@ def lemma_of(term: Column) -> Column:
                 F.lit(None).cast("string")
             )
         )
-    return F.when(inflectable, F.coalesce(*cands, term)).otherwise(term)
+    irr = F.try_element_at(
+        F.create_map(*[F.lit(x) for kv in IRREGULAR_LEMMAS.items() for x in kv]),
+        term,
+    )
+    return F.coalesce(
+        irr, F.when(inflectable, F.coalesce(*cands, term)).otherwise(term)
+    )
 
 
 def pos_of_lemma(term: Column, lemma: Column) -> Column:
@@ -234,6 +260,10 @@ def lemma_case_sql(term: str) -> str:
     """lemma_of() as a DuckDB CASE over column `term` (char-based length /
     substr / LIKE are multibyte-correct in DuckDB)."""
     aux = ", ".join(_sql_quote(a) for a in AUXILIARIES)
+    irr = " ".join(
+        f"WHEN {term} = {_sql_quote(form)} THEN {_sql_quote(lem)}"
+        for form, lem in IRREGULAR_LEMMAS.items()
+    )
     whens = " ".join(
         f"WHEN regexp_matches({term}, '{_INFLECTABLE_RE}') "
         f"AND {term} NOT IN ({aux}) "
@@ -241,7 +271,7 @@ def lemma_case_sql(term: str) -> str:
         f"THEN substr({term}, 1, length({term}) - {len(sfx)}) || {_sql_quote(rep)}"
         for sfx, rep in LEMMA_RULES
     )
-    return f"CASE {whens} ELSE {term} END"
+    return f"CASE {irr} {whens} ELSE {term} END"
 
 
 def pos_lemma_case_sql(term: str, lemma: str) -> str:
@@ -260,6 +290,8 @@ def lemma_py(tok: str) -> str:
     """Pure-Python twin of lemma_of()."""
     import re
 
+    if tok in IRREGULAR_LEMMAS:
+        return IRREGULAR_LEMMAS[tok]
     if tok not in AUXILIARIES and re.fullmatch(_INFLECTABLE_RE.strip("^$"), tok):
         for sfx, rep in LEMMA_RULES:
             if tok.endswith(sfx) and len(tok) > len(sfx):

@@ -7549,31 +7549,46 @@ def _bpe_iter_sql(prev: str, this: str, it: int) -> str:
       SELECT {it} AS merge_idx, l, r, weight FROM p{it}
       ORDER BY weight DESC, l, r LIMIT 1
     ), {this} AS MATERIALIZED (
-      SELECT cnt,
+      SELECT word, cnt,
         replace(rep, chr(31) || m.l || chr(31) || chr(31) || m.r || chr(31),
                      chr(31) || m.l || m.r || chr(31)) AS rep
       FROM {prev} CROSS JOIN m{it} m
     )"""
 
 
-_BPE_LEARN_SQL = f"""
-    WITH w AS (
+# shared CTE chain: word dict → wrapped-symbol strings → 4 replayed merges
+_BPE_CTES = f"""
+    w AS (
       SELECT unnest(list_filter(string_split(lower(text), ' '),
                                 x -> x != '')) AS word
       FROM documents
     ), wc AS (
       SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1
     ), s0 AS MATERIALIZED (
-      SELECT cnt, chr(31) || array_to_string(string_split(word, ''),
-                                             chr(31) || chr(31)) || chr(31)
-        AS rep
+      SELECT word, cnt,
+        chr(31) || array_to_string(string_split(word, ''),
+                                   chr(31) || chr(31)) || chr(31) AS rep
       FROM wc
     ),{_bpe_iter_sql("s0", "s1", 1)},{_bpe_iter_sql("s1", "s2", 2)},{
         _bpe_iter_sql("s2", "s3", 3)},{_bpe_iter_sql("s3", "s4", 4)}
+"""
+
+_BPE_LEARN_SQL = f"""
+    WITH {_BPE_CTES}
     SELECT merge_idx::INT AS merge_idx, l, r, weight FROM (
       SELECT * FROM m1 UNION ALL SELECT * FROM m2
       UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4
     )
+"""
+
+_BPE_ENCODE_SQL = f"""
+    WITH {_BPE_CTES}
+    SELECT word,
+      array_to_string(string_split(substr(rep, 2, length(rep) - 2),
+                                   chr(31) || chr(31)), '|') AS toks,
+      len(string_split(substr(rep, 2, length(rep) - 2),
+                       chr(31) || chr(31)))::BIGINT AS n_tokens
+    FROM s4
 """
 
 
@@ -7594,6 +7609,35 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, l, r, w) for i, (l, r, w) in enumerate(merges)],
         "merge_idx int, l string, r string, weight bigint",
+    )
+
+
+@_q("bpe_encoded_dict", _BPE_ENCODE_SQL)
+def bpe_encoded_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass BPE encode over the word dictionary
+    (lm.bpe_encode_fast): the 4 learned merges apply in ONE Arrow-batched
+    pass per word via the canonical min-rank iteration (Sennrich
+    apply_bpe / GPT-2 encoder) — O(|word| · merges_present) per word
+    instead of one interpreted fold pass over the dictionary PER MERGE
+    (the encode-side twin of the incremental-learner fix). The oracle
+    replays the same 4 merges sequentially with the delimited-string
+    fold; equality here is also the min-rank ≡ sequential equivalence
+    proof on a well-formed learned list, at dictionary scale."""
+    from blogparser_spark.dataops.lm import (
+        bpe_encode_fast,
+        bpe_learn_merges_incremental,
+        word_freq_dict,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_learn_merges_incremental(docs, n_merges=4)
+    wd = word_freq_dict(docs)
+    sym = wd.select("word", F.split("word", "").alias("s"))
+    enc = bpe_encode_fast(sym, merges)
+    return enc.select(
+        "word",
+        F.array_join("s", "|").alias("toks"),
+        F.size("s").cast("bigint").alias("n_tokens"),
     )
 
 

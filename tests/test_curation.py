@@ -979,6 +979,36 @@ def test_bpe_incremental_matches_classic_and_shrinks_scans(spark):
     assert bpe_learn_merges_incremental(tiny, 3) == []
 
 
+def test_bpe_encode_fast_equals_sequential(spark):
+    """Min-rank single-pass encode (bpe_encode_fast) must equal the
+    sequential per-merge fold (bpe_encode) on a well-formed learned list
+    — the classic BPE equivalence — including words untouched by any
+    merge and the empty/one-char edge."""
+    from blogparser_spark.dataops.lm import (
+        bpe_encode,
+        bpe_encode_fast,
+        bpe_learn_merges,
+        word_freq_dict,
+    )
+
+    texts = [
+        "low low low lower lowest newer newest wider wide new",
+        "banana bandana cabana can ban nan anna a",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = bpe_learn_merges(df, 10)
+    assert len(merges) == 10
+    wd = word_freq_dict(df)
+    sym = wd.select("word", F.split("word", "").alias("s"))
+    slow = {r["word"]: list(r["s"]) for r in bpe_encode(sym, merges).collect()}
+    fast = {
+        r["word"]: list(r["s"]) for r in bpe_encode_fast(sym, merges).collect()
+    }
+    assert fast == slow
+    # at least one word actually merged into a multi-char symbol
+    assert any(len(t) > 1 for toks in fast.values() for t in toks)
+
+
 def test_conv_packing_curve_consistency(spark):
     """The curve query must agree with conv_budget_stats at each budget."""
     import blogparser_spark.queries as Q

@@ -209,6 +209,55 @@ def test_lemma_deinflection_inflected_forms():
     assert "飛びます" not in toks and "嬉しかった" not in toks
 
 
+def test_lemma_irregular_verbs_three_twins(spark):
+    """Irregular する/来る forms don't follow the godan/ichidan suffix rows
+    (します would suffix-rewrite to しる, きました to きる) — the exact-match
+    IRREGULAR_LEMMAS stage must fire first, identically in all three twins
+    (Spark Column, generated DuckDB SQL, pure Python)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from blogparser_spark.functions import jpos
+    from blogparser_spark.functions.jpos import IRREGULAR_LEMMAS, lemma_py
+
+    assert lemma_py("します") == "する"
+    assert lemma_py("しました") == "する"
+    assert lemma_py("して") == "する"
+    assert lemma_py("きました") == "くる"
+    assert lemma_py("来ます") == "来る"
+    # a suffix-rule token is untouched by the irregular stage
+    assert lemma_py("話して") == "話す"
+    assert lemma_py("走ります") == "走る"
+
+    toks = sorted(IRREGULAR_LEMMAS) + ["話して", "飛びます", "高い", "は"]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    got_spark = {
+        r["t"]: r["l"]
+        for r in df.select("t", jpos.lemma_of(F.col("t")).alias("l")).collect()
+    }
+    con = duckdb.connect()
+    got_sql = dict(
+        con.execute(
+            "SELECT t, " + jpos.lemma_case_sql("t") + " FROM (SELECT unnest(?) AS t)",
+            [toks],
+        ).fetchall()
+    )
+    want = {t: lemma_py(t) for t in toks}
+    assert got_spark == want
+    assert got_sql == want
+    # irregular lemmas carry verb POS downstream (kept, not dropped)
+    pos = {
+        r["t"]: r["p"]
+        for r in df.select(
+            "t",
+            jpos.pos_of_lemma(
+                F.col("t"), jpos.lemma_of(F.col("t"))
+            ).alias("p"),
+        ).collect()
+    }
+    assert pos["します"] == "動詞-自立" and pos["来ました"] == "動詞-自立"
+
+
 def test_lemma_spark_matches_python_twin(spark):
     """Spark lemma/POS Columns vs the pure-Python twin on inflected text."""
     from pyspark.sql import functions as F

@@ -1122,3 +1122,10 @@ em = _entry2.queries()["linkage_em_weights"](spark, "/root/testdata/sf0.001").co
 assert len(em) == 2 and all(0 <= r.u <= 1 and 0 <= r.m <= 1 and 0 < r.p < 1 for r in em)
 print("em params:", [(r.field, r.m, r.u) for r in em])
 print("DRIVE88 OK")
+
+# batch-7f: single-pass BPE encode (min-rank) == sequential fold, at dict scale
+be = _entry2.queries()["bpe_encoded_dict"](spark, "/root/testdata/sf0.001").collect()
+assert be and all(r.n_tokens >= 1 and r.toks.count("|") == r.n_tokens - 1 for r in be)
+assert any(len(t) > 1 for r in be for t in r.toks.split("|"))
+print("encoded dict words:", len(be))
+print("DRIVE89 OK")
