@@ -112,6 +112,61 @@ def compile_grok(
     return regex, [f for f, _ in typed]
 
 
+def grok_extract_multi(
+    df: DataFrame,
+    patterns: list[str],
+    text_col: str = "text",
+    keep: bool = False,
+    bank: dict[str, str] | None = None,
+) -> DataFrame:
+    """Logstash `match` ARRAY semantics: try grok patterns in order, the
+    first whose regex matches the line wins. Emits the union of all
+    patterns' fields — a field gets the winning pattern's capture (typed
+    per that pattern's `:type` suffix), or NULL when the winner doesn't
+    define it — plus `grok_pattern_idx` (0-based winner, NULL on no
+    match: the dead-letter routing key). Still one codegen pass: N rlike
+    predicates fold into one CASE per field; no UDF.
+
+    A field named by several patterns must carry the same type suffix in
+    each (the analyzer can't give one column two types); that conflict
+    raises at compile time, not as a runtime cast surprise."""
+    compiled = [compile_grok_typed(p, bank) for p in patterns]
+    # field -> type consistency across patterns
+    ftype: dict[str, str | None] = {}
+    order: list[str] = []
+    for _, fl in compiled:
+        for f, t in fl:
+            if f in ftype and ftype[f] != t:
+                raise ValueError(
+                    f"field {f!r} has conflicting type suffixes across patterns"
+                )
+            if f not in ftype:
+                ftype[f] = t
+                order.append(f)
+    idx = F.lit(None).cast("int")
+    for i in range(len(compiled) - 1, -1, -1):
+        idx = F.when(
+            F.col(text_col).rlike(compiled[i][0]), F.lit(i)
+        ).otherwise(idx)
+    cols: list[Column] = []
+    for f in order:
+        expr = F.lit(None).cast("string")
+        for i in range(len(compiled) - 1, -1, -1):
+            rx, fl = compiled[i]
+            names = [n for n, _ in fl]
+            if f in names:
+                expr = F.when(
+                    idx == i, F.regexp_extract(F.col(text_col), rx, names.index(f) + 1)
+                ).otherwise(expr)
+        if ftype[f] is not None:
+            expr = expr.cast(GROK_TYPES[ftype[f]][0])
+        cols.append(expr.alias(f))
+    cols.append(idx.alias("grok_pattern_idx"))
+    if keep:
+        return df.select("*", *cols)
+    return df.select(*cols)
+
+
 def grok_extract(
     df: DataFrame,
     pattern: str,

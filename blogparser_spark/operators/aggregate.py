@@ -382,6 +382,37 @@ def extremum_serve(
     )
 
 
+def repair_extremum_ledger(
+    state: DataFrame,
+    base: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    k: int = 8,
+    largest: bool = True,
+) -> DataFrame:
+    """Close the IVM lifecycle: rebuild the ledger ONLY for keys whose
+    serve flagged needs_recompute (exhausted, or refilled on the wrong
+    side of floor), from the current base relation — every healthy key's
+    state passes through untouched, so the recompute cost is proportional
+    to the damaged key set, not the view. The rebuilt keys get a fresh
+    floor (NULL unless they re-truncate), clearing the flag.
+
+    Shape: one anti-join to keep healthy state + one semi-join to scope
+    the base scan to flagged keys before the (key, value) agg — at 100 TB
+    the semi-join prunes the rebuild to the damaged keys' partitions."""
+    kc = list(key_cols)
+    flagged = (
+        extremum_serve(state, kc, value_col, largest)
+        .filter(F.col("needs_recompute"))
+        .select(*kc)
+    )
+    healthy = state.join(flagged, kc, "left_anti")
+    rebuilt = extremum_ledger(
+        base.join(flagged, kc, "left_semi"), kc, value_col, k, largest
+    )
+    return healthy.unionByName(rebuilt)
+
+
 def apply_retractable_delta(
     state: DataFrame,
     delta: DataFrame,

@@ -7464,6 +7464,99 @@ def grok_mismatch_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROK_ALT_PATTERN = "evt:%{WORD:evt} uid:%{NOTSPACE:user} seq:%{INT:id:int}"
+_GROK_ALT_RX, _ = _compile_grok(_GROK_ALT_PATTERN)
+
+# two wire formats + a garbage subset: even event_ids emit the bracketed
+# format (pattern 0), odd ones the key:value format (pattern 1), every
+# 11th a line matching neither — the Logstash `match` array fixture.
+_GROK_MIXED_LINES_SQL = """
+    mlines AS (
+      SELECT CASE
+        WHEN event_id % 11 = 0 THEN 'garbage ' || event_id::VARCHAR
+        WHEN event_id % 2 = 0 THEN
+          '[' || strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') || '] '
+          || ['INFO','WARN','ERROR'][(event_id % 3)::INT + 1]
+          || ' user=' || user_id || ' evt=' || event_type
+          || ' id=' || event_id::VARCHAR
+          || ' dur=' || (event_id % 97)::VARCHAR || '.'
+          || (event_id % 10)::VARCHAR
+        ELSE 'evt:' || event_type || ' uid:' || user_id
+          || ' seq:' || event_id::VARCHAR
+      END AS line
+      FROM events
+    )
+"""
+
+
+@_q(
+    "grok_multi_pattern_route",
+    f"""
+    WITH {_GROK_MIXED_LINES_SQL}, p AS (
+      SELECT line,
+        CASE WHEN regexp_matches(line, '{_GROK_RX}') THEN 0
+             WHEN regexp_matches(line, '{_GROK_ALT_RX}') THEN 1 END AS gidx
+      FROM mlines
+    )
+    SELECT
+      CASE WHEN gidx = 0 THEN regexp_extract(line, '{_GROK_RX}', 1) END AS ts,
+      CASE WHEN gidx = 0 THEN regexp_extract(line, '{_GROK_RX}', 2) END AS level,
+      CASE WHEN gidx = 0 THEN regexp_extract(line, '{_GROK_RX}', 3)
+           WHEN gidx = 1 THEN regexp_extract(line, '{_GROK_ALT_RX}', 2)
+      END AS user,
+      CASE WHEN gidx = 0 THEN regexp_extract(line, '{_GROK_RX}', 4)
+           WHEN gidx = 1 THEN regexp_extract(line, '{_GROK_ALT_RX}', 1)
+      END AS evt,
+      TRY_CAST(CASE WHEN gidx = 0 THEN regexp_extract(line, '{_GROK_RX}', 5)
+                    WHEN gidx = 1 THEN regexp_extract(line, '{_GROK_ALT_RX}', 3)
+               END AS BIGINT) AS id,
+      TRY_CAST(CASE WHEN gidx = 0 THEN regexp_extract(line, '{_GROK_RX}', 6)
+               END AS DOUBLE) AS dur_ms,
+      gidx::INT AS grok_pattern_idx
+    FROM p
+    """,
+)
+def grok_multi_pattern_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logstash `match`-array semantics (grok.grok_extract_multi): two
+    wire formats tried in order, first matching pattern wins; the output
+    is the union of both patterns' fields (NULL where the winner doesn't
+    define one) plus grok_pattern_idx — 0/1 routing key, NULL for the
+    garbage subset (dead-letter). Still ONE codegen pass: the N rlike
+    predicates fold into a CASE per field, no UDF; the oracle runs the
+    identical compiled regexes."""
+    from blogparser_spark.functions.grok import grok_extract_multi
+
+    e = _events(spark, sf_dir)
+    levels = F.array(F.lit("INFO"), F.lit("WARN"), F.lit("ERROR"))
+    fmt_a = F.concat(
+        F.lit("["),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"),
+        F.lit("] "),
+        F.element_at(levels, (F.col("event_id") % 3 + 1).cast("int")),
+        F.lit(" user="), F.col("user_id"),
+        F.lit(" evt="), F.col("event_type"),
+        F.lit(" id="), F.col("event_id"),
+        F.lit(" dur="), F.col("event_id") % 97, F.lit("."),
+        F.col("event_id") % 10,
+    )
+    fmt_b = F.concat(
+        F.lit("evt:"), F.col("event_type"),
+        F.lit(" uid:"), F.col("user_id"),
+        F.lit(" seq:"), F.col("event_id"),
+    )
+    line = (
+        F.when(F.col("event_id") % 11 == 0,
+               F.concat(F.lit("garbage "), F.col("event_id")))
+        .when(F.col("event_id") % 2 == 0, fmt_a)
+        .otherwise(fmt_b)
+    )
+    return grok_extract_multi(
+        e.select(line.alias("line")),
+        [_GROK_LINE_PATTERN, _GROK_ALT_PATTERN],
+        "line",
+    )
+
+
 @_q(
     "ul2_denoiser_mix",
     """
@@ -8006,6 +8099,65 @@ def ivm_extremum_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         state, deletes.unionByName(inserts), ["event_type"], "value", k=6
     )
     out = extremum_serve(refreshed, ["event_type"], "value")
+    return out.select(
+        "event_type",
+        F.round(F.col("extremum"), 6).alias("max_value"),
+        "needs_recompute",
+    )
+
+
+@_q(
+    "ivm_extremum_repair",
+    """
+    WITH base AS (
+      SELECT event_type, value FROM events WHERE event_id % 10 != 0
+    ), ranked AS (
+      SELECT event_type, value,
+        dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC)
+          AS dr
+      FROM base
+    ), final AS (
+      SELECT event_type, value FROM ranked WHERE dr > 2
+    )
+    SELECT event_type, round(max(value), 6) AS max_value,
+           FALSE AS needs_recompute
+    FROM final GROUP BY event_type
+    """,
+)
+def ivm_extremum_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full extremum-IVM lifecycle: a k=2 ledger is EXHAUSTED by a
+    CDC delta deleting every row of each key's top-2 distinct values,
+    serve flags needs_recompute (no silent staleness), and
+    repair_extremum_ledger rebuilds ONLY the flagged keys from the
+    current base (semi-join-scoped scan) — after which the served max
+    must equal a full recompute over the final row set (the oracle) with
+    the flag cleared. Detect → targeted repair, never a view-wide
+    recompute."""
+    from blogparser_spark.operators.aggregate import (
+        extremum_ledger,
+        extremum_serve,
+        refresh_extremum_ledger,
+        repair_extremum_ledger,
+    )
+
+    e = _events(spark, sf_dir)
+    base = e.filter(F.col("event_id") % 10 != 0).select("event_type", "value")
+    state = extremum_ledger(base, ["event_type"], "value", k=2)
+    dr = Window.partitionBy("event_type").orderBy(F.desc("value"))
+    top2 = base.withColumn("_dr", F.dense_rank().over(dr)).filter(
+        F.col("_dr") <= 2
+    )
+    deletes = top2.select("event_type", "value").withColumn("op", F.lit("D"))
+    refreshed = refresh_extremum_ledger(
+        state, deletes, ["event_type"], "value", k=2
+    )
+    final_base = base.withColumn("_dr", F.dense_rank().over(dr)).filter(
+        F.col("_dr") > 2
+    ).select("event_type", "value")
+    repaired = repair_extremum_ledger(
+        refreshed, final_base, ["event_type"], "value", k=2
+    )
+    out = extremum_serve(repaired, ["event_type"], "value")
     return out.select(
         "event_type",
         F.round(F.col("extremum"), 6).alias("max_value"),

@@ -201,3 +201,49 @@ def test_grok_roundtrip_property():
             assert typ == {"INT": "int", "NUMBER": "float"}.get(name)
 
     check()
+
+
+def test_grok_extract_multi_first_match_wins(spark):
+    from blogparser_spark.functions.grok import grok_extract_multi
+
+    df = spark.createDataFrame(
+        [
+            ("code=7 dur=1.5",),          # matches pattern 0
+            ("evt:click uid:u9 seq:4",),  # matches pattern 1
+            ("code=8 dur=0.5 evt:x uid:y seq:9",),  # both -> first wins
+            ("nothing here",),            # dead letter
+        ],
+        "text string",
+    )
+    out = grok_extract_multi(
+        df,
+        [
+            "code=%{INT:code:int} dur=%{NUMBER:dur:float}",
+            "evt:%{WORD:evt} uid:%{NOTSPACE:uid} seq:%{INT:code:int}",
+        ],
+    )
+    assert dict(out.dtypes) == {
+        "code": "bigint", "dur": "double", "evt": "string",
+        "uid": "string", "grok_pattern_idx": "int",
+    }
+    rows = out.collect()
+    by_idx = {}
+    for r in rows:
+        by_idx.setdefault(r["grok_pattern_idx"], []).append(r)
+    assert len(by_idx[0]) == 2  # the both-match line routed to pattern 0
+    assert {r["code"] for r in by_idx[0]} == {7, 8}
+    assert all(r["evt"] is None and r["uid"] is None for r in by_idx[0])
+    (p1,) = by_idx[1]
+    assert (p1["evt"], p1["uid"], p1["code"], p1["dur"]) == ("click", "u9", 4, None)
+    (dead,) = by_idx[None]
+    assert all(dead[f] is None for f in ("code", "dur", "evt", "uid"))
+
+
+def test_grok_extract_multi_type_conflict_raises(spark):
+    from blogparser_spark.functions.grok import grok_extract_multi
+
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError):
+        grok_extract_multi(
+            df, ["a=%{INT:v:int}", "b=%{NUMBER:v:float}"]
+        )

@@ -319,3 +319,46 @@ def test_extremum_ledger_min_direction(spark):
     )
     r = extremum_serve(refreshed, ["k"], "value", largest=False).collect()[0]
     assert r["extremum"] == 2.0 and not r["needs_recompute"]
+
+
+def test_extremum_ledger_repair_targets_flagged_keys_only(spark):
+    """repair_extremum_ledger rebuilds exactly the flagged keys from the
+    base relation (semi-join-scoped), leaves healthy keys' state
+    untouched, and clears needs_recompute."""
+    from pyspark.sql import functions as F
+
+    from blogparser_spark.operators.aggregate import (
+        extremum_ledger,
+        extremum_serve,
+        refresh_extremum_ledger,
+        repair_extremum_ledger,
+    )
+
+    rows = [(i, "k%d" % (i % 2), float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, k string, value double")
+    state = extremum_ledger(df, ["k"], "value", k=3)
+    # exhaust k1: delete its whole ledger (19, 17, 15); floor=13 remains
+    wipe = spark.createDataFrame(
+        [(0, "k1", float(v), "D") for v in (19, 17, 15)],
+        "id long, k string, value double, op string",
+    )
+    refreshed = refresh_extremum_ledger(state, wipe, ["k"], "value", k=3)
+    served = {r["k"]: r for r in extremum_serve(refreshed, ["k"], "value").collect()}
+    assert served["k1"]["needs_recompute"] and not served["k0"]["needs_recompute"]
+
+    # the base after the deletes actually happened
+    base = df.filter("not (k = 'k1' and value in (19.0, 17.0, 15.0))")
+    repaired = repair_extremum_ledger(refreshed, base, ["k"], "value", k=3)
+    served2 = {r["k"]: r for r in extremum_serve(repaired, ["k"], "value").collect()}
+    assert not served2["k1"]["needs_recompute"] and served2["k1"]["extremum"] == 13.0
+    # healthy key's ledger rows are byte-identical to pre-repair state
+    pre = sorted(map(tuple, refreshed.filter("k = 'k0'").collect()))
+    post = sorted(map(tuple, repaired.filter("k = 'k0'").collect()))
+    assert pre == post
+    # repaired key keeps maintainability: delete new max, next promotes
+    d2 = spark.createDataFrame(
+        [(0, "k1", 13.0, "D")], "id long, k string, value double, op string"
+    )
+    r2 = refresh_extremum_ledger(repaired, d2, ["k"], "value", k=3)
+    s3 = {r["k"]: r for r in extremum_serve(r2, ["k"], "value").collect()}
+    assert s3["k1"]["extremum"] == 11.0 and not s3["k1"]["needs_recompute"]

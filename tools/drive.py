@@ -1129,3 +1129,20 @@ assert be and all(r.n_tokens >= 1 and r.toks.count("|") == r.n_tokens - 1 for r 
 assert any(len(t) > 1 for r in be for t in r.toks.split("|"))
 print("encoded dict words:", len(be))
 print("DRIVE89 OK")
+
+# batch-7g: extremum IVM lifecycle (exhaust -> flag -> targeted repair)
+xr = _entry2.queries()["ivm_extremum_repair"](spark, "/root/testdata/sf0.001").collect()
+assert xr and all(not r.needs_recompute and r.max_value is not None for r in xr)
+print("repaired keys:", len(xr))
+print("DRIVE90 OK")
+
+# batch-7h: Logstash match-array routing (first pattern wins, union fields)
+mp = _entry2.queries()["grok_multi_pattern_route"](spark, "/root/testdata/sf0.001").collect()
+mpc = {0: 0, 1: 0, None: 0}
+for r in mp:
+    mpc[r.grok_pattern_idx] += 1
+assert mpc[0] > 0 and mpc[1] > 0 and mpc[None] > 0
+assert all(r.id is not None for r in mp if r.grok_pattern_idx is not None)
+assert all(r.dur_ms is None for r in mp if r.grok_pattern_idx != 0)
+print("pattern routing counts:", mpc)
+print("DRIVE91 OK")
