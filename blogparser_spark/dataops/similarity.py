@@ -995,6 +995,53 @@ SRP_BANDS = 4  # bands of SRP_BITS // SRP_BANDS bits each
 SRP_DIM = 64  # embedding dimensionality of the corpus tables
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication over an
+    embedding column — cluster the corpus (here the deterministic IVF
+    quantizer; the paper uses k-means, which `n_cells` + kmeans_refine
+    slot into), form within-cluster cosine-≥-threshold pairs, chain them
+    into duplicate groups, and keep ONE representative per group. The
+    paper's keep rule is reproduced exactly: within a duplicate group,
+    keep the member with the LOWEST cosine to its cluster centroid (the
+    least prototypical example carries the most marginal information);
+    ties break on lowest id.
+
+    Returns one row per duplicate-group member: (id_col, component,
+    cell_sim, keep). Singletons never pair, so they are implicitly kept
+    and never shuffle past the pair join. Scale shape: pairs only form
+    inside cells (the embedding_near_dup_pairs blocking), components via
+    pointer-jumping CC (O(log diameter) rounds), survivor selection one
+    window over group members."""
+    from blogparser_spark.dataops.dedup import connected_components
+
+    cells = assign_ivf_cells(df, n_cells, id_col, vec_col)
+    pairs = embedding_near_dup_pairs(
+        df, threshold, n_cells, id_col, vec_col, cells=cells
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    w = Window.partitionBy("component").orderBy(
+        F.asc("cell_sim"), F.asc("node")
+    )
+    return (
+        comps.join(
+            cells.select(F.col(id_col).alias("node"), "cell_sim"), "node"
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .select(
+            F.col("node").alias(id_col),
+            "component",
+            "cell_sim",
+            (F.col("_r") == 1).alias("keep"),
+        )
+    )
+
+
 def srp_hyperplanes(n_bits: int = SRP_BITS, dim: int = SRP_DIM) -> list[list[float]]:
     """Deterministic 'random' hyperplanes: component (b, d) is md5-derived
     uniform in [-0.5, 0.5). Seed-free so the DuckDB oracle derives the SAME

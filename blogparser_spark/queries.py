@@ -1691,6 +1691,55 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3, n_cells=8)
 
 
+@_q(
+    "semantic_dedup_groups",
+    f"""
+    WITH RECURSIVE {_IVF_CELLS},
+    sd_csim AS (
+      SELECT vec_id, csim AS cell_sim FROM (
+        SELECT vec_id, csim,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS r
+        FROM cscored
+      ) WHERE r = 1
+    ),
+    sd_v AS (
+      SELECT e.vec_id AS id, cells.cell, e.v
+      FROM e JOIN cells ON e.vec_id = cells.vec_id
+    ),
+    sd_pairs AS (
+      SELECT a.id AS ua, b.id AS ub
+      FROM sd_v a JOIN sd_v b ON a.cell = b.cell AND a.id < b.id
+      WHERE round({_COS.format(a="a.v", b="b.v")}, 6) >= 0.3
+    ),
+    sd_edges AS (
+      SELECT ua AS s, ub AS d FROM sd_pairs
+      UNION SELECT ub, ua FROM sd_pairs
+    ),
+    sd_nodes AS (SELECT DISTINCT s AS node FROM sd_edges),
+    sd_reach AS (
+      SELECT node, node AS m FROM sd_nodes
+      UNION
+      SELECT e2.s AS node, r.m FROM sd_edges e2 JOIN sd_reach r ON e2.d = r.node
+    ),
+    sd_comp AS (SELECT node, min(m) AS component FROM sd_reach GROUP BY node)
+    SELECT c.node AS vec_id, c.component::BIGINT AS component, s.cell_sim,
+      (row_number() OVER (PARTITION BY c.component
+                          ORDER BY s.cell_sim ASC, c.node ASC) = 1) AS keep
+    FROM sd_comp c JOIN sd_csim s ON s.vec_id = c.node
+    """,
+)
+def semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semantic_dedup; Abbas et al. 2023): duplicate
+    groups chained from within-cluster cosine pairs (threshold 0.3 on the
+    synthetic embeddings; real corpora use ~0.95), with the paper's keep
+    rule — the group member LEAST similar to its cluster centroid
+    survives. The oracle replays the clustering, the blocked pair join,
+    the transitive closure, and the keep window."""
+    return similarity.semantic_dedup(
+        _emb(spark, sf_dir), threshold=0.3, n_cells=8
+    )
+
+
 # ===========================================================================
 # Text analysis family (dataops.textstats)
 # ===========================================================================

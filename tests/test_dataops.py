@@ -1427,3 +1427,25 @@ def test_fs_em_weights_matches_python_twin(spark):
     for f in ("name", "bal"):
         assert got[f][0] > got[f][1]
     assert 0 < got["name"][2] < 1
+
+
+def test_semantic_dedup_keep_rule(emb):
+    """SemDeDup: exactly one keep per duplicate group, and it is the
+    member LEAST similar to its cluster centroid (lowest cell_sim, id
+    tie-break); singletons never appear (implicitly kept)."""
+    from blogparser_spark.dataops.similarity import semantic_dedup
+
+    out = semantic_dedup(emb, threshold=0.2, n_cells=4).collect()
+    assert out, "fixture must produce at least one duplicate group"
+    groups: dict[int, list] = {}
+    for r in out:
+        groups.setdefault(r["component"], []).append(r)
+    all_ids = {r["vec_id"] for r in out}
+    assert len(all_ids) == len(out)  # one row per member
+    for comp, members in groups.items():
+        assert len(members) >= 2  # singletons never pair
+        keeps = [m for m in members if m["keep"]]
+        assert len(keeps) == 1
+        want = min(members, key=lambda m: (m["cell_sim"], m["vec_id"]))
+        assert keeps[0]["vec_id"] == want["vec_id"]
+        assert comp == min(m["vec_id"] for m in members)

@@ -1146,3 +1146,12 @@ assert all(r.id is not None for r in mp if r.grok_pattern_idx is not None)
 assert all(r.dur_ms is None for r in mp if r.grok_pattern_idx != 0)
 print("pattern routing counts:", mpc)
 print("DRIVE91 OK")
+
+# batch-7i: SemDeDup semantic duplicate groups (keep = least prototypical)
+sd = _entry2.queries()["semantic_dedup_groups"](spark, "/root/testdata/sf0.001").collect()
+sdg = {}
+for r in sd:
+    sdg.setdefault(r.component, []).append(r)
+assert sdg and all(sum(m.keep for m in ms) == 1 and len(ms) >= 2 for ms in sdg.values())
+print("semantic dup groups:", len(sdg), "members:", len(sd))
+print("DRIVE92 OK")
