@@ -1221,6 +1221,64 @@ def hard_negative_topk(
 
 
 
+def int8_quant_audit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension symmetric int8 quantization audit — the serving
+    question next to matryoshka truncation: if stored embeddings compress
+    4× to int8 (per-channel absmax scaling, the standard embedding-store
+    scheme), how much cosine fidelity survives? Per dimension the corpus
+    absmax sets the scale (absmax/127); each element quantizes with the
+    tie-free sign·floor(|x|/s + 0.5) (clamped at 127) and reconstructs as
+    q·s; per vector the audit reports max |error|, MSE, and the cosine
+    between original and reconstruction.
+
+    Scale shape: ONE posexplode partial agg produces the d-row absmax
+    table (d-bounded driver state, the kmeans-centroid convention), which
+    re-enters as an array literal; everything else is per-row bounded-
+    array arithmetic — left folds so both engines run identical fp ops,
+    round-6 outputs."""
+    dim_rows = (
+        emb.select(F.posexplode(_dvec(F.col(vec_col))).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.max(F.abs(F.col("x"))).alias("am"))
+        .collect()
+    )
+    scales = [
+        max(float(r["am"]) / 127, 1e-12)
+        for r in sorted(dim_rows, key=lambda r: r["d"])
+    ]
+    n_dims = len(scales)
+    sl = F.array(*[F.lit(s) for s in scales])
+    v = _dvec(F.col(vec_col))
+
+    def _recon(x, s):
+        q = F.least(
+            F.floor(F.abs(x) / s + F.lit(0.5)).cast("double"), F.lit(127.0)
+        )
+        return q * s * F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+
+    recon = F.zip_with(v, sl, _recon)
+    sq_err = F.aggregate(
+        F.zip_with(v, recon, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    max_err = F.aggregate(
+        F.zip_with(v, recon, lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return emb.select(
+        F.col(id_col),
+        F.round(max_err, 6).alias("max_abs_err"),
+        F.round(sq_err / F.lit(float(n_dims)), 6).alias("mse"),
+        F.round(cosine(v, recon), 6).alias("cos_recon"),
+    )
+
+
 def matryoshka_energy(
     emb: DataFrame,
     dims: tuple[int, ...] = (4, 8, 16),

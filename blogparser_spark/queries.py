@@ -7221,6 +7221,47 @@ def matryoshka_energy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "int8_quant_audit",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), dmax AS (
+      SELECT i, max(abs(e[i])) AS am
+      FROM v, unnest(range(1, 65)) AS t(i)
+      GROUP BY i
+    ), scl AS (
+      SELECT list(greatest(am / 127, 1e-12) ORDER BY i) AS sl FROM dmax
+    ), r AS (
+      SELECT vec_id, e,
+        list_transform(range(1, 65), i ->
+          least(floor(abs(e[i]) / sl[i] + 0.5), 127)
+          * sl[i] * (CASE WHEN e[i] < 0 THEN -1 ELSE 1 END)) AS rec
+      FROM v CROSS JOIN scl
+    )
+    SELECT vec_id,
+      round(list_aggregate(
+        list_transform(range(1, 65), i -> abs(e[i] - rec[i])), 'max'), 6)
+        AS max_abs_err,
+      round(list_aggregate(
+        list_transform(range(1, 65), i -> (e[i] - rec[i]) * (e[i] - rec[i])),
+        'sum') / 64, 6) AS mse,
+      round({_COS.format(a="e", b="rec")}, 6) AS cos_recon
+    FROM r
+    """,
+)
+def int8_quant_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding-store audit (similarity.int8_quant_audit): per-dim
+    absmax symmetric quantization (the standard 4×-compression scheme for
+    a served embedding corpus) scored per vector — max |error|, MSE, and
+    original-vs-reconstruction cosine. One posexplode partial agg for the
+    d-row scale table (d-bounded driver state); per-row bounded-array
+    folds; the serving sibling of matryoshka_energy_audit."""
+    from blogparser_spark.dataops.similarity import int8_quant_audit
+
+    return int8_quant_audit(_emb(spark, sf_dir))
+
+
+@_q(
     "keyword_tag_docs",
     """
     WITH occ AS (

@@ -1449,3 +1449,27 @@ def test_semantic_dedup_keep_rule(emb):
         want = min(members, key=lambda m: (m["cell_sim"], m["vec_id"]))
         assert keeps[0]["vec_id"] == want["vec_id"]
         assert comp == min(m["vec_id"] for m in members)
+
+
+def test_int8_quant_audit_bounds(emb):
+    """Quantization error is bounded by half a step per dimension:
+    max_abs_err <= max(scale)/2 + eps, cosine stays near 1, and a corpus
+    whose values all fit the scale reconstructs within tolerance."""
+    from blogparser_spark.dataops.similarity import int8_quant_audit
+
+    rows = int8_quant_audit(emb).collect()
+    assert len(rows) == 40
+    # bound: per-dim |err| <= s_d/2; global bound via the largest scale
+    import math
+
+    vals = [
+        x
+        for r in emb.select("embedding").collect()
+        for x in r["embedding"]
+    ]
+    absmax = max(abs(v) for v in vals)
+    step = max(absmax / 127, 1e-12)
+    for r in rows:
+        assert r["max_abs_err"] <= step / 2 + 1e-9
+        assert r["mse"] <= (step / 2) ** 2 + 1e-9
+        assert r["cos_recon"] > 0.999

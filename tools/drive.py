@@ -1155,3 +1155,9 @@ for r in sd:
 assert sdg and all(sum(m.keep for m in ms) == 1 and len(ms) >= 2 for ms in sdg.values())
 print("semantic dup groups:", len(sdg), "members:", len(sd))
 print("DRIVE92 OK")
+
+# batch-7j: int8 embedding quantization audit
+iq = _entry2.queries()["int8_quant_audit"](spark, "/root/testdata/sf0.001").collect()
+assert iq and all(r.cos_recon > 0.99 and r.max_abs_err >= 0 for r in iq)
+print("int8 audit vecs:", len(iq), "worst cos:", min(r.cos_recon for r in iq))
+print("DRIVE93 OK")
