@@ -1362,3 +1362,125 @@ def denoiser_mix_plan(
         span.cast("int").alias("mean_span"),
         F.round(n * rate, 0).cast("bigint").alias("n_targets"),
     )
+
+
+def linear_probe_gd(
+    docs: DataFrame,
+    label: Column,
+    n_buckets: int = 16,
+    iters: int = 2,
+    lr_den: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed quality LINEAR PROBE trained by fixed-iteration
+    gradient descent — the trainable sibling of the rule-based quality
+    banks (the fastText/CCNet-style classifier pattern: cheap hashed
+    bag-of-words features, a linear scorer, weak labels). Features are
+    md5-hashed token-count buckets (+ an always-1 bias bucket), the label
+    any Column predicate; the model is squared-loss linear regression,
+    gradient w ← w − (1/lr_den)·Xᵀ(Xw − y).
+
+    Cross-engine exactness (the fs_em_weights discipline, taken one step
+    further — NO floating aggregation at all): weights live as integer
+    MICROS, so margins m_u = Σ w_u·x (bigint), residuals r_u = m_u −
+    y·1e6 (bigint), and gradients g_u = Σ r_u·x (bigint) are exact
+    integer sums — aggregation order is never observable; the only float
+    op is the per-bucket step floor(g_u/lr_den + 0.5), identical IEEE ops
+    on identical values in both engines. Per iteration: one broadcast
+    join + two keyed partial aggs over the long-form feature table;
+    (n_buckets+1)-row driver state (the kmeans-centroid bound).
+
+    Returns (bucket, w_u) for buckets 0..n_buckets (bucket n_buckets is
+    the bias), after `iters` rounds from w=0. The default step is
+    1/trace(XᵀX) (trace = Σ x², one exact-integer agg): trace bounds
+    λ_max, so the squared-loss descent condition step < 2/λ_max holds by
+    construction — no tuning, no divergence."""
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    feats = (
+        docs.select(
+            id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+        )
+        .groupBy(id_col, bucket.alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    bias = docs.select(
+        id_col,
+        F.lit(n_buckets).cast("long").alias("bucket"),
+        F.lit(1).cast("bigint").alias("cnt"),
+    )
+    x = feats.unionByName(bias).localCheckpoint()
+    if lr_den is None:
+        lr_den = float(
+            x.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("t")).collect()[0]["t"]
+        )
+    yd = docs.select(
+        id_col, label.cast("int").cast("bigint").alias("y")
+    ).localCheckpoint()
+    w = {b: 0 for b in range(n_buckets + 1)}
+    for _ in range(iters):
+        wdf = docs.sparkSession.createDataFrame(
+            [(b, wu) for b, wu in w.items()], "bucket long, w_u long"
+        )
+        m = (
+            x.join(F.broadcast(wdf), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("w_u") * F.col("cnt")).alias("m_u"))
+        )
+        r = yd.join(m, id_col).select(
+            id_col, (F.col("m_u") - F.col("y") * F.lit(1_000_000)).alias("r_u")
+        )
+        grad = (
+            x.join(r, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("r_u") * F.col("cnt")).alias("g_u"))
+            .collect()
+        )
+        for row in grad:
+            w[int(row["bucket"])] -= math.floor(
+                int(row["g_u"]) / lr_den + 0.5
+            )
+    return docs.sparkSession.createDataFrame(
+        sorted(w.items()), "bucket int, w_u bigint"
+    )
+
+
+def linear_probe_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents with a trained linear probe: (id_col, score_u)
+    where score_u = Σ w_u·x in integer micros — one broadcast join + one
+    partial agg, the serve path of linear_probe_gd."""
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    feats = (
+        docs.select(
+            id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+        )
+        .groupBy(id_col, bucket.alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .unionByName(
+            docs.select(
+                id_col,
+                F.lit(n_buckets).cast("long").alias("bucket"),
+                F.lit(1).cast("bigint").alias("cnt"),
+            )
+        )
+    )
+    return (
+        feats.join(
+            F.broadcast(weights.select(F.col("bucket").cast("long"), "w_u")),
+            "bucket",
+        )
+        .groupBy(id_col)
+        .agg(F.sum(F.col("w_u") * F.col("cnt")).alias("score_u"))
+    )

@@ -7775,6 +7775,68 @@ _BPE_ENCODE_SQL = f"""
 """
 
 
+_PROBE_SQL = """
+    WITH xw AS MATERIALIZED (
+      SELECT doc_id, (('0x' || substr(md5(tok), 1, 8))::BIGINT % 16) AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM (SELECT doc_id,
+              unnest(list_filter(string_split(lower(text), ' '),
+                                 t -> t != '')) AS tok
+            FROM documents)
+      GROUP BY 1, 2
+      UNION ALL
+      SELECT doc_id, 16 AS bucket, 1::BIGINT FROM documents
+    ),
+    yd AS MATERIALIZED (
+      SELECT doc_id,
+        (CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END)::BIGINT AS y
+      FROM documents
+    ),
+    nn AS (SELECT sum(cnt * cnt)::BIGINT AS tr FROM xw),
+    spine AS (SELECT unnest(range(0, 17))::BIGINT AS bucket),
+    g1 AS (
+      SELECT bucket, sum((0 - y * 1000000) * cnt)::BIGINT AS g_u
+      FROM xw JOIN yd USING (doc_id) GROUP BY bucket
+    ),
+    w1 AS MATERIALIZED (
+      SELECT s.bucket,
+        (0 - floor(coalesce(g1.g_u, 0) / (1.0 * tr) + 0.5))::BIGINT AS w_u
+      FROM spine s LEFT JOIN g1 USING (bucket) CROSS JOIN nn
+    ),
+    m2 AS (
+      SELECT doc_id, sum(w1.w_u * xw.cnt)::BIGINT AS m_u
+      FROM xw JOIN w1 USING (bucket) GROUP BY doc_id
+    ),
+    g2 AS (
+      SELECT xw.bucket,
+        sum((m2.m_u - yd.y * 1000000) * xw.cnt)::BIGINT AS g_u
+      FROM xw JOIN m2 USING (doc_id) JOIN yd USING (doc_id)
+      GROUP BY xw.bucket
+    )
+    SELECT w1.bucket::INT AS bucket,
+      (w1.w_u - floor(coalesce(g2.g_u, 0) / (1.0 * tr) + 0.5))::BIGINT AS w_u
+    FROM w1 LEFT JOIN g2 USING (bucket) CROSS JOIN nn
+"""
+
+
+@_q("quality_linear_probe_weights", _PROBE_SQL)
+def quality_linear_probe_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality scorer (curation.linear_probe_gd): a linear
+    probe over md5-hashed token-count buckets + bias, trained with 2
+    fixed gradient-descent rounds against a weak label (doc mentions
+    'join') — the fastText/CCNet classifier pattern as a distributed
+    job. Weights live in integer micros, so margins, residuals, and
+    gradients are exact integer sums (aggregation order never
+    observable); the oracle replays both GD rounds as unrolled CTEs and
+    matches bit-for-bit."""
+    from blogparser_spark.dataops.curation import linear_probe_gd
+
+    d = _docs(spark, sf_dir)
+    return linear_probe_gd(
+        d, F.col("text").contains("join"), n_buckets=16, iters=2
+    )
+
+
 @_q("bpe_learned_merges", _BPE_LEARN_SQL)
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge LEARNING with delta-maintained pair counts

@@ -1084,3 +1084,72 @@ def test_bpe_fertility_empty_corpus(spark):
         f = bpe_fertility(df, [])
         assert f["n_token_occurrences"] == 0
         assert f["tokens_per_word"] == 0.0
+
+
+def test_linear_probe_gd_learns_and_is_exact(spark):
+    """The integer-GD linear probe must (a) reduce squared training loss
+    round over round, (b) separate the classes (mean score of positive
+    docs above negative), and (c) match a pure-Python twin bit-for-bit
+    (same integer-micro arithmetic)."""
+    import math
+
+    from blogparser_spark.dataops.curation import (
+        linear_probe_gd,
+        linear_probe_score,
+    )
+
+    rows = [
+        (i, ("good join fast join " if i % 3 == 0 else "slow scan noise ") * 3
+         + "word%d" % i)
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    label = F.col("text").contains("join")
+
+    # python twin over the same hashed features
+    import hashlib
+
+    def bucket(tok, nb=16):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % nb
+
+    feats, ys = {}, {}
+    for i, t in rows:
+        ys[i] = 1 if "join" in t else 0
+        f: dict[int, int] = {16: 1}
+        for tok in t.lower().split():
+            if tok:
+                b = bucket(tok)
+                f[b] = f.get(b, 0) + 1
+        feats[i] = f
+    lr_den = float(sum(c * c for f in feats.values() for c in f.values()))
+
+    def run_twin(iters):
+        w = {b: 0 for b in range(17)}
+        losses = []
+        for _ in range(iters):
+            g = {b: 0 for b in range(17)}
+            loss = 0.0
+            for i, f in feats.items():
+                m_u = sum(w[b] * c for b, c in f.items())
+                r_u = m_u - ys[i] * 1_000_000
+                loss += (r_u / 1e6) ** 2
+                for b, c in f.items():
+                    g[b] += r_u * c
+            losses.append(loss)
+            for b in range(17):
+                w[b] -= math.floor(g[b] / lr_den + 0.5)
+        return w, losses
+
+    w2, losses = run_twin(2)
+    _, losses3 = run_twin(3)
+    assert losses3[1] < losses3[0] and losses3[2] < losses3[1]
+
+    got = {r["bucket"]: r["w_u"] for r in linear_probe_gd(docs, label, iters=2).collect()}
+    assert got == w2
+
+    # the trained scorer separates the classes
+    wdf = spark.createDataFrame(sorted(w2.items()), "bucket int, w_u bigint")
+    scores = {r["doc_id"]: r["score_u"] for r in linear_probe_score(docs, wdf).collect()}
+    pos = [scores[i] for i in scores if ys[i] == 1]
+    neg = [scores[i] for i in scores if ys[i] == 0]
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)

@@ -1161,3 +1161,9 @@ iq = _entry2.queries()["int8_quant_audit"](spark, "/root/testdata/sf0.001").coll
 assert iq and all(r.cos_recon > 0.99 and r.max_abs_err >= 0 for r in iq)
 print("int8 audit vecs:", len(iq), "worst cos:", min(r.cos_recon for r in iq))
 print("DRIVE93 OK")
+
+# batch-7k: trainable quality linear probe (exact-integer GD)
+lp = _entry2.queries()["quality_linear_probe_weights"](spark, "/root/testdata/sf0.001").collect()
+assert len(lp) == 17 and any(r.w_u != 0 for r in lp)
+print("probe weights:", sorted((r.bucket, r.w_u) for r in lp)[:4], "...")
+print("DRIVE94 OK")
