@@ -548,3 +548,72 @@ def read_lateness_state(spark: SparkSession, state_path: str) -> DataFrame:
     return spark.read.parquet(state_path).dropDuplicates(["batch_id"]).orderBy(
         "batch_id"
     )
+
+
+def run_streaming_ivm(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema: str,
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    op_col: str = "op",
+) -> None:
+    """Streaming incremental view maintenance over a CDC feed: each
+    micro-batch of op∈{'I','D'} rows reduces to its per-key SIGNED delta
+    state (cnt, decimal vsum — the apply_retractable_delta algebra) and
+    APPENDS it tagged with the batch id; the live view is the fold of
+    everything appended (read_ivm_state). Like the CMS sink, signed
+    addition is not idempotent, so at-least-once replay safety comes
+    relationally: a re-delivered batch re-computes the IDENTICAL delta
+    rows under the same batch_id (the reduction is deterministic), and
+    the reader collapses per-(batch_id, key) duplicates before summing
+    across batches. The raw CDC rows are never retained — per batch only
+    |keys| rows land in the sink, the 10^12-row-feed shape."""
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    kc = list(key_cols)
+
+    def delta_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sign = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
+        d = batch_df.groupBy(*kc).agg(
+            F.sum(sign).cast("bigint").alias("cnt"),
+            F.sum(sign * F.col(value_col).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("vsum"),
+        )
+        d.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(output_path)
+
+    q = (
+        stream.writeStream.foreachBatch(delta_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_ivm_state(
+    spark: SparkSession, path: str, key_cols: tuple[str, ...] = ("event_type",)
+) -> DataFrame:
+    """Collapse the appended per-batch signed deltas to the live view:
+    dedup replayed deliveries per (batch_id, key) — identical rows by
+    construction, max() is the identity collapse — then fold across
+    batches; zero-count groups vanish exactly as the batch algebra's
+    refresh does."""
+    kc = list(key_cols)
+    per_batch = (
+        spark.read.parquet(path)
+        .groupBy(*kc, "batch_id")
+        .agg(F.max("cnt").alias("cnt"), F.max("vsum").alias("vsum"))
+    )
+    return (
+        per_batch.groupBy(*kc)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("vsum").cast("decimal(18,2)").alias("vsum"),
+        )
+        .filter(F.col("cnt") != 0)
+    )

@@ -496,3 +496,67 @@ def test_lateness_audit_metrics_reader(spark, tmp_path):
     )
     assert sum(a["input_rows"] for a in audit) > 0
     assert all(a["state_rows"] >= 0 and a["dropped_by_watermark"] >= 0 for a in audit)
+
+
+def test_streaming_ivm_matches_batch_and_replay_dedup(spark, tmp_path):
+    """The folded streaming CDC state must equal apply_retractable_delta
+    over the same feed (stream-vs-batch parity), and a replayed batch
+    delivery (same batch_id, identical signed-delta rows) must not
+    double-apply — signed addition is not idempotent, so read_ivm_state's
+    per-(batch_id, key) collapse is what restores exactly-once."""
+    from blogparser_spark.operators.aggregate import (
+        apply_retractable_delta,
+        retractable_state,
+    )
+    from blogparser_spark.streaming.pipeline import (
+        read_ivm_state,
+        run_streaming_ivm,
+    )
+
+    schema = "event_type string, value double, op string"
+    rows1 = [("click", 2.0, "I"), ("click", 3.0, "I"), ("view", 1.0, "I")]
+    rows2 = [("click", 2.0, "D"), ("view", 4.0, "I"), ("buy", 9.0, "I"),
+             ("view", 1.0, "D"), ("view", 4.0, "D")]
+    inp = str(tmp_path / "cdc")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    out = str(tmp_path / "ivm")
+    run_streaming_ivm(spark, inp, out, str(tmp_path / "ckpt"), schema)
+
+    got = {
+        r["event_type"]: (r["cnt"], float(r["vsum"]))
+        for r in read_ivm_state(spark, out).collect()
+    }
+    # batch twin: empty base + the whole feed as one delta
+    base = retractable_state(
+        spark.createDataFrame([], schema).withColumnRenamed("op", "_"),
+        ["event_type"], "value",
+    )
+    want_df = apply_retractable_delta(
+        base,
+        spark.createDataFrame(rows1 + rows2, schema),
+        ["event_type"],
+        "value",
+    )
+    want = {
+        r["event_type"]: (r["cnt"], float(r["vsum"]))
+        for r in want_df.collect()
+    }
+    assert got == want
+    assert got["click"] == (1, 3.0)  # insert 2+3, delete 2
+    assert "view" not in got  # fully retracted group vanishes
+
+    # at-least-once replay: re-deliver one whole batch's delta rows
+    state = spark.read.parquet(out)
+    first_bid = state.agg(F.min("batch_id")).collect()[0][0]
+    state.filter(F.col("batch_id") == first_bid).write.mode("append").parquet(out)
+    replayed = {
+        r["event_type"]: (r["cnt"], float(r["vsum"]))
+        for r in read_ivm_state(spark, out).collect()
+    }
+    assert replayed == want

@@ -1167,3 +1167,20 @@ lp = _entry2.queries()["quality_linear_probe_weights"](spark, "/root/testdata/sf
 assert len(lp) == 17 and any(r.w_u != 0 for r in lp)
 print("probe weights:", sorted((r.bucket, r.w_u) for r in lp)[:4], "...")
 print("DRIVE94 OK")
+
+# batch-7l: streaming CDC incremental view maintenance (replay-safe fold)
+from blogparser_spark.streaming.pipeline import read_ivm_state, run_streaming_ivm
+
+_sivm = _tf.mkdtemp(prefix="drv_sivm_")
+_sch = "event_type string, value double, op string"
+spark.createDataFrame(
+    [("click", 2.0, "I"), ("click", 3.0, "I"), ("view", 1.0, "I")], _sch
+).coalesce(1).write.mode("overwrite").parquet(f"{_sivm}/in")
+spark.createDataFrame(
+    [("click", 2.0, "D"), ("view", 1.0, "D"), ("buy", 9.0, "I")], _sch
+).coalesce(1).write.mode("append").parquet(f"{_sivm}/in")
+run_streaming_ivm(spark, f"{_sivm}/in", f"{_sivm}/out", f"{_sivm}/ck", _sch)
+_ivm_live = {(r.event_type, r.cnt, float(r.vsum)) for r in read_ivm_state(spark, f"{_sivm}/out").collect()}
+assert _ivm_live == {("click", 1, 3.0), ("buy", 1, 9.0)}
+print("streaming ivm state:", sorted(_ivm_live))
+print("DRIVE95 OK")
