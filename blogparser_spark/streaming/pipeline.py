@@ -617,3 +617,107 @@ def read_ivm_state(
         )
         .filter(F.col("cnt") != 0)
     )
+
+
+def run_streaming_extremum(
+    spark: SparkSession,
+    input_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    schema: str,
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    op_col: str = "op",
+    k: int = 8,
+    largest: bool = True,
+) -> None:
+    """Streaming MIN/MAX maintenance under retractions: each CDC
+    micro-batch folds into the persisted extremum LEDGER
+    (aggregate.refresh_extremum_ledger — the k-candidate state that
+    makes deletes of the current extremum cheap and exhaustion explicit)
+    and the refreshed ledger is written as a SNAPSHOT under the batch id.
+    Unlike the append-only sketch/delta sinks, ledger refresh is a
+    stateful rewrite, so the streaming shape is snapshot-per-batch: the
+    reader serves the HIGHEST batch id (read_extremum_state), a replayed
+    batch deterministically rewrites its own snapshot (same input + same
+    prior snapshot → same rows), and the checkpoint serializes batch
+    order. Snapshot size is ≤ k rows per live key — ledger state, never
+    history."""
+    from blogparser_spark.operators.aggregate import refresh_extremum_ledger
+
+    # one file per micro-batch: the ledger fold is genuinely incremental
+    # (availableNow would otherwise coalesce a backlog into one batch)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+    kc = list(key_cols)
+    types = {
+        f.name: f.dataType.simpleString()
+        for f in spark.createDataFrame([], schema).schema.fields
+    }
+    empty_state = spark.createDataFrame(
+        [],
+        ", ".join(
+            [f"{c} {types[c]}" for c in kc]
+            + [
+                f"{value_col} {types[value_col]}",
+                "cnt bigint",
+                f"floor {types[value_col]}",
+            ]
+        ),
+    )
+
+    def refresh_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        snaps = []
+        if os.path.isdir(state_path):
+            snaps = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(state_path)
+                if d.startswith("snap=") and int(d.split("=", 1)[1]) < batch_id
+            )
+        state = (
+            spark.read.parquet(f"{state_path}/snap={snaps[-1]}")
+            if snaps
+            else empty_state
+        )
+        refreshed = refresh_extremum_ledger(
+            state, batch_df, kc, value_col, k=k, largest=largest, op_col=op_col
+        )
+        refreshed.write.mode("overwrite").parquet(
+            f"{state_path}/snap={batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(refresh_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_extremum_state(
+    spark: SparkSession,
+    state_path: str,
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    largest: bool = True,
+) -> DataFrame:
+    """Serve the extremum off the LATEST ledger snapshot (highest batch
+    id) with the exhaustion flag — aggregate.extremum_serve over the
+    live state."""
+    import os
+
+    from blogparser_spark.operators.aggregate import extremum_serve
+
+    snaps = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_path)
+        if d.startswith("snap=")
+    )
+    state = spark.read.parquet(f"{state_path}/snap={snaps[-1]}")
+    return extremum_serve(state, list(key_cols), value_col, largest)

@@ -560,3 +560,56 @@ def test_streaming_ivm_matches_batch_and_replay_dedup(spark, tmp_path):
         for r in read_ivm_state(spark, out).collect()
     }
     assert replayed == want
+
+
+def test_streaming_extremum_ledger_promotes_and_snapshots(spark, tmp_path):
+    """The streaming ledger must equal the batch ledger folded over the
+    same CDC batches: batch 1 builds from inserts, batch 2 deletes the
+    current max and the served extremum promotes the next candidate; the
+    state sink holds one <=k-rows-per-key snapshot per batch, and serving
+    reads only the latest."""
+    import os
+
+    from blogparser_spark.streaming.pipeline import (
+        read_extremum_state,
+        run_streaming_extremum,
+    )
+
+    schema = "event_type string, value double, op string"
+    b1 = [("click", float(v), "I") for v in (1, 3, 5, 7, 9)] + [
+        ("view", 2.0, "I"), ("view", 6.0, "I")
+    ]
+    b2 = [("click", 9.0, "D"), ("view", 8.0, "I")]
+    inp = str(tmp_path / "cdc")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    st = str(tmp_path / "ledger")
+    run_streaming_extremum(
+        spark, inp, st, str(tmp_path / "ck"), schema, k=3
+    )
+    served = {
+        r["event_type"]: r
+        for r in read_extremum_state(spark, st).collect()
+    }
+    # delete-the-max promoted the next candidate; insert raised view's max
+    assert served["click"]["extremum"] == 7.0
+    assert served["view"]["extremum"] == 8.0
+    assert not any(r["needs_recompute"] for r in served.values())
+
+    # snapshot-per-batch layout, each snapshot <= k rows per key (+floor)
+    snaps = sorted(d for d in os.listdir(st) if d.startswith("snap="))
+    assert len(snaps) == 2
+    last = spark.read.parquet(f"{st}/{snaps[-1]}")
+    per_key = {r["event_type"]: 0 for r in last.collect()}
+    for r in last.collect():
+        per_key[r["event_type"]] += 1
+    assert all(n <= 3 for n in per_key.values())
+    # k=3 ledger over 5 click inserts truncated -> floor records the drop
+    assert any(
+        r["floor"] is not None for r in last.filter("event_type='click'").collect()
+    )

@@ -1184,3 +1184,20 @@ _ivm_live = {(r.event_type, r.cnt, float(r.vsum)) for r in read_ivm_state(spark,
 assert _ivm_live == {("click", 1, 3.0), ("buy", 1, 9.0)}
 print("streaming ivm state:", sorted(_ivm_live))
 print("DRIVE95 OK")
+
+# batch-7m: streaming extremum ledger (snapshot-per-batch, delete-the-max)
+from blogparser_spark.streaming.pipeline import read_extremum_state, run_streaming_extremum
+
+_sx = _tf.mkdtemp(prefix="drv_sext_")
+_sch2 = "event_type string, value double, op string"
+spark.createDataFrame(
+    [("click", float(v), "I") for v in (1, 3, 5, 7, 9)], _sch2
+).coalesce(1).write.mode("overwrite").parquet(f"{_sx}/in")
+spark.createDataFrame(
+    [("click", 9.0, "D")], _sch2
+).coalesce(1).write.mode("append").parquet(f"{_sx}/in")
+run_streaming_extremum(spark, f"{_sx}/in", f"{_sx}/st", f"{_sx}/ck", _sch2, k=3)
+_sx_rows = read_extremum_state(spark, f"{_sx}/st").collect()
+assert len(_sx_rows) == 1 and _sx_rows[0].extremum == 7.0 and not _sx_rows[0].needs_recompute
+print("streaming extremum promoted:", _sx_rows[0].extremum)
+print("DRIVE96 OK")
