@@ -7837,6 +7837,45 @@ def quality_linear_probe_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "quality_probe_doc_scores",
+    _PROBE_SQL.replace(
+        """    SELECT w1.bucket::INT AS bucket,
+      (w1.w_u - floor(coalesce(g2.g_u, 0) / (1.0 * tr) + 0.5))::BIGINT AS w_u
+    FROM w1 LEFT JOIN g2 USING (bucket) CROSS JOIN nn""",
+        """    , w2 AS MATERIALIZED (
+      SELECT w1.bucket,
+        (w1.w_u - floor(coalesce(g2.g_u, 0) / (1.0 * tr) + 0.5))::BIGINT AS w_u
+      FROM w1 LEFT JOIN g2 USING (bucket) CROSS JOIN nn
+    )
+    SELECT xw.doc_id, sum(w2.w_u * xw.cnt)::BIGINT AS score_u,
+      max(yd.y)::BIGINT AS y
+    FROM xw JOIN w2 USING (bucket) JOIN yd USING (doc_id)
+    GROUP BY xw.doc_id""",
+    ),
+)
+def quality_probe_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The linear probe's SERVE path (curation.linear_probe_score): every
+    document scored by the 2-round-trained weights — integer-micro margin
+    per doc next to its weak label, the table a curation pipeline
+    thresholds on. One broadcast join + one partial agg over the hashed
+    feature table; exact bigint sums, so the oracle (training replay +
+    scoring CTE) matches bit-for-bit."""
+    from blogparser_spark.dataops.curation import (
+        linear_probe_gd,
+        linear_probe_score,
+    )
+
+    d = _docs(spark, sf_dir)
+    label = F.col("text").contains("join")
+    w = linear_probe_gd(d, label, n_buckets=16, iters=2)
+    scores = linear_probe_score(d, w, n_buckets=16)
+    return scores.join(
+        d.select("doc_id", label.cast("int").cast("bigint").alias("y")),
+        "doc_id",
+    )
+
+
 @_q("bpe_learned_merges", _BPE_LEARN_SQL)
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge LEARNING with delta-maintained pair counts

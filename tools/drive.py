@@ -1201,3 +1201,11 @@ _sx_rows = read_extremum_state(spark, f"{_sx}/st").collect()
 assert len(_sx_rows) == 1 and _sx_rows[0].extremum == 7.0 and not _sx_rows[0].needs_recompute
 print("streaming extremum promoted:", _sx_rows[0].extremum)
 print("DRIVE96 OK")
+
+# batch-7n: probe serve path - scored docs separate the weak-label classes
+ps = _entry2.queries()["quality_probe_doc_scores"](spark, "/root/testdata/sf0.001").collect()
+_pos = [r.score_u for r in ps if r.y == 1]
+_neg = [r.score_u for r in ps if r.y == 0]
+assert _pos and _neg and sum(_pos) / len(_pos) > sum(_neg) / len(_neg)
+print("probe scores: pos mean", sum(_pos) // len(_pos), "neg mean", sum(_neg) // len(_neg))
+print("DRIVE97 OK")
