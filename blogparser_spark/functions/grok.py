@@ -41,6 +41,23 @@ GROK_BANK: dict[str, str] = {
     "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
     "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
     "PATH": r"(?:/[\w.-]*)+",
+    # access-log vocabulary (the canonical grok use case), same
+    # Java ∩ RE2 subset; HTTPDATE is the %d/%b/%Y:%H:%M:%S %z shape
+    "HOSTNAME": r"[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?)*",
+    "PORT": r"\d{1,5}",
+    "HTTPDATE": r"\d{2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "HTTPMETHOD": r"(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)",
+    "URIPATHPARAM": r"/[^\s\"]*",
+    "HTTPVERSION": r"HTTP/\d(?:\.\d)?",
+    # composite: the Common Log Format line as one alias — named captures
+    # come from the nested refs, so %{COMMONAPACHELOG} alone yields
+    # clientip/ident/auth/timestamp/verb/request/httpversion/response/bytes
+    "COMMONAPACHELOG": (
+        r'%{IP:clientip} %{NOTSPACE:ident} %{NOTSPACE:auth} '
+        r'\[%{HTTPDATE:timestamp}\] '
+        r'"%{HTTPMETHOD:verb} %{URIPATHPARAM:request} %{HTTPVERSION:httpversion}" '
+        r'%{INT:response:int} %{INT:bytes:int}'
+    ),
 }
 
 _REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")

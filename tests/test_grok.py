@@ -247,3 +247,33 @@ def test_grok_extract_multi_type_conflict_raises(spark):
         grok_extract_multi(
             df, ["a=%{INT:v:int}", "b=%{NUMBER:v:float}"]
         )
+
+
+def test_commonapachelog_composite(spark):
+    """The canonical grok pattern: %{COMMONAPACHELOG} alone parses a
+    Common Log Format line through nested named captures, with the
+    :int-typed response/bytes landing as bigints."""
+    from blogparser_spark.functions.grok import compile_grok_typed, grok_extract
+
+    line = (
+        '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326'
+    )
+    rx, fields = compile_grok_typed("%{COMMONAPACHELOG}")
+    assert [f for f, _ in fields] == [
+        "clientip", "ident", "auth", "timestamp", "verb", "request",
+        "httpversion", "response", "bytes",
+    ]
+    assert dict(fields)["response"] == "int" and dict(fields)["bytes"] == "int"
+    m = re.fullmatch(rx, line)
+    assert m and m.group(1) == "127.0.0.1" and m.group(5) == "GET"
+
+    df = spark.createDataFrame([(line,), ("not a log line",)], "text string")
+    out = {r["clientip"]: r for r in
+           grok_extract(df, "%{COMMONAPACHELOG}", with_matched=True).collect()}
+    good = out["127.0.0.1"]
+    assert good["response"] == 200 and good["bytes"] == 2326
+    assert good["verb"] == "GET" and good["request"] == "/apache_pb.gif"
+    assert good["timestamp"] == "10/Oct/2000:13:55:36 -0700"
+    bad = out[""]
+    assert not bad["grok_matched"] and bad["response"] is None
