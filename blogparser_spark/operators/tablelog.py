@@ -1,0 +1,625 @@
+"""Snapshot-log table format: Iceberg's commit design re-expressed on plain
+parquet + JSON — from scratch, no runtime jar.
+
+The north rule targets Iceberg tables; this sandbox has no Iceberg runtime,
+so this module implements the part of the table format the pipeline actually
+depends on, using only the public Iceberg *design* (spec at
+iceberg.apache.org/spec): an append-only log of immutable commits, each an
+atomic commit-if-absent file naming the data files it adds/removes plus
+per-file row counts and column min/max stats. Everything a 100-TB deployment
+needs falls out of that one structure:
+
+- **O(1) planning, no directory listing.** Readers replay the log (a few KB
+  of JSON) instead of LISTing a 100-TB object-store prefix; the live file
+  set IS the snapshot. Eventual-consistency of S3 listings never matters.
+- **Time travel / reproducible reads**: any retained version is readable —
+  a training run pins the snapshot id into its lineage manifest
+  (checkpoint.SliceManifest.input_snapshot) and is re-runnable bit-for-bit.
+- **Incremental computation**: `incremental_append_scan(from, to)` yields
+  exactly the rows appended between two snapshots — the input contract for
+  the IVM layer (operators/aggregate.apply_retractable_delta) and the
+  incremental dedup probe (dedup.incremental_dedup_probe).
+- **Merge-on-read equality deletes**: deleting keys writes a small delete
+  file instead of rewriting petabytes; readers anti-join it. Sequence
+  numbers (the commit version that added each file) scope every delete file
+  to data files OLDER than the delete, so re-appending a previously deleted
+  key is not suppressed — the Iceberg v2 sequence-number rule.
+- **Compaction** folds small files and outstanding delete files into fresh
+  data files as one atomic commit; logical rows are unchanged.
+- **Snapshot expiry** bounds storage: physical files referenced only by
+  expired versions are removed, with a rebase ("checkpoint") state so the
+  log itself stays O(retained commits).
+- **Stats pruning**: per-file min/max footer stats let `scan_between` read
+  only the files whose range overlaps a predicate — partition-pruning
+  semantics without a partition column (pairs with the z-order layout in
+  operators/storage.write_zordered).
+
+Concurrency is optimistic, exactly like Iceberg's commit-if-absent on the
+metadata pointer: a commit is `os.link(tmp, log/v{N}.json)`, which fails if
+another writer claimed version N first; appends re-validate and retry,
+non-append commits surface CommitConflict to the caller.
+
+The reference has no storage layer at all (the Go CLI rereads its input
+files each run, sample/main.go:32-47); this is north-rule scope.
+
+Layout on disk:
+  <table>/data/c{version:06d}/part-*.parquet     immutable data files
+  <table>/deletes/c{version:06d}/part-*.parquet  equality-delete key files
+  <table>/log/v{version:012d}.json               one commit per version
+  <table>/log/_base_v{version:012d}.json         rebase state after expiry
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this transaction targeted."""
+
+
+class SnapshotExpired(LookupError):
+    """The requested version predates the oldest retained snapshot."""
+
+
+# ---------------------------------------------------------------------------
+# log primitives
+# ---------------------------------------------------------------------------
+
+
+def _log_dir(table: str) -> str:
+    return os.path.join(table, "log")
+
+
+def _commit_path(table: str, version: int) -> str:
+    return os.path.join(_log_dir(table), f"v{version:012d}.json")
+
+
+def _base_path(table: str, version: int) -> str:
+    return os.path.join(_log_dir(table), f"_base_v{version:012d}.json")
+
+
+def list_versions(table: str) -> list[int]:
+    try:
+        names = os.listdir(_log_dir(table))
+    except OSError:
+        return []
+    return sorted(
+        int(n[1:13]) for n in names if n.startswith("v") and n.endswith(".json")
+    )
+
+
+def current_version(table: str) -> int | None:
+    vs = list_versions(table)
+    return vs[-1] if vs else None
+
+
+def _read_commit(table: str, version: int) -> dict:
+    with open(_commit_path(table, version)) as f:
+        return json.load(f)
+
+
+def _try_commit(table: str, commit: dict) -> bool:
+    """Atomic commit-if-absent: write a temp file, then hard-link it to the
+    versioned name. link(2) fails with EEXIST if a concurrent writer
+    claimed the version — the loser re-reads the log and retries/aborts.
+    This is the same primitive as Iceberg's atomic metadata swap."""
+    os.makedirs(_log_dir(table), exist_ok=True)
+    tmp = os.path.join(_log_dir(table), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(commit, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _commit_path(table, commit["version"]))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+# ---------------------------------------------------------------------------
+# file manifests (pyarrow footer reads — metadata only, never data)
+# ---------------------------------------------------------------------------
+
+
+def _json_safe(v):
+    return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
+
+
+def _file_entries(dirpath: str, stats_cols: tuple[str, ...], seq: int) -> list[dict]:
+    """Manifest entries for every parquet file under dirpath: row count,
+    byte size, and min/max per requested stats column — all read from
+    parquet FOOTERS (the same numbers Iceberg persists in its manifests),
+    so building the manifest costs metadata IO only."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for root, _dirs, files in os.walk(dirpath):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(root, name)
+            md = pq.ParquetFile(path).metadata
+            stats: dict[str, list] = {}
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for col in stats_cols:
+                if col not in idx:
+                    continue
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[col]).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is not None:
+                    stats[col] = [_json_safe(lo), _json_safe(hi)]
+            entries.append(
+                {
+                    "path": path,
+                    "rows": md.num_rows,
+                    "bytes": os.path.getsize(path),
+                    "seq": seq,
+                    "stats": stats,
+                }
+            )
+    return entries
+
+
+def _schema_of(df: DataFrame) -> list[list[str]]:
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+# ---------------------------------------------------------------------------
+# snapshot state replay
+# ---------------------------------------------------------------------------
+
+
+def _state_at(table: str, version: int | None = None) -> tuple[int, dict]:
+    """Replay the log to `version` (default: latest). Returns (version,
+    state) where state = {"data": {path: entry}, "deletes": {path: entry},
+    "schema": [...]}. Starts from the newest rebase base ≤ version if
+    expiry has truncated the log."""
+    versions = list_versions(table)
+    if not versions:
+        raise LookupError(f"no commits in table log: {table}")
+    target = versions[-1] if version is None else version
+    if target not in versions:
+        lo = versions[0]
+        if version is not None and version < lo:
+            raise SnapshotExpired(
+                f"version {version} expired (oldest retained: {lo})"
+            )
+        raise LookupError(f"unknown version {version} for table {table}")
+
+    state: dict = {"data": {}, "deletes": {}, "schema": None}
+    replay_from = versions[0]
+    base = _base_path(table, versions[0])
+    if os.path.exists(base):
+        # expiry truncated the log: the base file IS the state at
+        # versions[0]; replay only the commits after it.
+        with open(base) as f:
+            snap = json.load(f)
+        state = {
+            "data": {e["path"]: e for e in snap["data"]},
+            "deletes": {e["path"]: e for e in snap["deletes"]},
+            "schema": snap["schema"],
+        }
+        replay_from = versions[0] + 1
+
+    for v in versions:
+        if v < replay_from or v > target:
+            continue
+        c = _read_commit(table, v)
+        for e in c.get("added_data", []):
+            state["data"][e["path"]] = e
+        for p in c.get("removed_data", []):
+            state["data"].pop(p, None)
+        for e in c.get("added_deletes", []):
+            state["deletes"][e["path"]] = e
+        for p in c.get("removed_deletes", []):
+            state["deletes"].pop(p, None)
+        if c.get("schema"):
+            state["schema"] = c["schema"]
+    return target, state
+
+
+def snapshot_lineage(table: str) -> list[dict]:
+    """Per-commit lineage summaries (version, operation, rows/files added
+    and removed) — the table-level analog of checkpoint.SliceManifest."""
+    out = []
+    for v in list_versions(table):
+        c = _read_commit(table, v)
+        out.append(
+            {
+                "version": v,
+                "operation": c["operation"],
+                "ts": c.get("ts"),
+                "rows_added": sum(e["rows"] for e in c.get("added_data", [])),
+                "files_added": len(c.get("added_data", [])),
+                "files_removed": len(c.get("removed_data", [])),
+                "delete_rows_added": sum(
+                    e["rows"] for e in c.get("added_deletes", [])
+                ),
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# write path
+# ---------------------------------------------------------------------------
+
+
+def _check_schema(
+    existing: list[list[str]] | None, new: list[list[str]], allow_evolution: bool
+) -> list[list[str]]:
+    if existing is None:
+        return new
+    old = dict(map(tuple, existing))
+    for name, typ in new:
+        if name in old and old[name] != typ:
+            raise ValueError(f"schema mismatch on column {name}: {old[name]} vs {typ}")
+    new_names = {n for n, _ in new}
+    added = [n for n, _ in new if n not in old]
+    missing = [n for n in old if n not in new_names]
+    if (added or missing) and not allow_evolution:
+        raise ValueError(
+            f"schema change requires allow_evolution=True (added={added}, "
+            f"missing={missing})"
+        )
+    merged = [list(kv) for kv in existing]
+    merged += [[n, t] for n, t in new if n not in old]
+    return merged
+
+
+def _write_data_files(
+    df: DataFrame, table: str, version: int, stats_cols: tuple[str, ...], kind: str
+) -> list[dict]:
+    outdir = os.path.join(table, kind, f"c{version:06d}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("error").parquet(outdir)
+    return _file_entries(outdir, stats_cols, seq=version)
+
+
+def append(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    stats_cols: tuple[str, ...] = (),
+    allow_evolution: bool = False,
+    max_retries: int = 5,
+) -> int:
+    """Append df as a new snapshot; returns the committed version. Appends
+    conflict with nothing (they only add files), so a lost commit race is
+    retried against the refreshed log — Iceberg's fast-append semantics."""
+    cur = current_version(table)
+    version = (cur or 0) + 1
+    entries = _write_data_files(df, table, version, stats_cols, "data")
+    schema_new = _schema_of(df)
+    for _ in range(max_retries):
+        cur = current_version(table)
+        version_try = (cur or 0) + 1
+        existing = _state_at(table, cur)[1]["schema"] if cur else None
+        for e in entries:
+            e["seq"] = version_try
+        commit = {
+            "version": version_try,
+            "parent": cur,
+            "operation": "append",
+            "ts": time.time(),
+            "schema": _check_schema(existing, schema_new, allow_evolution),
+            "added_data": entries,
+        }
+        if _try_commit(table, commit):
+            return version_try
+    raise CommitConflict(f"append lost the commit race {max_retries} times: {table}")
+
+
+def delete_where(
+    spark: SparkSession, table: str, condition, key_cols: list[str]
+) -> int:
+    """Equality delete: materialize the DISTINCT key tuples matching
+    `condition` into a small delete file and commit it — no data file is
+    rewritten. Readers anti-join; compaction folds it away. The delete's
+    sequence number scopes it to data files committed strictly before it."""
+    cur = current_version(table)
+    if cur is None:
+        raise LookupError(f"cannot delete from empty table {table}")
+    keys = (
+        read_snapshot(spark, table)
+        .filter(condition)
+        .select(*key_cols)
+        .distinct()
+    )
+    version = cur + 1
+    entries = _write_data_files(keys, table, version, (), "deletes")
+    for e in entries:
+        e["key_cols"] = key_cols
+    commit = {
+        "version": version,
+        "parent": cur,
+        "operation": "delete",
+        "ts": time.time(),
+        "added_deletes": entries,
+    }
+    if not _try_commit(table, commit):
+        raise CommitConflict(f"delete conflicted at version {version}: {table}")
+    return version
+
+
+def overwrite(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Replace the table's full contents atomically (removes every live
+    data and delete file, adds the new files) — readers of older snapshots
+    are untouched until expiry."""
+    cur = current_version(table)
+    _, state = _state_at(table, cur) if cur else (0, {"data": {}, "deletes": {}})
+    version = (cur or 0) + 1
+    entries = _write_data_files(df, table, version, stats_cols, "data")
+    commit = {
+        "version": version,
+        "parent": cur,
+        "operation": "overwrite",
+        "ts": time.time(),
+        "schema": _schema_of(df),
+        "added_data": entries,
+        "removed_data": sorted(state["data"]),
+        "removed_deletes": sorted(state["deletes"]),
+    }
+    if not _try_commit(table, commit):
+        raise CommitConflict(f"overwrite conflicted at version {version}: {table}")
+    return version
+
+
+def compact(
+    spark: SparkSession,
+    table: str,
+    n_files: int = 1,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Rewrite the live row set (deletes applied) into n_files fresh files
+    and retire the old data + delete files in one atomic commit. Logical
+    rows are unchanged — incremental_append_scan skips compact commits."""
+    cur = current_version(table)
+    if cur is None:
+        raise LookupError(f"cannot compact empty table {table}")
+    _, state = _state_at(table, cur)
+    df = read_snapshot(spark, table).coalesce(n_files)
+    version = cur + 1
+    entries = _write_data_files(df, table, version, stats_cols, "data")
+    commit = {
+        "version": version,
+        "parent": cur,
+        "operation": "compact",
+        "ts": time.time(),
+        "schema": state["schema"],
+        "added_data": entries,
+        "removed_data": sorted(state["data"]),
+        "removed_deletes": sorted(state["deletes"]),
+    }
+    if not _try_commit(table, commit):
+        raise CommitConflict(f"compact conflicted at version {version}: {table}")
+    return version
+
+
+# ---------------------------------------------------------------------------
+# read path
+# ---------------------------------------------------------------------------
+
+
+def _read_files(spark: SparkSession, paths: list[str]) -> DataFrame:
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def _apply_deletes(
+    spark: SparkSession, df: DataFrame, state: dict
+) -> DataFrame:
+    """Merge-on-read: anti-join each delete file group against the data
+    rows whose file sequence number is OLDER than the delete (Iceberg v2
+    rule — a key re-appended after the delete survives). The file→seq map
+    is a tiny manifest dim joined broadcast on the file identity; delete
+    key sets are small by construction (they are the alternative to
+    rewriting data files), so these are broadcast anti-joins."""
+    deletes = list(state["deletes"].values())
+    if not deletes:
+        return df
+    seq_rows = [
+        (os.path.join(*e["path"].rsplit(os.sep, 2)[-2:]), int(e["seq"]))
+        for e in state["data"].values()
+    ]
+    manifest = F.broadcast(
+        df.sparkSession.createDataFrame(seq_rows, "_file string, _seq int")
+    )
+    data = df.withColumn(
+        "_file", F.substring_index(F.input_file_name(), "/", -2)
+    ).join(manifest, "_file")
+    by_group: dict[tuple, list[dict]] = {}
+    for e in deletes:
+        by_group.setdefault((tuple(e["key_cols"]), int(e["seq"])), []).append(e)
+    out_cols = [c for c in df.columns]
+    for (key_cols, dseq), entries in sorted(by_group.items(), key=lambda kv: kv[0][1]):
+        keys = _read_files(spark, [e["path"] for e in entries]).distinct()
+        affected = data.filter(F.col("_seq") < F.lit(dseq))
+        rest = data.filter(F.col("_seq") >= F.lit(dseq))
+        data = affected.join(
+            F.broadcast(keys), list(key_cols), "left_anti"
+        ).unionByName(rest)
+    return data.select(*out_cols)
+
+
+def _empty_df(spark: SparkSession, schema: list[list[str]] | None) -> DataFrame:
+    ddl = ", ".join(f"{n} {t}" for n, t in (schema or [["dummy", "int"]]))
+    return spark.createDataFrame([], ddl)
+
+
+def read_snapshot(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Read the table as of `version` (default: latest). Planning is a
+    log replay — no directory listing of the data prefix."""
+    _, state = _state_at(table, version)
+    if not state["data"]:
+        return _empty_df(spark, state["schema"])
+    df = _read_files(spark, sorted(state["data"]))
+    return _apply_deletes(spark, df, state)
+
+
+def incremental_append_scan(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Exactly the rows appended in (from_version, to_version]: the union
+    of the append commits' added files. Compact commits are logical no-ops
+    and are skipped; overwrite/delete commits cannot be expressed as an
+    append stream, so they raise — the caller falls back to a full diff
+    (operators/diff.diff_datasets), the same contract as Iceberg's
+    incremental append scan."""
+    versions = list_versions(table)
+    if not versions:
+        raise LookupError(f"no commits in table log: {table}")
+    to_version = versions[-1] if to_version is None else to_version
+    # every commit strictly after from_version must still have its log
+    # entry; from_version == versions[0]-1 is fine (the scan starts at the
+    # oldest retained commit), anything older is unrecoverable post-expiry.
+    if from_version < versions[0] - 1:
+        raise SnapshotExpired(
+            f"from_version {from_version} expired (oldest retained commit: "
+            f"{versions[0]})"
+        )
+    paths: list[str] = []
+    schema = None
+    for v in versions:
+        if v <= from_version or v > to_version:
+            continue
+        c = _read_commit(table, v)
+        if c["operation"] == "compact":
+            continue
+        if c["operation"] != "append":
+            raise ValueError(
+                f"commit v{v} is {c['operation']!r}; incremental append scan "
+                "only spans append/compact commits"
+            )
+        paths += [e["path"] for e in c.get("added_data", [])]
+        schema = c.get("schema") or schema
+    if not paths:
+        return _empty_df(spark, schema or _state_at(table, to_version)[1]["schema"])
+    return _read_files(spark, paths)
+
+
+def prune_files(
+    table: str, col: str, lo, hi, version: int | None = None
+) -> tuple[list[str], int]:
+    """Manifest-stats pruning: live data files whose [min,max] for `col`
+    overlaps [lo,hi]; files without stats are kept (never prune blind).
+    Returns (paths_to_read, n_files_skipped)."""
+    _, state = _state_at(table, version)
+    keep, skipped = [], 0
+    for path in sorted(state["data"]):
+        st = state["data"][path].get("stats", {}).get(col)
+        if st is None:
+            keep.append(path)
+        elif st[0] <= hi and st[1] >= lo:
+            keep.append(path)
+        else:
+            skipped += 1
+    return keep, skipped
+
+
+def scan_between(
+    spark: SparkSession, table: str, col: str, lo, hi, version: int | None = None
+) -> DataFrame:
+    """Predicate scan that opens only stats-overlapping files, then applies
+    the exact filter and any outstanding delete files."""
+    _, state = _state_at(table, version)
+    paths, _skipped = prune_files(table, col, lo, hi, version)
+    if not paths:
+        return _empty_df(spark, state["schema"])
+    df = _read_files(spark, paths).filter(F.col(col).between(lo, hi))
+    pruned_state = {
+        "data": {p: state["data"][p] for p in paths},
+        "deletes": state["deletes"],
+    }
+    return _apply_deletes(spark, df, pruned_state)
+
+
+# ---------------------------------------------------------------------------
+# expiry
+# ---------------------------------------------------------------------------
+
+
+def expire_snapshots(table: str, keep_last: int = 2) -> dict:
+    """Expire all but the newest `keep_last` snapshots: physically delete
+    files referenced ONLY by expired versions, drop their log entries, and
+    persist a rebase state for the oldest retained version so replay stays
+    O(retained commits). Time travel to an expired version raises
+    SnapshotExpired. Returns {files_removed, versions_removed}."""
+    versions = list_versions(table)
+    if len(versions) <= keep_last:
+        return {"files_removed": 0, "versions_removed": 0}
+    retained = versions[-keep_last:]
+    keep_files: set[str] = set()
+    for v in retained:
+        _, st = _state_at(table, v)
+        keep_files |= set(st["data"]) | set(st["deletes"])
+    base_v = retained[0]
+    _, base_state = _state_at(table, base_v)
+
+    removed = 0
+    for v in versions:
+        if v in retained:
+            continue
+        c = _read_commit(table, v)
+        for e in c.get("added_data", []) + c.get("added_deletes", []):
+            if e["path"] not in keep_files and os.path.exists(e["path"]):
+                os.unlink(e["path"])
+                removed += 1
+
+    with open(_base_path(table, base_v), "w") as f:
+        json.dump(
+            {
+                "version": base_v,
+                "data": list(base_state["data"].values()),
+                "deletes": list(base_state["deletes"].values()),
+                "schema": base_state["schema"],
+            },
+            f,
+        )
+    old_bases = [
+        n
+        for n in os.listdir(_log_dir(table))
+        if n.startswith("_base_v") and int(n[7:19]) < base_v
+    ]
+    for n in old_bases:
+        os.unlink(os.path.join(_log_dir(table), n))
+    n_versions = 0
+    for v in versions:
+        if v not in retained:
+            os.unlink(_commit_path(table, v))
+            n_versions += 1
+    # drop now-empty commit data dirs (best-effort tidy, not correctness)
+    for kind in ("data", "deletes"):
+        root = os.path.join(table, kind)
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                full = os.path.join(root, d)
+                if os.path.isdir(full) and not any(
+                    f.endswith(".parquet") for f in os.listdir(full)
+                ):
+                    shutil.rmtree(full)
+    return {"files_removed": removed, "versions_removed": n_versions}

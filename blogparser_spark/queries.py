@@ -8451,3 +8451,125 @@ def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_suppliers"),
     )
+
+
+# ===========================================================================
+# Snapshot-log table format (operators/tablelog.py) — time travel,
+# incremental append scans, merge-on-read deletes, stats-pruned scans.
+# Each query builds a throwaway table from deterministic event_id slices,
+# so the oracle replays the slice arithmetic over the same base table.
+# ===========================================================================
+
+
+def _tablelog_tmp(prefix: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+@_q(
+    "tablelog_time_travel_counts",
+    """
+    SELECT 2 AS version, event_type, count(*)::BIGINT AS cnt
+    FROM events WHERE event_id % 3 <= 1 GROUP BY event_type
+    UNION ALL
+    SELECT 4 AS version, event_type, count(*)::BIGINT AS cnt
+    FROM events WHERE user_id % 7 <> 0 GROUP BY event_type
+    """,
+)
+def tablelog_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-log commit replay: three appends (event_id mod-3 slices) and
+    an equality-delete commit, then per-type counts read at version 2 (time
+    travel: only the first two slices) and at the latest version (all three
+    slices minus the merge-on-read delete of user_id % 7 == 0). The oracle
+    replays the slice arithmetic directly on the base table — agreement
+    proves the log replay, snapshot isolation, and anti-join delete path.
+    No reference analog (the Go CLI rereads raw files per run,
+    sample/main.go:32-47); this is the north rule's Iceberg-table contract
+    rebuilt from the public spec on plain parquet."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_tt_")
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    for m in (0, 1, 2):
+        tl.append(spark, t, ev.filter(F.col("event_id") % 3 == m))
+    tl.delete_where(spark, t, F.col("user_id") % 7 == 0, key_cols=["event_id"])
+    v2 = (
+        tl.read_snapshot(spark, t, version=2)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("version", F.lit(2))
+    )
+    v4 = (
+        tl.read_snapshot(spark, t)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("version", F.lit(4))
+    )
+    return v2.unionByName(v4).select("version", "event_type", "cnt")
+
+
+@_q(
+    "tablelog_incremental_counts",
+    """
+    SELECT event_type, count(*)::BIGINT AS cnt,
+      min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events WHERE event_id % 3 IN (1, 2) GROUP BY event_type
+    """,
+)
+def tablelog_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan between snapshots — the IVM input contract:
+    appends v1..v2, a compaction commit (logical no-op the scan must skip),
+    then append v4; `incremental_append_scan(from=1)` yields exactly the
+    rows of the v2 and v4 appends (event_id mod-3 slices 1 and 2). The
+    oracle computes the same slice union from the base table."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_inc_")
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    tl.append(spark, t, ev.filter(F.col("event_id") % 3 == 0))  # v1
+    tl.append(spark, t, ev.filter(F.col("event_id") % 3 == 1))  # v2
+    tl.compact(spark, t)  # v3 — skipped by the scan
+    tl.append(spark, t, ev.filter(F.col("event_id") % 3 == 2))  # v4
+    inc = tl.incremental_append_scan(spark, t, from_version=1)
+    return inc.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@_q(
+    "tablelog_pruned_scan",
+    """
+    SELECT event_type, count(*)::BIGINT AS cnt,
+      min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events
+    WHERE event_id BETWEEN 100 AND 200 AND user_id % 5 <> 0
+    GROUP BY event_type
+    """,
+)
+def tablelog_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file pruning composed with merge-on-read: one append
+    written repartitionByRange(5, event_id) so each file carries a tight
+    [min,max] footer stat, an equality-delete of user_id % 5 == 0, then
+    `scan_between(100, 200)` — which opens only the stats-overlapping file
+    (the skip count is pinned in tests/test_tablelog.py) and still applies
+    the delete file. Oracle: the plain filtered aggregate."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_prune_")
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    tl.append(
+        spark,
+        t,
+        ev.repartitionByRange(5, "event_id"),
+        stats_cols=("event_id",),
+    )
+    tl.delete_where(spark, t, F.col("user_id") % 5 == 0, key_cols=["event_id"])
+    got = tl.scan_between(spark, t, "event_id", 100, 200)
+    return got.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

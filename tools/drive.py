@@ -1209,3 +1209,21 @@ _neg = [r.score_u for r in ps if r.y == 0]
 assert _pos and _neg and sum(_pos) / len(_pos) > sum(_neg) / len(_neg)
 print("probe scores: pos mean", sum(_pos) // len(_pos), "neg mean", sum(_neg) // len(_neg))
 print("DRIVE97 OK")
+
+# batch-7o: snapshot-log table format — time travel, MoR delete, incremental
+from blogparser_spark.operators import tablelog as _tl
+
+_tlt = _tf.mkdtemp(prefix="drv_tablelog_") + "/t"
+_b = spark.range(0, 10).selectExpr("id AS event_id", "id % 7 AS user_id")
+_tl.append(spark, _tlt, _b)
+_tl.delete_where(spark, _tlt, "event_id < 5", key_cols=["event_id"])
+_tl.append(spark, _tlt, spark.range(0, 3).selectExpr("id AS event_id", "id % 7 AS user_id"))
+_live = sorted(r.event_id for r in _tl.read_snapshot(spark, _tlt).collect())
+assert _live == [0, 1, 2, 5, 6, 7, 8, 9], _live  # re-append survives the delete
+assert sorted(r.event_id for r in _tl.read_snapshot(spark, _tlt, version=1).collect()) == list(range(10))
+_inc = _tl.incremental_append_scan(spark, _tlt, from_version=2)
+assert sorted(r.event_id for r in _inc.collect()) == [0, 1, 2]
+_tl.compact(spark, _tlt)
+assert sorted(r.event_id for r in _tl.read_snapshot(spark, _tlt).collect()) == _live
+print("tablelog lineage:", [(c["version"], c["operation"]) for c in _tl.snapshot_lineage(_tlt)])
+print("DRIVE98 OK")
