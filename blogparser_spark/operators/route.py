@@ -266,3 +266,63 @@ def consistent_shard_assign(
         F.element_at(F.col("_ring"), 1)["shard"]
     )
     return keyed.withColumn("shard", owner.cast("int")).drop("_ring")
+
+
+# ---------------------------------------------------------------------------
+# Routing onto the snapshot-log table format (operators/tablelog.py)
+# ---------------------------------------------------------------------------
+
+
+def route_commit_tablelog(
+    df: DataFrame,
+    table: str,
+    marker: str,
+    files_per_sink: int = 1,
+) -> tuple[int | None, bool]:
+    """Fan routed rows into ONE snapshot-log table partitioned by the sink
+    keys, as a single atomic idempotent commit — the north rule's "per-sink
+    Iceberg tables, resumable from checkpoint" contract without the runtime
+    jar. One commit covers every sink, so readers never observe a partially
+    routed batch; the marker (slice id / batch id) makes a restarted job's
+    re-submission a no-op (tablelog.append_idempotent); per-sink reads
+    prune to the sink's files via the manifest partition values
+    (read_routed_tablelog). Same bounded-salt repartition as write_routed,
+    so file counts stay `files_per_sink` per touched sink regardless of
+    upstream parallelism. Returns (version, committed)."""
+    from blogparser_spark.operators import tablelog as tl
+
+    out = df.drop("images")
+    salt = _sink_salt(files_per_sink)
+    out = out.repartition(*[F.col(k) for k in SINK_KEYS], salt)
+    return tl.append_idempotent(
+        df.sparkSession,
+        table,
+        out,
+        marker=marker,
+        partition_by=tuple(SINK_KEYS),
+    )
+
+
+def read_routed_tablelog(
+    spark: SparkSession,
+    table: str,
+    channel: str | None = None,
+    tool_category: str | None = None,
+    parse_status: str | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Per-sink read of a tablelog-routed table: manifest partition values
+    prune non-matching sinks' files before any are opened; supports time
+    travel via `version`."""
+    from blogparser_spark.operators import tablelog as tl
+
+    filters = {
+        k: v
+        for k, v in (
+            ("channel", channel),
+            ("tool_category", tool_category),
+            ("parse_status", parse_status),
+        )
+        if v is not None
+    }
+    return tl.read_partition(spark, table, filters, version=version)

@@ -135,11 +135,28 @@ def _json_safe(v):
     return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
 
 
+def _partition_of(dirpath: str, path: str) -> dict[str, str]:
+    """Partition values parsed from hive-style `_p_<k>=<v>` path segments
+    (the write path partitions on `_p_`-prefixed DUPLICATE columns so the
+    data files keep the real columns — Iceberg keeps partition values in
+    metadata for the same reason)."""
+    from urllib.parse import unquote
+
+    rel = os.path.relpath(os.path.dirname(path), dirpath)
+    out = {}
+    for seg in rel.split(os.sep):
+        if "=" in seg and seg.startswith("_p_"):
+            k, v = seg.split("=", 1)
+            out[k[3:]] = unquote(v)
+    return out
+
+
 def _file_entries(dirpath: str, stats_cols: tuple[str, ...], seq: int) -> list[dict]:
     """Manifest entries for every parquet file under dirpath: row count,
-    byte size, and min/max per requested stats column — all read from
-    parquet FOOTERS (the same numbers Iceberg persists in its manifests),
-    so building the manifest costs metadata IO only."""
+    byte size, partition values, and min/max per requested stats column —
+    all read from parquet FOOTERS and path segments (the same numbers
+    Iceberg persists in its manifests), so building the manifest costs
+    metadata IO only."""
     import pyarrow.parquet as pq
 
     entries = []
@@ -164,15 +181,17 @@ def _file_entries(dirpath: str, stats_cols: tuple[str, ...], seq: int) -> list[d
                     hi = st.max if hi is None else max(hi, st.max)
                 if lo is not None:
                     stats[col] = [_json_safe(lo), _json_safe(hi)]
-            entries.append(
-                {
-                    "path": path,
-                    "rows": md.num_rows,
-                    "bytes": os.path.getsize(path),
-                    "seq": seq,
-                    "stats": stats,
-                }
-            )
+            entry = {
+                "path": path,
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(path),
+                "seq": seq,
+                "stats": stats,
+            }
+            part = _partition_of(dirpath, path)
+            if part:
+                entry["partition"] = part
+            entries.append(entry)
     return entries
 
 
@@ -284,10 +303,26 @@ def _check_schema(
 
 
 def _write_data_files(
-    df: DataFrame, table: str, version: int, stats_cols: tuple[str, ...], kind: str
+    df: DataFrame,
+    table: str,
+    version: int,
+    stats_cols: tuple[str, ...],
+    kind: str,
+    partition_by: tuple[str, ...] = (),
 ) -> list[dict]:
     outdir = os.path.join(table, kind, f"c{version:06d}-{uuid.uuid4().hex[:8]}")
-    df.write.mode("error").parquet(outdir)
+    if partition_by:
+        # partition on DUPLICATE `_p_` columns so the data files keep the
+        # real columns; the partition values live in the manifest (and the
+        # path), exactly where Iceberg keeps them.
+        out = df
+        for k in partition_by:
+            out = out.withColumn(f"_p_{k}", F.col(k))
+        out.write.mode("error").partitionBy(
+            *[f"_p_{k}" for k in partition_by]
+        ).parquet(outdir)
+    else:
+        df.write.mode("error").parquet(outdir)
     return _file_entries(outdir, stats_cols, seq=version)
 
 
@@ -298,13 +333,20 @@ def append(
     stats_cols: tuple[str, ...] = (),
     allow_evolution: bool = False,
     max_retries: int = 5,
+    partition_by: tuple[str, ...] = (),
+    marker: str | None = None,
 ) -> int:
     """Append df as a new snapshot; returns the committed version. Appends
     conflict with nothing (they only add files), so a lost commit race is
-    retried against the refreshed log — Iceberg's fast-append semantics."""
+    retried against the refreshed log — Iceberg's fast-append semantics.
+    `partition_by` writes hive-partitioned files whose partition values are
+    recorded per file in the manifest (read back via read_partition).
+    `marker` stamps the commit for idempotent resume (append_idempotent)."""
     cur = current_version(table)
     version = (cur or 0) + 1
-    entries = _write_data_files(df, table, version, stats_cols, "data")
+    entries = _write_data_files(
+        df, table, version, stats_cols, "data", partition_by
+    )
     schema_new = _schema_of(df)
     for _ in range(max_retries):
         cur = current_version(table)
@@ -320,9 +362,43 @@ def append(
             "schema": _check_schema(existing, schema_new, allow_evolution),
             "added_data": entries,
         }
+        if marker is not None:
+            commit["marker"] = marker
         if _try_commit(table, commit):
             return version_try
     raise CommitConflict(f"append lost the commit race {max_retries} times: {table}")
+
+
+def committed_markers(table: str) -> set[str]:
+    """Markers of every retained commit — the resume ledger."""
+    out = set()
+    for v in list_versions(table):
+        m = _read_commit(table, v).get("marker")
+        if m is not None:
+            out.add(m)
+    return out
+
+
+def append_idempotent(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    marker: str,
+    **kwargs,
+) -> tuple[int | None, bool]:
+    """Exactly-once append under restarts: if a retained commit already
+    carries `marker`, the append is skipped (returns (version_of_that
+    _commit, False)); otherwise the data is committed with the marker and
+    (new_version, True) is returned. The marker plays the role of
+    checkpoint.SliceManifest for sink writes — a restarted job re-submits
+    every slice and the ledger makes re-submission a no-op. Uniqueness of
+    in-flight markers is the scheduler's contract (run_sliced runs each
+    slice once); the ledger protects RESTARTS, not two concurrent writers
+    racing the same marker."""
+    for v in list_versions(table):
+        if _read_commit(table, v).get("marker") == marker:
+            return v, False
+    return append(spark, table, df, marker=marker, **kwargs), True
 
 
 def delete_where(
@@ -476,6 +552,35 @@ def read_snapshot(
         return _empty_df(spark, state["schema"])
     df = _read_files(spark, sorted(state["data"]))
     return _apply_deletes(spark, df, state)
+
+
+def read_partition(
+    spark: SparkSession,
+    table: str,
+    filters: dict[str, str],
+    version: int | None = None,
+) -> DataFrame:
+    """Partition-pruned read: open only the live files whose manifest
+    partition values match `filters` (files without partition metadata are
+    kept — never prune blind), then apply the exact filter and any delete
+    files. This is the per-sink read path of a routed table: planning cost
+    is the log replay, and non-matching sinks' files are never opened."""
+    _, state = _state_at(table, version)
+    paths = []
+    for path in sorted(state["data"]):
+        part = state["data"][path].get("partition")
+        if part is None or all(part.get(k) == str(v) for k, v in filters.items()):
+            paths.append(path)
+    if not paths:
+        return _empty_df(spark, state["schema"])
+    df = _read_files(spark, paths)
+    for k, v in filters.items():
+        df = df.filter(F.col(k) == F.lit(v))
+    pruned_state = {
+        "data": {p: state["data"][p] for p in paths},
+        "deletes": state["deletes"],
+    }
+    return _apply_deletes(spark, df, pruned_state)
 
 
 def incremental_append_scan(

@@ -8573,3 +8573,62 @@ def tablelog_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@_q(
+    "tablelog_routed_sink_counts",
+    """
+    WITH t AS (
+      SELECT doc_id % 4 AS v,
+        ['user','assistant','system','tool'][(doc_id % 4)::INT + 1] AS role,
+        ['search','browser','python','bash','none'][(doc_id % 5)::INT + 1] AS tool,
+        strlen(trim(regexp_replace(regexp_replace(regexp_replace(text,
+          '\\r\\n?', chr(10), 'g'), '(?m)^[ \\t\\f\\v]+|[ \\t\\f\\v]+$', '', 'g'),
+          '\\n{2,}', chr(10), 'g'))) AS body_bytes
+      FROM documents
+    ), s AS (
+      SELECT role, tool,
+        CASE WHEN v >= 2 THEN 'no_title'
+             WHEN body_bytes >= 100 THEN 'ok'
+             ELSE 'no_content' END AS parse_status
+      FROM t
+    )
+    SELECT channel, tool_category, parse_status, count(*)::BIGINT AS n_rows
+    FROM s
+    JOIN (VALUES ('user','inbound'), ('assistant','outbound'),
+                 ('system','control'), ('tool','machine')) AS rc(role, channel)
+      USING (role)
+    JOIN (VALUES ('search','retrieval'), ('browser','web'), ('python','code'),
+                 ('bash','shell'), ('none','chat')) AS tc(tool, tool_category)
+      USING (tool)
+    GROUP BY channel, tool_category, parse_status
+    """,
+)
+def tablelog_routed_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship chain routed onto the snapshot-log table format: the
+    enriched rows fan into ONE partitioned tablelog table as two
+    idempotent marker'd commits (conv-hash halves), the first commit is
+    then REPLAYED with the same marker — a restarted slice — and must be a
+    no-op; per-sink counts read back from the committed snapshot. The
+    oracle is pipeline_sink_counts' oracle verbatim: hash-match proves the
+    routed table holds exactly one copy of every routed row (exactly-once
+    resume), the same per-sink routed-row sets, through the atomic-commit
+    write path and the manifest-partitioned read path."""
+    from blogparser_spark.operators import tablelog as tl
+    from blogparser_spark.operators.enrich import enrich
+    from blogparser_spark.operators.parse import parse_stage
+    from blogparser_spark.operators.route import route_commit_tablelog
+
+    t = _tablelog_tmp("tablelog_route_") + "/t"
+    enriched = enrich(
+        parse_stage(documents_as_transcripts(spark, sf_dir)), spark
+    )
+    half = F.pmod(F.hash("conv_id"), F.lit(2))
+    route_commit_tablelog(enriched.filter(half == 0), t, marker="slice-0")
+    route_commit_tablelog(enriched.filter(half == 1), t, marker="slice-1")
+    # restart replay of slice-0: the marker ledger must make this a no-op
+    route_commit_tablelog(enriched.filter(half == 0), t, marker="slice-0")
+    routed = tl.read_snapshot(spark, t)
+    return routed.groupBy("channel", "tool_category", "parse_status").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )

@@ -198,3 +198,72 @@ def test_commit_file_is_valid_json_with_manifest_stats(spark, tmp_path):
     assert entry["rows"] == 10
     assert entry["stats"]["event_id"] == [0, 9]
     assert entry["seq"] == 1
+
+
+def test_partitioned_append_manifest_and_pruned_read(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = _batch(spark, 0, 30)
+    tl.append(spark, t, df, partition_by=("event_type",))
+    _, state = tl._state_at(t)
+    parts = {e["partition"]["event_type"] for e in state["data"].values()}
+    assert parts == {"type_0", "type_1", "type_2"}
+    # data files keep the real column (no hive-stripping)
+    one = tl.read_partition(spark, t, {"event_type": "type_1"})
+    assert "event_type" in one.columns
+    assert _ids(one) == list(range(1, 30, 3))
+    # pruning: every file NOT in the target partition is skippable — the
+    # manifest carries enough to never open type_0/type_2 files
+    matching = [
+        p
+        for p, e in state["data"].items()
+        if e["partition"]["event_type"] == "type_1"
+    ]
+    assert 0 < len(matching) < len(state["data"])
+
+
+def test_partition_read_composes_with_deletes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _batch(spark, 0, 30), partition_by=("event_type",))
+    tl.delete_where(spark, t, F.col("event_id") < 10, key_cols=["event_id"])
+    one = tl.read_partition(spark, t, {"event_type": "type_1"})
+    assert _ids(one) == list(range(10, 30, 3))
+
+
+def test_append_idempotent_marker(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v1, did1 = tl.append_idempotent(spark, t, _batch(spark, 0, 10), marker="slice-0")
+    v2, did2 = tl.append_idempotent(spark, t, _batch(spark, 0, 10), marker="slice-0")
+    assert (v1, did1) == (1, True) and (v2, did2) == (1, False)
+    assert _ids(tl.read_snapshot(spark, t)) == list(range(10))
+    v3, did3 = tl.append_idempotent(spark, t, _batch(spark, 10, 15), marker="slice-1")
+    assert did3 and v3 == 2
+    assert tl.committed_markers(t) == {"slice-0", "slice-1"}
+
+
+def test_route_commit_tablelog_matches_write_routed(spark, parsed, tmp_path):
+    """The tablelog-routed table must hold exactly the rows the parquet
+    partitionBy fan-out holds, per sink, with idempotent re-commit."""
+    from blogparser_spark.operators.enrich import enrich
+    from blogparser_spark.operators.route import (
+        read_routed_tablelog,
+        read_sink,
+        route_commit_tablelog,
+        with_sink_id,
+        write_routed,
+    )
+
+    enriched = with_sink_id(enrich(parsed))
+    t = str(tmp_path / "routed_log")
+    p = str(tmp_path / "routed_pq")
+    write_routed(enriched, p)
+    v, did = route_commit_tablelog(enriched, t, marker="batch-0")
+    assert did and v == 1
+    v2, did2 = route_commit_tablelog(enriched, t, marker="batch-0")
+    assert not did2 and v2 == 1  # restart re-submission is a no-op
+
+    sink = dict(channel="inbound", tool_category="retrieval", parse_status="ok")
+    a = read_sink(spark, p, **sink).select("conv_id", "turn_idx")
+    b = read_routed_tablelog(spark, t, **sink).select("conv_id", "turn_idx")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # whole-table row parity too
+    assert tl.read_snapshot(spark, t).count() == enriched.count()

@@ -1227,3 +1227,17 @@ _tl.compact(spark, _tlt)
 assert sorted(r.event_id for r in _tl.read_snapshot(spark, _tlt).collect()) == _live
 print("tablelog lineage:", [(c["version"], c["operation"]) for c in _tl.snapshot_lineage(_tlt)])
 print("DRIVE98 OK")
+
+# batch-7p: routing onto the snapshot-log format — idempotent markers, pruned sink reads
+from blogparser_spark.operators.route import route_commit_tablelog as _rct, read_routed_tablelog as _rrt
+
+_rtl = _tf.mkdtemp(prefix="drv_routelog_") + "/t"
+_enr2 = enrich(parse_stage(transcripts_df(spark, n_convs=20, turns_per_conv=4)))
+_v, _did = _rct(_enr2, _rtl, marker="s0")
+_v2, _did2 = _rct(_enr2, _rtl, marker="s0")  # restart replay
+assert _did and not _did2 and _v == _v2 == 1
+_inb = _rrt(spark, _rtl, channel="inbound")
+assert _inb.count() == _enr2.filter(_enr2.channel == "inbound").count()
+assert _tl.read_snapshot(spark, _rtl).count() == _enr2.count()
+print("routed tablelog: sinks pruned, replay no-op,", _inb.count(), "inbound rows")
+print("DRIVE99 OK")
