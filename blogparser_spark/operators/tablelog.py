@@ -401,6 +401,119 @@ def append_idempotent(
     return append(spark, table, df, marker=marker, **kwargs), True
 
 
+def _staged_path(table: str, stage_id: str) -> str:
+    return os.path.join(_log_dir(table), f"staged-{stage_id}.json")
+
+
+def staged_ids(table: str) -> list[str]:
+    try:
+        names = os.listdir(_log_dir(table))
+    except OSError:
+        return []
+    return sorted(
+        n[len("staged-") : -len(".json")]
+        for n in names
+        if n.startswith("staged-") and n.endswith(".json")
+    )
+
+
+def stage_append(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    stats_cols: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] = (),
+) -> str:
+    """Write-audit-publish, stage step (Iceberg's WAP pattern): the data
+    files are written and described by a STAGED manifest that lives
+    outside the version sequence — INVISIBLE to every reader and to time
+    travel. An audit job reads them back (read_staged), runs its quality
+    gates, then either publish_staged turns the manifest into a real
+    atomic append commit or discard_staged removes the files. Bad data
+    never has a snapshot pointing at it. Returns the stage id."""
+    stage_id = uuid.uuid4().hex[:12]
+    entries = _write_data_files(df, table, 0, stats_cols, "data", partition_by)
+    os.makedirs(_log_dir(table), exist_ok=True)
+    staged = {
+        "stage_id": stage_id,
+        "ts": time.time(),
+        "schema": _schema_of(df),
+        "added_data": entries,
+    }
+    tmp = os.path.join(_log_dir(table), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(staged, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, _staged_path(table, stage_id))
+    return stage_id
+
+
+def _read_staged(table: str, stage_id: str) -> dict:
+    path = _staged_path(table, stage_id)
+    if not os.path.exists(path):
+        raise LookupError(f"unknown or already-resolved stage {stage_id}: {table}")
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_staged(spark: SparkSession, table: str, stage_id: str) -> DataFrame:
+    """The audit surface: exactly the staged files, nothing else."""
+    staged = _read_staged(table, stage_id)
+    paths = [e["path"] for e in staged["added_data"]]
+    if not paths:
+        return _empty_df(spark, staged["schema"])
+    return _read_files(spark, paths)
+
+
+def publish_staged(
+    table: str,
+    stage_id: str,
+    allow_evolution: bool = False,
+    max_retries: int = 5,
+) -> int:
+    """Publish a staged append as a real commit — atomic, no data rewrite
+    (the files are already in place; only their sequence number is stamped
+    with the publish version, so MoR delete scoping counts from PUBLISH
+    time, when the rows became visible). Schema is checked against the
+    table at publish time, not stage time."""
+    staged = _read_staged(table, stage_id)
+    for _ in range(max_retries):
+        cur = current_version(table)
+        version = (cur or 0) + 1
+        existing = _state_at(table, cur)[1]["schema"] if cur else None
+        entries = [dict(e, seq=version) for e in staged["added_data"]]
+        commit = {
+            "version": version,
+            "parent": cur,
+            "operation": "append",
+            "ts": time.time(),
+            "schema": _check_schema(existing, staged["schema"], allow_evolution),
+            "added_data": entries,
+            "stage_id": stage_id,
+        }
+        if _try_commit(table, commit):
+            os.unlink(_staged_path(table, stage_id))
+            return version
+    raise CommitConflict(
+        f"publish of stage {stage_id} lost the commit race {max_retries} "
+        f"times: {table}"
+    )
+
+
+def discard_staged(table: str, stage_id: str) -> int:
+    """Audit failed: remove the staged files and manifest. Returns the
+    number of data files removed. Readers never saw anything."""
+    staged = _read_staged(table, stage_id)
+    removed = 0
+    for e in staged["added_data"]:
+        if os.path.exists(e["path"]):
+            os.unlink(e["path"])
+            removed += 1
+    os.unlink(_staged_path(table, stage_id))
+    return removed
+
+
 def delete_where(
     spark: SparkSession, table: str, condition, key_cols: list[str]
 ) -> int:
@@ -461,6 +574,82 @@ def overwrite(
     return version
 
 
+def merge_upsert(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    key_cols: list[str],
+    stats_cols: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Atomic MERGE (upsert): ONE commit carries both an equality-delete
+    file over the source's key tuples and the source data files. The
+    delete's sequence number equals the commit version, so it scopes to
+    data files committed strictly BEFORE the merge (the Iceberg v2
+    sequence rule _apply_deletes enforces) and the merge's own rows
+    survive it — matched keys are replaced merge-on-read, unmatched keys
+    insert, and a reader sees the whole upsert or none of it. This is
+    Iceberg's MERGE INTO with merge-on-read row-level deletes; no data
+    file is rewritten."""
+    cur = current_version(table)
+    version = (cur or 0) + 1
+    existing = _state_at(table, cur)[1]["schema"] if cur else None
+    entries = _write_data_files(
+        df, table, version, stats_cols, "data", partition_by
+    )
+    commit = {
+        "version": version,
+        "parent": cur,
+        "operation": "merge",
+        "ts": time.time(),
+        "schema": _check_schema(existing, _schema_of(df), False),
+        "added_data": entries,
+    }
+    if cur is not None:
+        keys = df.select(*key_cols).distinct()
+        del_entries = _write_data_files(keys, table, version, (), "deletes")
+        for e in del_entries:
+            e["key_cols"] = list(key_cols)
+        commit["added_deletes"] = del_entries
+    if not _try_commit(table, commit):
+        raise CommitConflict(f"merge conflicted at version {version}: {table}")
+    return version
+
+
+def rollback_to(table: str, version: int) -> int:
+    """Roll the table back to an earlier snapshot as a NEW commit —
+    history is preserved (Iceberg's rollback semantics): the commit
+    re-points the live data/delete file sets at the target version's, so
+    the bad versions remain time-travelable until expiry and the rollback
+    itself is one atomic log write. Re-added entries keep their ORIGINAL
+    sequence numbers, so merge-on-read delete scoping replays exactly as
+    it did at the target version."""
+    cur = current_version(table)
+    if cur is None:
+        raise LookupError(f"cannot roll back empty table {table}")
+    _, target = _state_at(table, version)
+    _, now = _state_at(table, cur)
+    commit = {
+        "version": cur + 1,
+        "parent": cur,
+        "operation": "rollback",
+        "ts": time.time(),
+        "restores": version,
+        "schema": target["schema"],
+        "added_data": [e for p, e in target["data"].items() if p not in now["data"]],
+        "removed_data": sorted(p for p in now["data"] if p not in target["data"]),
+        "added_deletes": [
+            e for p, e in target["deletes"].items() if p not in now["deletes"]
+        ],
+        "removed_deletes": sorted(
+            p for p in now["deletes"] if p not in target["deletes"]
+        ),
+    }
+    if not _try_commit(table, commit):
+        raise CommitConflict(f"rollback conflicted at version {cur + 1}: {table}")
+    return cur + 1
+
+
 def compact(
     spark: SparkSession,
     table: str,
@@ -490,6 +679,97 @@ def compact(
     if not _try_commit(table, commit):
         raise CommitConflict(f"compact conflicted at version {version}: {table}")
     return version
+
+
+def compact_binpack(
+    spark: SparkSession,
+    table: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    stats_cols: tuple[str, ...] = (),
+) -> int | None:
+    """Iceberg's binpack rewrite strategy: ONLY data files below
+    target_bytes are rewritten (pending deletes applied) into ~target-
+    sized packed files; files already at size are untouched — the rewrite
+    cost is bounded by the small-file backlog, never the table size. This
+    is the maintenance loop a streaming sink needs: each micro-batch
+    commit lands one file per touched sink, and the backlog is folded
+    periodically without rewriting the accumulated history. Delete files
+    are RETAINED (they still scope to the untouched older files); the
+    packed files' sequence number exceeds every prior delete's, so
+    rewritten rows are not re-deleted. Returns the committed version, or
+    None when fewer than two small files exist (nothing to pack)."""
+    cur = current_version(table)
+    if cur is None:
+        raise LookupError(f"cannot compact empty table {table}")
+    _, state = _state_at(table, cur)
+    small = {
+        p: e for p, e in state["data"].items() if e["bytes"] < target_bytes
+    }
+    if len(small) < 2:
+        return None
+    total = sum(e["bytes"] for e in small.values())
+    n_files = max(1, -(-total // target_bytes))
+    df = _apply_deletes(
+        spark,
+        _read_files(spark, sorted(small)),
+        {"data": small, "deletes": state["deletes"]},
+    ).coalesce(n_files)
+    version = cur + 1
+    entries = _write_data_files(df, table, version, stats_cols, "data")
+    commit = {
+        "version": version,
+        "parent": cur,
+        "operation": "compact",
+        "ts": time.time(),
+        "schema": state["schema"],
+        "added_data": entries,
+        "removed_data": sorted(small),
+    }
+    if not _try_commit(table, commit):
+        raise CommitConflict(f"binpack conflicted at version {version}: {table}")
+    return version
+
+
+def remove_orphans(table: str, min_age_sec: float = 0.0) -> int:
+    """Iceberg's RemoveOrphanFiles maintenance action: physically delete
+    parquet files under the table's data/delete prefixes that NO retained
+    commit (nor the expiry rebase base) references — the residue of
+    writers that wrote their files but lost the optimistic commit race or
+    died before the log write. `min_age_sec` is the same age guard as
+    Iceberg's default 3-day cutoff: files younger than it are skipped, so
+    an IN-FLIGHT writer's not-yet-committed files are never swept."""
+    versions = list_versions(table)
+    referenced: set[str] = set()
+    for v in versions:
+        c = _read_commit(table, v)
+        for e in c.get("added_data", []) + c.get("added_deletes", []):
+            referenced.add(e["path"])
+    for sid in staged_ids(table):
+        # staged-but-unpublished WAP files are NOT orphans — an audit may
+        # still be running against them
+        for e in _read_staged(table, sid)["added_data"]:
+            referenced.add(e["path"])
+    if versions:
+        base = _base_path(table, versions[0])
+        if os.path.exists(base):
+            with open(base) as f:
+                snap = json.load(f)
+            for e in snap.get("data", []) + snap.get("deletes", []):
+                referenced.add(e["path"])
+    removed = 0
+    now = time.time()
+    for kind in ("data", "deletes"):
+        root = os.path.join(table, kind)
+        for dirpath, _dirs, files in os.walk(root):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                p = os.path.join(dirpath, name)
+                if p in referenced or now - os.path.getmtime(p) < min_age_sec:
+                    continue
+                os.unlink(p)
+                removed += 1
+    return removed
 
 
 # ---------------------------------------------------------------------------
@@ -625,6 +905,94 @@ def incremental_append_scan(
     if not paths:
         return _empty_df(spark, schema or _state_at(table, to_version)[1]["schema"])
     return _read_files(spark, paths)
+
+
+def changelog_scan(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level CDC between two snapshots (Iceberg's changelog scan):
+    every row the table gained ('insert') or lost ('delete') in
+    (from_version, to_version], stamped `_change_type` / `_commit_version`.
+    Appends and merges read their added files directly; delete and merge
+    commits emit the exact PRE-IMAGE rows they removed — the parent
+    snapshot semi-joined with the commit's delete keys (every file live at
+    the parent has a sequence number older than the delete, so the
+    semi-join is precisely the seq-scoped rule _apply_deletes enforces);
+    overwrites emit the full parent as deletes then their files as
+    inserts; compactions are logical no-ops; rollbacks emit their net
+    row-level diff vs the parent. The output feeds
+    aggregate.apply_retractable_delta so a downstream view refreshes from
+    the delta without ever rescanning the base table."""
+    versions = list_versions(table)
+    if not versions:
+        raise LookupError(f"no commits in table log: {table}")
+    to_version = versions[-1] if to_version is None else to_version
+    if from_version < versions[0] - 1:
+        raise SnapshotExpired(
+            f"from_version {from_version} expired (oldest retained commit: "
+            f"{versions[0]})"
+        )
+
+    def _pre(parent: int | None) -> DataFrame:
+        return (
+            read_snapshot(spark, table, version=parent)
+            if parent
+            else _empty_df(spark, _state_at(table, to_version)[1]["schema"])
+        )
+
+    pieces: list[DataFrame] = []
+
+    def _emit(df: DataFrame, change: str, v: int) -> None:
+        pieces.append(
+            df.withColumn("_change_type", F.lit(change)).withColumn(
+                "_commit_version", F.lit(v)
+            )
+        )
+
+    for v in versions:
+        if v <= from_version or v > to_version:
+            continue
+        c = _read_commit(table, v)
+        op = c["operation"]
+        if op == "compact":
+            continue
+        if op == "overwrite":
+            _emit(_pre(c.get("parent")), "delete", v)
+        elif op in ("delete", "merge") and c.get("added_deletes"):
+            keys = _read_files(
+                spark, [e["path"] for e in c["added_deletes"]]
+            ).distinct()
+            removed = _pre(c.get("parent")).join(
+                F.broadcast(keys),
+                list(c["added_deletes"][0]["key_cols"]),
+                "semi",
+            )
+            _emit(removed, "delete", v)
+        elif op == "rollback":
+            pre, post = _pre(c.get("parent")), read_snapshot(spark, table, v)
+            _emit(post.exceptAll(pre), "insert", v)
+            _emit(pre.exceptAll(post), "delete", v)
+        elif op not in ("append", "merge", "delete"):
+            raise ValueError(f"commit v{v}: unknown operation {op!r}")
+        if op in ("append", "merge", "overwrite") and c.get("added_data"):
+            _emit(
+                _read_files(spark, [e["path"] for e in c["added_data"]]),
+                "insert",
+                v,
+            )
+    if not pieces:
+        return (
+            _empty_df(spark, _state_at(table, to_version)[1]["schema"])
+            .withColumn("_change_type", F.lit(""))
+            .withColumn("_commit_version", F.lit(0))
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def prune_files(

@@ -8632,3 +8632,156 @@ def tablelog_routed_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.groupBy("channel", "tool_category", "parse_status").agg(
         F.count("*").cast("bigint").alias("n_rows")
     )
+
+
+@_q(
+    "tablelog_merge_upsert_counts",
+    """
+    WITH base AS (
+      SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+    ), src AS (
+      SELECT event_id, event_type, value + 500 AS value
+      FROM events WHERE event_id % 3 = 0
+    ), final AS (
+      SELECT * FROM base WHERE event_id % 3 <> 0
+      UNION ALL SELECT * FROM src
+    )
+    SELECT event_type, count(*)::BIGINT AS cnt,
+      sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS vsum,
+      min(event_id) AS min_id, max(event_id) AS max_id
+    FROM final GROUP BY event_type
+    """,
+)
+def tablelog_merge_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic MERGE INTO on the snapshot-log format (tablelog.merge_upsert):
+    the even-id slice is the base table; the mod-3 slice (values bumped
+    +500) is the upsert source — ONE commit carries both the equality
+    delete over the source keys and the source files, sequence-scoped so
+    the merge's own rows survive its delete. The oracle replays upsert
+    semantics relationally (base minus matched keys, union source):
+    agreement proves matched keys were replaced, unmatched inserted, and
+    nothing was double-counted — merge-on-read, no data file rewritten.
+    Iceberg MERGE INTO semantics rebuilt from the public spec."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_mrg_") + "/t"
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    tl.append(spark, t, ev.filter(F.col("event_id") % 2 == 0))
+    src = ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") + F.lit(500.0)
+    )
+    tl.merge_upsert(spark, t, src, ["event_id"])
+    return (
+        tl.read_snapshot(spark, t)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("vsum"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+@_q(
+    "tablelog_cdc_view_refresh",
+    """
+    WITH final AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id % 3 IN (0, 1) AND event_id % 5 <> 0 AND event_id % 4 <> 0
+      UNION ALL
+      SELECT event_id, event_type, value + 250 AS value
+      FROM events WHERE event_id % 4 = 0
+    )
+    SELECT event_type, count(*)::BIGINT AS cnt,
+      sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS vsum
+    FROM final GROUP BY event_type
+    """,
+)
+def tablelog_cdc_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-driven view maintenance end-to-end: a view materialized at
+    snapshot v1 is refreshed ONLY from tablelog.changelog_scan(v1→latest)
+    — an append, a merge-on-read delete, and an atomic merge-upsert whose
+    rows outlive the earlier delete (sequence scoping) — folded through
+    aggregate.apply_retractable_delta. The oracle recomputes the view over
+    the final live row set directly; agreement proves the changelog emits
+    exact pre-image deletes and post-image inserts for every commit kind
+    and that the retractable algebra refreshes without rescanning the
+    base. At 10^12 rows this is the difference between a per-commit delta
+    agg and a full-table recompute per refresh."""
+    from blogparser_spark.operators import tablelog as tl
+    from blogparser_spark.operators.aggregate import (
+        apply_retractable_delta,
+        retractable_state,
+    )
+
+    t = _tablelog_tmp("tablelog_cdc_") + "/t"
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    tl.append(spark, t, ev.filter(F.col("event_id") % 3 == 0))  # v1
+    view0 = retractable_state(
+        tl.read_snapshot(spark, t), ["event_type"], "value"
+    ).localCheckpoint()
+    tl.append(spark, t, ev.filter(F.col("event_id") % 3 == 1))  # v2
+    tl.delete_where(spark, t, F.col("event_id") % 5 == 0, ["event_id"])  # v3
+    src = ev.filter(F.col("event_id") % 4 == 0).withColumn(
+        "value", F.col("value") + F.lit(250.0)
+    )
+    tl.merge_upsert(spark, t, src, ["event_id"])  # v4
+    delta = tl.changelog_scan(spark, t, from_version=1).withColumn(
+        "op",
+        F.when(F.col("_change_type") == "insert", F.lit("I")).otherwise("D"),
+    )
+    out = apply_retractable_delta(view0, delta, ["event_type"], "value")
+    return out.select(
+        "event_type", "cnt", F.col("vsum").cast("double").alias("vsum")
+    )
+
+
+@_q(
+    "tablelog_wap_publish_counts",
+    """
+    SELECT event_type, count(*)::BIGINT AS cnt,
+      min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events GROUP BY event_type
+    """,
+)
+def tablelog_wap_publish_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish on the snapshot-log format (Iceberg's WAP
+    pattern, tablelog.stage_append/publish_staged/discard_staged): the odd
+    half of events is STAGED, audited through a null gate on the staged
+    read surface, and published — an atomic append with no data rewrite;
+    a second staged batch with a nulled-out event_type fails the same gate
+    and is discarded, so no snapshot ever points at it. The oracle is the
+    plain full-table aggregate: agreement proves the published half landed
+    exactly once and the rejected batch left no trace."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_wap_") + "/t"
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    tl.append(spark, t, ev.filter(F.col("event_id") % 2 == 0))
+
+    sid = tl.stage_append(spark, t, ev.filter(F.col("event_id") % 2 == 1))
+    staged = tl.read_staged(spark, t, sid)
+    if staged.filter(F.col("event_type").isNull()).count() == 0:  # the gate
+        tl.publish_staged(t, sid)
+
+    bad = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "event_type", F.lit(None).cast("string")
+    )
+    sid_bad = tl.stage_append(spark, t, bad)
+    if tl.read_staged(spark, t, sid_bad).filter(
+        F.col("event_type").isNull()
+    ).count() > 0:
+        tl.discard_staged(t, sid_bad)
+
+    return (
+        tl.read_snapshot(spark, t)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )

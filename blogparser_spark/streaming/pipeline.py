@@ -92,6 +92,51 @@ def run_available_now(
     q.awaitTermination()
 
 
+def run_streaming_tablelog_route(
+    spark: SparkSession,
+    input_path: str,
+    table: str,
+    checkpoint_path: str,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming fan-out with an EXACTLY-ONCE sink on the snapshot-log
+    table format: each micro-batch routes through route_commit_tablelog as
+    ONE atomic commit whose idempotence marker is the micro-batch id.
+    foreachBatch alone is at-least-once — a crash between the sink write
+    and the checkpoint commit re-delivers the batch with the SAME
+    batch_id; the marker ledger (tablelog.append_idempotent) turns the
+    re-delivery into a no-op, upgrading the sink to exactly-once. This is
+    the design of Iceberg's own Spark streaming sink, which records batch
+    ids in snapshot summaries and skips already-committed ones; readers
+    additionally never observe a half-routed batch, because all sinks of a
+    batch land in the one commit."""
+    from blogparser_spark.operators.route import route_commit_tablelog
+    from blogparser_spark.operators.tablelog import committed_markers
+
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
+    out = streaming_transform(stream, watermark)
+
+    def route_batch(batch_df, batch_id: int) -> None:
+        marker = f"batch-{batch_id}"
+        if marker in committed_markers(table):
+            # A re-delivered batch must still EXECUTE — the stateful dedup
+            # upstream commits its state stores per micro-batch, and Spark
+            # validates that every state partition committed. Only the sink
+            # write is skipped; no second copy of the rows can land.
+            batch_df.count()
+            return
+        route_commit_tablelog(batch_df, table, marker=marker)
+
+    q = (
+        out.writeStream.foreachBatch(route_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_streaming_dedup_probe(
     spark: SparkSession,
     input_path: str,

@@ -613,3 +613,32 @@ def test_streaming_extremum_ledger_promotes_and_snapshots(spark, tmp_path):
     assert any(
         r["floor"] is not None for r in last.filter("event_type='click'").collect()
     )
+
+
+def test_streaming_tablelog_route_exactly_once(spark, tmp_path):
+    """foreachBatch → atomic marker'd tablelog commits: batch parity on the
+    routed table, and a restart (fresh checkpoint re-delivering the same
+    batch ids over the same source) commits NOTHING new — the marker
+    ledger turns at-least-once re-delivery into exactly-once."""
+    from blogparser_spark.job import transform
+    from blogparser_spark.operators import tablelog as tl
+    from blogparser_spark.sources.synthetic import transcripts_df
+    from blogparser_spark.streaming.pipeline import run_streaming_tablelog_route
+
+    base = transcripts_df(spark, n_convs=12, turns_per_conv=4)
+    inp = str(tmp_path / "in")
+    base.write.mode("overwrite").parquet(inp)
+    t = str(tmp_path / "routed_log")
+
+    run_streaming_tablelog_route(spark, inp, t, str(tmp_path / "ckpt1"))
+    routed = tl.read_snapshot(spark, t)
+    batch = transform(base).drop("images")
+    cols = ["conv_id", "turn_idx", "parse_status", "sink_id", "title"]
+    assert routed.select(cols).exceptAll(batch.select(cols)).count() == 0
+    assert batch.select(cols).exceptAll(routed.select(cols)).count() == 0
+    v_after = tl.current_version(t)
+
+    # crash-restart that lost its checkpoint: same files, same batch ids
+    run_streaming_tablelog_route(spark, inp, t, str(tmp_path / "ckpt2"))
+    assert tl.current_version(t) == v_after  # every re-delivery was a no-op
+    assert tl.read_snapshot(spark, t).count() == batch.count()

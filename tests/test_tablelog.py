@@ -267,3 +267,198 @@ def test_route_commit_tablelog_matches_write_routed(spark, parsed, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     # whole-table row parity too
     assert tl.read_snapshot(spark, t).count() == enriched.count()
+
+
+def _vbatch(spark, lo: int, hi: int, bump: float = 0.0):
+    return _batch(spark, lo, hi).withColumn(
+        "value", F.col("event_id") * 1.5 + F.lit(bump)
+    )
+
+
+def test_merge_upsert_atomic_commit(spark, tmp_path):
+    """One commit = delete file over source keys + source data files; the
+    delete's seq equals the commit version so the merge's own rows survive
+    it (matched keys replaced, unmatched inserted)."""
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _vbatch(spark, 0, 12))
+    v = tl.merge_upsert(spark, t, _vbatch(spark, 6, 18, bump=1000.0), ["event_id"])
+    assert v == 2
+    c = tl._read_commit(t, 2)
+    assert c["operation"] == "merge"
+    assert c["added_data"] and c["added_deletes"]  # both sides, one commit
+    rows = {r.event_id: r.value for r in tl.read_snapshot(spark, t).collect()}
+    exp = {k: k * 1.5 for k in range(6)}
+    exp.update({k: k * 1.5 + 1000.0 for k in range(6, 18)})
+    assert rows == exp
+
+
+def test_merge_upsert_into_empty_table_is_insert_only(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v = tl.merge_upsert(spark, t, _vbatch(spark, 0, 5), ["event_id"])
+    assert v == 1
+    assert _ids(tl.read_snapshot(spark, t)) == list(range(5))
+    assert "added_deletes" not in tl._read_commit(t, 1)
+
+
+def test_rollback_preserves_history_and_seq_scoping(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _batch(spark, 0, 10))                       # v1
+    tl.delete_where(spark, t, F.col("event_id") < 4, ["event_id"])  # v2
+    tl.append(spark, t, _batch(spark, 0, 2))                        # v3 re-append
+    assert _ids(tl.read_snapshot(spark, t)) == [0, 1] + list(range(4, 10))
+    v4 = tl.rollback_to(t, 2)
+    assert v4 == 4
+    # state == v2 exactly (re-appended keys gone again; delete still scoped)
+    assert _ids(tl.read_snapshot(spark, t)) == list(range(4, 10))
+    # the rolled-back version is still time-travelable
+    assert _ids(tl.read_snapshot(spark, t, version=3)) == [0, 1] + list(
+        range(4, 10)
+    )
+    assert [c["operation"] for c in tl.snapshot_lineage(t)] == [
+        "append", "delete", "append", "rollback",
+    ]
+
+
+def test_changelog_scan_nets_to_live_rows(spark, tmp_path):
+    """Folding the CDC stream (+insert/−delete) over every commit kind —
+    append, MoR delete, merge, rollback — reproduces the live row set."""
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _vbatch(spark, 0, 10))
+    tl.delete_where(spark, t, F.col("event_id") % 4 == 0, ["event_id"])
+    tl.merge_upsert(spark, t, _vbatch(spark, 5, 15, bump=100.0), ["event_id"])
+    tl.rollback_to(t, 2)
+    ch = tl.changelog_scan(spark, t, from_version=0).collect()
+    net: dict[tuple, int] = {}
+    for r in ch:
+        d = 1 if r._change_type == "insert" else -1
+        net[(r.event_id, r.value)] = net.get((r.event_id, r.value), 0) + d
+    live = {kv for kv, n in net.items() if n > 0}
+    assert all(n in (0, 1) for n in net.values())
+    actual = {(r.event_id, r.value) for r in tl.read_snapshot(spark, t).collect()}
+    assert live == actual
+
+
+def test_changelog_delete_emits_exact_preimage(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _vbatch(spark, 0, 10))
+    tl.delete_where(spark, t, F.col("event_id") >= 7, ["event_id"])
+    ch = tl.changelog_scan(spark, t, from_version=1)
+    rows = [(r.event_id, r.value, r._commit_version) for r in ch.collect()]
+    assert sorted(rows) == [(k, k * 1.5, 2) for k in (7, 8, 9)]
+    assert {r._change_type for r in ch.collect()} == {"delete"}
+
+
+def test_changelog_refreshes_view_without_base_rescan(spark, tmp_path):
+    """apply_retractable_delta over the changelog == full recompute over
+    the final snapshot — the CDC feed a 10^12-row view absorbs instead of
+    rescanning history."""
+    from blogparser_spark.operators.aggregate import (
+        apply_retractable_delta,
+        retractable_state,
+    )
+
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _vbatch(spark, 0, 30))  # v1
+    view0 = retractable_state(
+        tl.read_snapshot(spark, t), ["event_type"], "value"
+    ).localCheckpoint()
+    tl.append(spark, t, _vbatch(spark, 30, 45))                       # v2
+    tl.delete_where(spark, t, F.col("event_id") % 5 == 0, ["event_id"])  # v3
+    tl.merge_upsert(spark, t, _vbatch(spark, 40, 55, bump=7.0), ["event_id"])  # v4
+    delta = tl.changelog_scan(spark, t, from_version=1).withColumn(
+        "op",
+        F.when(F.col("_change_type") == "insert", F.lit("I")).otherwise("D"),
+    )
+    refreshed = apply_retractable_delta(view0, delta, ["event_type"], "value")
+    full = retractable_state(tl.read_snapshot(spark, t), ["event_type"], "value")
+    a = sorted((r.event_type, r.cnt, r.vsum) for r in refreshed.collect())
+    b = sorted((r.event_type, r.cnt, r.vsum) for r in full.collect())
+    assert a == b
+
+
+def test_compact_binpack_rewrites_only_small_files(spark, tmp_path):
+    """Binpack folds the small-file backlog, leaves big files alone, keeps
+    delete files scoped to the untouched ones, and never changes the
+    logical row set."""
+    t = str(tmp_path / "t")
+    big = _batch(spark, 100, 20100).coalesce(1)
+    tl.append(spark, t, big)                              # one "big" file
+    for lo in (50, 55, 60):                               # small-file backlog
+        tl.append(spark, t, _batch(spark, lo, lo + 5).coalesce(1))
+    tl.delete_where(spark, t, F.col("event_id").isin(52, 61), ["event_id"])
+    _, pre = tl._state_at(t)
+    big_paths = {
+        p for p, e in pre["data"].items() if e["rows"] == 20000
+    }
+    big_bytes = max(e["bytes"] for e in pre["data"].values())
+    v = tl.compact_binpack(spark, t, target_bytes=big_bytes)
+    assert v is not None
+    _, post = tl._state_at(t)
+    assert big_paths <= set(post["data"])          # big file untouched
+    assert len(post["data"]) == len(big_paths) + 1  # backlog → one packed file
+    assert post["deletes"]                          # delete files retained
+    expected = [
+        e
+        for e in list(range(50, 65)) + list(range(100, 20100))
+        if e not in (52, 61)
+    ]
+    assert _ids(tl.read_snapshot(spark, t)) == expected
+    # binpack is a logical no-op for the changelog
+    ch = tl.changelog_scan(spark, t, from_version=v - 1, to_version=v)
+    assert ch.count() == 0
+
+
+def test_remove_orphans_sweeps_uncommitted_files_only(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _batch(spark, 0, 10))
+    # a writer that wrote files but died before the log commit
+    tl._write_data_files(_batch(spark, 90, 99), t, 2, (), "data")
+    assert tl.remove_orphans(t, min_age_sec=3600) == 0  # age guard holds
+    removed = tl.remove_orphans(t)
+    assert removed > 0
+    assert _ids(tl.read_snapshot(spark, t)) == list(range(10))
+    assert tl.remove_orphans(t) == 0  # idempotent
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """Write-audit-publish: staged files are invisible to readers and to
+    the orphan sweep, the audit reads exactly the staged rows, publish is
+    an atomic append stamped with the PUBLISH version's sequence number,
+    and a failed audit discards without any snapshot ever pointing at the
+    bad data."""
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _batch(spark, 0, 10))
+    sid = tl.stage_append(spark, t, _batch(spark, 10, 20))
+    # invisible until published; not swept as an orphan
+    assert _ids(tl.read_snapshot(spark, t)) == list(range(10))
+    assert tl.remove_orphans(t) == 0
+    assert _ids(tl.read_staged(spark, t, sid)) == list(range(10, 20))
+    v = tl.publish_staged(t, sid)
+    assert v == 2
+    assert _ids(tl.read_snapshot(spark, t)) == list(range(20))
+    assert tl.staged_ids(t) == []
+    with pytest.raises(LookupError):
+        tl.publish_staged(t, sid)  # a stage resolves exactly once
+
+    # publish-time sequence stamping: a delete AFTER staging but BEFORE
+    # publish must not remove the staged rows (they became visible later)
+    sid2 = tl.stage_append(spark, t, _batch(spark, 5, 8))  # re-add 5,6,7
+    tl.delete_where(spark, t, F.col("event_id") < 8, ["event_id"])
+    tl.publish_staged(t, sid2)
+    assert _ids(tl.read_snapshot(spark, t)) == [5, 6, 7] + list(range(8, 20))
+
+
+def test_wap_failed_audit_discards(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _batch(spark, 0, 10))
+    bad = _batch(spark, 50, 60).withColumn(
+        "event_type", F.lit(None).cast("string")
+    )
+    sid = tl.stage_append(spark, t, bad)
+    staged = tl.read_staged(spark, t, sid)
+    nulls = staged.filter(F.col("event_type").isNull()).count()
+    assert nulls > 0  # the gate fires
+    removed = tl.discard_staged(t, sid)
+    assert removed > 0 and tl.staged_ids(t) == []
+    assert _ids(tl.read_snapshot(spark, t)) == list(range(10))
+    assert tl.current_version(t) == 1  # no snapshot ever saw the bad rows

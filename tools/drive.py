@@ -1241,3 +1241,74 @@ assert _inb.count() == _enr2.filter(_enr2.channel == "inbound").count()
 assert _tl.read_snapshot(spark, _rtl).count() == _enr2.count()
 print("routed tablelog: sinks pruned, replay no-op,", _inb.count(), "inbound rows")
 print("DRIVE99 OK")
+
+# batch-7q: atomic merge-upsert, rollback, CDC changelog → IVM view refresh
+from blogparser_spark.operators.aggregate import (
+    retractable_state as _rsT, apply_retractable_delta as _ardT,
+)
+
+_mt = _tf.mkdtemp(prefix="drv_mrg_") + "/t"
+_evm = spark.range(0, 40).select(
+    _F.col("id").alias("k"), (_F.col("id") % 3).cast("string").alias("g"),
+    (_F.col("id") * 2.0).alias("v"),
+)
+_tl.append(spark, _mt, _evm.filter("k % 2 = 0"))
+_view0 = _rsT(_tl.read_snapshot(spark, _mt), ["g"], "v").localCheckpoint()
+_tl.merge_upsert(spark, _mt, _evm.filter("k % 5 = 0").withColumn("v", _F.col("v") + 100), ["k"])
+_tl.delete_where(spark, _mt, _F.col("k") % 8 == 0, ["k"])
+_deltaT = _tl.changelog_scan(spark, _mt, from_version=1).withColumn(
+    "op", _F.when(_F.col("_change_type") == "insert", _F.lit("I")).otherwise("D"))
+_refr = sorted((r.g, r.cnt, r.vsum) for r in _ardT(_view0, _deltaT, ["g"], "v").collect())
+_fullT = sorted((r.g, r.cnt, r.vsum) for r in _rsT(_tl.read_snapshot(spark, _mt), ["g"], "v").collect())
+assert _refr == _fullT
+_vroll = _tl.rollback_to(_mt, 1)
+assert sorted(r.k for r in _tl.read_snapshot(spark, _mt).collect()) == list(range(0, 40, 2))
+print("merge+CDC-IVM+rollback:", len(_refr), "groups refreshed; rollback v", _vroll)
+print("DRIVE100 OK")
+
+# batch-7r: streaming exactly-once tablelog sink (lost-checkpoint restart is a no-op)
+from blogparser_spark.streaming.pipeline import run_streaming_tablelog_route as _rstr
+
+_sld = _tf.mkdtemp(prefix="drv_slog_")
+transcripts_df(spark, n_convs=10, turns_per_conv=3).write.parquet(_sld + "/in")
+_rstr(spark, _sld + "/in", _sld + "/t", _sld + "/ck1")
+_sn = _tl.read_snapshot(spark, _sld + "/t").count()
+_sv = _tl.current_version(_sld + "/t")
+_rstr(spark, _sld + "/in", _sld + "/t", _sld + "/ck2")
+assert _tl.current_version(_sld + "/t") == _sv
+assert _tl.read_snapshot(spark, _sld + "/t").count() == _sn
+print("streaming tablelog sink exactly-once:", _sn, "rows at v", _sv)
+print("DRIVE101 OK")
+
+# batch-7s: tablelog maintenance — binpack small-file rewrite + orphan sweep
+_bpt = _tf.mkdtemp(prefix="drv_bp_") + "/t"
+_tl.append(spark, _bpt, spark.range(0, 20000).selectExpr("id AS k", "id * 1.0 AS v").coalesce(1))
+for _lo in (0, 1, 2):
+    _tl.append(spark, _bpt, spark.range(30000 + _lo, 30001 + _lo).selectExpr("id AS k", "id * 1.0 AS v"))
+_, _pre_bp = _tl._state_at(_bpt)
+_bw = max(e["bytes"] for e in _pre_bp["data"].values())
+_bv = _tl.compact_binpack(spark, _bpt, target_bytes=_bw)
+_, _post_bp = _tl._state_at(_bpt)
+assert _bv and len(_post_bp["data"]) < len(_pre_bp["data"])
+assert _tl.read_snapshot(spark, _bpt).count() == 20003
+_tl._write_data_files(spark.range(5).selectExpr("id AS k", "id * 1.0 AS v"), _bpt, 99, (), "data")
+_orph = _tl.remove_orphans(_bpt)
+assert _orph > 0 and _tl.read_snapshot(spark, _bpt).count() == 20003
+print("binpack:", len(_pre_bp["data"]), "->", len(_post_bp["data"]), "files; orphans swept:", _orph)
+print("DRIVE102 OK")
+
+# batch-7t: write-audit-publish — staged files invisible, gate, atomic publish
+_wt = _tf.mkdtemp(prefix="drv_wap_") + "/t"
+_tl.append(spark, _wt, spark.range(0, 10).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS g"))
+_sid = _tl.stage_append(spark, _wt, spark.range(10, 20).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS g"))
+assert _tl.read_snapshot(spark, _wt).count() == 10  # staged rows invisible
+assert _tl.remove_orphans(_wt) == 0                 # and not orphans
+assert _tl.read_staged(spark, _wt, _sid).count() == 10
+_tl.publish_staged(_wt, _sid)
+assert _tl.read_snapshot(spark, _wt).count() == 20
+_sbad = _tl.stage_append(spark, _wt, spark.range(50, 55).selectExpr("id AS k", "CAST(NULL AS STRING) AS g"))
+assert _tl.read_staged(spark, _wt, _sbad).filter("g IS NULL").count() == 5
+_tl.discard_staged(_wt, _sbad)
+assert _tl.read_snapshot(spark, _wt).count() == 20 and _tl.staged_ids(_wt) == []
+print("WAP: staged->audited->published 10 rows; bad batch discarded pre-snapshot")
+print("DRIVE103 OK")
