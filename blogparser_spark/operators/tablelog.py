@@ -51,13 +51,15 @@ Layout on disk:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -149,6 +151,202 @@ def _partition_of(dirpath: str, path: str) -> dict[str, str]:
             k, v = seg.split("=", 1)
             out[k[3:]] = unquote(v)
     return out
+
+
+# ---------------------------------------------------------------------------
+# hidden partitioning (Iceberg partition-spec transforms)
+# ---------------------------------------------------------------------------
+
+_SPEC_RE = re.compile(
+    r"^\s*(?:(identity|days|hours|months|years)\s*\(\s*(\w+)\s*\)"
+    r"|(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|(\w+))\s*$"
+)
+
+# lexical prefix length of the ISO-rendered timestamp per temporal transform
+_TEMPORAL_PREFIX = {"years": 4, "months": 7, "days": 10, "hours": 13}
+
+
+def parse_partition_spec(spec: tuple[str, ...] | list[str]) -> list[dict]:
+    """Parse an Iceberg-style partition spec — `("days(ts)",
+    "bucket(8, conv_id)", "truncate(4, role)", "region")` — into field
+    dicts {name, source, transform, param}. This is Iceberg's HIDDEN
+    partitioning (spec §Partition Transforms): the table partitions on a
+    TRANSFORM of a source column, writers never materialize the partition
+    column in their rows, and readers prune with plain predicates on the
+    source column (scan_where projects them through the transform)."""
+    fields = []
+    for s in spec:
+        m = _SPEC_RE.match(s)
+        if not m:
+            raise ValueError(f"unparseable partition-spec field: {s!r}")
+        if m.group(6):  # bare column = identity
+            transform, param, source = "identity", None, m.group(6)
+        elif m.group(1):
+            transform, param, source = m.group(1), None, m.group(2)
+        else:
+            transform, param, source = m.group(3), int(m.group(4)), m.group(5)
+        if transform == "identity":
+            name = source
+        elif transform in _TEMPORAL_PREFIX:
+            name = f"{source}_{transform[:-1]}"  # ts_day, ts_hour, ...
+        else:
+            name = f"{source}_{transform}_{param}"
+        fields.append(
+            {"name": name, "source": source, "transform": transform, "param": param}
+        )
+    return fields
+
+
+def _transform_expr(field: dict, dtype: str) -> Column:
+    """The Spark-side partition-value expression for one spec field. Every
+    transform has an EXACT Python twin (_twin_transform) so manifest-side
+    pruning can project predicate literals through the same function:
+
+    - bucket(n): md5-hex-prefix mod n (the repo's engine-portable stand-in
+      for Iceberg's murmur3 bucket — same convention as
+      route.consistent_shard_assign and the curation sampling keys).
+    - truncate(w): substring for strings, w*floor(v/w) for integers
+      (pmod keeps negatives on the Iceberg floor semantics).
+    - days/hours/months/years: LEXICAL truncation of the ISO-rendered
+      value (substring of cast-to-string) — timezone-free for NTZ
+      timestamps and identical in Spark, Python, and DuckDB, unlike
+      epoch-day arithmetic.
+    """
+    col = F.col(field["source"])
+    t = field["transform"]
+    if t == "identity":
+        return col
+    if t == "bucket":
+        return F.pmod(
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+                "long"
+            ),
+            F.lit(field["param"]),
+        )
+    if t == "truncate":
+        if dtype == "string":
+            return F.substring(col, 1, field["param"])
+        return (col - F.pmod(col, F.lit(field["param"]))).cast("long")
+    return F.substring(col.cast("string"), 1, _TEMPORAL_PREFIX[t])
+
+
+def _twin_transform(field: dict, value) -> str:
+    """Python twin of _transform_expr applied to a PREDICATE LITERAL,
+    returning the hive-path string form the manifest stores. Bit-for-bit
+    agreement with the Spark expression is pinned by a property test."""
+    t = field["transform"]
+    if t == "identity":
+        return str(value)
+    if t == "bucket":
+        h = hashlib.md5(str(value).encode()).hexdigest()[:8]
+        return str(int(h, 16) % field["param"])
+    if t == "truncate":
+        if isinstance(value, str):
+            return value[: field["param"]]
+        return str(int(value - (value % field["param"])))
+    return str(value)[: _TEMPORAL_PREFIX[t]]
+
+
+def _numeric(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return None
+
+
+def _part_match(field: dict, part_value: str, pred: tuple) -> bool:
+    """Can a file whose partition value for `field` is `part_value`
+    contain rows matching `pred` on the SOURCE column? False only when
+    the transform projection PROVES it cannot (Iceberg's inclusive
+    projection): equality projects through every transform; ranges
+    project through order-preserving transforms (identity, truncate,
+    temporal) but never through bucket."""
+    op = pred[0]
+    if op == "=":
+        return part_value == _twin_transform(field, pred[1])
+    lo, hi = _twin_transform(field, pred[1]), _twin_transform(field, pred[2])
+    if field["transform"] == "bucket":
+        return True  # hash transform is not order-preserving
+    n, a, b = _numeric(part_value), _numeric(lo), _numeric(hi)
+    if n is not None and a is not None and b is not None:
+        return a <= n <= b
+    return lo <= part_value <= hi
+
+
+def _stats_match(st: list | None, pred: tuple) -> bool:
+    """Min/max footer-stats check for one predicate; None stats keep."""
+    if st is None:
+        return True
+    try:
+        if pred[0] == "=":
+            return st[0] <= pred[1] <= st[1]
+        return st[0] <= pred[2] and st[1] >= pred[1]
+    except TypeError:
+        return True  # cross-type stats (e.g. str vs int) — never prune blind
+
+
+def prune_files_where(
+    table: str, predicates: dict[str, tuple], version: int | None = None
+) -> tuple[list[str], int]:
+    """Plan a predicate scan against the manifests only: live data files
+    that can contain matching rows. `predicates` maps SOURCE column →
+    ("=", v) or ("between", lo, hi). Each file is checked against (a) the
+    partition spec it was written under, projected through its transforms
+    — so partition EVOLUTION is handled per-file: a file written before a
+    bucket field existed simply has no value for it and is kept — and (b)
+    its min/max footer stats. Returns (paths_to_read, n_files_skipped)."""
+    _, state = _state_at(table, version)
+    keep, skipped = [], 0
+    for path in sorted(state["data"]):
+        e = state["data"][path]
+        by_source: dict[str, list[tuple[dict, str]]] = {}
+        for f in e.get("spec", []):
+            pv = e.get("partition", {}).get(f["name"])
+            if pv is not None and pv != "__HIVE_DEFAULT_PARTITION__":
+                by_source.setdefault(f["source"], []).append((f, pv))
+        ok = True
+        for col, pred in predicates.items():
+            for f, pv in by_source.get(col, []):
+                if not _part_match(f, pv, pred):
+                    ok = False
+            if not _stats_match(e.get("stats", {}).get(col), pred):
+                ok = False
+        if ok:
+            keep.append(path)
+        else:
+            skipped += 1
+    return keep, skipped
+
+
+def scan_where(
+    spark: SparkSession,
+    table: str,
+    predicates: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Hidden-partition-pruned scan: plan with prune_files_where (transform
+    projection + footer stats, manifests only — no file is opened to
+    decide), then read the surviving files, apply the EXACT predicates,
+    and apply outstanding delete files scoped to the pruned set. At 100 TB
+    this is the difference between a point lookup opening 1/n_buckets of
+    one day's files and a full-table scan — and because the spec is
+    per-file, the same call stays correct across partition-spec changes."""
+    _, state = _state_at(table, version)
+    paths, _skipped = prune_files_where(table, predicates, version)
+    if not paths:
+        return _empty_df(spark, state["schema"])
+    df = _read_files(spark, paths)
+    for col, pred in predicates.items():
+        if pred[0] == "=":
+            df = df.filter(F.col(col) == F.lit(pred[1]))
+        else:
+            df = df.filter(F.col(col).between(pred[1], pred[2]))
+    pruned_state = {
+        "data": {p: state["data"][p] for p in paths},
+        "deletes": state["deletes"],
+    }
+    return _apply_deletes(spark, df, pruned_state)
 
 
 def _file_entries(dirpath: str, stats_cols: tuple[str, ...], seq: int) -> list[dict]:
@@ -309,9 +507,25 @@ def _write_data_files(
     stats_cols: tuple[str, ...],
     kind: str,
     partition_by: tuple[str, ...] = (),
+    spec_fields: list[dict] | None = None,
 ) -> list[dict]:
     outdir = os.path.join(table, kind, f"c{version:06d}-{uuid.uuid4().hex[:8]}")
-    if partition_by:
+    if partition_by and spec_fields:
+        raise ValueError("pass partition_by OR partition_spec, not both")
+    if spec_fields:
+        # hidden partitioning: the partition columns are TRANSFORMS of
+        # source columns, written as duplicate `_p_` columns so data files
+        # keep only real columns; values live in the manifest + path.
+        dtypes = dict(df.dtypes)
+        out = df
+        for f in spec_fields:
+            out = out.withColumn(
+                f"_p_{f['name']}", _transform_expr(f, dtypes[f["source"]])
+            )
+        out.write.mode("error").partitionBy(
+            *[f"_p_{f['name']}" for f in spec_fields]
+        ).parquet(outdir)
+    elif partition_by:
         # partition on DUPLICATE `_p_` columns so the data files keep the
         # real columns; the partition values live in the manifest (and the
         # path), exactly where Iceberg keeps them.
@@ -323,7 +537,13 @@ def _write_data_files(
         ).parquet(outdir)
     else:
         df.write.mode("error").parquet(outdir)
-    return _file_entries(outdir, stats_cols, seq=version)
+    entries = _file_entries(outdir, stats_cols, seq=version)
+    if spec_fields:
+        # every file records the spec it was written under — partition
+        # evolution is per-file, exactly Iceberg's manifest spec_id.
+        for e in entries:
+            e["spec"] = spec_fields
+    return entries
 
 
 def append(
@@ -335,17 +555,26 @@ def append(
     max_retries: int = 5,
     partition_by: tuple[str, ...] = (),
     marker: str | None = None,
+    partition_spec: tuple[str, ...] = (),
 ) -> int:
     """Append df as a new snapshot; returns the committed version. Appends
     conflict with nothing (they only add files), so a lost commit race is
     retried against the refreshed log — Iceberg's fast-append semantics.
     `partition_by` writes hive-partitioned files whose partition values are
     recorded per file in the manifest (read back via read_partition).
+    `partition_spec` is the hidden-partitioning alternative — transform
+    fields like ("days(ts)", "bucket(8, conv_id)") pruned via scan_where.
     `marker` stamps the commit for idempotent resume (append_idempotent)."""
     cur = current_version(table)
     version = (cur or 0) + 1
     entries = _write_data_files(
-        df, table, version, stats_cols, "data", partition_by
+        df,
+        table,
+        version,
+        stats_cols,
+        "data",
+        partition_by,
+        parse_partition_spec(partition_spec) if partition_spec else None,
     )
     schema_new = _schema_of(df)
     for _ in range(max_retries):
@@ -423,6 +652,7 @@ def stage_append(
     df: DataFrame,
     stats_cols: tuple[str, ...] = (),
     partition_by: tuple[str, ...] = (),
+    partition_spec: tuple[str, ...] = (),
 ) -> str:
     """Write-audit-publish, stage step (Iceberg's WAP pattern): the data
     files are written and described by a STAGED manifest that lives
@@ -432,7 +662,15 @@ def stage_append(
     atomic append commit or discard_staged removes the files. Bad data
     never has a snapshot pointing at it. Returns the stage id."""
     stage_id = uuid.uuid4().hex[:12]
-    entries = _write_data_files(df, table, 0, stats_cols, "data", partition_by)
+    entries = _write_data_files(
+        df,
+        table,
+        0,
+        stats_cols,
+        "data",
+        partition_by,
+        parse_partition_spec(partition_spec) if partition_spec else None,
+    )
     os.makedirs(_log_dir(table), exist_ok=True)
     staged = {
         "stage_id": stage_id,
@@ -581,6 +819,7 @@ def merge_upsert(
     key_cols: list[str],
     stats_cols: tuple[str, ...] = (),
     partition_by: tuple[str, ...] = (),
+    partition_spec: tuple[str, ...] = (),
 ) -> int:
     """Atomic MERGE (upsert): ONE commit carries both an equality-delete
     file over the source's key tuples and the source data files. The
@@ -595,7 +834,13 @@ def merge_upsert(
     version = (cur or 0) + 1
     existing = _state_at(table, cur)[1]["schema"] if cur else None
     entries = _write_data_files(
-        df, table, version, stats_cols, "data", partition_by
+        df,
+        table,
+        version,
+        stats_cols,
+        "data",
+        partition_by,
+        parse_partition_spec(partition_spec) if partition_spec else None,
     )
     commit = {
         "version": version,
@@ -793,15 +1038,22 @@ def _apply_deletes(
     deletes = list(state["deletes"].values())
     if not deletes:
         return df
+    # File identity is the FULL absolute path: with multi-level hive
+    # partitioning one task writes the SAME filename into many partition
+    # dirs, so any fixed-suffix identity (e.g. last two path segments)
+    # collides and the manifest join multiplies rows. input_file_name()
+    # returns a URL-encoded file: URI — normalize it to the manifest's
+    # os-path form.
     seq_rows = [
-        (os.path.join(*e["path"].rsplit(os.sep, 2)[-2:]), int(e["seq"]))
+        (os.path.abspath(e["path"]), int(e["seq"]))
         for e in state["data"].values()
     ]
     manifest = F.broadcast(
         df.sparkSession.createDataFrame(seq_rows, "_file string, _seq int")
     )
     data = df.withColumn(
-        "_file", F.substring_index(F.input_file_name(), "/", -2)
+        "_file",
+        F.url_decode(F.regexp_replace(F.input_file_name(), "^file:/+", "/")),
     ).join(manifest, "_file")
     by_group: dict[tuple, list[dict]] = {}
     for e in deletes:

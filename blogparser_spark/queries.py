@@ -8785,3 +8785,67 @@ def tablelog_wap_publish_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_id"),
         )
     )
+
+
+@_q(
+    "tablelog_hidden_partition_scan",
+    """
+    SELECT event_type, count(*)::BIGINT AS cnt,
+      min(event_id) AS min_id, max(event_id) AS max_id,
+      sum(user_id)::BIGINT AS sum_users
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                 AND TIMESTAMP '2024-01-12 23:59:59'
+      AND event_type = 'click' AND user_id % 5 <> 0
+    GROUP BY event_type
+    """,
+)
+def tablelog_hidden_partition_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hidden partitioning end-to-end (Iceberg partition-spec transforms,
+    tablelog.scan_where): the even half of events is appended under
+    ("days(ts)",), the odd half under the EVOLVED spec ("days(ts)",
+    "bucket(4, event_type)") — per-file specs, exactly Iceberg's manifest
+    spec_id — then a merge-on-read delete of user_id % 5 == 0, then a scan
+    with plain predicates on the SOURCE columns (a ts day-range + an
+    event_type equality). scan_where plans against manifests only,
+    projecting the predicates through each file's own transforms (day
+    range prunes both specs; the bucket equality additionally prunes the
+    evolved files; old-spec files are never pruned blind on bucket), reads
+    the surviving files, and composes the delete. The oracle is the plain
+    filtered aggregate over the base table: agreement proves pruning keeps
+    every matching file across spec evolution AND the MoR delete scopes to
+    the pruned set. At 100 TB this is a point lookup opening ~2/30 days x
+    1/4 buckets of the files instead of a full-table scan, with zero
+    user-visible partition columns — the north rule's hidden-partitioning
+    contract. Pruning counts are pinned in tests/test_tablelog.py."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_hidden_") + "/t"
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    half = F.pmod(F.col("event_id"), F.lit(2))
+    tl.append(spark, t, ev.filter(half == 0), partition_spec=("days(ts)",))
+    tl.append(
+        spark,
+        t,
+        ev.filter(half == 1),
+        partition_spec=("days(ts)", "bucket(4, event_type)"),
+    )
+    tl.delete_where(spark, t, F.col("user_id") % 5 == 0, key_cols=["event_id"])
+    got = tl.scan_where(
+        spark,
+        t,
+        {
+            "ts": ("between", "2024-01-05 00:00:00", "2024-01-12 23:59:59"),
+            "event_type": ("=", "click"),
+        },
+    )
+    return got.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum("user_id").cast("bigint").alias("sum_users"),
+    )

@@ -462,3 +462,165 @@ def test_wap_failed_audit_discards(spark, tmp_path):
     assert removed > 0 and tl.staged_ids(t) == []
     assert _ids(tl.read_snapshot(spark, t)) == list(range(10))
     assert tl.current_version(t) == 1  # no snapshot ever saw the bad rows
+
+
+# ---------------------------------------------------------------------------
+# hidden partitioning (Iceberg partition-spec transforms)
+# ---------------------------------------------------------------------------
+
+
+def _hidden_batch(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("conv-"), (F.col("id") % 37).cast("string")).alias(
+            "conv_id"
+        ),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2026-08-"),
+                F.lpad(((F.col("id") % 9) + 1).cast("string"), 2, "0"),
+                F.lit(" 10:00:00"),
+            )
+        ).alias("ts"),
+        (F.col("id") % 100).alias("val"),
+    )
+
+
+def test_partition_spec_parse_and_twin_matches_spark(spark):
+    """Every transform's Python twin must agree bit-for-bit with the Spark
+    expression — pruning projects predicate literals through the twin."""
+    fields = tl.parse_partition_spec(
+        ("days(ts)", "bucket(4, conv_id)", "truncate(6, conv_id)", "event_id")
+    )
+    assert [f["name"] for f in fields] == [
+        "ts_day",
+        "conv_id_bucket_4",
+        "conv_id_truncate_6",
+        "event_id",
+    ]
+    df = _hidden_batch(spark, 0, 200)
+    dtypes = dict(df.dtypes)
+    rows = df.select(
+        "conv_id",
+        "ts",
+        "event_id",
+        *[
+            tl._transform_expr(f, dtypes[f["source"]]).alias(f"t{i}")
+            for i, f in enumerate(fields)
+        ],
+    ).collect()
+    for r in rows:
+        assert str(r.t0) == tl._twin_transform(fields[0], str(r.ts))
+        assert str(r.t1) == tl._twin_transform(fields[1], r.conv_id)
+        assert str(r.t2) == tl._twin_transform(fields[2], r.conv_id)
+        assert str(r.t3) == tl._twin_transform(fields[3], r.event_id)
+    with pytest.raises(ValueError):
+        tl.parse_partition_spec(("bucket(conv_id)",))
+
+
+def test_hidden_partition_scan_prunes_and_is_exact(spark, tmp_path):
+    """A day-range + bucket-equality scan opens only the files whose
+    transformed partition values can match — and the result is exactly the
+    full-scan filter."""
+    t = str(tmp_path / "t")
+    df = _hidden_batch(spark, 0, 1000)
+    tl.append(
+        spark,
+        t,
+        df,
+        stats_cols=("event_id",),
+        partition_spec=("days(ts)", "bucket(4, conv_id)"),
+    )
+    preds = {
+        "ts": ("between", "2026-08-02 00:00:00", "2026-08-03 23:59:59"),
+        "conv_id": ("=", "conv-5"),
+    }
+    paths, skipped = tl.prune_files_where(t, preds)
+    total = len(tl._state_at(t)[1]["data"])
+    # 2 of 9 days x 1 of 4 buckets: at most 2/36 of the files survive
+    assert skipped > 0 and len(paths) <= max(1, total * 2 // 18)
+    got = _ids(tl.scan_where(spark, t, preds))
+    exp = _ids(
+        df.filter(
+            F.col("ts").between(*preds["ts"][1:])
+            & (F.col("conv_id") == "conv-5")
+        )
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_hidden_partition_truncate_int_and_string(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = _hidden_batch(spark, 0, 300)
+    tl.append(spark, t, df, partition_spec=("truncate(100, event_id)",))
+    preds = {"event_id": ("between", 120, 180)}
+    paths, skipped = tl.prune_files_where(t, preds)
+    assert skipped > 0  # the 0- and 200- truncation groups are pruned
+    assert _ids(tl.scan_where(spark, t, preds)) == list(range(120, 181))
+
+
+def test_partition_evolution_per_file_spec(spark, tmp_path):
+    """Files written under an OLD spec have no value for a new spec's
+    fields and must be kept (never prune blind); files under the new spec
+    prune. Results stay exact across the evolution."""
+    t = str(tmp_path / "t")
+    a = _hidden_batch(spark, 0, 400)
+    b = _hidden_batch(spark, 1000, 1400)
+    tl.append(spark, t, a, partition_spec=("days(ts)",))
+    tl.append(spark, t, b, partition_spec=("bucket(4, conv_id)",))
+    state = tl._state_at(t)[1]["data"]
+    preds = {"conv_id": ("=", "conv-5")}
+    paths, skipped = tl.prune_files_where(t, preds)
+    # every old-spec file kept, only new-spec files pruned
+    old_files = {
+        p for p, e in state.items() if e["spec"][0]["name"] == "ts_day"
+    }
+    assert old_files <= set(paths) and skipped > 0
+    got = _ids(tl.scan_where(spark, t, preds))
+    exp = _ids(a.unionByName(b).filter(F.col("conv_id") == "conv-5"))
+    assert got == exp
+
+
+def test_hidden_partition_scan_composes_with_deletes(spark, tmp_path):
+    """Multi-level hive partitioning writes the SAME filename into many
+    partition dirs — the MoR file-identity join must key on the full
+    path, or delete application multiplies rows."""
+    t = str(tmp_path / "t")
+    df = _hidden_batch(spark, 0, 1000)
+    tl.append(spark, t, df, partition_spec=("days(ts)", "bucket(4, conv_id)"))
+    tl.delete_where(spark, t, F.col("val") % 2 == 0, key_cols=["event_id"])
+    preds = {"conv_id": ("=", "conv-5")}
+    got = _ids(tl.scan_where(spark, t, preds))
+    exp = _ids(
+        df.filter((F.col("conv_id") == "conv-5") & (F.col("val") % 2 != 0))
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_hidden_partition_wap_and_merge(spark, tmp_path):
+    """partition_spec flows through stage/publish and merge_upsert; the
+    published and merged files prune like appended ones."""
+    t = str(tmp_path / "t")
+    sid = tl.stage_append(
+        spark,
+        t,
+        _hidden_batch(spark, 0, 200),
+        partition_spec=("bucket(4, conv_id)",),
+    )
+    tl.publish_staged(t, sid)
+    upd = _hidden_batch(spark, 100, 300)
+    tl.merge_upsert(
+        spark,
+        t,
+        upd,
+        key_cols=["event_id"],
+        partition_spec=("bucket(4, conv_id)",),
+    )
+    preds = {"conv_id": ("=", "conv-11")}
+    _paths, skipped = tl.prune_files_where(t, preds)
+    assert skipped > 0
+    got = _ids(tl.scan_where(spark, t, preds))
+    exp = _ids(
+        _hidden_batch(spark, 0, 300).filter(F.col("conv_id") == "conv-11")
+    )
+    assert got == exp

@@ -1312,3 +1312,31 @@ _tl.discard_staged(_wt, _sbad)
 assert _tl.read_snapshot(spark, _wt).count() == 20 and _tl.staged_ids(_wt) == []
 print("WAP: staged->audited->published 10 rows; bad batch discarded pre-snapshot")
 print("DRIVE103 OK")
+
+# batch-7u: hidden partitioning — transform specs, predicate projection pruning,
+# per-file spec evolution, MoR composition
+_ht = _tf.mkdtemp(prefix="drv_hid_") + "/t"
+_hev = spark.range(0, 2000).selectExpr(
+    "id AS k",
+    "concat('g-', CAST(id % 13 AS STRING)) AS grp",
+    "to_timestamp(concat('2026-08-', lpad(CAST(id % 9 + 1 AS STRING), 2, '0'), ' 10:00:00')) AS ts",
+)
+_tl.append(spark, _ht, _hev.filter("k % 2 = 0"), partition_spec=("days(ts)",))
+_tl.append(spark, _ht, _hev.filter("k % 2 = 1"),
+           partition_spec=("days(ts)", "bucket(4, grp)"))
+_tl.delete_where(spark, _ht, _F.col("k") % 5 == 0, key_cols=["k"])
+_hp = {"ts": ("between", "2026-08-02 00:00:00", "2026-08-03 23:59:59"),
+       "grp": ("=", "g-5")}
+_hkeep, _hskip = _tl.prune_files_where(_ht, _hp)
+assert _hskip > 0
+_hgot = sorted(r.k for r in _tl.scan_where(spark, _ht, _hp).collect())
+_hexp = sorted(
+    r.k
+    for r in _hev.filter(
+        _F.col("ts").between(*_hp["ts"][1:]) & (_F.col("grp") == "g-5") & (_F.col("k") % 5 != 0)
+    ).collect()
+)
+assert _hgot == _hexp and _hgot
+print("hidden partitioning: kept", len(_hkeep), "files, skipped", _hskip,
+      "; scan_where exact on", len(_hgot), "rows across evolved specs + MoR delete")
+print("DRIVE104 OK")
