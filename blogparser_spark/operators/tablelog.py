@@ -33,6 +33,12 @@ needs falls out of that one structure:
   only the files whose range overlaps a predicate — partition-pruning
   semantics without a partition column (pairs with the z-order layout in
   operators/storage.write_zordered).
+- **Named refs** (Iceberg branches and tags): tags pin snapshots by name
+  (and against expiry); branches are writable lineages forked off main —
+  commits stamped with the branch chain off its head and are invisible to
+  main readers because state replay follows PARENT POINTERS, not the
+  version sequence. `fast_forward` publishes a branch into main as one
+  atomic diff commit — the branch-WAP pattern for audit-then-publish.
 
 Concurrency is optimistic, exactly like Iceberg's commit-if-absent on the
 metadata pointer: a commit is `os.link(tmp, log/v{N}.json)`, which fails if
@@ -47,6 +53,7 @@ Layout on disk:
   <table>/deletes/c{version:06d}/part-*.parquet  equality-delete key files
   <table>/log/v{version:012d}.json               one commit per version
   <table>/log/_base_v{version:012d}.json         rebase state after expiry
+  <table>/log/ref-{name}.json                    named ref (branch/tag)
 """
 
 from __future__ import annotations
@@ -398,46 +405,238 @@ def _schema_of(df: DataFrame) -> list[list[str]]:
 
 
 # ---------------------------------------------------------------------------
+# named refs (Iceberg branches and tags)
+# ---------------------------------------------------------------------------
+
+_REF_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._\-]*$")
+
+
+def _ref_path(table: str, name: str) -> str:
+    return os.path.join(_log_dir(table), f"ref-{name}.json")
+
+
+def _read_ref(table: str, name: str) -> dict:
+    path = _ref_path(table, name)
+    if not os.path.exists(path):
+        raise LookupError(f"unknown ref {name!r} on table {table}")
+    with open(path) as f:
+        return json.load(f)
+
+
+def list_refs(table: str) -> dict[str, dict]:
+    """Every named ref: {name: {"type": "branch"|"tag", "version": int}}.
+    `version` is a tag's pinned snapshot, or a branch's CREATION point —
+    branch heads are derived from the log (branch_head), never stored, so
+    a ref update needs no second atomic primitive: winning the commit race
+    IS the head advance."""
+    try:
+        names = os.listdir(_log_dir(table))
+    except OSError:
+        return {}
+    out = {}
+    for n in sorted(names):
+        if n.startswith("ref-") and n.endswith(".json"):
+            with open(os.path.join(_log_dir(table), n)) as f:
+                r = json.load(f)
+            out[r["name"]] = r
+    return out
+
+
+def _head(table: str, branch: str = "main") -> int | None:
+    """Head of a branch's commit chain: the newest commit stamped with the
+    branch name (commits carry no stamp on main). For a named branch with
+    no commits yet, the creation-point version. None for an empty main."""
+    created = None
+    if branch != "main":
+        ref = _read_ref(table, branch)
+        if ref["type"] != "branch":
+            raise ValueError(f"ref {branch!r} is a tag, not a branch: {table}")
+        created = ref["version"]
+    head = None
+    for v in list_versions(table):
+        if _read_commit(table, v).get("branch", "main") == branch:
+            head = v
+    return head if head is not None else created
+
+
+def resolve_ref(table: str, ref: str) -> int:
+    """Ref name → snapshot version: a tag's pinned version, a branch's
+    derived head, or the main head. Pass the result as `version=` to any
+    read path (read_snapshot, scan_where, incremental scans)."""
+    if ref == "main":
+        h = _head(table, "main")
+        if h is None:
+            raise LookupError(f"main branch has no commits: {table}")
+        return h
+    r = _read_ref(table, ref)
+    if r["type"] == "tag":
+        return r["version"]
+    h = _head(table, ref)
+    assert h is not None  # branch refs always carry a creation version
+    return h
+
+
+def _create_ref(table: str, name: str, kind: str, version: int | None) -> int:
+    if name == "main" or not _REF_NAME_RE.match(name):
+        raise ValueError(f"invalid ref name {name!r}")
+    versions = list_versions(table)
+    at = (_head(table, "main") if version is None else version)
+    if at is None or at not in versions:
+        raise LookupError(f"cannot create ref at unknown version {at}: {table}")
+    os.makedirs(_log_dir(table), exist_ok=True)
+    tmp = os.path.join(_log_dir(table), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "type": kind, "version": at, "ts": time.time()}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _ref_path(table, name))
+    except FileExistsError:
+        raise ValueError(f"ref {name!r} already exists on table {table}") from None
+    finally:
+        os.unlink(tmp)
+    return at
+
+
+def create_tag(table: str, name: str, version: int | None = None) -> int:
+    """Immutable named pointer to a snapshot (Iceberg tag): time travel by
+    name, and — exactly like Iceberg's ref retention — expire_snapshots
+    never expires a tagged snapshot while the tag exists. Atomic create
+    via the same link-if-absent primitive as commits; returns the pinned
+    version."""
+    return _create_ref(table, name, "tag", version)
+
+
+def create_branch(table: str, name: str, version: int | None = None) -> int:
+    """Named writable lineage forked at `version` (default: main head).
+    Commits made with `append(..., branch=name)` are stamped with the
+    branch and chain off its head — INVISIBLE to main readers, because
+    state replay follows parent pointers, not the version sequence. The
+    audit-then-publish flow is create_branch → append(branch=...) →
+    read_snapshot(ref=...) → fast_forward (Iceberg's branch-WAP pattern).
+    Returns the fork version."""
+    return _create_ref(table, name, "branch", version)
+
+
+def drop_ref(table: str, name: str) -> None:
+    """Remove a tag or branch pointer. A dropped branch's commits remain
+    in the log (time-travelable by version) until expiry stops pinning
+    them; its data files are swept once no retained commit references
+    them."""
+    path = _ref_path(table, name)
+    if not os.path.exists(path):
+        raise LookupError(f"unknown ref {name!r} on table {table}")
+    os.unlink(path)
+
+
+def fast_forward(table: str, branch: str, max_retries: int = 5) -> int:
+    """Publish a branch into main (Iceberg's fast-forward): ONE atomic
+    commit on main whose net file changes re-point main's live state at
+    the branch head's — no data rewrite, and like rollback_to the
+    re-added entries keep the sequence numbers they had when their rows
+    became visible on the branch, so MoR delete scoping replays exactly.
+    History is preserved: the branch commits stay time-travelable and the
+    fast-forward is itself a commit (auditable in snapshot_lineage).
+    Readers of main see the whole branch or none of it. Returns the new
+    main version."""
+    src = resolve_ref(table, branch)
+    _, target = _state_at(table, src)
+    for _ in range(max_retries):
+        cur = _head(table, "main")
+        now = (
+            _state_at(table, cur)[1]
+            if cur is not None
+            else {"data": {}, "deletes": {}, "schema": None}
+        )
+        commit = {
+            "version": (current_version(table) or 0) + 1,
+            "parent": cur,
+            "operation": "fast_forward",
+            "ts": time.time(),
+            "from_ref": branch,
+            "from_version": src,
+            "schema": target["schema"],
+            "added_data": [
+                e for p, e in target["data"].items() if p not in now["data"]
+            ],
+            "removed_data": sorted(
+                p for p in now["data"] if p not in target["data"]
+            ),
+            "added_deletes": [
+                e for p, e in target["deletes"].items() if p not in now["deletes"]
+            ],
+            "removed_deletes": sorted(
+                p for p in now["deletes"] if p not in target["deletes"]
+            ),
+        }
+        if _try_commit(table, commit):
+            return commit["version"]
+    raise CommitConflict(
+        f"fast_forward of {branch!r} lost the commit race {max_retries} "
+        f"times: {table}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # snapshot state replay
 # ---------------------------------------------------------------------------
 
 
 def _state_at(table: str, version: int | None = None) -> tuple[int, dict]:
-    """Replay the log to `version` (default: latest). Returns (version,
-    state) where state = {"data": {path: entry}, "deletes": {path: entry},
-    "schema": [...]}. Starts from the newest rebase base ≤ version if
-    expiry has truncated the log."""
+    """Replay the ANCESTRY CHAIN of `version` (default: the main branch
+    head). Returns (version, state) where state = {"data": {path: entry},
+    "deletes": {path: entry}, "schema": [...]}.
+
+    Replay follows `parent` pointers rather than the linear version
+    sequence: with branch refs, commits on other branches share the global
+    version sequence but are NOT ancestors of main, so a main reader must
+    never fold them in. For a branch-free table the parent chain IS the
+    linear sequence, so this is exactly the old behavior. The walk stops
+    early at any version carrying a rebase base file (the persisted state
+    at that version, written by expiry wherever the chain is truncated),
+    keeping replay O(retained chain length)."""
     versions = list_versions(table)
     if not versions:
         raise LookupError(f"no commits in table log: {table}")
-    target = versions[-1] if version is None else version
-    if target not in versions:
-        lo = versions[0]
-        if version is not None and version < lo:
-            raise SnapshotExpired(
-                f"version {version} expired (oldest retained: {lo})"
-            )
-        raise LookupError(f"unknown version {version} for table {table}")
+    if version is None:
+        target = _head(table, "main")
+        if target is None:
+            raise LookupError(f"main branch has no commits: {table}")
+    else:
+        target = version
+        if target not in versions:
+            if target < versions[0]:
+                raise SnapshotExpired(
+                    f"version {version} expired (oldest retained: {versions[0]})"
+                )
+            raise LookupError(f"unknown version {version} for table {table}")
 
+    retained = set(versions)
     state: dict = {"data": {}, "deletes": {}, "schema": None}
-    replay_from = versions[0]
-    base = _base_path(table, versions[0])
-    if os.path.exists(base):
-        # expiry truncated the log: the base file IS the state at
-        # versions[0]; replay only the commits after it.
-        with open(base) as f:
-            snap = json.load(f)
-        state = {
-            "data": {e["path"]: e for e in snap["data"]},
-            "deletes": {e["path"]: e for e in snap["deletes"]},
-            "schema": snap["schema"],
-        }
-        replay_from = versions[0] + 1
-
-    for v in versions:
-        if v < replay_from or v > target:
-            continue
+    chain: list[dict] = []
+    v: int | None = target
+    while v is not None:
+        base = _base_path(table, v)
+        if os.path.exists(base):
+            # the base file IS the state at v (inclusive); replay only the
+            # chain commits strictly after it.
+            with open(base) as f:
+                snap = json.load(f)
+            state = {
+                "data": {e["path"]: e for e in snap["data"]},
+                "deletes": {e["path"]: e for e in snap["deletes"]},
+                "schema": snap["schema"],
+            }
+            break
+        if v not in retained:
+            raise SnapshotExpired(
+                f"commit v{v} on the ancestry chain of v{target} expired: {table}"
+            )
         c = _read_commit(table, v)
+        chain.append(c)
+        v = c.get("parent")
+
+    for c in reversed(chain):
         for e in c.get("added_data", []):
             state["data"][e["path"]] = e
         for p in c.get("removed_data", []):
@@ -451,6 +650,42 @@ def _state_at(table: str, version: int | None = None) -> tuple[int, dict]:
     return target, state
 
 
+def _chain_between(
+    table: str, from_version: int, to_version: int | None
+) -> tuple[int, list[dict]]:
+    """The ancestry-chain commits in (from_version, to_version], oldest
+    first (to_version defaults to the main head). Walking parent pointers
+    — not the linear version sequence — keeps incremental scans correct
+    when branch commits share the version sequence: a main-chain scan
+    never folds in another branch's commits. Raises SnapshotExpired if an
+    in-range chain commit was expired, LookupError if from_version is not
+    an ancestor of to_version (e.g. it belongs to a different branch)."""
+    versions = set(list_versions(table))
+    if not versions:
+        raise LookupError(f"no commits in table log: {table}")
+    if to_version is None:
+        to_version = _head(table, "main")
+        if to_version is None:
+            raise LookupError(f"main branch has no commits: {table}")
+    out: list[dict] = []
+    v: int | None = to_version
+    while v is not None and v > from_version:
+        if v not in versions:
+            raise SnapshotExpired(
+                f"chain commit v{v} in ({from_version}, {to_version}] "
+                f"expired: {table}"
+            )
+        c = _read_commit(table, v)
+        out.append(c)
+        v = c.get("parent")
+    if v != from_version and not (v is None and from_version <= 0):
+        raise LookupError(
+            f"from_version {from_version} is not an ancestor of "
+            f"v{to_version}: {table}"
+        )
+    return to_version, list(reversed(out))
+
+
 def snapshot_lineage(table: str) -> list[dict]:
     """Per-commit lineage summaries (version, operation, rows/files added
     and removed) — the table-level analog of checkpoint.SliceManifest."""
@@ -461,6 +696,7 @@ def snapshot_lineage(table: str) -> list[dict]:
             {
                 "version": v,
                 "operation": c["operation"],
+                "branch": c.get("branch", "main"),
                 "ts": c.get("ts"),
                 "rows_added": sum(e["rows"] for e in c.get("added_data", [])),
                 "files_added": len(c.get("added_data", [])),
@@ -556,6 +792,7 @@ def append(
     partition_by: tuple[str, ...] = (),
     marker: str | None = None,
     partition_spec: tuple[str, ...] = (),
+    branch: str = "main",
 ) -> int:
     """Append df as a new snapshot; returns the committed version. Appends
     conflict with nothing (they only add files), so a lost commit race is
@@ -564,9 +801,13 @@ def append(
     recorded per file in the manifest (read back via read_partition).
     `partition_spec` is the hidden-partitioning alternative — transform
     fields like ("days(ts)", "bucket(8, conv_id)") pruned via scan_where.
-    `marker` stamps the commit for idempotent resume (append_idempotent)."""
-    cur = current_version(table)
-    version = (cur or 0) + 1
+    `marker` stamps the commit for idempotent resume (append_idempotent).
+    `branch` commits onto a named branch (create_branch) instead of main:
+    the commit takes the global next version number but chains off the
+    BRANCH head, so main readers never see it until fast_forward."""
+    if branch != "main":
+        _head(table, branch)  # validates the ref exists and is a branch
+    version = (current_version(table) or 0) + 1
     entries = _write_data_files(
         df,
         table,
@@ -578,19 +819,23 @@ def append(
     )
     schema_new = _schema_of(df)
     for _ in range(max_retries):
-        cur = current_version(table)
-        version_try = (cur or 0) + 1
-        existing = _state_at(table, cur)[1]["schema"] if cur else None
+        parent = _head(table, branch)
+        version_try = (current_version(table) or 0) + 1
+        existing = (
+            _state_at(table, parent)[1]["schema"] if parent is not None else None
+        )
         for e in entries:
             e["seq"] = version_try
         commit = {
             "version": version_try,
-            "parent": cur,
+            "parent": parent,
             "operation": "append",
             "ts": time.time(),
             "schema": _check_schema(existing, schema_new, allow_evolution),
             "added_data": entries,
         }
+        if branch != "main":
+            commit["branch"] = branch
         if marker is not None:
             commit["marker"] = marker
         if _try_commit(table, commit):
@@ -717,8 +962,8 @@ def publish_staged(
     table at publish time, not stage time."""
     staged = _read_staged(table, stage_id)
     for _ in range(max_retries):
-        cur = current_version(table)
-        version = (cur or 0) + 1
+        cur = _head(table, "main")
+        version = (current_version(table) or 0) + 1
         existing = _state_at(table, cur)[1]["schema"] if cur else None
         entries = [dict(e, seq=version) for e in staged["added_data"]]
         commit = {
@@ -759,7 +1004,7 @@ def delete_where(
     `condition` into a small delete file and commit it — no data file is
     rewritten. Readers anti-join; compaction folds it away. The delete's
     sequence number scopes it to data files committed strictly before it."""
-    cur = current_version(table)
+    cur = _head(table, "main")
     if cur is None:
         raise LookupError(f"cannot delete from empty table {table}")
     keys = (
@@ -768,7 +1013,7 @@ def delete_where(
         .select(*key_cols)
         .distinct()
     )
-    version = cur + 1
+    version = (current_version(table) or 0) + 1
     entries = _write_data_files(keys, table, version, (), "deletes")
     for e in entries:
         e["key_cols"] = key_cols
@@ -793,9 +1038,9 @@ def overwrite(
     """Replace the table's full contents atomically (removes every live
     data and delete file, adds the new files) — readers of older snapshots
     are untouched until expiry."""
-    cur = current_version(table)
+    cur = _head(table, "main")
     _, state = _state_at(table, cur) if cur else (0, {"data": {}, "deletes": {}})
-    version = (cur or 0) + 1
+    version = (current_version(table) or 0) + 1
     entries = _write_data_files(df, table, version, stats_cols, "data")
     commit = {
         "version": version,
@@ -830,8 +1075,8 @@ def merge_upsert(
     insert, and a reader sees the whole upsert or none of it. This is
     Iceberg's MERGE INTO with merge-on-read row-level deletes; no data
     file is rewritten."""
-    cur = current_version(table)
-    version = (cur or 0) + 1
+    cur = _head(table, "main")
+    version = (current_version(table) or 0) + 1
     existing = _state_at(table, cur)[1]["schema"] if cur else None
     entries = _write_data_files(
         df,
@@ -869,13 +1114,13 @@ def rollback_to(table: str, version: int) -> int:
     itself is one atomic log write. Re-added entries keep their ORIGINAL
     sequence numbers, so merge-on-read delete scoping replays exactly as
     it did at the target version."""
-    cur = current_version(table)
+    cur = _head(table, "main")
     if cur is None:
         raise LookupError(f"cannot roll back empty table {table}")
     _, target = _state_at(table, version)
     _, now = _state_at(table, cur)
     commit = {
-        "version": cur + 1,
+        "version": (current_version(table) or 0) + 1,
         "parent": cur,
         "operation": "rollback",
         "ts": time.time(),
@@ -891,8 +1136,10 @@ def rollback_to(table: str, version: int) -> int:
         ),
     }
     if not _try_commit(table, commit):
-        raise CommitConflict(f"rollback conflicted at version {cur + 1}: {table}")
-    return cur + 1
+        raise CommitConflict(
+            f"rollback conflicted at version {commit['version']}: {table}"
+        )
+    return commit["version"]
 
 
 def compact(
@@ -904,12 +1151,12 @@ def compact(
     """Rewrite the live row set (deletes applied) into n_files fresh files
     and retire the old data + delete files in one atomic commit. Logical
     rows are unchanged — incremental_append_scan skips compact commits."""
-    cur = current_version(table)
+    cur = _head(table, "main")
     if cur is None:
         raise LookupError(f"cannot compact empty table {table}")
     _, state = _state_at(table, cur)
     df = read_snapshot(spark, table).coalesce(n_files)
-    version = cur + 1
+    version = (current_version(table) or 0) + 1
     entries = _write_data_files(df, table, version, stats_cols, "data")
     commit = {
         "version": version,
@@ -943,7 +1190,7 @@ def compact_binpack(
     packed files' sequence number exceeds every prior delete's, so
     rewritten rows are not re-deleted. Returns the committed version, or
     None when fewer than two small files exist (nothing to pack)."""
-    cur = current_version(table)
+    cur = _head(table, "main")
     if cur is None:
         raise LookupError(f"cannot compact empty table {table}")
     _, state = _state_at(table, cur)
@@ -959,7 +1206,7 @@ def compact_binpack(
         _read_files(spark, sorted(small)),
         {"data": small, "deletes": state["deletes"]},
     ).coalesce(n_files)
-    version = cur + 1
+    version = (current_version(table) or 0) + 1
     entries = _write_data_files(df, table, version, stats_cols, "data")
     commit = {
         "version": version,
@@ -1075,10 +1322,18 @@ def _empty_df(spark: SparkSession, schema: list[list[str]] | None) -> DataFrame:
 
 
 def read_snapshot(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """Read the table as of `version` (default: latest). Planning is a
-    log replay — no directory listing of the data prefix."""
+    """Read the table as of `version`, or as of a named `ref` (branch head
+    or tag), defaulting to the main branch head. Planning is a chain
+    replay — no directory listing of the data prefix."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version OR ref, not both")
+        version = resolve_ref(table, ref)
     _, state = _state_at(table, version)
     if not state["data"]:
         return _empty_df(spark, state["schema"])
@@ -1121,35 +1376,29 @@ def incremental_append_scan(
     from_version: int,
     to_version: int | None = None,
 ) -> DataFrame:
-    """Exactly the rows appended in (from_version, to_version]: the union
-    of the append commits' added files. Compact commits are logical no-ops
-    and are skipped; overwrite/delete commits cannot be expressed as an
+    """Exactly the rows appended in (from_version, to_version] on the main
+    chain: the union of the append commits' added files. Compact commits
+    are logical no-ops and are skipped; a fast_forward that only publishes
+    branch appends (no removed files, no deletes) IS an append batch and
+    streams through; overwrite/delete commits cannot be expressed as an
     append stream, so they raise — the caller falls back to a full diff
     (operators/diff.diff_datasets), the same contract as Iceberg's
     incremental append scan."""
-    versions = list_versions(table)
-    if not versions:
-        raise LookupError(f"no commits in table log: {table}")
-    to_version = versions[-1] if to_version is None else to_version
-    # every commit strictly after from_version must still have its log
-    # entry; from_version == versions[0]-1 is fine (the scan starts at the
-    # oldest retained commit), anything older is unrecoverable post-expiry.
-    if from_version < versions[0] - 1:
-        raise SnapshotExpired(
-            f"from_version {from_version} expired (oldest retained commit: "
-            f"{versions[0]})"
-        )
+    to_version, chain = _chain_between(table, from_version, to_version)
     paths: list[str] = []
     schema = None
-    for v in versions:
-        if v <= from_version or v > to_version:
+    for c in chain:
+        op = c["operation"]
+        if op == "compact":
             continue
-        c = _read_commit(table, v)
-        if c["operation"] == "compact":
-            continue
-        if c["operation"] != "append":
+        publish_only = (
+            op == "fast_forward"
+            and not c.get("added_deletes")
+            and not c.get("removed_data")
+        )
+        if op != "append" and not publish_only:
             raise ValueError(
-                f"commit v{v} is {c['operation']!r}; incremental append scan "
+                f"commit v{c['version']} is {op!r}; incremental append scan "
                 "only spans append/compact commits"
             )
         paths += [e["path"] for e in c.get("added_data", [])]
@@ -1174,19 +1423,11 @@ def changelog_scan(
     the parent has a sequence number older than the delete, so the
     semi-join is precisely the seq-scoped rule _apply_deletes enforces);
     overwrites emit the full parent as deletes then their files as
-    inserts; compactions are logical no-ops; rollbacks emit their net
-    row-level diff vs the parent. The output feeds
+    inserts; compactions are logical no-ops; rollbacks and fast-forwards
+    emit their net row-level diff vs the parent. The output feeds
     aggregate.apply_retractable_delta so a downstream view refreshes from
     the delta without ever rescanning the base table."""
-    versions = list_versions(table)
-    if not versions:
-        raise LookupError(f"no commits in table log: {table}")
-    to_version = versions[-1] if to_version is None else to_version
-    if from_version < versions[0] - 1:
-        raise SnapshotExpired(
-            f"from_version {from_version} expired (oldest retained commit: "
-            f"{versions[0]})"
-        )
+    to_version, chain = _chain_between(table, from_version, to_version)
 
     def _pre(parent: int | None) -> DataFrame:
         return (
@@ -1204,10 +1445,8 @@ def changelog_scan(
             )
         )
 
-    for v in versions:
-        if v <= from_version or v > to_version:
-            continue
-        c = _read_commit(table, v)
+    for c in chain:
+        v = c["version"]
         op = c["operation"]
         if op == "compact":
             continue
@@ -1223,7 +1462,7 @@ def changelog_scan(
                 "semi",
             )
             _emit(removed, "delete", v)
-        elif op == "rollback":
+        elif op in ("rollback", "fast_forward"):
             pre, post = _pre(c.get("parent")), read_snapshot(spark, table, v)
             _emit(post.exceptAll(pre), "insert", v)
             _emit(pre.exceptAll(post), "delete", v)
@@ -1289,54 +1528,63 @@ def scan_between(
 
 
 def expire_snapshots(table: str, keep_last: int = 2) -> dict:
-    """Expire all but the newest `keep_last` snapshots: physically delete
-    files referenced ONLY by expired versions, drop their log entries, and
-    persist a rebase state for the oldest retained version so replay stays
-    O(retained commits). Time travel to an expired version raises
-    SnapshotExpired. Returns {files_removed, versions_removed}."""
+    """Expire all but the newest `keep_last` snapshots — except versions
+    pinned by a named ref: a tagged snapshot, a branch head, and every
+    chain ancestor a retained version still needs are never expired while
+    the ref exists (Iceberg's ref-retention rule). Physically deletes
+    files referenced ONLY by expired versions, drops their log entries,
+    and persists a rebase state at every retained version whose parent was
+    expired, so chain replay stays O(retained commits) on every surviving
+    lineage (main, branches, tags). Time travel to an expired version
+    raises SnapshotExpired. Returns {files_removed, versions_removed}."""
     versions = list_versions(table)
-    if len(versions) <= keep_last:
+    pinned = {resolve_ref(table, name) for name in list_refs(table)}
+    retained_set = set(versions[-keep_last:]) | pinned
+    expired = [v for v in versions if v not in retained_set]
+    if not expired:
         return {"files_removed": 0, "versions_removed": 0}
-    retained = versions[-keep_last:]
+    retained = sorted(retained_set)
+    # chain states computed while the log is still intact
+    states = {v: _state_at(table, v)[1] for v in retained}
     keep_files: set[str] = set()
-    for v in retained:
-        _, st = _state_at(table, v)
+    for st in states.values():
         keep_files |= set(st["data"]) | set(st["deletes"])
-    base_v = retained[0]
-    _, base_state = _state_at(table, base_v)
 
     removed = 0
-    for v in versions:
-        if v in retained:
-            continue
+    for v in expired:
         c = _read_commit(table, v)
         for e in c.get("added_data", []) + c.get("added_deletes", []):
             if e["path"] not in keep_files and os.path.exists(e["path"]):
                 os.unlink(e["path"])
                 removed += 1
 
-    with open(_base_path(table, base_v), "w") as f:
-        json.dump(
-            {
-                "version": base_v,
-                "data": list(base_state["data"].values()),
-                "deletes": list(base_state["deletes"].values()),
-                "schema": base_state["schema"],
-            },
-            f,
-        )
-    old_bases = [
-        n
-        for n in os.listdir(_log_dir(table))
-        if n.startswith("_base_v") and int(n[7:19]) < base_v
-    ]
-    for n in old_bases:
-        os.unlink(os.path.join(_log_dir(table), n))
+    # every retained version whose parent chain is truncated persists its
+    # state; by induction every retained version then replays within
+    # retained commits + one base.
+    for v in retained:
+        parent = _read_commit(table, v).get("parent")
+        if (
+            parent is not None
+            and parent not in retained_set
+            and not os.path.exists(_base_path(table, v))
+        ):
+            with open(_base_path(table, v), "w") as f:
+                json.dump(
+                    {
+                        "version": v,
+                        "data": list(states[v]["data"].values()),
+                        "deletes": list(states[v]["deletes"].values()),
+                        "schema": states[v]["schema"],
+                    },
+                    f,
+                )
+    for n in os.listdir(_log_dir(table)):
+        if n.startswith("_base_v") and int(n[7:19]) not in retained_set:
+            os.unlink(os.path.join(_log_dir(table), n))
     n_versions = 0
-    for v in versions:
-        if v not in retained:
-            os.unlink(_commit_path(table, v))
-            n_versions += 1
+    for v in expired:
+        os.unlink(_commit_path(table, v))
+        n_versions += 1
     # drop now-empty commit data dirs (best-effort tidy, not correctness)
     for kind in ("data", "deletes"):
         root = os.path.join(table, kind)

@@ -8849,3 +8849,69 @@ def tablelog_hidden_partition_scan(
         F.max("event_id").alias("max_id"),
         F.sum("user_id").cast("bigint").alias("sum_users"),
     )
+
+
+@_q(
+    "tablelog_branch_publish_counts",
+    """
+    SELECT 'main_pre' AS phase, event_type, count(*)::BIGINT AS cnt
+    FROM events WHERE event_id % 4 IN (0, 2) GROUP BY event_type
+    UNION ALL
+    SELECT 'branch' AS phase, event_type, count(*)::BIGINT AS cnt
+    FROM events WHERE event_id % 4 IN (0, 1, 3) GROUP BY event_type
+    UNION ALL
+    SELECT 'published' AS phase, event_type, count(*)::BIGINT AS cnt
+    FROM events WHERE event_id % 4 IN (0, 1, 3) GROUP BY event_type
+    """,
+)
+def tablelog_branch_publish_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs on the snapshot-log format (Iceberg branches/tags,
+    tablelog.create_branch/read_snapshot(ref=)/fast_forward): slice 0 of
+    events lands on main, slices 1 and 3 on a 'staging' branch forked at
+    v1, and slice 2 on main AFTER the fork — branch commits share the
+    global version sequence but chain off the branch head, so state replay
+    follows parent pointers, never the version order. Three reads prove
+    the semantics: 'main_pre' (main before publish: slices 0+2 only — the
+    branch is invisible), 'branch' (by ref: slices 0+1+3 — main's
+    post-fork slice 2 is invisible), and 'published' (after fast_forward:
+    ONE atomic commit re-points main at the branch state, so slice 2 is
+    gone and the branch rows are live). The oracle replays the slice
+    arithmetic per phase on the base table. This is Iceberg's branch-WAP
+    audit-then-publish flow; no reference analog (the Go CLI has no
+    storage layer, sample/main.go:32-47)."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_branch_") + "/t"
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    m4 = F.pmod(F.col("event_id"), F.lit(4))
+    tl.append(spark, t, ev.filter(m4 == 0))  # v1 main
+    tl.create_branch(t, "staging")
+    tl.append(spark, t, ev.filter(m4 == 1), branch="staging")  # v2 branch
+    tl.append(spark, t, ev.filter(m4 == 2))  # v3 main, post-fork
+    tl.append(spark, t, ev.filter(m4 == 3), branch="staging")  # v4 branch
+    main_pre = (
+        tl.read_snapshot(spark, t)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("phase", F.lit("main_pre"))
+    )
+    branch = (
+        tl.read_snapshot(spark, t, ref="staging")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("phase", F.lit("branch"))
+    )
+    # the reads above plan from the pre-publish log state eagerly (the
+    # file sets are pinned at plan time), so publishing now is safe
+    tl.fast_forward(t, "staging")
+    published = (
+        tl.read_snapshot(spark, t)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("phase", F.lit("published"))
+    )
+    return (
+        main_pre.unionByName(branch)
+        .unionByName(published)
+        .select("phase", "event_type", "cnt")
+    )

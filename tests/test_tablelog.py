@@ -624,3 +624,143 @@ def test_hidden_partition_wap_and_merge(spark, tmp_path):
         _hidden_batch(spark, 0, 300).filter(F.col("conv_id") == "conv-11")
     )
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# named refs: branches, tags, fast-forward publish
+# ---------------------------------------------------------------------------
+
+
+def test_branch_commits_invisible_to_main(spark, tmp_path):
+    """Commits on a branch share the global version sequence but chain off
+    the branch head — a main reader must never fold them in."""
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _batch(spark, 0, 10))  # v1 main
+    assert tl.create_branch(t, "audit") == 1
+    tl.append(spark, t, _batch(spark, 100, 110), branch="audit")  # v2 audit
+    tl.append(spark, t, _batch(spark, 10, 20))  # v3 main
+    assert tl.current_version(t) == 3
+    assert _ids(tl.read_snapshot(spark, t)) == list(range(20))
+    assert _ids(tl.read_snapshot(spark, t, ref="audit")) == list(range(10)) + list(
+        range(100, 110)
+    )
+    # branch head chains off v1, untouched by v3
+    assert tl.resolve_ref(t, "audit") == 2
+    assert [
+        (c["version"], c["branch"]) for c in tl.snapshot_lineage(t)
+    ] == [(1, "main"), (2, "audit"), (3, "main")]
+    # main-chain incremental scan skips the branch commit entirely
+    assert _ids(tl.incremental_append_scan(spark, t, from_version=1)) == list(
+        range(10, 20)
+    )
+
+
+def test_tag_pins_snapshot_through_expiry(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _batch(spark, 0, 10))  # v1
+    tl.create_tag(t, "train-2026-08")
+    tl.overwrite(spark, t, _batch(spark, 100, 110))  # v2
+    tl.append(spark, t, _batch(spark, 110, 120))  # v3
+    assert _ids(tl.read_snapshot(spark, t, ref="train-2026-08")) == list(range(10))
+    # keep_last=2 would expire v1, but the tag pins it (Iceberg ref retention)
+    res = tl.expire_snapshots(t, keep_last=2)
+    assert res["versions_removed"] == 0
+    assert _ids(tl.read_snapshot(spark, t, ref="train-2026-08")) == list(range(10))
+    # drop the tag: the next expiry sweeps v1 and its files
+    tl.drop_ref(t, "train-2026-08")
+    _, s1 = tl._state_at(t, 1)
+    res = tl.expire_snapshots(t, keep_last=2)
+    assert res["versions_removed"] == 1
+    assert all(not os.path.exists(p) for p in s1["data"])
+    with pytest.raises(tl.SnapshotExpired):
+        tl.read_snapshot(spark, t, version=1)
+
+
+def test_branch_wap_fast_forward(spark, tmp_path):
+    """The branch-WAP flow: write to an audit branch, read it back by ref,
+    publish with ONE atomic fast-forward commit; the published rows stream
+    through the incremental append scan like a plain append."""
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _batch(spark, 0, 10))  # v1 main
+    tl.create_branch(t, "staging")
+    tl.append(spark, t, _batch(spark, 10, 20), branch="staging")  # v2
+    tl.append(spark, t, _batch(spark, 20, 30), branch="staging")  # v3
+    # audit: main untouched, branch has everything
+    assert _ids(tl.read_snapshot(spark, t)) == list(range(10))
+    audited = tl.read_snapshot(spark, t, ref="staging")
+    assert _ids(audited) == list(range(30))
+    v = tl.fast_forward(t, "staging")
+    assert v == 4
+    assert _ids(tl.read_snapshot(spark, t)) == list(range(30))
+    # a publish-only fast-forward IS an append batch for incremental scans
+    assert _ids(tl.incremental_append_scan(spark, t, from_version=1)) == list(
+        range(10, 30)
+    )
+    # CDC nets the published rows as inserts
+    cdc = tl.changelog_scan(spark, t, from_version=1)
+    ins = cdc.filter(F.col("_change_type") == "insert")
+    assert _ids(ins) == list(range(10, 30))
+    assert cdc.filter(F.col("_change_type") == "delete").count() == 0
+
+
+def test_fast_forward_stale_branch_replaces_main(spark, tmp_path):
+    """Main advanced after the fork: publishing re-points main at the
+    branch state (removing main's post-fork files), and the incremental
+    append scan refuses the commit — it is not expressible as appends."""
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _batch(spark, 0, 10))  # v1
+    tl.create_branch(t, "exp")
+    tl.append(spark, t, _batch(spark, 500, 505))  # v2 main post-fork
+    tl.append(spark, t, _batch(spark, 10, 20), branch="exp")  # v3
+    tl.fast_forward(t, "exp")  # v4
+    assert _ids(tl.read_snapshot(spark, t)) == list(range(20))
+    with pytest.raises(ValueError, match="fast_forward"):
+        tl.incremental_append_scan(spark, t, from_version=1)
+    # CDC still expresses it: v2's rows insert then delete, net 0..19
+    cdc = tl.changelog_scan(spark, t, from_version=1)
+    assert _ids(cdc.filter(F.col("_change_type") == "delete")) == list(
+        range(500, 505)
+    )
+
+
+def test_ref_validation(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _batch(spark, 0, 5))
+    tl.create_tag(t, "x")
+    with pytest.raises(ValueError, match="already exists"):
+        tl.create_branch(t, "x")
+    with pytest.raises(ValueError, match="invalid ref name"):
+        tl.create_tag(t, "main")
+    with pytest.raises(ValueError, match="invalid ref name"):
+        tl.create_tag(t, "bad/name")
+    with pytest.raises(LookupError, match="unknown version"):
+        tl.create_tag(t, "y", version=99)
+    with pytest.raises(LookupError, match="unknown ref"):
+        tl.drop_ref(t, "nope")
+    with pytest.raises(ValueError, match="tag, not a branch"):
+        tl.append(spark, t, _batch(spark, 5, 6), branch="x")
+    with pytest.raises(LookupError, match="unknown ref"):
+        tl.append(spark, t, _batch(spark, 5, 6), branch="nope")
+
+
+def test_expiry_writes_base_at_every_chain_break(spark, tmp_path):
+    """Interleaved branch commits: expiry must leave every surviving
+    lineage replayable — a rebase base lands wherever a retained commit's
+    parent was expired, on main AND on the branch."""
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _batch(spark, 0, 10))  # v1 main
+    tl.create_branch(t, "b")
+    tl.append(spark, t, _batch(spark, 100, 105), branch="b")  # v2
+    tl.append(spark, t, _batch(spark, 10, 20))  # v3 main (parent v1)
+    tl.append(spark, t, _batch(spark, 20, 30))  # v4 main
+    res = tl.expire_snapshots(t, keep_last=2)  # retains {3,4} + branch head 2
+    assert res["versions_removed"] == 1  # only v1
+    # both lineages still replay: bases at v2 and v3 (parents expired)
+    assert os.path.exists(tl._base_path(t, 2))
+    assert os.path.exists(tl._base_path(t, 3))
+    assert _ids(tl.read_snapshot(spark, t)) == list(range(30))
+    assert _ids(tl.read_snapshot(spark, t, ref="b")) == list(range(10)) + list(
+        range(100, 105)
+    )
+    with pytest.raises(tl.SnapshotExpired):
+        tl.read_snapshot(spark, t, version=1)

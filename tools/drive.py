@@ -1340,3 +1340,21 @@ assert _hgot == _hexp and _hgot
 print("hidden partitioning: kept", len(_hkeep), "files, skipped", _hskip,
       "; scan_where exact on", len(_hgot), "rows across evolved specs + MoR delete")
 print("DRIVE104 OK")
+
+# batch-7v: named refs — branch isolation, tag expiry pin, fast-forward publish
+_rt = _tf.mkdtemp(prefix="drv_ref_") + "/t"
+_tl.append(spark, _rt, spark.range(0, 10).selectExpr("id AS k"))          # v1 main
+_tl.create_tag(_rt, "t0")
+_tl.create_branch(_rt, "stage")
+_tl.append(spark, _rt, spark.range(10, 20).selectExpr("id AS k"), branch="stage")  # v2
+_tl.append(spark, _rt, spark.range(100, 103).selectExpr("id AS k"))       # v3 main
+assert _tl.read_snapshot(spark, _rt).count() == 13                         # branch invisible
+assert _tl.read_snapshot(spark, _rt, ref="stage").count() == 20            # main post-fork invisible
+assert sorted(_tl.list_refs(_rt)) == ["stage", "t0"]
+_ffv = _tl.fast_forward(_rt, "stage")
+assert sorted(r.k for r in _tl.read_snapshot(spark, _rt).collect()) == list(range(20))
+_res = _tl.expire_snapshots(_rt, keep_last=1)                              # tag pins v1
+assert _tl.read_snapshot(spark, _rt, ref="t0").count() == 10
+print("refs: branch isolated, fast-forward v%d re-pointed main, tag survived expiry (%d versions swept)"
+      % (_ffv, _res["versions_removed"]))
+print("DRIVE105 OK")
