@@ -304,6 +304,8 @@ def prune_files_where(
     bucket field existed simply has no value for it and is kept — and (b)
     its min/max footer stats. Returns (paths_to_read, n_files_skipped)."""
     _, state = _state_at(table, version)
+    byname = {n: i for i, n, _t in _fields_of(state)}
+    evolved = bool(state.get("evolved"))
     keep, skipped = [], 0
     for path in sorted(state["data"]):
         e = state["data"][path]
@@ -312,12 +314,21 @@ def prune_files_where(
             pv = e.get("partition", {}).get(f["name"])
             if pv is not None and pv != "__HIVE_DEFAULT_PARTITION__":
                 by_source.setdefault(f["source"], []).append((f, pv))
+        # specs and stats are keyed by the file's WRITE-TIME names; after a
+        # rename the predicate's current name resolves through the field id
+        wname = {}
+        if evolved:
+            inv = {fid: n for n, fid in _entry_cols(e, state).items()}
+            wname = {c: inv.get(byname.get(c)) for c in predicates}
         ok = True
         for col, pred in predicates.items():
-            for f, pv in by_source.get(col, []):
+            w = wname.get(col, col) if evolved else col
+            if w is None:
+                continue  # column younger than this file: keep, never prune blind
+            for f, pv in by_source.get(w, []):
                 if not _part_match(f, pv, pred):
                     ok = False
-            if not _stats_match(e.get("stats", {}).get(col), pred):
+            if not _stats_match(e.get("stats", {}).get(w), pred):
                 ok = False
         if ok:
             keep.append(path)
@@ -342,17 +353,14 @@ def scan_where(
     _, state = _state_at(table, version)
     paths, _skipped = prune_files_where(table, predicates, version)
     if not paths:
-        return _empty_df(spark, state["schema"])
-    df = _read_files(spark, paths)
+        return _empty_df(spark, _field_pairs(_fields_of(state)))
+    df = _read_projected(spark, [state["data"][p] for p in paths], state)
     for col, pred in predicates.items():
         if pred[0] == "=":
             df = df.filter(F.col(col) == F.lit(pred[1]))
         else:
             df = df.filter(F.col(col).between(pred[1], pred[2]))
-    pruned_state = {
-        "data": {p: state["data"][p] for p in paths},
-        "deletes": state["deletes"],
-    }
+    pruned_state = dict(state, data={p: state["data"][p] for p in paths})
     return _apply_deletes(spark, df, pruned_state)
 
 
@@ -402,6 +410,208 @@ def _file_entries(dirpath: str, stats_cols: tuple[str, ...], seq: int) -> list[d
 
 def _schema_of(df: DataFrame) -> list[list[str]]:
     return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (Iceberg field IDs)
+# ---------------------------------------------------------------------------
+#
+# Every column owns a permanent FIELD ID (Iceberg spec's schema evolution):
+# commits carry `fields` = [[id, name, type], ...] plus `last_field_id`, and
+# every data/delete file entry is stamped with `cols` = {write-time name: id}.
+# Reads RESOLVE BY ID, never by name — so rename is metadata-only (old files
+# keep their old column name; the projection follows the id), drop never
+# resurrects (a re-added name gets a FRESH id, so old files' data for the
+# dropped column stays invisible), add null-fills older files, and widen
+# (int→bigint, float→double) casts at read time. Tables that never evolved
+# keep the identity mapping and take the exact pre-evolution read path.
+
+_WIDENINGS = {("int", "bigint"), ("float", "double")}
+
+
+def _fields_of(state: dict) -> list[list]:
+    """The state's fields [[id, name, dtype]]; legacy states (written before
+    field ids existed) get positional ids — stable because pre-evolution
+    schema changes were append-only."""
+    if state.get("fields"):
+        return state["fields"]
+    return [[i + 1, n, t] for i, (n, t) in enumerate(state.get("schema") or [])]
+
+
+def _field_pairs(fields: list[list]) -> list[list[str]]:
+    return [[n, t] for _i, n, t in fields]
+
+
+def _entry_cols(entry: dict, state: dict) -> dict[str, int]:
+    """write-time column name → field id for one file entry. Entries stamped
+    at write time carry it; legacy entries use the name→id snapshot the first
+    evolve_schema commit recorded (their names are pre-evolution names by
+    construction), else the identity mapping of the current fields."""
+    if entry.get("cols"):
+        return {n: int(i) for n, i in entry["cols"].items()}
+    legacy = state.get("legacy_cols")
+    if legacy:
+        return {n: int(i) for n, i in legacy.items()}
+    return {n: i for i, n, _t in _fields_of(state)}
+
+
+def _fields_after_write(
+    state: dict | None, merged_schema: list[list[str]]
+) -> tuple[list[list], int]:
+    """Fields for a commit whose post-commit schema is `merged_schema`:
+    names already known keep their ids, new names take fresh ids past
+    last_field_id (Iceberg's last-column-id rule, so a dropped-then-re-added
+    name never reuses its old id)."""
+    old = _fields_of(state) if state and state.get("schema") else []
+    by_name = {n: (i, t) for i, n, t in old}
+    last = max(
+        int(state.get("last_field_id", 0)) if state else 0,
+        max((i for i, _n, _t in old), default=0),
+    )
+    fields = []
+    for n, t in merged_schema:
+        if n in by_name:
+            fields.append([by_name[n][0], n, t])
+        else:
+            last += 1
+            fields.append([last, n, t])
+    return fields, last
+
+
+def _stamp_cols(entries: list[dict], fields: list[list]) -> list[dict]:
+    """Record each new file's write-time name→field-id mapping."""
+    cols = {n: i for i, n, _t in fields}
+    for e in entries:
+        e["cols"] = cols
+    return entries
+
+
+def table_fields(table: str, version: int | None = None) -> list[list]:
+    """Public accessor: [[field_id, name, type]] at a snapshot."""
+    return _fields_of(_state_at(table, version)[1])
+
+
+def evolve_schema(
+    table: str,
+    add: tuple = (),
+    drop: tuple = (),
+    rename: dict[str, str] | None = None,
+    widen: dict[str, str] | None = None,
+    max_retries: int = 5,
+) -> int:
+    """Schema evolution as ONE metadata-only commit (no data file is read or
+    rewritten — Iceberg ALTER TABLE semantics). `widen`/`rename`/`drop` take
+    PRE-evolve names; `add` appends (name, type) columns that null-fill every
+    existing file. Widening is the lossless promotion set int→bigint,
+    float→double; anything else raises. Readers of snapshots at or after
+    this commit see the new schema over ALL files, old and new, resolved by
+    field id. No reference analog (the Go CLI has no storage layer)."""
+    rename = dict(rename or {})
+    widen = dict(widen or {})
+    add = [list(a) for a in add]
+    drop = list(drop)
+    if set(rename) & set(drop):
+        raise ValueError(f"column(s) both renamed and dropped: {set(rename) & set(drop)}")
+    for _ in range(max_retries):
+        cur = _head(table, "main")
+        if cur is None:
+            raise LookupError(f"cannot evolve schema of empty table {table}")
+        _, state = _state_at(table, cur)
+        fields = [list(f) for f in _fields_of(state)]
+        names = {n for _i, n, _t in fields}
+        for group in (set(widen), set(rename), set(drop)):
+            unknown = group - names
+            if unknown:
+                raise ValueError(f"unknown column(s): {sorted(unknown)}")
+        for n, new_t in widen.items():
+            old_t = next(t for _i, fn, t in fields if fn == n)
+            if (old_t, new_t) not in _WIDENINGS and old_t != new_t:
+                raise ValueError(
+                    f"cannot widen {n}: {old_t} -> {new_t} is not a lossless "
+                    f"promotion ({sorted(_WIDENINGS)})"
+                )
+        new_fields = []
+        for i, n, t in fields:
+            if n in drop:
+                continue
+            t = widen.get(n, t)
+            n = rename.get(n, n)
+            new_fields.append([i, n, t])
+        seen = {n for _i, n, _t in new_fields}
+        if len(seen) != len(new_fields):
+            raise ValueError("rename collides with a surviving column name")
+        last = max(
+            int(state.get("last_field_id", 0)),
+            max((i for i, _n, _t in fields), default=0),
+        )
+        for n, t in add:
+            if n in seen:
+                raise ValueError(f"added column {n} already exists")
+            seen.add(n)
+            last += 1
+            new_fields.append([last, n, t])
+        if not new_fields:
+            raise ValueError("evolution would drop every column")
+        commit = {
+            "version": (current_version(table) or 0) + 1,
+            "parent": cur,
+            "operation": "evolve_schema",
+            "ts": time.time(),
+            "schema": _field_pairs(new_fields),
+            "fields": new_fields,
+            "last_field_id": last,
+        }
+        if not state.get("legacy_cols") and not state.get("fields"):
+            # first evolution of a pre-field-id table: snapshot the
+            # name→id mapping its unstamped file entries were written under
+            commit["legacy_cols"] = {n: i for i, n, _t in fields}
+        if _try_commit(table, commit):
+            return commit["version"]
+    raise CommitConflict(
+        f"evolve_schema lost the commit race {max_retries} times: {table}"
+    )
+
+
+def _read_projected(
+    spark: SparkSession,
+    entries: list[dict],
+    state: dict,
+    fields: list[list] | None = None,
+) -> DataFrame:
+    """Read file entries resolved BY FIELD ID against `fields` (default: the
+    state's current fields). Files are grouped by their write-time column
+    mapping; each group is one scan projected to (current name, current
+    type): renamed columns read their old name, dropped ids are simply not
+    selected, missing ids null-fill, widened types cast. Non-evolved states
+    skip all of this and take the single mergeSchema scan."""
+    if not state.get("evolved") and fields is None:
+        if not entries:
+            return _empty_df(spark, _field_pairs(_fields_of(state)))
+        return _read_files(spark, sorted(e["path"] for e in entries))
+    fields = fields or _fields_of(state)
+    if not entries:
+        return _empty_df(spark, _field_pairs(fields))
+    groups: dict[tuple, list[str]] = {}
+    for e in entries:
+        sig = tuple(sorted(_entry_cols(e, state).items()))
+        groups.setdefault(sig, []).append(e["path"])
+    parts = []
+    for sig, paths in sorted(groups.items()):
+        inv = {fid: name for name, fid in sig}
+        df = _read_files(spark, sorted(paths))
+        have = set(df.columns)
+        sel = []
+        for fid, name, dtype in fields:
+            w = inv.get(fid)
+            if w is not None and w in have:
+                sel.append(F.col(w).cast(dtype).alias(name))
+            else:
+                sel.append(F.lit(None).cast(dtype).alias(name))
+        parts.append(df.select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -556,6 +766,9 @@ def fast_forward(table: str, branch: str, max_retries: int = 5) -> int:
             "from_ref": branch,
             "from_version": src,
             "schema": target["schema"],
+            "fields": _fields_of(target),
+            "last_field_id": target.get("last_field_id", 0),
+            "evolved": bool(target.get("evolved")),
             "added_data": [
                 e for p, e in target["data"].items() if p not in now["data"]
             ],
@@ -627,6 +840,9 @@ def _state_at(table: str, version: int | None = None) -> tuple[int, dict]:
                 "deletes": {e["path"]: e for e in snap["deletes"]},
                 "schema": snap["schema"],
             }
+            for k in ("fields", "last_field_id", "legacy_cols", "evolved"):
+                if snap.get(k):
+                    state[k] = snap[k]
             break
         if v not in retained:
             raise SnapshotExpired(
@@ -647,6 +863,14 @@ def _state_at(table: str, version: int | None = None) -> tuple[int, dict]:
             state["deletes"].pop(p, None)
         if c.get("schema"):
             state["schema"] = c["schema"]
+        if c.get("fields"):
+            state["fields"] = c["fields"]
+        if c.get("last_field_id"):
+            state["last_field_id"] = c["last_field_id"]
+        if c.get("legacy_cols") and not state.get("legacy_cols"):
+            state["legacy_cols"] = c["legacy_cols"]
+        if c.get("operation") == "evolve_schema" or c.get("evolved"):
+            state["evolved"] = True
     return target, state
 
 
@@ -821,9 +1045,10 @@ def append(
     for _ in range(max_retries):
         parent = _head(table, branch)
         version_try = (current_version(table) or 0) + 1
-        existing = (
-            _state_at(table, parent)[1]["schema"] if parent is not None else None
-        )
+        pstate = _state_at(table, parent)[1] if parent is not None else None
+        existing = pstate["schema"] if pstate is not None else None
+        merged = _check_schema(existing, schema_new, allow_evolution)
+        fields, last_id = _fields_after_write(pstate, merged)
         for e in entries:
             e["seq"] = version_try
         commit = {
@@ -831,8 +1056,10 @@ def append(
             "parent": parent,
             "operation": "append",
             "ts": time.time(),
-            "schema": _check_schema(existing, schema_new, allow_evolution),
-            "added_data": entries,
+            "schema": merged,
+            "fields": fields,
+            "last_field_id": last_id,
+            "added_data": _stamp_cols(entries, fields),
         }
         if branch != "main":
             commit["branch"] = branch
@@ -964,15 +1191,20 @@ def publish_staged(
     for _ in range(max_retries):
         cur = _head(table, "main")
         version = (current_version(table) or 0) + 1
-        existing = _state_at(table, cur)[1]["schema"] if cur else None
+        pstate = _state_at(table, cur)[1] if cur else None
+        existing = pstate["schema"] if pstate is not None else None
+        merged = _check_schema(existing, staged["schema"], allow_evolution)
+        fields, last_id = _fields_after_write(pstate, merged)
         entries = [dict(e, seq=version) for e in staged["added_data"]]
         commit = {
             "version": version,
             "parent": cur,
             "operation": "append",
             "ts": time.time(),
-            "schema": _check_schema(existing, staged["schema"], allow_evolution),
-            "added_data": entries,
+            "schema": merged,
+            "fields": fields,
+            "last_field_id": last_id,
+            "added_data": _stamp_cols(entries, fields),
             "stage_id": stage_id,
         }
         if _try_commit(table, commit):
@@ -1017,6 +1249,7 @@ def delete_where(
     entries = _write_data_files(keys, table, version, (), "deletes")
     for e in entries:
         e["key_cols"] = key_cols
+    _stamp_cols(entries, _fields_of(_state_at(table, cur)[1]))
     commit = {
         "version": version,
         "parent": cur,
@@ -1042,13 +1275,16 @@ def overwrite(
     _, state = _state_at(table, cur) if cur else (0, {"data": {}, "deletes": {}})
     version = (current_version(table) or 0) + 1
     entries = _write_data_files(df, table, version, stats_cols, "data")
+    fields, last_id = _fields_after_write(state if cur else None, _schema_of(df))
     commit = {
         "version": version,
         "parent": cur,
         "operation": "overwrite",
         "ts": time.time(),
         "schema": _schema_of(df),
-        "added_data": entries,
+        "fields": fields,
+        "last_field_id": last_id,
+        "added_data": _stamp_cols(entries, fields),
         "removed_data": sorted(state["data"]),
         "removed_deletes": sorted(state["deletes"]),
     }
@@ -1077,7 +1313,8 @@ def merge_upsert(
     file is rewritten."""
     cur = _head(table, "main")
     version = (current_version(table) or 0) + 1
-    existing = _state_at(table, cur)[1]["schema"] if cur else None
+    pstate = _state_at(table, cur)[1] if cur else None
+    existing = pstate["schema"] if pstate is not None else None
     entries = _write_data_files(
         df,
         table,
@@ -1087,20 +1324,24 @@ def merge_upsert(
         partition_by,
         parse_partition_spec(partition_spec) if partition_spec else None,
     )
+    merged = _check_schema(existing, _schema_of(df), False)
+    fields, last_id = _fields_after_write(pstate, merged)
     commit = {
         "version": version,
         "parent": cur,
         "operation": "merge",
         "ts": time.time(),
-        "schema": _check_schema(existing, _schema_of(df), False),
-        "added_data": entries,
+        "schema": merged,
+        "fields": fields,
+        "last_field_id": last_id,
+        "added_data": _stamp_cols(entries, fields),
     }
     if cur is not None:
         keys = df.select(*key_cols).distinct()
         del_entries = _write_data_files(keys, table, version, (), "deletes")
         for e in del_entries:
             e["key_cols"] = list(key_cols)
-        commit["added_deletes"] = del_entries
+        commit["added_deletes"] = _stamp_cols(del_entries, fields)
     if not _try_commit(table, commit):
         raise CommitConflict(f"merge conflicted at version {version}: {table}")
     return version
@@ -1126,6 +1367,9 @@ def rollback_to(table: str, version: int) -> int:
         "ts": time.time(),
         "restores": version,
         "schema": target["schema"],
+        "fields": _fields_of(target),
+        "last_field_id": target.get("last_field_id", 0),
+        "evolved": bool(target.get("evolved")),
         "added_data": [e for p, e in target["data"].items() if p not in now["data"]],
         "removed_data": sorted(p for p in now["data"] if p not in target["data"]),
         "added_deletes": [
@@ -1164,7 +1408,7 @@ def compact(
         "operation": "compact",
         "ts": time.time(),
         "schema": state["schema"],
-        "added_data": entries,
+        "added_data": _stamp_cols(entries, _fields_of(state)),
         "removed_data": sorted(state["data"]),
         "removed_deletes": sorted(state["deletes"]),
     }
@@ -1201,10 +1445,11 @@ def compact_binpack(
         return None
     total = sum(e["bytes"] for e in small.values())
     n_files = max(1, -(-total // target_bytes))
+    small_state = dict(state, data=small)
     df = _apply_deletes(
         spark,
-        _read_files(spark, sorted(small)),
-        {"data": small, "deletes": state["deletes"]},
+        _read_projected(spark, list(small.values()), small_state),
+        small_state,
     ).coalesce(n_files)
     version = (current_version(table) or 0) + 1
     entries = _write_data_files(df, table, version, stats_cols, "data")
@@ -1214,7 +1459,7 @@ def compact_binpack(
         "operation": "compact",
         "ts": time.time(),
         "schema": state["schema"],
-        "added_data": entries,
+        "added_data": _stamp_cols(entries, _fields_of(state)),
         "removed_data": sorted(small),
     }
     if not _try_commit(table, commit):
@@ -1274,7 +1519,8 @@ def _read_files(spark: SparkSession, paths: list[str]) -> DataFrame:
 
 
 def _apply_deletes(
-    spark: SparkSession, df: DataFrame, state: dict
+    spark: SparkSession, df: DataFrame, state: dict,
+    fields: list[list] | None = None,
 ) -> DataFrame:
     """Merge-on-read: anti-join each delete file group against the data
     rows whose file sequence number is OLDER than the delete (Iceberg v2
@@ -1306,12 +1552,36 @@ def _apply_deletes(
     for e in deletes:
         by_group.setdefault((tuple(e["key_cols"]), int(e["seq"])), []).append(e)
     out_cols = [c for c in df.columns]
+    evolved = bool(state.get("evolved")) or fields is not None
+    cur = {
+        fid: (n, t) for fid, n, t in (fields or _fields_of(state))
+    } if evolved else {}
     for (key_cols, dseq), entries in sorted(by_group.items(), key=lambda kv: kv[0][1]):
         keys = _read_files(spark, [e["path"] for e in entries]).distinct()
+        join_cols = list(key_cols)
+        if evolved:
+            # delete keys were written under THEIR commit's schema: resolve
+            # each write-time key column by field id to its current name and
+            # type (rename follows, widen casts; a dropped key column means
+            # the delete can no longer be applied — refuse, don't misapply).
+            wcols = _entry_cols(entries[0], state)
+            sel, join_cols = [], []
+            for k in key_cols:
+                fid = wcols.get(k)
+                if fid is None or fid not in cur:
+                    raise ValueError(
+                        f"delete key column {k!r} (seq {dseq}) was dropped "
+                        "by schema evolution; compact before dropping key "
+                        "columns"
+                    )
+                name, typ = cur[fid]
+                sel.append(F.col(k).cast(typ).alias(name))
+                join_cols.append(name)
+            keys = keys.select(*sel).distinct()
         affected = data.filter(F.col("_seq") < F.lit(dseq))
         rest = data.filter(F.col("_seq") >= F.lit(dseq))
         data = affected.join(
-            F.broadcast(keys), list(key_cols), "left_anti"
+            F.broadcast(keys), join_cols, "left_anti"
         ).unionByName(rest)
     return data.select(*out_cols)
 
@@ -1336,8 +1606,8 @@ def read_snapshot(
         version = resolve_ref(table, ref)
     _, state = _state_at(table, version)
     if not state["data"]:
-        return _empty_df(spark, state["schema"])
-    df = _read_files(spark, sorted(state["data"]))
+        return _empty_df(spark, _field_pairs(_fields_of(state)))
+    df = _read_projected(spark, list(state["data"].values()), state)
     return _apply_deletes(spark, df, state)
 
 
@@ -1353,20 +1623,30 @@ def read_partition(
     files. This is the per-sink read path of a routed table: planning cost
     is the log replay, and non-matching sinks' files are never opened."""
     _, state = _state_at(table, version)
+    byname = {n: i for i, n, _t in _fields_of(state)}
     paths = []
     for path in sorted(state["data"]):
-        part = state["data"][path].get("partition")
-        if part is None or all(part.get(k) == str(v) for k, v in filters.items()):
+        e = state["data"][path]
+        part = e.get("partition")
+        if part is None:
+            paths.append(path)
+            continue
+        # manifest partition values are keyed by WRITE-TIME names; resolve
+        # the filter's current name through the field id (missing → keep)
+        inv = {fid: n for n, fid in _entry_cols(e, state).items()}
+        ok = True
+        for k, v in filters.items():
+            w = inv.get(byname.get(k))
+            if w is not None and w in part and part[w] != str(v):
+                ok = False
+        if ok:
             paths.append(path)
     if not paths:
-        return _empty_df(spark, state["schema"])
-    df = _read_files(spark, paths)
+        return _empty_df(spark, _field_pairs(_fields_of(state)))
+    df = _read_projected(spark, [state["data"][p] for p in paths], state)
     for k, v in filters.items():
         df = df.filter(F.col(k) == F.lit(v))
-    pruned_state = {
-        "data": {p: state["data"][p] for p in paths},
-        "deletes": state["deletes"],
-    }
+    pruned_state = dict(state, data={p: state["data"][p] for p in paths})
     return _apply_deletes(spark, df, pruned_state)
 
 
@@ -1385,11 +1665,10 @@ def incremental_append_scan(
     (operators/diff.diff_datasets), the same contract as Iceberg's
     incremental append scan."""
     to_version, chain = _chain_between(table, from_version, to_version)
-    paths: list[str] = []
-    schema = None
+    entries: list[dict] = []
     for c in chain:
         op = c["operation"]
-        if op == "compact":
+        if op in ("compact", "evolve_schema"):
             continue
         publish_only = (
             op == "fast_forward"
@@ -1401,11 +1680,13 @@ def incremental_append_scan(
                 f"commit v{c['version']} is {op!r}; incremental append scan "
                 "only spans append/compact commits"
             )
-        paths += [e["path"] for e in c.get("added_data", [])]
-        schema = c.get("schema") or schema
-    if not paths:
-        return _empty_df(spark, schema or _state_at(table, to_version)[1]["schema"])
-    return _read_files(spark, paths)
+        entries += c.get("added_data", [])
+    state = _state_at(table, to_version)[1]
+    if not entries:
+        return _empty_df(spark, _field_pairs(_fields_of(state)))
+    # rows appended before an in-range evolve_schema commit surface in the
+    # TO-version's schema, same as Iceberg's incremental scan
+    return _read_projected(spark, entries, state)
 
 
 def changelog_scan(
@@ -1428,13 +1709,20 @@ def changelog_scan(
     aggregate.apply_retractable_delta so a downstream view refreshes from
     the delta without ever rescanning the base table."""
     to_version, chain = _chain_between(table, from_version, to_version)
+    to_state = _state_at(table, to_version)[1]
+    # across an in-range evolve_schema commit every emitted row — inserts,
+    # pre-images, snapshot diffs — is projected to the TO-version's field
+    # view, so the unions align by field id, not by historical name
+    tf = _fields_of(to_state) if to_state.get("evolved") else None
 
-    def _pre(parent: int | None) -> DataFrame:
-        return (
-            read_snapshot(spark, table, version=parent)
-            if parent
-            else _empty_df(spark, _state_at(table, to_version)[1]["schema"])
-        )
+    def _at(v: int | None) -> DataFrame:
+        if not v:
+            return _empty_df(spark, _field_pairs(_fields_of(to_state)))
+        st = _state_at(table, v)[1]
+        df = _read_projected(spark, list(st["data"].values()), st, fields=tf)
+        return _apply_deletes(spark, df, st, fields=tf)
+
+    _pre = _at
 
     pieces: list[DataFrame] = []
 
@@ -1448,29 +1736,37 @@ def changelog_scan(
     for c in chain:
         v = c["version"]
         op = c["operation"]
-        if op == "compact":
-            continue
+        if op in ("compact", "evolve_schema"):
+            continue  # logical no-ops: the row set is unchanged
         if op == "overwrite":
             _emit(_pre(c.get("parent")), "delete", v)
         elif op in ("delete", "merge") and c.get("added_deletes"):
-            keys = _read_files(
-                spark, [e["path"] for e in c["added_deletes"]]
-            ).distinct()
+            dels = c["added_deletes"]
+            keys = _read_files(spark, [e["path"] for e in dels]).distinct()
+            join_cols = list(dels[0]["key_cols"])
+            if tf is not None:
+                # key files carry write-time names: resolve by field id
+                cur = {fid: (n, t) for fid, n, t in tf}
+                wcols = _entry_cols(dels[0], to_state)
+                sel = [
+                    F.col(k).cast(cur[wcols[k]][1]).alias(cur[wcols[k]][0])
+                    for k in join_cols
+                ]
+                keys = keys.select(*sel).distinct()
+                join_cols = [cur[wcols[k]][0] for k in join_cols]
             removed = _pre(c.get("parent")).join(
-                F.broadcast(keys),
-                list(c["added_deletes"][0]["key_cols"]),
-                "semi",
+                F.broadcast(keys), join_cols, "semi"
             )
             _emit(removed, "delete", v)
         elif op in ("rollback", "fast_forward"):
-            pre, post = _pre(c.get("parent")), read_snapshot(spark, table, v)
+            pre, post = _pre(c.get("parent")), _at(v)
             _emit(post.exceptAll(pre), "insert", v)
             _emit(pre.exceptAll(post), "delete", v)
         elif op not in ("append", "merge", "delete"):
             raise ValueError(f"commit v{v}: unknown operation {op!r}")
         if op in ("append", "merge", "overwrite") and c.get("added_data"):
             _emit(
-                _read_files(spark, [e["path"] for e in c["added_data"]]),
+                _read_projected(spark, c["added_data"], to_state, fields=tf),
                 "insert",
                 v,
             )
@@ -1493,9 +1789,16 @@ def prune_files(
     overlaps [lo,hi]; files without stats are kept (never prune blind).
     Returns (paths_to_read, n_files_skipped)."""
     _, state = _state_at(table, version)
+    byname = {n: i for i, n, _t in _fields_of(state)}
+    evolved = bool(state.get("evolved"))
     keep, skipped = [], 0
     for path in sorted(state["data"]):
-        st = state["data"][path].get("stats", {}).get(col)
+        e = state["data"][path]
+        w = col
+        if evolved:
+            inv = {fid: n for n, fid in _entry_cols(e, state).items()}
+            w = inv.get(byname.get(col))
+        st = e.get("stats", {}).get(w) if w is not None else None
         if st is None:
             keep.append(path)
         elif st[0] <= hi and st[1] >= lo:
@@ -1513,12 +1816,11 @@ def scan_between(
     _, state = _state_at(table, version)
     paths, _skipped = prune_files(table, col, lo, hi, version)
     if not paths:
-        return _empty_df(spark, state["schema"])
-    df = _read_files(spark, paths).filter(F.col(col).between(lo, hi))
-    pruned_state = {
-        "data": {p: state["data"][p] for p in paths},
-        "deletes": state["deletes"],
-    }
+        return _empty_df(spark, _field_pairs(_fields_of(state)))
+    df = _read_projected(spark, [state["data"][p] for p in paths], state).filter(
+        F.col(col).between(lo, hi)
+    )
+    pruned_state = dict(state, data={p: state["data"][p] for p in paths})
     return _apply_deletes(spark, df, pruned_state)
 
 
@@ -1569,15 +1871,16 @@ def expire_snapshots(table: str, keep_last: int = 2) -> dict:
             and not os.path.exists(_base_path(table, v))
         ):
             with open(_base_path(table, v), "w") as f:
-                json.dump(
-                    {
-                        "version": v,
-                        "data": list(states[v]["data"].values()),
-                        "deletes": list(states[v]["deletes"].values()),
-                        "schema": states[v]["schema"],
-                    },
-                    f,
-                )
+                snap = {
+                    "version": v,
+                    "data": list(states[v]["data"].values()),
+                    "deletes": list(states[v]["deletes"].values()),
+                    "schema": states[v]["schema"],
+                }
+                for k in ("fields", "last_field_id", "legacy_cols", "evolved"):
+                    if states[v].get(k):
+                        snap[k] = states[v][k]
+                json.dump(snap, f)
     for n in os.listdir(_log_dir(table)):
         if n.startswith("_base_v") and int(n[7:19]) not in retained_set:
             os.unlink(os.path.join(_log_dir(table), n))

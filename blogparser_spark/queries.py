@@ -8915,3 +8915,70 @@ def tablelog_branch_publish_counts(spark: SparkSession, sf_dir: str) -> DataFram
         .unionByName(published)
         .select("phase", "event_type", "cnt")
     )
+
+
+@_q(
+    "tablelog_schema_evolution_counts",
+    """
+    WITH final_rows AS (
+      SELECT event_id AS event_key, user_id, event_type AS etype,
+        CASE WHEN event_id % 2 = 1 THEN 's1' END AS src
+      FROM events
+      WHERE NOT (event_id % 2 = 0 AND user_id % 7 = 0)
+        AND user_id % 5 <> 0
+    )
+    SELECT etype, count(*)::BIGINT AS cnt,
+      min(event_key) AS min_key, max(event_key) AS max_key,
+      count(src)::BIGINT AS n_src
+    FROM final_rows GROUP BY etype
+    """,
+)
+def tablelog_schema_evolution_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-id schema evolution on the snapshot-log format
+    (tablelog.evolve_schema — the Iceberg-spec ALTER TABLE contract): the
+    even event_id slice is appended as (eid int, user_id, event_type) and
+    an equality delete of user_id % 7 == 0 lands keyed on `eid`; ONE
+    metadata-only commit then renames eid->event_key and event_type->etype,
+    widens eid int->bigint, and adds a `src` string column — no data file
+    is rewritten. The odd slice is appended under the NEW schema
+    (src='s1'), and a post-evolve delete of user_id % 5 == 0 keyed on
+    `event_key` applies across BOTH generations of files. The final read
+    proves every evolution rule at once: old files' `eid` column resolves
+    by field id to `event_key` (rename is metadata-only), its int values
+    widen to bigint at read, `src` null-fills the pre-evolve files (n_src
+    counts only the new slice), and the PRE-evolve delete file keyed on
+    the old name still anti-joins through the id translation. The oracle
+    replays the slice/delete arithmetic on the base table. No reference
+    analog (the Go CLI has no storage layer, sample/main.go:32-47); built
+    from the public Iceberg spec's field-id evolution rules."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_evo_") + "/t"
+    ev = _events(spark, sf_dir)
+    old = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").cast("int").alias("eid"), "user_id", "event_type"
+    )
+    tl.append(spark, t, old)  # v1: pre-evolve generation
+    tl.delete_where(spark, t, F.col("user_id") % 7 == 0, key_cols=["eid"])  # v2
+    tl.evolve_schema(  # v3: metadata-only
+        t,
+        rename={"eid": "event_key", "event_type": "etype"},
+        widen={"eid": "bigint"},
+        add=[("src", "string")],
+    )
+    new = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("event_key"),
+        "user_id",
+        F.col("event_type").alias("etype"),
+        F.lit("s1").alias("src"),
+    )
+    tl.append(spark, t, new)  # v4: post-evolve generation
+    tl.delete_where(  # v5: spans both generations
+        spark, t, F.col("user_id") % 5 == 0, key_cols=["event_key"]
+    )
+    return tl.read_snapshot(spark, t).groupBy("etype").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.min("event_key").alias("min_key"),
+        F.max("event_key").alias("max_key"),
+        F.count("src").cast("bigint").alias("n_src"),
+    )

@@ -764,3 +764,186 @@ def test_expiry_writes_base_at_every_chain_break(spark, tmp_path):
     )
     with pytest.raises(tl.SnapshotExpired):
         tl.read_snapshot(spark, t, version=1)
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (field IDs)
+# ---------------------------------------------------------------------------
+
+
+def _evo_base(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tl.append(
+        spark,
+        t,
+        spark.range(0, 5).selectExpr(
+            "cast(id as int) AS k", "concat('a', id) AS v",
+            "cast(id * 10 as int) AS n",
+        ),
+    )
+    return t
+
+
+def test_evolve_rename_widen_add_projects_by_field_id(spark, tmp_path):
+    """Rename is metadata-only (old files keep the old column name; the
+    read resolves by field id), widen casts at read time, add null-fills
+    older files — no data file is rewritten (Iceberg spec schema
+    evolution)."""
+    t = _evo_base(spark, tmp_path)
+    files_before = sorted(tl._state_at(t)[1]["data"])
+    tl.evolve_schema(
+        t, rename={"v": "label"}, widen={"n": "bigint"}, add=[("ch", "string")]
+    )
+    assert sorted(tl._state_at(t)[1]["data"]) == files_before  # metadata only
+    df = tl.read_snapshot(spark, t)
+    assert df.columns == ["k", "label", "n", "ch"]
+    assert dict(df.dtypes)["n"] == "bigint"
+    assert df.filter(F.col("ch").isNull()).count() == 5
+    assert [r.label for r in df.orderBy("k").collect()] == [
+        f"a{i}" for i in range(5)
+    ]
+    # time travel still reads the PRE-evolve schema
+    old = tl.read_snapshot(spark, t, version=1)
+    assert old.columns == ["k", "v", "n"] and dict(old.dtypes)["n"] == "int"
+    # fields accessor: ids stable across the rename/widen, fresh id for add
+    assert tl.table_fields(t) == [
+        [1, "k", "int"], [2, "label", "string"],
+        [3, "n", "bigint"], [4, "ch", "string"],
+    ]
+
+
+def test_evolve_drop_then_readd_never_resurrects(spark, tmp_path):
+    """A re-added name takes a FRESH field id, so old files' data for the
+    dropped column stays invisible forever (Iceberg's id-based rule)."""
+    t = _evo_base(spark, tmp_path)
+    tl.evolve_schema(t, drop=("v",))
+    assert tl.read_snapshot(spark, t).columns == ["k", "n"]
+    tl.evolve_schema(t, add=[("v", "string")])
+    df = tl.read_snapshot(spark, t)
+    assert df.filter(F.col("v").isNotNull()).count() == 0
+    ids = [i for i, n, _t in tl.table_fields(t) if n == "v"]
+    assert ids == [4]  # last_field_id was 3; drop never lowers it
+
+
+def test_evolve_deletes_translate_key_columns(spark, tmp_path):
+    """Equality-delete files written before a rename still apply: the key
+    column resolves through its field id to the current name and type."""
+    t = _evo_base(spark, tmp_path)
+    tl.delete_where(spark, t, F.col("k") == 2, ["k"])
+    tl.evolve_schema(t, rename={"k": "key"}, widen={"k": "bigint"})
+    df = tl.read_snapshot(spark, t)
+    assert df.columns == ["key", "v", "n"]
+    assert sorted(r.key for r in df.collect()) == [0, 1, 3, 4]
+    # post-evolve delete on the new name composes with pre-evolve files
+    tl.delete_where(spark, t, F.col("key") == 0, ["key"])
+    assert sorted(r.key for r in tl.read_snapshot(spark, t).collect()) == [1, 3, 4]
+    # dropping a key column still referenced by a live delete is refused
+    tl.evolve_schema(t, drop=("key",))
+    with pytest.raises(ValueError, match="delete key column"):
+        tl.read_snapshot(spark, t).count()
+
+
+def test_evolve_prune_and_scan_translate_stats(spark, tmp_path):
+    """Footer stats and hidden-partition specs are keyed by write-time
+    names; pruning translates the predicate's current name per file, and
+    files older than a column are never pruned blind."""
+    t = str(tmp_path / "t")
+    tl.append(
+        spark, t,
+        spark.range(0, 100).selectExpr("cast(id as int) AS a", "id % 7 AS g"),
+        stats_cols=("a",),
+    )
+    tl.evolve_schema(t, rename={"a": "alpha"})
+    tl.append(
+        spark, t,
+        spark.range(100, 200).selectExpr("cast(id as int) AS alpha", "id % 7 AS g"),
+        stats_cols=("alpha",),
+    )
+    keep, skipped = tl.prune_files_where(t, {"alpha": ("between", 150, 160)})
+    assert skipped >= 1  # the pre-rename file pruned via id translation
+    got = tl.scan_where(spark, t, {"alpha": ("between", 150, 160)})
+    assert got.count() == 11 and "alpha" in got.columns
+    # a column added AFTER the first file exists: old file kept (no stats)
+    tl.evolve_schema(t, add=[("z", "int")])
+    keep2, _ = tl.prune_files_where(t, {"z": ("=", 1)})
+    assert set(keep) <= set(keep2)
+
+
+def test_evolve_incremental_and_changelog_project_to_target(spark, tmp_path):
+    """Incremental and CDC scans spanning an evolve commit surface every
+    row in the TO-version's field view; the evolve itself is a row-level
+    no-op."""
+    t = _evo_base(spark, tmp_path)
+    tl.evolve_schema(t, rename={"v": "label"}, widen={"n": "bigint"})
+    tl.append(
+        spark, t,
+        spark.createDataFrame([(9, "b9", 90)], "k int, label string, n bigint"),
+    )
+    inc = tl.incremental_append_scan(spark, t, from_version=1)
+    assert inc.columns == ["k", "label", "n"] and inc.count() == 1
+    cl = tl.changelog_scan(spark, t, from_version=0)
+    assert cl.filter("_change_type = 'insert'").count() == 6
+    assert "label" in cl.columns
+    # pre-image deletes across the evolve translate their key columns
+    tl.delete_where(spark, t, F.col("k") == 1, ["k"])
+    cl2 = tl.changelog_scan(spark, t, from_version=0)
+    gone = cl2.filter("_change_type = 'delete'").collect()
+    assert [r.k for r in gone] == [1] and gone[0].label == "a1"
+
+
+def test_evolve_compact_and_expiry_preserve_fields(spark, tmp_path):
+    """compact rewrites into the CURRENT schema; expiry's rebase base
+    persists fields/evolved so replay after truncation stays correct."""
+    t = _evo_base(spark, tmp_path)
+    tl.evolve_schema(t, rename={"v": "label"}, add=[("ch", "string")])
+    tl.append(
+        spark, t,
+        spark.createDataFrame(
+            [(9, "b9", 90, "x")], "k int, label string, n int, ch string"
+        ),
+    )
+    tl.compact(spark, t)
+    tl.expire_snapshots(t, keep_last=1)
+    df = tl.read_snapshot(spark, t)
+    assert df.columns == ["k", "label", "n", "ch"] and df.count() == 6
+    assert tl.table_fields(t)[1] == [2, "label", "string"]
+
+
+def test_evolve_validation(spark, tmp_path):
+    t = _evo_base(spark, tmp_path)
+    with pytest.raises(ValueError, match="lossless"):
+        tl.evolve_schema(t, widen={"v": "int"})
+    with pytest.raises(ValueError, match="unknown column"):
+        tl.evolve_schema(t, rename={"nope": "x"})
+    with pytest.raises(ValueError, match="already exists"):
+        tl.evolve_schema(t, add=[("v", "string")])
+    with pytest.raises(ValueError, match="collides"):
+        tl.evolve_schema(t, rename={"v": "n"})
+    with pytest.raises(ValueError, match="renamed and dropped"):
+        tl.evolve_schema(t, rename={"v": "x"}, drop=("v",))
+    with pytest.raises(ValueError, match="every column"):
+        tl.evolve_schema(t, drop=("k", "v", "n"))
+
+
+def test_evolve_on_branch_fast_forwards_to_main(spark, tmp_path):
+    """An evolve commit on the main chain is published into a branch
+    reader's view only via its own lineage; fast_forward carries the
+    fields AND the evolved flag so main's projection stays id-based."""
+    t = _evo_base(spark, tmp_path)
+    tl.create_branch(t, "s")
+    tl.append(
+        spark, t,
+        spark.range(5, 8).selectExpr(
+            "cast(id as int) AS k", "concat('a', id) AS v",
+            "cast(id * 10 as int) AS n",
+        ),
+        branch="s",
+    )
+    tl.evolve_schema(t, rename={"v": "label"})  # on main
+    assert tl.read_snapshot(spark, t).columns == ["k", "label", "n"]
+    # branch forked pre-evolve: still the old view
+    assert tl.read_snapshot(spark, t, ref="s").columns == ["k", "v", "n"]
+    tl.fast_forward(t, "s")
+    # main re-pointed at the branch state -> pre-evolve fields restored
+    df = tl.read_snapshot(spark, t)
+    assert df.columns == ["k", "v", "n"] and df.count() == 8

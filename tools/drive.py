@@ -1358,3 +1358,28 @@ assert _tl.read_snapshot(spark, _rt, ref="t0").count() == 10
 print("refs: branch isolated, fast-forward v%d re-pointed main, tag survived expiry (%d versions swept)"
       % (_ffv, _res["versions_removed"]))
 print("DRIVE105 OK")
+
+# batch-7w: field-id schema evolution — rename/widen/add metadata-only,
+# delete translation across the rename, drop/re-add non-resurrection
+_et = _tf.mkdtemp(prefix="drv_evo_") + "/t"
+_tl.append(spark, _et, spark.range(0, 10).selectExpr(
+    "cast(id as int) AS k", "concat('v', id) AS v"))                       # v1
+_tl.delete_where(spark, _et, _F.col("k") == 3, key_cols=["k"])             # v2, keyed pre-rename
+_files_pre = sorted(_tl._state_at(_et)[1]["data"])
+_tl.evolve_schema(_et, rename={"k": "key", "v": "label"},
+                  widen={"k": "bigint"}, add=[("src", "string")])          # v3 metadata-only
+assert sorted(_tl._state_at(_et)[1]["data"]) == _files_pre                 # no rewrite
+_tl.append(spark, _et, spark.createDataFrame(
+    [(50, "v50", "new")], "key bigint, label string, src string"))         # v4
+_edf = _tl.read_snapshot(spark, _et)
+assert _edf.columns == ["key", "label", "src"]
+assert dict(_edf.dtypes)["key"] == "bigint"
+_erows = {r.key: (r.label, r.src) for r in _edf.collect()}
+assert 3 not in _erows and _erows[50] == ("v50", "new") and _erows[0] == ("v0", None)
+assert _tl.read_snapshot(spark, _et, version=1).columns == ["k", "v"]      # time travel pre-evolve
+_tl.evolve_schema(_et, drop=("label",))
+_tl.evolve_schema(_et, add=[("label", "string")])                          # fresh id: no resurrection
+assert _tl.read_snapshot(spark, _et).filter("label IS NOT NULL").count() == 0
+print("schema evolution: rename/widen/add metadata-only over", len(_files_pre),
+      "files, pre-rename delete translated, time travel kept old schema, re-added column stayed dark")
+print("DRIVE106 OK")
