@@ -68,6 +68,7 @@ import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 class CommitConflict(RuntimeError):
@@ -572,22 +573,37 @@ def evolve_schema(
     )
 
 
+def _has_pos_deletes(state: dict) -> bool:
+    return any(e.get("positional") for e in state.get("deletes", {}).values())
+
+
 def _read_projected(
     spark: SparkSession,
     entries: list[dict],
     state: dict,
     fields: list[list] | None = None,
+    with_pos: bool | None = None,
 ) -> DataFrame:
     """Read file entries resolved BY FIELD ID against `fields` (default: the
     state's current fields). Files are grouped by their write-time column
     mapping; each group is one scan projected to (current name, current
     type): renamed columns read their old name, dropped ids are simply not
     selected, missing ids null-fill, widened types cast. Non-evolved states
-    skip all of this and take the single mergeSchema scan."""
+    skip all of this and take the single mergeSchema scan. `with_pos`
+    (default: auto, on iff the state carries position-delete files) selects
+    the parquet `_metadata.row_index` ordinal as a `_pos` column — the row
+    identity position deletes anti-join on; it must be captured AT the scan
+    (the metadata pseudo-column does not survive a projection)."""
+    if with_pos is None:
+        with_pos = _has_pos_deletes(state)
+    pos_col = (
+        [F.col("_metadata.row_index").alias("_pos")] if with_pos else []
+    )
     if not state.get("evolved") and fields is None:
         if not entries:
             return _empty_df(spark, _field_pairs(_fields_of(state)))
-        return _read_files(spark, sorted(e["path"] for e in entries))
+        df = _read_files(spark, sorted(e["path"] for e in entries))
+        return df.select("*", *pos_col) if with_pos else df
     fields = fields or _fields_of(state)
     if not entries:
         return _empty_df(spark, _field_pairs(fields))
@@ -607,7 +623,7 @@ def _read_projected(
                 sel.append(F.col(w).cast(dtype).alias(name))
             else:
                 sel.append(F.lit(None).cast(dtype).alias(name))
-        parts.append(df.select(*sel))
+        parts.append(df.select(*sel, *pos_col))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -931,6 +947,91 @@ def snapshot_lineage(table: str) -> list[dict]:
             }
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# metadata inspection tables (Iceberg's history / files / refs tables)
+# ---------------------------------------------------------------------------
+#
+# Iceberg exposes table internals as queryable metadata tables
+# (`db.tbl.history`, `.files`, `.snapshots`, `.refs`); these are the
+# snapshot-log analogs. All three are driver-side LOG scans — cost is
+# O(commits) / O(live files) manifest work, never a data-file read — turned
+# into DataFrames so operators can join, filter, and aggregate table health
+# (small-file counts, delete-file debt, commit cadence) with the same
+# relational vocabulary as the data itself.
+
+
+def table_history(spark: SparkSession, table: str) -> DataFrame:
+    """One row per commit on any branch: lineage pointer, operation, and
+    added/removed file and row tallies. The DataFrame sibling of
+    snapshot_lineage (which returns driver dicts)."""
+    rows = []
+    for v in list_versions(table):
+        c = _read_commit(table, v)
+        rows.append(
+            (
+                v,
+                c.get("parent"),
+                c["operation"],
+                c.get("branch", "main"),
+                float(c.get("ts") or 0.0),
+                sum(int(e.get("rows", 0)) for e in c.get("added_data", [])),
+                len(c.get("added_data", [])),
+                len(c.get("removed_data", [])),
+                len(c.get("added_deletes", [])),
+                len(c.get("removed_deletes", [])),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, parent int, operation string, branch string, "
+        "ts double, rows_added bigint, files_added int, files_removed int, "
+        "delete_files_added int, delete_files_removed int",
+    )
+
+
+def table_files(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """One row per LIVE file (data and delete) at a snapshot: sequence
+    number, manifest row/byte tallies, partition values, footer stats, and
+    the delete kind. This is the small-file / delete-debt health view —
+    `table_files(...).where("kind = 'data'").groupBy(...).agg(...)` plans
+    maintenance (compact_binpack targets, delete-file backlog) without
+    opening a single data file."""
+    _, state = _state_at(table, version)
+    rows = []
+    for kind, files in (("data", state["data"]), ("delete", state["deletes"])):
+        for p, e in sorted(files.items()):
+            rows.append(
+                (
+                    p,
+                    kind,
+                    int(e["seq"]),
+                    int(e.get("rows", 0)),
+                    int(e.get("bytes", 0)),
+                    json.dumps(e.get("partition") or {}, sort_keys=True),
+                    json.dumps(e.get("stats") or {}, sort_keys=True, default=str),
+                    bool(e.get("positional")),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "path string, kind string, seq int, rows bigint, bytes bigint, "
+        "partition string, stats string, positional boolean",
+    )
+
+
+def table_refs(spark: SparkSession, table: str) -> DataFrame:
+    """One row per named ref plus main: kind (branch/tag) and the snapshot
+    version it points at — Iceberg's `refs` metadata table."""
+    rows = [("main", "branch", _head(table, "main"))]
+    for name, ref in sorted(list_refs(table).items()):
+        # a branch row shows its HEAD (derived from the log), not its
+        # creation point; a tag row shows its pinned snapshot
+        rows.append((name, ref["type"], resolve_ref(table, name)))
+    return spark.createDataFrame(rows, "name string, kind string, version int")
 
 
 # ---------------------------------------------------------------------------
@@ -1262,6 +1363,92 @@ def delete_where(
     return version
 
 
+def _read_live_identity(spark: SparkSession, state: dict) -> DataFrame:
+    """The LIVE rows of a state with their (_file, _pos) row identity —
+    the input every position-delete writer works from."""
+    df = _with_file(
+        _read_projected(
+            spark, list(state["data"].values()), state, with_pos=True
+        )
+    )
+    return _apply_deletes(spark, df, state, keep_identity=True)
+
+
+def _commit_position_deletes(
+    spark: SparkSession, table: str, cur: int, keys: DataFrame
+) -> int:
+    """Write a position-delete file from (_file, _pos) rows and commit it."""
+    version = (current_version(table) or 0) + 1
+    entries = _write_data_files(
+        keys.select("_file", "_pos").distinct(), table, version, (), "deletes"
+    )
+    for e in entries:
+        e["key_cols"] = ["_file", "_pos"]
+        e["positional"] = True
+    commit = {
+        "version": version,
+        "parent": cur,
+        "operation": "delete",
+        "ts": time.time(),
+        "added_deletes": entries,
+    }
+    if not _try_commit(table, commit):
+        raise CommitConflict(
+            f"position delete conflicted at version {version}: {table}"
+        )
+    return version
+
+
+def delete_where_positions(spark: SparkSession, table: str, condition) -> int:
+    """Position delete (Iceberg v2 position-delete files): materialize the
+    (file, pos) row identity of every LIVE row matching `condition` into a
+    small delete file and commit it — no key columns required and no data
+    file rewritten. The row ordinal comes from the parquet scan's
+    `_metadata.row_index`, the Spark-native analog of Iceberg's file
+    position. Position deletes are schema-agnostic (they reference the
+    file, not any column), so schema evolution before or after never
+    invalidates them, and they compose with equality deletes in the same
+    merge-on-read pass. No reference analog (the Go CLI has no storage
+    layer, sample/main.go:32-47)."""
+    cur = _head(table, "main")
+    if cur is None:
+        raise LookupError(f"cannot delete from empty table {table}")
+    _, state = _state_at(table, cur)
+    keys = _read_live_identity(spark, state).filter(condition)
+    return _commit_position_deletes(spark, table, cur, keys)
+
+
+def dedup_keep_first(
+    spark: SparkSession,
+    table: str,
+    key_cols: list[str],
+    order_cols: list[str] | None = None,
+) -> int:
+    """Exact dedup WITHOUT rewriting data: keep exactly one row per key
+    (the first by `order_cols`, defaulting to the stable (_file, _pos)
+    scan order) and commit a position delete for every other copy. This is
+    the row-level operation equality deletes fundamentally cannot express
+    — identical rows agree on every column, so any key-based delete kills
+    the survivor too; only the positional identity separates copies. The
+    window is partitioned by the dedup key (bounded per-key state, no
+    global sort), and only the redundant rows' (file, pos) pairs are
+    written — output is duplicate-sized, not table-sized."""
+    cur = _head(table, "main")
+    if cur is None:
+        raise LookupError(f"cannot dedup empty table {table}")
+    _, state = _state_at(table, cur)
+    live = _read_live_identity(spark, state)
+    order = [F.col(c) for c in (order_cols or [])] + [
+        F.col("_file"),
+        F.col("_pos"),
+    ]
+    rn = F.row_number().over(
+        Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    )
+    dupes = live.withColumn("_rn", rn).filter(F.col("_rn") > 1)
+    return _commit_position_deletes(spark, table, cur, dupes)
+
+
 def overwrite(
     spark: SparkSession,
     table: str,
@@ -1290,6 +1477,76 @@ def overwrite(
     }
     if not _try_commit(table, commit):
         raise CommitConflict(f"overwrite conflicted at version {version}: {table}")
+    return version
+
+
+def update_where(
+    spark: SparkSession,
+    table: str,
+    condition,
+    assignments: dict[str, Column],
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Copy-on-write row-level UPDATE (Iceberg's eager update mode): only
+    the files that CONTAIN a matching live row are rewritten — matching
+    rows get `assignments` applied, their non-matching neighbors are
+    carried over verbatim (with any pending deletes folded in), and every
+    untouched file stays byte-identical in the new snapshot. ONE atomic
+    commit swaps the rewritten files in, so readers see all-or-nothing and
+    older snapshots time-travel unchanged. Cost scales with the matched
+    FILES, not the table — pair the predicate with stats_cols/partitioning
+    at write time so the match set is narrow. Rewritten files are written
+    unpartitioned (their manifest partition metadata is dropped, so pruned
+    reads keep-not-prune them — correct, just unpruned until the next
+    compact). No reference analog (the Go CLI has no storage layer,
+    sample/main.go:32-47)."""
+    cur = _head(table, "main")
+    if cur is None:
+        raise LookupError(f"cannot update empty table {table}")
+    _, state = _state_at(table, cur)
+    bad = set(assignments) - {n for _i, n, _t in _fields_of(state)}
+    if bad:
+        raise ValueError(f"assignment to unknown column(s): {sorted(bad)}")
+    live = _read_live_identity(spark, state)
+    hit_files = [
+        r._file for r in live.filter(condition).select("_file").distinct().collect()
+    ]
+    version = (current_version(table) or 0) + 1
+    if not hit_files:
+        commit = {
+            "version": version,
+            "parent": cur,
+            "operation": "update",
+            "ts": time.time(),
+        }
+        if not _try_commit(table, commit):
+            raise CommitConflict(f"update conflicted at version {version}: {table}")
+        return version
+    rewrite = live.filter(F.col("_file").isin(hit_files))
+    for col, expr in assignments.items():
+        rewrite = rewrite.withColumn(
+            col, F.when(condition, expr).otherwise(F.col(col))
+        )
+    types = {n: t for _i, n, t in _fields_of(state)}
+    rewrite = rewrite.select(
+        *[F.col(n).cast(types[n]).alias(n) for n in types]
+    )
+    entries = _write_data_files(rewrite, table, version, stats_cols, "data")
+    commit = {
+        "version": version,
+        "parent": cur,
+        "operation": "update",
+        "ts": time.time(),
+        "added_data": _stamp_cols(entries, _fields_of(state)),
+        # the live _file identity is the abspath; map back to manifest keys
+        "removed_data": sorted(
+            p
+            for p in state["data"]
+            if os.path.abspath(p) in set(hit_files)
+        ),
+    }
+    if not _try_commit(table, commit):
+        raise CommitConflict(f"update conflicted at version {version}: {table}")
     return version
 
 
@@ -1518,25 +1775,43 @@ def _read_files(spark: SparkSession, paths: list[str]) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
+def _with_file(df: DataFrame) -> DataFrame:
+    """Attach the normalized absolute-path file identity as `_file`.
+    input_file_name() returns a URL-encoded file: URI — normalize it to
+    the manifest's os-path form."""
+    return df.withColumn(
+        "_file",
+        F.url_decode(F.regexp_replace(F.input_file_name(), "^file:/+", "/")),
+    )
+
+
 def _apply_deletes(
     spark: SparkSession, df: DataFrame, state: dict,
     fields: list[list] | None = None,
+    keep_identity: bool = False,
 ) -> DataFrame:
     """Merge-on-read: anti-join each delete file group against the data
-    rows whose file sequence number is OLDER than the delete (Iceberg v2
-    rule — a key re-appended after the delete survives). The file→seq map
-    is a tiny manifest dim joined broadcast on the file identity; delete
-    key sets are small by construction (they are the alternative to
-    rewriting data files), so these are broadcast anti-joins."""
+    rows the delete is scoped to. Equality deletes remove rows from files
+    whose sequence number is STRICTLY OLDER than the delete (Iceberg v2
+    rule — a key re-appended after the delete survives); position deletes
+    apply at seq <= theirs (the spec's position-delete rule) and anti-join
+    on the (_file, _pos) row identity instead of key columns, so they are
+    schema-agnostic — renames and drops never invalidate them. The
+    file→seq map is a tiny manifest dim joined broadcast on the file
+    identity; delete key sets are small by construction (they are the
+    alternative to rewriting data files), so these are broadcast
+    anti-joins. `keep_identity` retains the _file/_pos columns for callers
+    that need live-row identities (position-delete writers, CDC
+    pre-images)."""
     deletes = list(state["deletes"].values())
     if not deletes:
+        if not keep_identity and "_pos" in df.columns:
+            df = df.drop("_pos")
         return df
     # File identity is the FULL absolute path: with multi-level hive
     # partitioning one task writes the SAME filename into many partition
     # dirs, so any fixed-suffix identity (e.g. last two path segments)
-    # collides and the manifest join multiplies rows. input_file_name()
-    # returns a URL-encoded file: URI — normalize it to the manifest's
-    # os-path form.
+    # collides and the manifest join multiplies rows.
     seq_rows = [
         (os.path.abspath(e["path"]), int(e["seq"]))
         for e in state["data"].values()
@@ -1544,20 +1819,30 @@ def _apply_deletes(
     manifest = F.broadcast(
         df.sparkSession.createDataFrame(seq_rows, "_file string, _seq int")
     )
-    data = df.withColumn(
-        "_file",
-        F.url_decode(F.regexp_replace(F.input_file_name(), "^file:/+", "/")),
-    ).join(manifest, "_file")
+    data = (df if "_file" in df.columns else _with_file(df)).join(
+        manifest, "_file"
+    )
     by_group: dict[tuple, list[dict]] = {}
     for e in deletes:
         by_group.setdefault((tuple(e["key_cols"]), int(e["seq"])), []).append(e)
-    out_cols = [c for c in df.columns]
+    out_cols = [
+        c for c in df.columns if keep_identity or c != "_pos"
+    ]
     evolved = bool(state.get("evolved")) or fields is not None
     cur = {
         fid: (n, t) for fid, n, t in (fields or _fields_of(state))
     } if evolved else {}
     for (key_cols, dseq), entries in sorted(by_group.items(), key=lambda kv: kv[0][1]):
         keys = _read_files(spark, [e["path"] for e in entries]).distinct()
+        if entries[0].get("positional"):
+            # position delete: row identity join, seq <= scope, no schema
+            # translation (file+pos reference nothing evolution can move)
+            affected = data.filter(F.col("_seq") <= F.lit(dseq))
+            rest = data.filter(F.col("_seq") > F.lit(dseq))
+            data = affected.join(
+                F.broadcast(keys), ["_file", "_pos"], "left_anti"
+            ).unionByName(rest)
+            continue
         join_cols = list(key_cols)
         if evolved:
             # delete keys were written under THEIR commit's schema: resolve
@@ -1743,6 +2028,31 @@ def changelog_scan(
         elif op in ("delete", "merge") and c.get("added_deletes"):
             dels = c["added_deletes"]
             keys = _read_files(spark, [e["path"] for e in dels]).distinct()
+            if dels[0].get("positional"):
+                # position-delete pre-images: the parent's LIVE rows at the
+                # deleted (_file, _pos) identities — schema-agnostic, so no
+                # field-id translation of the keys is ever needed
+                pst = _state_at(table, c.get("parent"))[1]
+                plive = _apply_deletes(
+                    spark,
+                    _with_file(
+                        _read_projected(
+                            spark,
+                            list(pst["data"].values()),
+                            pst,
+                            fields=tf,
+                            with_pos=True,
+                        )
+                    ),
+                    pst,
+                    fields=tf,
+                    keep_identity=True,
+                )
+                removed = plive.join(
+                    F.broadcast(keys), ["_file", "_pos"], "semi"
+                ).drop("_file", "_pos")
+                _emit(removed, "delete", v)
+                continue
             join_cols = list(dels[0]["key_cols"])
             if tf is not None:
                 # key files carry write-time names: resolve by field id
@@ -1758,7 +2068,9 @@ def changelog_scan(
                 F.broadcast(keys), join_cols, "semi"
             )
             _emit(removed, "delete", v)
-        elif op in ("rollback", "fast_forward"):
+        elif op in ("rollback", "fast_forward", "update"):
+            # update: the net row diff IS the changed rows — unchanged
+            # neighbors carried into rewritten files cancel in exceptAll
             pre, post = _pre(c.get("parent")), _at(v)
             _emit(post.exceptAll(pre), "insert", v)
             _emit(pre.exceptAll(post), "delete", v)

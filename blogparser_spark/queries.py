@@ -8982,3 +8982,141 @@ def tablelog_schema_evolution_counts(spark: SparkSession, sf_dir: str) -> DataFr
         F.max("event_key").alias("max_key"),
         F.count("src").cast("bigint").alias("n_src"),
     )
+
+
+@_q(
+    "tablelog_position_dedup_counts",
+    """
+    WITH final_rows AS (
+      SELECT event_id, user_id, event_type FROM events WHERE user_id % 3 <> 0
+      UNION ALL
+      SELECT event_id, user_id, event_type FROM events
+      WHERE user_id % 3 = 0 AND event_id % 5 = 0
+    )
+    SELECT event_type, count(*)::BIGINT AS cnt,
+      count(DISTINCT event_id)::BIGINT AS n_ids,
+      min(event_id) AS min_id, max(event_id) AS max_id
+    FROM final_rows GROUP BY event_type
+    """,
+)
+def tablelog_position_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position deletes on the snapshot-log format (Iceberg v2
+    position-delete files via the parquet scan's `_metadata.row_index`):
+    the even event_id slice is appended TWICE (every row an exact
+    duplicate), the odd slice once; `dedup_keep_first` then removes
+    all-but-one copy per event_id with a position-delete commit — the
+    row-level operation equality deletes cannot express, since identical
+    rows agree on every column and any key-based delete would kill the
+    survivor too. A predicate position delete then drops user_id % 3 == 0
+    without naming key columns, and a final append re-adds the
+    event_id % 5 == 0 subset of those rows — which survives because
+    position deletes scope to files with seq <= theirs. The oracle replays
+    the surviving-row arithmetic on the base table; cnt == n_ids proves no
+    duplicate copy leaked through. No reference analog (the Go CLI has no
+    storage layer, sample/main.go:32-47)."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_pos_") + "/t"
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    even = ev.filter(F.col("event_id") % 2 == 0)
+    tl.append(spark, t, even)  # v1
+    tl.append(spark, t, even)  # v2: exact duplicates of v1
+    tl.append(spark, t, ev.filter(F.col("event_id") % 2 == 1))  # v3
+    tl.dedup_keep_first(spark, t, ["event_id"])  # v4
+    tl.delete_where_positions(spark, t, F.col("user_id") % 3 == 0)  # v5
+    tl.append(  # v6: re-added subset survives the v5 position delete
+        spark,
+        t,
+        ev.filter((F.col("user_id") % 3 == 0) & (F.col("event_id") % 5 == 0)),
+    )
+    return tl.read_snapshot(spark, t).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@_q(
+    "tablelog_update_where_counts",
+    """
+    SELECT event_type, count(*)::BIGINT AS cnt,
+      sum(CASE WHEN event_id % 7 = 0 THEN user_id + 1000000
+          ELSE user_id END)::BIGINT AS sum_uid,
+      min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events WHERE event_id % 11 <> 0 GROUP BY event_type
+    """,
+)
+def tablelog_update_where_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level UPDATE on the snapshot-log format
+    (tablelog.update_where — Iceberg's eager update mode): events land
+    range-partitioned into multiple files with footer stats, ONE atomic
+    update commit rewrites only the files containing event_id % 7 == 0
+    rows (adding 1,000,000 to their user_id; non-matching neighbors carry
+    over verbatim), and a subsequent equality delete of event_id % 11 == 0
+    applies across both rewritten and untouched files. The oracle replays
+    the CASE arithmetic on the base table — agreement proves the partial
+    rewrite touched exactly the matched rows, dropped none of their
+    neighbors, and left every other file byte-identical. No reference
+    analog (the Go CLI has no storage layer, sample/main.go:32-47)."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_upd_") + "/t"
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    tl.append(
+        spark,
+        t,
+        ev.repartitionByRange(8, "event_id"),
+        stats_cols=("event_id",),
+    )
+    tl.update_where(  # v2: CoW rewrite of matched files only
+        spark,
+        t,
+        F.col("event_id") % 7 == 0,
+        {"user_id": F.col("user_id") + 1000000},
+    )
+    tl.delete_where(spark, t, F.col("event_id") % 11 == 0, key_cols=["event_id"])
+    return tl.read_snapshot(spark, t).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("user_id").cast("bigint").alias("sum_uid"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@_q(
+    "tablelog_history_audit",
+    """
+    SELECT 1 AS version, 'append' AS operation,
+      (SELECT count(*) FROM events WHERE event_id % 3 = 0)::BIGINT AS rows_added
+    UNION ALL SELECT 2, 'append',
+      (SELECT count(*) FROM events WHERE event_id % 3 = 1)::BIGINT
+    UNION ALL SELECT 3, 'append',
+      (SELECT count(*) FROM events WHERE event_id % 3 = 2)::BIGINT
+    UNION ALL SELECT 4, 'delete', 0::BIGINT
+    UNION ALL SELECT 5, 'compact',
+      (SELECT count(*) FROM events WHERE user_id % 7 <> 0)::BIGINT
+    """,
+)
+def tablelog_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata inspection tables on the snapshot-log format
+    (tablelog.table_history — Iceberg's `history`/`snapshots` metadata
+    tables): three appends of event_id mod-3 slices, an equality delete,
+    and a compaction, then the commit history READ AS A DATAFRAME — one
+    row per commit with its operation and manifest rows_added tally. The
+    oracle replays each commit's expected tally from the base table (the
+    compact commit's rows_added equals the live row count it folded the
+    delete into), proving the history view is assembled from manifests
+    alone — planning cost is O(commits), no data file is opened. No
+    reference analog (the Go CLI has no storage layer)."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_hist_") + "/t"
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    for m in (0, 1, 2):
+        tl.append(spark, t, ev.filter(F.col("event_id") % 3 == m))
+    tl.delete_where(spark, t, F.col("user_id") % 7 == 0, key_cols=["event_id"])
+    tl.compact(spark, t)
+    return tl.table_history(spark, t).select(
+        "version", "operation", "rows_added"
+    )

@@ -947,3 +947,236 @@ def test_evolve_on_branch_fast_forwards_to_main(spark, tmp_path):
     # main re-pointed at the branch state -> pre-evolve fields restored
     df = tl.read_snapshot(spark, t)
     assert df.columns == ["k", "v", "n"] and df.count() == 8
+
+
+# ---------------------------------------------------------------------------
+# position deletes (Iceberg v2 position-delete files)
+# ---------------------------------------------------------------------------
+
+
+def test_position_delete_predicate_and_seq_scope(spark, tmp_path):
+    """delete_where_positions removes exactly the matching live rows with
+    no key columns and no rewrite; a row re-appended after the delete
+    survives (position deletes scope to seq <= theirs); time travel still
+    sees the pre-delete rows."""
+    t = str(tmp_path / "t")
+    tl.append(spark, t, spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"))
+    files_before = sorted(tl._state_at(t)[1]["data"])
+    tl.delete_where_positions(spark, t, F.col("k") % 3 == 0)
+    assert sorted(tl._state_at(t)[1]["data"]) == files_before  # no rewrite
+    assert sorted(r.k for r in tl.read_snapshot(spark, t).collect()) == [
+        1, 2, 4, 5, 7, 8,
+    ]
+    tl.append(spark, t, spark.createDataFrame([(0, 99)], "k long, v long"))
+    assert sorted(r.k for r in tl.read_snapshot(spark, t).collect()) == [
+        0, 1, 2, 4, 5, 7, 8,
+    ]
+    assert tl.read_snapshot(spark, t, version=1).count() == 10
+
+
+def test_position_dedup_keeps_one_copy_of_identical_rows(spark, tmp_path):
+    """dedup_keep_first deletes all-but-one copy of rows identical in
+    EVERY column — the operation equality deletes cannot express (any
+    key-based delete would kill the survivor too)."""
+    t = str(tmp_path / "t")
+    d = spark.range(0, 6).selectExpr("id % 3 AS k", "concat('v', id % 3) AS v")
+    tl.append(spark, t, d)  # each (k, v) twice
+    tl.append(spark, t, d)  # now four copies each
+    tl.dedup_keep_first(spark, t, ["k", "v"])
+    rows = tl.read_snapshot(spark, t).collect()
+    assert sorted((r.k, r.v) for r in rows) == [
+        (0, "v0"), (1, "v1"), (2, "v2"),
+    ]
+    # idempotent: a second pass deletes nothing more
+    tl.dedup_keep_first(spark, t, ["k", "v"])
+    assert tl.read_snapshot(spark, t).count() == 3
+
+
+def test_position_deletes_compose_with_equality_and_evolution(spark, tmp_path):
+    """Position deletes are schema-agnostic: one written BEFORE a
+    rename/widen/add evolution still applies after it (file+pos reference
+    nothing a rename can move), equality deletes compose in the same read,
+    and a positional delete written AFTER the evolution can reference the
+    added column."""
+    t = str(tmp_path / "t")
+    tl.append(
+        spark, t, spark.range(0, 10).selectExpr("cast(id as int) AS k", "id * 2 AS v")
+    )
+    tl.delete_where_positions(spark, t, F.col("k") == 4)
+    tl.evolve_schema(
+        t, rename={"k": "key"}, widen={"k": "bigint"}, add=[("z", "string")]
+    )
+    tl.delete_where(spark, t, F.col("key") == 5, key_cols=["key"])
+    assert sorted(r.key for r in tl.read_snapshot(spark, t).collect()) == [
+        0, 1, 2, 3, 6, 7, 8, 9,
+    ]
+    tl.delete_where_positions(spark, t, F.col("z").isNull() & (F.col("key") == 6))
+    assert sorted(r.key for r in tl.read_snapshot(spark, t).collect()) == [
+        0, 1, 2, 3, 7, 8, 9,
+    ]
+
+
+def test_position_delete_changelog_preimages_and_compact(spark, tmp_path):
+    """The CDC changelog emits the exact pre-image rows of a position
+    delete, and compaction folds position deletes into rewritten files."""
+    t = str(tmp_path / "t")
+    tl.append(spark, t, spark.range(0, 5).selectExpr("id AS k", "concat('x', id) AS v"))
+    tl.delete_where_positions(spark, t, F.col("k").isin(1, 3))
+    cl = tl.changelog_scan(spark, t, from_version=0)
+    assert sorted(
+        (r.k, r.v) for r in cl.filter("_change_type = 'delete'").collect()
+    ) == [(1, "x1"), (3, "x3")]
+    assert cl.filter("_change_type = 'insert'").count() == 5
+    tl.compact(spark, t)
+    assert sorted(r.k for r in tl.read_snapshot(spark, t).collect()) == [0, 2, 4]
+    assert not tl._state_at(t)[1]["deletes"]
+
+
+def test_position_delete_pruned_scans_and_expiry(spark, tmp_path):
+    """Stats-pruned scans apply position deletes over the pruned file set,
+    and expiry's rebase base persists the positional flag so replay after
+    truncation still anti-joins on row identity."""
+    t = str(tmp_path / "t")
+    tl.append(
+        spark,
+        t,
+        spark.range(0, 100).selectExpr("id AS k", "id % 7 AS g").repartitionByRange(
+            5, "k"
+        ),
+        stats_cols=("k",),
+    )
+    tl.delete_where_positions(spark, t, F.col("k") % 10 == 0)
+    got = tl.scan_between(spark, t, "k", 20, 59)
+    assert got.count() == 36 and "_pos" not in got.columns
+    tl.append(spark, t, spark.range(100, 110).selectExpr("id AS k", "id % 7 AS g"))
+    tl.expire_snapshots(t, keep_last=2)
+    df = tl.read_snapshot(spark, t)
+    assert df.count() == 100 and df.filter("k % 10 = 0 AND k < 100").count() == 0
+
+
+def test_position_dedup_order_cols_pick_survivor(spark, tmp_path):
+    """With order_cols, the kept copy is the FIRST by that ordering —
+    deterministic survivor selection across duplicate groups that differ
+    in non-key columns."""
+    t = str(tmp_path / "t")
+    tl.append(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(1, "b", 20), (1, "a", 10), (2, "c", 30)], "k int, tag string, w int"
+        ),
+    )
+    tl.dedup_keep_first(spark, t, ["k"], order_cols=["w"])
+    rows = {r.k: r.tag for r in tl.read_snapshot(spark, t).collect()}
+    assert rows == {1: "a", 2: "c"}
+
+
+# ---------------------------------------------------------------------------
+# copy-on-write UPDATE
+# ---------------------------------------------------------------------------
+
+
+def test_update_rewrites_only_matched_files(spark, tmp_path):
+    """update_where rewrites ONLY the files containing a matching live row
+    (5 range-partitioned files, predicate hits one) in one atomic commit;
+    untouched files stay byte-identical and time travel sees old values."""
+    t = str(tmp_path / "t")
+    tl.append(
+        spark,
+        t,
+        spark.range(0, 50)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(5, "k"),
+        stats_cols=("k",),
+    )
+    files_v1 = set(tl._state_at(t)[1]["data"])
+    tl.update_where(spark, t, F.col("k").between(10, 14), {"v": F.col("v") + 1000})
+    st = tl._state_at(t)[1]
+    assert len(files_v1 & set(st["data"])) == 4  # 4 of 5 untouched
+    rows = {r.k: r.v for r in tl.read_snapshot(spark, t).collect()}
+    assert len(rows) == 50 and rows[12] == 1024 and rows[9] == 18
+    assert {r.k: r.v for r in tl.read_snapshot(spark, t, version=1).collect()}[
+        12
+    ] == 24
+
+
+def test_update_folds_pending_deletes_and_cdc_net_diff(spark, tmp_path):
+    """A rewrite folds pending equality AND position deletes into the new
+    files, and the CDC changelog of an update commit is the exact net row
+    diff — carried-over unchanged neighbors cancel in exceptAll."""
+    t = str(tmp_path / "t")
+    tl.append(spark, t, spark.range(0, 20).selectExpr("id AS k", "id * 2 AS v"))
+    tl.delete_where(spark, t, F.col("k") == 11, key_cols=["k"])
+    tl.delete_where_positions(spark, t, F.col("k") == 1)
+    tl.update_where(spark, t, F.col("k") == 13, {"v": F.lit(7)})
+    rows = {r.k: r.v for r in tl.read_snapshot(spark, t).collect()}
+    assert 11 not in rows and 1 not in rows and rows[13] == 7 and len(rows) == 18
+    cl = tl.changelog_scan(spark, t, from_version=3)
+    assert sorted(
+        (r.k, r.v) for r in cl.filter("_change_type = 'delete'").collect()
+    ) == [(13, 26)]
+    assert sorted(
+        (r.k, r.v) for r in cl.filter("_change_type = 'insert'").collect()
+    ) == [(13, 7)]
+
+
+def test_update_noop_and_validation(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tl.append(spark, t, spark.range(0, 5).selectExpr("id AS k", "id AS v"))
+    v = tl.update_where(spark, t, F.col("k") == 999, {"v": F.lit(0)})
+    assert v == 2 and tl.read_snapshot(spark, t).count() == 5
+    with pytest.raises(ValueError, match="unknown column"):
+        tl.update_where(spark, t, F.col("k") == 0, {"nope": F.lit(1)})
+
+
+def test_update_across_schema_evolution(spark, tmp_path):
+    """Updates after a rename/add target current names; the rewrite lands
+    in the CURRENT field schema so old files' id-resolution still holds."""
+    t = str(tmp_path / "t")
+    tl.append(spark, t, spark.range(0, 10).selectExpr("cast(id as int) AS k", "id * 2 AS v"))
+    tl.evolve_schema(t, rename={"v": "val"}, add=[("tag", "string")])
+    tl.update_where(spark, t, F.col("k") == 0, {"tag": F.lit("zero"), "val": F.lit(1)})
+    rows = {r.k: (r.val, r.tag) for r in tl.read_snapshot(spark, t).collect()}
+    assert rows[0] == (1, "zero") and rows[5] == (10, None)
+    assert tl.table_fields(t)[0] == [1, "k", "int"]
+
+
+# ---------------------------------------------------------------------------
+# metadata inspection tables
+# ---------------------------------------------------------------------------
+
+
+def test_metadata_tables(spark, tmp_path):
+    """history / files / refs metadata tables (Iceberg's queryable table
+    internals): one row per commit with lineage + tallies, one row per
+    live file with seq/rows/kind/positional, one row per ref with branch
+    heads DERIVED from the log (not the creation point)."""
+    t = str(tmp_path / "t")
+    tl.append(spark, t, _batch(spark, 0, 10))
+    tl.create_branch(t, "b1")
+    tl.create_tag(t, "t1")
+    tl.delete_where(spark, t, F.col("event_id") < 3, key_cols=["event_id"])
+    tl.delete_where_positions(spark, t, F.col("event_id") == 5)
+    tl.append(spark, t, _batch(spark, 20, 25), branch="b1")
+    h = tl.table_history(spark, t)
+    assert [
+        (r.version, r.operation, r.branch, r.rows_added)
+        for r in h.orderBy("version").collect()
+    ] == [
+        (1, "append", "main", 10),
+        (2, "delete", "main", 0),
+        (3, "delete", "main", 0),
+        (4, "append", "b1", 5),
+    ]
+    f = tl.table_files(spark, t)
+    assert f.filter("kind = 'data'").agg(F.sum("rows")).first()[0] == 10
+    dele = {r.positional: r.rows for r in f.filter("kind = 'delete'").collect()}
+    assert dele == {False: 3, True: 1}
+    # files at a version: pre-delete snapshot has no delete files
+    assert tl.table_files(spark, t, version=1).filter("kind='delete'").count() == 0
+    refs = {r.name: (r.kind, r.version) for r in tl.table_refs(spark, t).collect()}
+    assert refs == {
+        "main": ("branch", 3),
+        "b1": ("branch", 4),
+        "t1": ("tag", 1),
+    }

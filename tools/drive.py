@@ -1383,3 +1383,55 @@ assert _tl.read_snapshot(spark, _et).filter("label IS NOT NULL").count() == 0
 print("schema evolution: rename/widen/add metadata-only over", len(_files_pre),
       "files, pre-rename delete translated, time travel kept old schema, re-added column stayed dark")
 print("DRIVE106 OK")
+
+# batch-7x: position deletes — predicate delete without keys, exact dedup of
+# identical rows, seq scoping, composition with schema evolution
+_pt = _tf.mkdtemp(prefix="drv_pos_") + "/t"
+_pd = spark.range(0, 8).selectExpr("id % 4 AS k", "concat('d', id % 4) AS v")
+_tl.append(spark, _pt, _pd)                                                # v1: each (k,v) twice
+_tl.append(spark, _pt, _pd)                                                # v2: four copies each
+_tl.dedup_keep_first(spark, _pt, ["k", "v"])                               # v3: positional dedup
+assert _tl.read_snapshot(spark, _pt).count() == 4
+_tl.delete_where_positions(spark, _pt, _F.col("k") % 2 == 0)               # v4: no key cols
+assert sorted(r.k for r in _tl.read_snapshot(spark, _pt).collect()) == [1, 3]
+_tl.evolve_schema(_pt, rename={"k": "key"})                                # v5: positional deletes immune
+_tl.append(spark, _pt, spark.createDataFrame([(0, "back")], "key bigint, v string"))  # v6 survives v4
+assert sorted(r.key for r in _tl.read_snapshot(spark, _pt).collect()) == [0, 1, 3]
+_pcl = _tl.changelog_scan(spark, _pt, from_version=3)
+assert _pcl.filter("_change_type = 'delete'").count() == 2                 # exact pre-images
+print("position deletes: 4-copy dedup to 1, keyless predicate delete, rename-immune, seq-scoped re-append")
+print("DRIVE107 OK")
+
+# batch-7y: copy-on-write UPDATE — partial-file rewrite, delete folding, CDC
+_ut = _tf.mkdtemp(prefix="drv_upd_") + "/t"
+_tl.append(spark, _ut, spark.range(0, 40).selectExpr("id AS k", "id * 2 AS v")
+           .repartitionByRange(4, "k"), stats_cols=("k",))
+_uf1 = set(_tl._state_at(_ut)[1]["data"])
+_tl.update_where(spark, _ut, _F.col("k").between(0, 9), {"v": _F.col("v") + 500})
+assert len(_uf1 & set(_tl._state_at(_ut)[1]["data"])) == 3                 # 3 of 4 untouched
+_tl.delete_where(spark, _ut, _F.col("k") == 5, key_cols=["k"])
+_urows = {r.k: r.v for r in _tl.read_snapshot(spark, _ut).collect()}
+assert _urows[3] == 506 and _urows[20] == 40 and 5 not in _urows and len(_urows) == 39
+_ucl = _tl.changelog_scan(spark, _ut, from_version=2)
+assert sorted((r.k, r.v) for r in _ucl.filter("_change_type='delete'").collect()) == [(5, 510)]
+_ucl1 = _tl.changelog_scan(spark, _ut, from_version=1)
+assert _ucl1.filter("_change_type='delete' AND _commit_version = 2").count() == 10  # update pre-images
+print("CoW update: 1-of-4 file rewrite, neighbors intact, delete over rewrite, CDC net diff exact")
+print("DRIVE108 OK")
+
+# batch-7z: metadata inspection tables — history / files / refs as DataFrames
+_mt = _tf.mkdtemp(prefix="drv_meta_") + "/t"
+_tl.append(spark, _mt, spark.range(0, 10).selectExpr("id AS k"))
+_tl.create_tag(_mt, "pin")
+_tl.delete_where_positions(spark, _mt, _F.col("k") == 5)
+_tl.create_branch(_mt, "dev")
+_tl.append(spark, _mt, spark.range(10, 12).selectExpr("id AS k"), branch="dev")
+_mh = {(r.version, r.operation, r.branch) for r in _tl.table_history(spark, _mt).collect()}
+assert _mh == {(1, "append", "main"), (2, "delete", "main"), (3, "append", "dev")}
+_mf = _tl.table_files(spark, _mt)
+assert _mf.filter("kind = 'delete' AND positional").count() == 1
+assert _mf.filter("kind = 'data'").agg(_F.sum("rows")).first()[0] == 10
+_mr = {r.name: (r.kind, r.version) for r in _tl.table_refs(spark, _mt).collect()}
+assert _mr == {"main": ("branch", 2), "pin": ("tag", 1), "dev": ("branch", 3)}
+print("metadata tables: history lineage, file/delete-debt tallies, derived branch heads")
+print("DRIVE109 OK")
