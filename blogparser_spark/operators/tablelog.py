@@ -1171,6 +1171,68 @@ def append(
     raise CommitConflict(f"append lost the commit race {max_retries} times: {table}")
 
 
+def add_files(
+    spark: SparkSession,
+    table: str,
+    source_dir: str,
+    stats_cols: tuple[str, ...] = (),
+    allow_evolution: bool = False,
+    max_retries: int = 5,
+) -> int:
+    """Import every parquet file under `source_dir` into the table BY
+    REFERENCE — Iceberg's `add_files` migration procedure: manifest entries
+    (row counts, byte sizes, min/max footer stats, hive partition values
+    parsed from the path) are built from parquet FOOTERS only, no data is
+    read or rewritten, and ONE append commit makes the whole import atomic.
+    The files' schema is checked against the table schema first (same
+    enforcement/evolution rule as append). A hive-layout source whose
+    partition values exist ONLY in directory names is refused — the
+    snapshot-log reads files individually, so path-only columns would
+    silently read back as null. Imported files become TABLE-OWNED:
+    snapshot expiry deletes them once no retained snapshot references
+    them, exactly as Iceberg warns for add_files. No reference analog
+    (the Go CLI rereads raw files per run, sample/main.go:32-47)."""
+    probe = _file_entries(os.path.abspath(source_dir), (), 0)
+    if not probe:
+        raise LookupError(f"no parquet files under {source_dir}")
+    schema_new = _schema_of(spark.read.parquet(probe[0]["path"]))
+    inferred = _schema_of(spark.read.parquet(source_dir))
+    path_only = [n for n, _t in inferred if n not in {c for c, _ in schema_new}]
+    if path_only:
+        raise ValueError(
+            f"source {source_dir} is hive-partitioned on path-only "
+            f"column(s) {path_only}; their values are not in the data "
+            "files and would read back null — rewrite the source (or "
+            "append it through a DataFrame) instead of importing by "
+            "reference"
+        )
+    for _ in range(max_retries):
+        parent = _head(table, "main")
+        version = (current_version(table) or 0) + 1
+        pstate = _state_at(table, parent)[1] if parent is not None else None
+        existing = pstate["schema"] if pstate is not None else None
+        merged = _check_schema(existing, schema_new, allow_evolution)
+        fields, last_id = _fields_after_write(pstate, merged)
+        entries = _file_entries(os.path.abspath(source_dir), stats_cols, version)
+        if not entries:
+            raise LookupError(f"no parquet files under {source_dir}")
+        commit = {
+            "version": version,
+            "parent": parent,
+            "operation": "append",
+            "ts": time.time(),
+            "schema": merged,
+            "fields": fields,
+            "last_field_id": last_id,
+            "added_data": _stamp_cols(entries, fields),
+        }
+        if _try_commit(table, commit):
+            return version
+    raise CommitConflict(
+        f"add_files lost the commit race {max_retries} times: {table}"
+    )
+
+
 def committed_markers(table: str) -> set[str]:
     """Markers of every retained commit — the resume ledger."""
     out = set()
@@ -2092,6 +2154,67 @@ def changelog_scan(
     for p in pieces[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# checkpointed incremental consumer (the table as an exactly-once source)
+# ---------------------------------------------------------------------------
+
+
+def consumer_offset(checkpoint_path: str) -> int:
+    """The consumer's last ACKED snapshot version (0 = nothing consumed)."""
+    p = os.path.join(checkpoint_path, "offset.json")
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(json.load(f)["version"])
+
+
+def consume_incremental(
+    spark: SparkSession,
+    table: str,
+    checkpoint_path: str,
+    mode: str = "appends",
+):
+    """Consume the table incrementally with a durable offset — the
+    source-side twin of the exactly-once streaming sink (Iceberg's
+    streaming read + Structured Streaming's offset log, rebuilt on the
+    snapshot log): each call returns `(df, from_version, to_version, ack)`
+    where df is the delta in (from, to] — `mode='appends'` via the
+    incremental append scan (REFUSES in-range deletes, like Iceberg's
+    default streaming read), `mode='changelog'` via the CDC scan for
+    consumers that fold retractions (feed operators/aggregate's
+    retractable-state algebra). None df means nothing new. The offset
+    advances ONLY when the caller invokes `ack()` after durably processing
+    the batch (atomic tmp-file + rename): a crash before ack re-delivers
+    the same delta next call, so an idempotent downstream (e.g.
+    append_idempotent's marker ledger keyed on to_version) yields
+    exactly-once end to end. Offsets are snapshot VERSIONS, not file
+    offsets — planning is a log replay, no data listing."""
+    if mode not in ("appends", "changelog"):
+        raise ValueError(f"unknown consume mode {mode!r}")
+    os.makedirs(checkpoint_path, exist_ok=True)
+    from_v = consumer_offset(checkpoint_path)
+    to_v = _head(table, "main")
+    if to_v is None or to_v <= from_v:
+        return None, from_v, from_v, lambda: from_v
+
+    def ack() -> int:
+        tmp = os.path.join(
+            checkpoint_path, f".offset-{uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(tmp, "w") as f:
+            json.dump({"version": to_v, "ts": time.time()}, f)
+        os.replace(tmp, os.path.join(checkpoint_path, "offset.json"))
+        return to_v
+
+    if mode == "appends":
+        df = incremental_append_scan(
+            spark, table, from_version=from_v, to_version=to_v
+        )
+    else:
+        df = changelog_scan(spark, table, from_version=from_v, to_version=to_v)
+    return df, from_v, to_v, ack
 
 
 def prune_files(

@@ -9120,3 +9120,86 @@ def tablelog_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tl.table_history(spark, t).select(
         "version", "operation", "rows_added"
     )
+
+
+@_q(
+    "tablelog_add_files_counts",
+    """
+    SELECT event_type, count(*)::BIGINT AS cnt,
+      min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events WHERE user_id % 5 <> 0 GROUP BY event_type
+    """,
+)
+def tablelog_add_files_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """By-reference import on the snapshot-log format (tablelog.add_files —
+    Iceberg's add_files migration procedure): the even event_id slice is
+    written as plain external parquet and imported in ONE atomic commit
+    whose manifests (rows, bytes, min/max footer stats) come from parquet
+    footers only — no data read, no byte copied; the odd slice arrives
+    through the normal append path, and an equality delete of
+    user_id % 5 == 0 applies across imported and native files alike. The
+    oracle replays the union + delete on the base table — agreement proves
+    imported files are first-class citizens of the read path (projection,
+    MoR deletes, stats) with zero rewrite. No reference analog (the Go CLI
+    has no storage layer, sample/main.go:32-47)."""
+    from blogparser_spark.operators import tablelog as tl
+
+    base = _tablelog_tmp("tablelog_af_")
+    src, t = base + "/ext", base + "/t"
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    ev.filter(F.col("event_id") % 2 == 0).repartitionByRange(
+        4, "event_id"
+    ).write.parquet(src)
+    tl.append(spark, t, ev.filter(F.col("event_id") % 2 == 1))  # v1 native
+    tl.add_files(spark, t, src, stats_cols=("event_id",))  # v2 by reference
+    tl.delete_where(spark, t, F.col("user_id") % 5 == 0, key_cols=["event_id"])
+    return tl.read_snapshot(spark, t).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@_q(
+    "tablelog_consume_exactly_once",
+    """
+    SELECT event_type, count(*)::BIGINT AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def tablelog_consume_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed incremental consumption end to end
+    (tablelog.consume_incremental + append_idempotent — the exactly-once
+    source-to-sink relay): a source table takes the even slice (consumed
+    and acked into a sink table, idempotence marker = the consumed
+    to_version), then the odd slice — whose batch is processed ONCE,
+    'crashes' before ack, is RE-DELIVERED on the next consume, and is
+    processed again with the same marker: the sink's marker ledger makes
+    the replay a no-op commit. Final sink counts equal the base table
+    exactly — if redelivery leaked a duplicate batch the odd slice would
+    double and the oracle would mismatch. This is the Structured
+    Streaming offset-log + idempotent-sink contract rebuilt on snapshot
+    versions. No reference analog (the Go CLI has no storage layer)."""
+    from blogparser_spark.operators import tablelog as tl
+
+    base = _tablelog_tmp("tablelog_cx_")
+    src, sink, cp = base + "/src", base + "/sink", base + "/cp"
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    tl.append(spark, src, ev.filter(F.col("event_id") % 2 == 0))  # v1
+    df, _f, to_v, ack = tl.consume_incremental(spark, src, cp)
+    tl.append_idempotent(spark, sink, df, marker=f"consumed-v{to_v}")
+    ack()
+    tl.append(spark, src, ev.filter(F.col("event_id") % 2 == 1))  # v2
+    df1, _f1, to_v1, _ack_lost = tl.consume_incremental(spark, src, cp)
+    tl.append_idempotent(spark, sink, df1, marker=f"consumed-v{to_v1}")
+    # crash before ack: the next consume RE-DELIVERS the same delta...
+    df2, _f2, to_v2, ack2 = tl.consume_incremental(spark, src, cp)
+    # ...and the sink's marker ledger makes the replay a no-op
+    _v, committed = tl.append_idempotent(
+        spark, sink, df2, marker=f"consumed-v{to_v2}"
+    )
+    assert not committed and to_v2 == to_v1
+    ack2()
+    return tl.read_snapshot(spark, sink).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )

@@ -1180,3 +1180,87 @@ def test_metadata_tables(spark, tmp_path):
         "b1": ("branch", 4),
         "t1": ("tag", 1),
     }
+
+
+# ---------------------------------------------------------------------------
+# add_files import + checkpointed incremental consumer
+# ---------------------------------------------------------------------------
+
+
+def test_add_files_by_reference(spark, tmp_path):
+    """add_files imports external parquet BY REFERENCE in one atomic
+    commit: manifests come from footers only, stats prune, MoR deletes
+    compose, and no byte is copied (the manifest points at the source)."""
+    src = str(tmp_path / "ext")
+    spark.range(0, 20).selectExpr("id AS k", "id * 3 AS v").repartitionByRange(
+        2, "k"
+    ).write.parquet(src)
+    t = str(tmp_path / "t")
+    tl.append(spark, t, spark.range(100, 105).selectExpr("id AS k", "id * 3 AS v"))
+    v = tl.add_files(spark, t, src, stats_cols=("k",))
+    assert v == 2 and tl.read_snapshot(spark, t).count() == 25
+    st = tl._state_at(t)[1]
+    assert len([p for p in st["data"] if p.startswith(src)]) == 2
+    _keep, skipped = tl.prune_files(t, "k", 0, 5)
+    assert skipped >= 1
+    tl.delete_where(spark, t, F.col("k") % 2 == 0, key_cols=["k"])
+    assert tl.read_snapshot(spark, t).count() == 12
+
+
+def test_add_files_refuses_path_only_partitions_and_schema_mismatch(
+    spark, tmp_path
+):
+    """A hive source whose partition values exist only in dir names would
+    read back null through per-file scans — refused, not silently
+    null-filled. Schema enforcement matches append."""
+    t = str(tmp_path / "t")
+    tl.append(spark, t, spark.range(0, 3).selectExpr("id AS k", "id AS v"))
+    hsrc = str(tmp_path / "hive")
+    spark.range(0, 10).selectExpr("id AS k", "id % 2 AS part").write.partitionBy(
+        "part"
+    ).parquet(hsrc)
+    with pytest.raises(ValueError, match="path-only"):
+        tl.add_files(spark, t, hsrc)
+    bad = str(tmp_path / "bad")
+    spark.range(0, 3).selectExpr("cast(id as string) AS k", "id AS v").write.parquet(bad)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tl.add_files(spark, t, bad)
+
+
+def test_consumer_redelivery_until_ack(spark, tmp_path):
+    """consume_incremental re-delivers the same delta until ack() persists
+    the offset (crash-before-ack safety); after ack only newer commits
+    surface, and an up-to-date consumer gets df=None."""
+    t = str(tmp_path / "t")
+    cp = str(tmp_path / "cp")
+    tl.append(spark, t, spark.range(0, 5).selectExpr("id AS k"))
+    df, f0, t0, _unacked = tl.consume_incremental(spark, t, cp)
+    assert (f0, t0) == (0, 1) and df.count() == 5
+    df2, f1, t1, ack2 = tl.consume_incremental(spark, t, cp)  # re-delivered
+    assert (f1, t1) == (0, 1) and df2.count() == 5
+    assert ack2() == 1 and tl.consumer_offset(cp) == 1
+    df3, f2, t2, _ = tl.consume_incremental(spark, t, cp)
+    assert df3 is None and (f2, t2) == (1, 1)
+    tl.append(spark, t, spark.range(5, 8).selectExpr("id AS k"))
+    df4, _, _, ack4 = tl.consume_incremental(spark, t, cp)
+    assert sorted(r.k for r in df4.collect()) == [5, 6, 7]
+    ack4()
+
+
+def test_consumer_changelog_mode_folds_retractions(spark, tmp_path):
+    """appends mode refuses in-range deletes (Iceberg's default streaming
+    read); changelog mode surfaces them as retraction rows for
+    retractable-state consumers."""
+    t = str(tmp_path / "t")
+    cp = str(tmp_path / "cp")
+    tl.append(spark, t, spark.range(0, 5).selectExpr("id AS k"))
+    _df, _f, _t, ack = tl.consume_incremental(spark, t, cp)
+    ack()
+    tl.delete_where(spark, t, F.col("k") == 3, key_cols=["k"])
+    with pytest.raises(ValueError, match="delete"):
+        tl.consume_incremental(spark, t, cp)
+    df, _f, _t, ack2 = tl.consume_incremental(spark, t, cp, mode="changelog")
+    assert [(r.k, r._change_type) for r in df.collect()] == [(3, "delete")]
+    ack2()
+    with pytest.raises(ValueError, match="unknown consume mode"):
+        tl.consume_incremental(spark, t, cp, mode="nope")

@@ -1435,3 +1435,38 @@ _mr = {r.name: (r.kind, r.version) for r in _tl.table_refs(spark, _mt).collect()
 assert _mr == {"main": ("branch", 2), "pin": ("tag", 1), "dev": ("branch", 3)}
 print("metadata tables: history lineage, file/delete-debt tallies, derived branch heads")
 print("DRIVE109 OK")
+
+# batch-8a: add_files by-reference import
+_afb = _tf.mkdtemp(prefix="drv_af_")
+_afsrc, _aft = _afb + "/ext", _afb + "/t"
+spark.range(0, 20).selectExpr("id AS k", "id * 3 AS v").repartitionByRange(2, "k").write.parquet(_afsrc)
+_tl.append(spark, _aft, spark.range(100, 105).selectExpr("id AS k", "id * 3 AS v"))
+_tl.add_files(spark, _aft, _afsrc, stats_cols=("k",))
+assert _tl.read_snapshot(spark, _aft).count() == 25
+assert any(p.startswith(_afsrc) for p in _tl._state_at(_aft)[1]["data"])  # no copy
+_afk, _afs = _tl.prune_files(_aft, "k", 0, 5)
+assert _afs >= 1
+_tl.delete_where(spark, _aft, _F.col("k") % 2 == 0, key_cols=["k"])
+assert _tl.read_snapshot(spark, _aft).count() == 12
+print("add_files: by-reference import, footer stats prune, MoR over imported files")
+print("DRIVE110 OK")
+
+# batch-8b: checkpointed consumer — exactly-once relay with crash-replay
+_cxb = _tf.mkdtemp(prefix="drv_cx_")
+_cxs, _cxk, _cxp = _cxb + "/src", _cxb + "/sink", _cxb + "/cp"
+_tl.append(spark, _cxs, spark.range(0, 6).selectExpr("id AS k"))
+_cdf, _cf, _ct, _cack = _tl.consume_incremental(spark, _cxs, _cxp)
+_tl.append_idempotent(spark, _cxk, _cdf, marker=f"v{_ct}")
+_cack()
+_tl.append(spark, _cxs, spark.range(6, 9).selectExpr("id AS k"))
+_cdf1, _x, _ct1, _lost = _tl.consume_incremental(spark, _cxs, _cxp)
+_tl.append_idempotent(spark, _cxk, _cdf1, marker=f"v{_ct1}")      # processed, then "crash" pre-ack
+_cdf2, _x2, _ct2, _cack2 = _tl.consume_incremental(spark, _cxs, _cxp)  # re-delivered
+_v, _did = _tl.append_idempotent(spark, _cxk, _cdf2, marker=f"v{_ct2}")
+assert not _did and _ct2 == _ct1                                   # replay is a no-op
+_cack2()
+assert sorted(r.k for r in _tl.read_snapshot(spark, _cxk).collect()) == list(range(9))
+_cnone, _a, _b, _nop = _tl.consume_incremental(spark, _cxs, _cxp)
+assert _cnone is None
+print("consumer: offset redelivery + marker-ledger replay no-op = exactly-once relay")
+print("DRIVE111 OK")
