@@ -1837,6 +1837,13 @@ def _read_files(spark: SparkSession, paths: list[str]) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
+# Delete-key sets at or below this manifest row tally get a broadcast
+# anti-join; bigger sets (e.g. a table-wide dedup's duplicate list) fall
+# through to AQE's join choice so the keys never have to fit driver/executor
+# memory. ~2M (file,pos) rows ≈ low hundreds of MB broadcast, a safe ceiling.
+_BROADCAST_DELETE_ROWS = 2_000_000
+
+
 def _with_file(df: DataFrame) -> DataFrame:
     """Attach the normalized absolute-path file identity as `_file`.
     input_file_name() returns a URL-encoded file: URI — normalize it to
@@ -1860,11 +1867,14 @@ def _apply_deletes(
     on the (_file, _pos) row identity instead of key columns, so they are
     schema-agnostic — renames and drops never invalidate them. The
     file→seq map is a tiny manifest dim joined broadcast on the file
-    identity; delete key sets are small by construction (they are the
-    alternative to rewriting data files), so these are broadcast
-    anti-joins. `keep_identity` retains the _file/_pos columns for callers
-    that need live-row identities (position-delete writers, CDC
-    pre-images)."""
+    identity. Delete key sets are usually small (they are the alternative
+    to rewriting data files) and get broadcast anti-joins — but a
+    position-delete set from a table-wide dedup is DUPLICATE-sized, which
+    at corpus scale can exceed executor memory, so each group's manifest
+    row tally gates the hint: past _BROADCAST_DELETE_ROWS the join falls
+    through to AQE's choice (shuffle anti-join on the same keys).
+    `keep_identity` retains the _file/_pos columns for callers that need
+    live-row identities (position-delete writers, CDC pre-images)."""
     deletes = list(state["deletes"].values())
     if not deletes:
         if not keep_identity and "_pos" in df.columns:
@@ -1896,13 +1906,19 @@ def _apply_deletes(
     } if evolved else {}
     for (key_cols, dseq), entries in sorted(by_group.items(), key=lambda kv: kv[0][1]):
         keys = _read_files(spark, [e["path"] for e in entries]).distinct()
+        small = (
+            sum(int(e.get("rows", 0)) for e in entries)
+            <= _BROADCAST_DELETE_ROWS
+        )
         if entries[0].get("positional"):
             # position delete: row identity join, seq <= scope, no schema
             # translation (file+pos reference nothing evolution can move)
             affected = data.filter(F.col("_seq") <= F.lit(dseq))
             rest = data.filter(F.col("_seq") > F.lit(dseq))
             data = affected.join(
-                F.broadcast(keys), ["_file", "_pos"], "left_anti"
+                F.broadcast(keys) if small else keys,
+                ["_file", "_pos"],
+                "left_anti",
             ).unionByName(rest)
             continue
         join_cols = list(key_cols)
@@ -1928,7 +1944,7 @@ def _apply_deletes(
         affected = data.filter(F.col("_seq") < F.lit(dseq))
         rest = data.filter(F.col("_seq") >= F.lit(dseq))
         data = affected.join(
-            F.broadcast(keys), join_cols, "left_anti"
+            F.broadcast(keys) if small else keys, join_cols, "left_anti"
         ).unionByName(rest)
     return data.select(*out_cols)
 
@@ -2090,6 +2106,10 @@ def changelog_scan(
         elif op in ("delete", "merge") and c.get("added_deletes"):
             dels = c["added_deletes"]
             keys = _read_files(spark, [e["path"] for e in dels]).distinct()
+            small = (
+                sum(int(e.get("rows", 0)) for e in dels)
+                <= _BROADCAST_DELETE_ROWS
+            )
             if dels[0].get("positional"):
                 # position-delete pre-images: the parent's LIVE rows at the
                 # deleted (_file, _pos) identities — schema-agnostic, so no
@@ -2111,7 +2131,9 @@ def changelog_scan(
                     keep_identity=True,
                 )
                 removed = plive.join(
-                    F.broadcast(keys), ["_file", "_pos"], "semi"
+                    F.broadcast(keys) if small else keys,
+                    ["_file", "_pos"],
+                    "semi",
                 ).drop("_file", "_pos")
                 _emit(removed, "delete", v)
                 continue
@@ -2127,7 +2149,7 @@ def changelog_scan(
                 keys = keys.select(*sel).distinct()
                 join_cols = [cur[wcols[k]][0] for k in join_cols]
             removed = _pre(c.get("parent")).join(
-                F.broadcast(keys), join_cols, "semi"
+                F.broadcast(keys) if small else keys, join_cols, "semi"
             )
             _emit(removed, "delete", v)
         elif op in ("rollback", "fast_forward", "update"):
@@ -2264,19 +2286,32 @@ def scan_between(
 # ---------------------------------------------------------------------------
 
 
-def expire_snapshots(table: str, keep_last: int = 2) -> dict:
+def expire_snapshots(
+    table: str, keep_last: int = 2, max_age_sec: float | None = None
+) -> dict:
     """Expire all but the newest `keep_last` snapshots — except versions
     pinned by a named ref: a tagged snapshot, a branch head, and every
     chain ancestor a retained version still needs are never expired while
-    the ref exists (Iceberg's ref-retention rule). Physically deletes
-    files referenced ONLY by expired versions, drops their log entries,
-    and persists a rebase state at every retained version whose parent was
-    expired, so chain replay stays O(retained commits) on every surviving
-    lineage (main, branches, tags). Time travel to an expired version
-    raises SnapshotExpired. Returns {files_removed, versions_removed}."""
+    the ref exists (Iceberg's ref-retention rule). `max_age_sec` is the
+    Iceberg `expire_snapshots(older_than)` knob: commits younger than the
+    cutoff are ALSO retained regardless of keep_last, so the two compose
+    exactly like Iceberg's retain-last + older-than (keep_last is the
+    floor, age the ceiling). Physically deletes files referenced ONLY by
+    expired versions, drops their log entries, and persists a rebase state
+    at every retained version whose parent was expired, so chain replay
+    stays O(retained commits) on every surviving lineage (main, branches,
+    tags). Time travel to an expired version raises SnapshotExpired.
+    Returns {files_removed, versions_removed}."""
     versions = list_versions(table)
     pinned = {resolve_ref(table, name) for name in list_refs(table)}
     retained_set = set(versions[-keep_last:]) | pinned
+    if max_age_sec is not None:
+        cutoff = time.time() - max_age_sec
+        retained_set |= {
+            v
+            for v in versions
+            if float(_read_commit(table, v).get("ts") or 0.0) >= cutoff
+        }
     expired = [v for v in versions if v not in retained_set]
     if not expired:
         return {"files_removed": 0, "versions_removed": 0}

@@ -1264,3 +1264,21 @@ def test_consumer_changelog_mode_folds_retractions(spark, tmp_path):
     ack2()
     with pytest.raises(ValueError, match="unknown consume mode"):
         tl.consume_incremental(spark, t, cp, mode="nope")
+
+
+def test_expiry_age_retention_composes_with_keep_last(spark, tmp_path):
+    """max_age_sec retains every commit younger than the cutoff on TOP of
+    keep_last (Iceberg's retain-last + older-than composition): with a
+    huge age window nothing expires; with age 0 the keep_last floor still
+    holds."""
+    t = str(tmp_path / "t")
+    for lo in range(0, 40, 10):
+        tl.append(spark, t, _batch(spark, lo, lo + 10))
+    res = tl.expire_snapshots(t, keep_last=1, max_age_sec=3600.0)
+    assert res["versions_removed"] == 0  # all four commits are young
+    assert tl.read_snapshot(spark, t, version=1).count() == 10
+    res = tl.expire_snapshots(t, keep_last=2, max_age_sec=0.0)
+    assert res["versions_removed"] == 2  # floor still keeps the last two
+    with pytest.raises(tl.SnapshotExpired):
+        tl.read_snapshot(spark, t, version=1)
+    assert tl.read_snapshot(spark, t).count() == 40
