@@ -1023,6 +1023,37 @@ def table_files(
     )
 
 
+def table_partitions(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """One row per partition tuple of the LIVE data files at a snapshot
+    (Iceberg's `partitions` metadata table): file count, manifest row and
+    byte totals, and the sequence-number range — per-sink/per-day size
+    skew and compaction debt read straight off the manifests, no data file
+    opened. Unpartitioned files aggregate under the empty partition `{}`;
+    partition keys are the file's WRITE-TIME spec names (per-file specs =
+    partition evolution, so two generations show as distinct tuples)."""
+    _, state = _state_at(table, version)
+    agg: dict[str, list] = {}
+    for _p, e in sorted(state["data"].items()):
+        key = json.dumps(e.get("partition") or {}, sort_keys=True)
+        s = agg.setdefault(key, [0, 0, 0, None, None])
+        s[0] += 1
+        s[1] += int(e.get("rows", 0))
+        s[2] += int(e.get("bytes", 0))
+        seq = int(e["seq"])
+        s[3] = seq if s[3] is None else min(s[3], seq)
+        s[4] = seq if s[4] is None else max(s[4], seq)
+    rows = [
+        (k, v[0], v[1], v[2], v[3], v[4]) for k, v in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "partition string, n_files int, rows bigint, bytes bigint, "
+        "min_seq int, max_seq int",
+    )
+
+
 def table_refs(spark: SparkSession, table: str) -> DataFrame:
     """One row per named ref plus main: kind (branch/tag) and the snapshot
     version it points at — Iceberg's `refs` metadata table."""
@@ -1786,6 +1817,56 @@ def compact_binpack(
     return version
 
 
+def rewrite_position_deletes(spark: SparkSession, table: str) -> int | None:
+    """Compact the position-delete backlog (Iceberg's
+    rewrite_position_delete_files procedure): every live positional delete
+    file is folded into ONE delete file — dangling identities whose data
+    file is no longer live are dropped — committed atomically with the old
+    delete files removed. Merging to seq = max(originals) is PROVABLY
+    safe: a position delete only references (file, pos) of files live at
+    its own commit, all with seq <= its seq, so raising the seq extends
+    applicability only to files the delete cannot reference. (Equality
+    deletes are NEVER merged this way — their seq scope is semantic.)
+    Returns the commit version, or None with no positional backlog. The
+    commit is a row-level no-op: changelog and incremental scans skip it
+    like compact."""
+    cur = _head(table, "main")
+    if cur is None:
+        return None
+    _, state = _state_at(table, cur)
+    pos = [e for e in state["deletes"].values() if e.get("positional")]
+    if len(pos) < 1:
+        return None
+    live = spark.createDataFrame(
+        [(os.path.abspath(p),) for p in state["data"]], "_file string"
+    )
+    keys = (
+        _read_files(spark, [e["path"] for e in pos])
+        .distinct()
+        .join(F.broadcast(live), "_file", "semi")  # drop dangling identities
+        .coalesce(1)
+    )
+    version = (current_version(table) or 0) + 1
+    entries = _write_data_files(keys, table, version, (), "deletes")
+    for e in entries:
+        e["key_cols"] = ["_file", "_pos"]
+        e["positional"] = True
+        e["seq"] = max(int(p["seq"]) for p in pos)
+    commit = {
+        "version": version,
+        "parent": cur,
+        "operation": "rewrite_deletes",
+        "ts": time.time(),
+        "added_deletes": entries,
+        "removed_deletes": sorted(e["path"] for e in pos),
+    }
+    if not _try_commit(table, commit):
+        raise CommitConflict(
+            f"rewrite_position_deletes conflicted at version {version}: {table}"
+        )
+    return version
+
+
 def remove_orphans(table: str, min_age_sec: float = 0.0) -> int:
     """Iceberg's RemoveOrphanFiles maintenance action: physically delete
     parquet files under the table's data/delete prefixes that NO retained
@@ -2031,7 +2112,7 @@ def incremental_append_scan(
     entries: list[dict] = []
     for c in chain:
         op = c["operation"]
-        if op in ("compact", "evolve_schema"):
+        if op in ("compact", "evolve_schema", "rewrite_deletes"):
             continue
         publish_only = (
             op == "fast_forward"
@@ -2099,7 +2180,7 @@ def changelog_scan(
     for c in chain:
         v = c["version"]
         op = c["operation"]
-        if op in ("compact", "evolve_schema"):
+        if op in ("compact", "evolve_schema", "rewrite_deletes"):
             continue  # logical no-ops: the row set is unchanged
         if op == "overwrite":
             _emit(_pre(c.get("parent")), "delete", v)

@@ -9203,3 +9203,40 @@ def tablelog_consume_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
     return tl.read_snapshot(spark, sink).groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
+
+
+@_q(
+    "tablelog_partitions_stats",
+    """
+    SELECT '{"event_type": "' || event_type || '"}' AS partition,
+      count(*)::BIGINT AS n_rows, 1 AS min_seq, 2 AS max_seq
+    FROM events GROUP BY event_type
+    """,
+)
+def tablelog_partitions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitions metadata table on the snapshot-log format
+    (tablelog.table_partitions — Iceberg's `partitions` table): events land
+    hive-partitioned on event_type across two append commits (even then odd
+    event_id slices), and the per-partition manifest aggregates — row
+    totals and the sequence-number range — are read WITHOUT opening any
+    data file. The oracle recomputes each partition's row count and pins
+    min_seq=1/max_seq=2 (every event_type occurs in both parity slices),
+    proving the view is assembled from manifests alone. This is the
+    per-sink size/skew health check of the routed-table design. No
+    reference analog (the Go CLI has no storage layer)."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_parts_") + "/t"
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    tl.append(
+        spark, t, ev.filter(F.col("event_id") % 2 == 0), partition_by=("event_type",)
+    )
+    tl.append(
+        spark, t, ev.filter(F.col("event_id") % 2 == 1), partition_by=("event_type",)
+    )
+    return tl.table_partitions(spark, t).select(
+        "partition",
+        F.col("rows").alias("n_rows"),
+        "min_seq",
+        "max_seq",
+    )

@@ -1282,3 +1282,54 @@ def test_expiry_age_retention_composes_with_keep_last(spark, tmp_path):
     with pytest.raises(tl.SnapshotExpired):
         tl.read_snapshot(spark, t, version=1)
     assert tl.read_snapshot(spark, t).count() == 40
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    """table_partitions aggregates live-file manifests per partition tuple
+    (Iceberg's partitions metadata table): counts/rows/bytes/seq-range per
+    sink with no data file opened; unpartitioned files land under {}."""
+    t = str(tmp_path / "t")
+    d = spark.range(0, 30).selectExpr("id AS k", "concat('s', id % 3) AS sink")
+    tl.append(spark, t, d, partition_by=("sink",))
+    tl.append(spark, t, d.filter("id % 3 = 0"), partition_by=("sink",))
+    tl.append(spark, t, spark.createDataFrame([(99, "sX")], "k long, sink string"))
+    rows = {
+        r.partition: (r.rows, r.min_seq, r.max_seq)
+        for r in tl.table_partitions(spark, t).collect()
+    }
+    assert rows[json.dumps({"sink": "s0"})] == (20, 1, 2)
+    assert rows[json.dumps({"sink": "s1"})] == (10, 1, 1)
+    assert rows[json.dumps({})] == (1, 3, 3)  # unpartitioned commit
+
+
+def test_rewrite_position_deletes_folds_and_drops_dangling(spark, tmp_path):
+    """rewrite_position_deletes folds the positional backlog into ONE
+    delete file at seq=max (provably applicability-preserving), drops
+    identities whose data file is no longer live (a CoW update rewrote
+    it), leaves the row set identical, and is a no-op to changelog and
+    incremental scans. Equality deletes are untouched."""
+    t = str(tmp_path / "t")
+    tl.append(
+        spark,
+        t,
+        spark.range(0, 30).selectExpr("id AS k", "id AS v").repartitionByRange(3, "k"),
+    )
+    tl.delete_where_positions(spark, t, F.col("k") == 1)
+    tl.delete_where_positions(spark, t, F.col("k") == 12)
+    tl.delete_where(spark, t, F.col("k") == 29, key_cols=["k"])
+    tl.update_where(spark, t, F.col("k") == 2, {"v": F.lit(0)})  # dangles k=1's ref
+    before = sorted(r.k for r in tl.read_snapshot(spark, t).collect())
+    v = tl.rewrite_position_deletes(spark, t)
+    st = tl._state_at(t)[1]
+    pos = [e for e in st["deletes"].values() if e.get("positional")]
+    eq = [e for e in st["deletes"].values() if not e.get("positional")]
+    assert len(pos) == 1 and pos[0]["rows"] == 1  # k=12 kept, k=1 dangled
+    assert len(eq) == 1
+    assert sorted(r.k for r in tl.read_snapshot(spark, t).collect()) == before
+    assert tl.changelog_scan(spark, t, from_version=v - 1).count() == 0
+    tl.append(spark, t, spark.range(100, 102).selectExpr("id AS k", "id AS v"))
+    assert tl.incremental_append_scan(spark, t, from_version=v - 1).count() == 2
+    # nothing to fold on a table without positional deletes
+    t2 = str(tmp_path / "t2")
+    tl.append(spark, t2, spark.range(0, 3).selectExpr("id AS k"))
+    assert tl.rewrite_position_deletes(spark, t2) is None

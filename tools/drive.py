@@ -1470,3 +1470,27 @@ _cnone, _a, _b, _nop = _tl.consume_incremental(spark, _cxs, _cxp)
 assert _cnone is None
 print("consumer: offset redelivery + marker-ledger replay no-op = exactly-once relay")
 print("DRIVE111 OK")
+
+# batch-8c: partitions metadata table + position-delete compaction
+import json as _json
+_ppt = _tf.mkdtemp(prefix="drv_pp_") + "/t"
+_ppd = spark.range(0, 30).selectExpr("id AS k", "concat('s', id % 3) AS sink")
+_tl.append(spark, _ppt, _ppd, partition_by=("sink",))
+_tl.append(spark, _ppt, _ppd.filter("id % 3 = 0"), partition_by=("sink",))
+_ppr = {r.partition: (r.rows, r.min_seq, r.max_seq)
+        for r in _tl.table_partitions(spark, _ppt).collect()}
+assert _ppr[_json.dumps({"sink": "s0"})] == (20, 1, 2)
+assert _ppr[_json.dumps({"sink": "s2"})] == (10, 1, 1)
+_rpt = _tf.mkdtemp(prefix="drv_rp_") + "/t"
+_tl.append(spark, _rpt, spark.range(0, 20).selectExpr("id AS k", "id AS v").repartitionByRange(2, "k"))
+_tl.delete_where_positions(spark, _rpt, _F.col("k") == 1)
+_tl.delete_where_positions(spark, _rpt, _F.col("k") == 15)
+_tl.update_where(spark, _rpt, _F.col("k") == 2, {"v": _F.lit(0)})   # dangles k=1's identity
+_rb = sorted(r.k for r in _tl.read_snapshot(spark, _rpt).collect())
+_rv = _tl.rewrite_position_deletes(spark, _rpt)
+_rp = [e for e in _tl._state_at(_rpt)[1]["deletes"].values() if e.get("positional")]
+assert len(_rp) == 1 and _rp[0]["rows"] == 1                         # folded + dangling dropped
+assert sorted(r.k for r in _tl.read_snapshot(spark, _rpt).collect()) == _rb
+assert _tl.changelog_scan(spark, _rpt, from_version=_rv - 1).count() == 0
+print("partitions table + position-delete rewrite: manifest-only stats, 2->1 fold, no-op commit")
+print("DRIVE112 OK")
