@@ -1867,6 +1867,79 @@ def rewrite_position_deletes(spark: SparkSession, table: str) -> int | None:
     return version
 
 
+def maintenance_plan(
+    spark: SparkSession,
+    table: str,
+    small_file_bytes: int = 32 << 20,
+    small_file_backlog: int = 4,
+    pos_delete_backlog: int = 2,
+    eq_delete_backlog: int = 4,
+    keep_versions: int = 16,
+) -> DataFrame:
+    """Recommend maintenance from MANIFESTS alone (the planner half of
+    Iceberg's maintenance procedures): one row per recommended action with
+    its reason and the manifest numbers behind it. Emits
+    `compact_binpack` when the small-file backlog passes the threshold,
+    `rewrite_position_deletes` when positional delete files pile up,
+    `compact` when EQUALITY delete files pile up (only a full rewrite
+    folds those away), and `expire_snapshots` when the retained version
+    chain grows past `keep_versions`. Planning cost is O(live files +
+    commits) driver-side metadata — at corpus scale this is the health
+    check a table-service cron runs per table, never a data read. An
+    empty result means the table is healthy."""
+    cur = _head(table, "main")
+    if cur is None:
+        return spark.createDataFrame(
+            [], "action string, reason string, n int"
+        )
+    _, state = _state_at(table, cur)
+    rows = []
+    small = [
+        e
+        for e in state["data"].values()
+        if int(e.get("bytes", 0)) < small_file_bytes
+    ]
+    if len(small) >= small_file_backlog:
+        rows.append(
+            (
+                "compact_binpack",
+                f"{len(small)} data files under {small_file_bytes} bytes",
+                len(small),
+            )
+        )
+    n_pos = sum(1 for e in state["deletes"].values() if e.get("positional"))
+    if n_pos >= pos_delete_backlog:
+        rows.append(
+            (
+                "rewrite_position_deletes",
+                f"{n_pos} position-delete files to fold into one",
+                n_pos,
+            )
+        )
+    n_eq = sum(
+        1 for e in state["deletes"].values() if not e.get("positional")
+    )
+    if n_eq >= eq_delete_backlog:
+        rows.append(
+            (
+                "compact",
+                f"{n_eq} equality-delete files; only a rewrite folds them",
+                n_eq,
+            )
+        )
+    n_versions = len(list_versions(table))
+    if n_versions > keep_versions:
+        rows.append(
+            (
+                "expire_snapshots",
+                f"{n_versions} versions in the log (keep_versions="
+                f"{keep_versions})",
+                n_versions,
+            )
+        )
+    return spark.createDataFrame(rows, "action string, reason string, n int")
+
+
 def remove_orphans(table: str, min_age_sec: float = 0.0) -> int:
     """Iceberg's RemoveOrphanFiles maintenance action: physically delete
     parquet files under the table's data/delete prefixes that NO retained

@@ -1333,3 +1333,32 @@ def test_rewrite_position_deletes_folds_and_drops_dangling(spark, tmp_path):
     t2 = str(tmp_path / "t2")
     tl.append(spark, t2, spark.range(0, 3).selectExpr("id AS k"))
     assert tl.rewrite_position_deletes(spark, t2) is None
+
+
+def test_maintenance_plan_recommends_then_clears(spark, tmp_path):
+    """maintenance_plan reads manifests only: a table with a small-file
+    backlog + position-delete pileup + equality-delete pileup gets all
+    three recommendations; RUNNING them clears the plan (compact folds
+    both delete kinds, so the positional action disappears with it)."""
+    t = str(tmp_path / "t")
+    for lo in range(0, 40, 10):  # 4 commits of small files
+        tl.append(spark, t, _batch(spark, lo, lo + 10).coalesce(1))
+    for k in (1, 2):
+        tl.delete_where_positions(spark, t, F.col("event_id") == k)
+    for k in (3, 4, 5, 6):
+        tl.delete_where(spark, t, F.col("event_id") == k, key_cols=["event_id"])
+    plan = {r.action: r.n for r in tl.maintenance_plan(spark, t).collect()}
+    assert plan.get("compact_binpack") == 4
+    assert plan.get("rewrite_position_deletes") == 2
+    assert plan.get("compact") == 4
+    tl.compact(spark, t)  # folds every delete and the small files
+    plan2 = [r.action for r in tl.maintenance_plan(spark, t).collect()]
+    assert "rewrite_position_deletes" not in plan2 and "compact" not in plan2
+    # a healthy table gives an empty plan (backlog thresholds not reached;
+    # at pytest scale every file is "small", so raise that threshold)
+    t2 = str(tmp_path / "t2")
+    tl.append(spark, t2, _batch(spark, 0, 10))
+    assert tl.maintenance_plan(spark, t2, small_file_backlog=99).count() == 0
+    # version-chain growth triggers expiry advice
+    plan3 = {r.action for r in tl.maintenance_plan(spark, t, keep_versions=5).collect()}
+    assert "expire_snapshots" in plan3

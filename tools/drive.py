@@ -1494,3 +1494,19 @@ assert sorted(r.k for r in _tl.read_snapshot(spark, _rpt).collect()) == _rb
 assert _tl.changelog_scan(spark, _rpt, from_version=_rv - 1).count() == 0
 print("partitions table + position-delete rewrite: manifest-only stats, 2->1 fold, no-op commit")
 print("DRIVE112 OK")
+
+# batch-8d: maintenance planner — manifests-only recommendations that clear
+_mpt = _tf.mkdtemp(prefix="drv_mp_") + "/t"
+for _lo in range(0, 40, 10):
+    _tl.append(spark, _mpt, spark.range(_lo, _lo + 10).selectExpr("id AS k").coalesce(1))
+_tl.delete_where_positions(spark, _mpt, _F.col("k") == 1)
+_tl.delete_where_positions(spark, _mpt, _F.col("k") == 2)
+_mp = {r.action: r.n for r in _tl.maintenance_plan(spark, _mpt).collect()}
+assert _mp.get("compact_binpack") == 4 and _mp.get("rewrite_position_deletes") == 2
+_tl.rewrite_position_deletes(spark, _mpt)
+_tl.compact_binpack(spark, _mpt, target_bytes=1 << 30)
+_mp2 = {r.action for r in _tl.maintenance_plan(spark, _mpt).collect()}
+assert "rewrite_position_deletes" not in _mp2 and "compact_binpack" not in _mp2
+assert _tl.read_snapshot(spark, _mpt).count() == 38
+print("maintenance planner: backlog detected from manifests, cleared by the recommended actions")
+print("DRIVE113 OK")
