@@ -899,6 +899,62 @@ def pq_adc_topk(
     )
 
 
+def pq_rerank_topk(
+    df: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    n_queries: int = 5,
+    k: int = 5,
+    shortlist_mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ serving: ADC shortlist of R = k*shortlist_mult
+    candidates, then EXACT-vector L2 re-ranking of the shortlist only —
+    the standard accuracy-recovery stage of a PQ deployment (Jegou et al.
+    2011 §V: re-rank the ADC shortlist with exact distances; FAISS
+    IndexRefineFlat). Quantization error moves the true top-k inside the
+    shortlist, and the exact pass restores their order while touching R
+    rows per query instead of the corpus.
+
+    Scale shape: stage 1 is pq_adc_topk's bounded shuffle
+    (≤ R·parts·queries local-top-k rows); stage 2 fetches the shortlist
+    members' exact vectors with ONE broadcast hash join against the
+    corpus scan (the R·n_queries-row shortlist is the broadcast side — no
+    corpus shuffle), joins the broadcast query dim, and re-ranks inside a
+    per-query window over ≤ R rows. The interpreted dot() HOF is fine
+    here: it runs on R·n_queries rows, never the corpus (the rule-1
+    boundary). Output (qid, rank, nid, dist, adist): exact squared-L2
+    rank with the stage-1 approximate distance retained for the
+    recall-vs-ADC audit. round-6 before ranking, ties to lowest nid —
+    the module's cross-engine ordering convention."""
+    r = k * shortlist_mult
+    short = pq_adc_topk(df, codebooks, n_queries, r, id_col, vec_col)
+    base = df.select(
+        F.col(id_col).alias("nid"), _dvec(F.col(vec_col)).alias("nv")
+    )
+    queries = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), _dvec(F.col(vec_col)).alias("qv")
+    )
+    cand = base.join(
+        F.broadcast(short.select("qid", "nid", "adist")), "nid"
+    ).join(F.broadcast(queries), "qid")
+    # same association order as the oracle's list_dot_product formula:
+    # |q|^2 + |n|^2 - 2 q.n, rounded once at the end
+    dist = F.round(
+        dot(F.col("qv"), F.col("qv"))
+        + dot(F.col("nv"), F.col("nv"))
+        - 2 * dot(F.col("qv"), F.col("nv")),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nid"))
+    return (
+        cand.withColumn("dist", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "dist", "adist")
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     n_queries: int = 5,

@@ -1473,3 +1473,70 @@ def test_int8_quant_audit_bounds(emb):
         assert r["max_abs_err"] <= step / 2 + 1e-9
         assert r["mse"] <= (step / 2) ** 2 + 1e-9
         assert r["cos_recon"] > 0.999
+
+
+def test_pq_rerank_topk_subset_and_exact_when_shortlist_covers(spark):
+    """Two-stage rerank: (a) results are drawn from the ADC shortlist and
+    re-ordered by exact L2; (b) with a shortlist covering the whole
+    corpus, the rerank equals the exact-L2 top-k computed by a numpy
+    twin — the quantization error is fully undone."""
+    import numpy as np
+
+    from blogparser_spark.dataops.similarity import (
+        pq_adc_topk,
+        pq_rerank_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_train(emb, m=4, ksub=8, iters=1)
+    k, mult = 3, 4
+    short = {
+        (r.qid, r.nid)
+        for r in pq_adc_topk(emb, cb, n_queries=3, k=k * mult).collect()
+    }
+    rr = pq_rerank_topk(emb, cb, n_queries=3, k=k, shortlist_mult=mult)
+    rows = rr.collect()
+    assert {(r.qid, r.nid) for r in rows} <= short
+    # full-coverage shortlist == exact top-k
+    n = emb.count()
+    full = pq_rerank_topk(
+        emb, cb, n_queries=3, k=k, shortlist_mult=(n + k - 1) // k
+    ).collect()
+    vecs = {
+        int(r["vec_id"]): np.asarray(list(r["embedding"]), dtype=np.float64)
+        for r in emb.collect()
+    }
+    for qid in range(3):
+        d = {
+            nid: round(
+                float(
+                    vecs[qid] @ vecs[qid]
+                    + vecs[nid] @ vecs[nid]
+                    - 2 * (vecs[qid] @ vecs[nid])
+                ),
+                6,
+            )
+            for nid in vecs
+            if nid != qid
+        }
+        exp = sorted(d, key=lambda nid: (d[nid], nid))[:k]
+        got = [r.nid for r in sorted(full, key=lambda r: r.rank) if r.qid == qid]
+        assert got == exp, qid
+
+
+def test_pq_rerank_plan_broadcasts_shortlist(spark):
+    """Stage 2 must fetch shortlist vectors via broadcast hash joins (the
+    corpus side never shuffles) and rank in a per-query window."""
+    from blogparser_spark.dataops.similarity import pq_rerank_topk, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_train(emb, m=4, ksub=8, iters=1)
+    plan = (
+        pq_rerank_topk(emb, cb, n_queries=3, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2  # shortlist + query dims
+    assert "SortMergeJoin" not in plan

@@ -1510,3 +1510,44 @@ assert "rewrite_position_deletes" not in _mp2 and "compact_binpack" not in _mp2
 assert _tl.read_snapshot(spark, _mpt).count() == 38
 print("maintenance planner: backlog detected from manifests, cleared by the recommended actions")
 print("DRIVE113 OK")
+
+# batch-8e: unigram-LM tokenizer — hard-EM train + Viterbi parity twin
+from blogparser_spark.dataops import unigram as _ug
+from blogparser_spark.dataops.lm import word_freq_dict as _wfd
+_ud = spark.createDataFrame(
+    [(0, "abab abc cab"), (1, "abab abab cab b"), (2, "cc abc abab")],
+    ["doc_id", "text"])
+_uw = _wfd(_ud)
+_usc = _ug.piece_scores(_ug.seed_pieces(_uw, 3))
+_useg = {r.word: (r.toks, r.n_pieces) for r in
+         _ug.viterbi_segments(_uw, _usc, 3, 8).collect()}
+assert _useg["abab"] == ("ab|ab", 2) and _useg["abc"] == ("abc", 1)
+_ufin = _ug.train_hard_em(_ud, vocab_size=4, n_rounds=2, max_piece_len=3)
+_up = {r.piece for r in _ufin.collect()}
+assert "ab" in _up and {"a", "b", "c"} <= _up     # winner piece + coverage singles
+print("unigram: seed->viterbi->2xEM, ab|ab segmentation, singles kept")
+print("DRIVE114 OK")
+
+# batch-8f: multinomial NB classifier — hash-split train/predict round trip
+from blogparser_spark.dataops import nbayes as _nb
+_nd = spark.createDataFrame(
+    [(i, ["en", "de"][i % 2], f"tok{i % 5} tok{i % 3} common") for i in range(40)],
+    ["doc_id", "lang", "text"])
+_nw, _npr = _nb.nb_train(_nd)
+assert _nw.count() == 2 * _nb.NB_BUCKETS                     # full label x bucket spine
+_npred = _nb.nb_predict(_nd, _nw, _npr)
+_nc = _nb.nb_confusion(_npred)
+assert _npred.count() == _nc.agg(_F.sum("n_docs")).collect()[0][0] > 0
+print("nbayes: spine-complete weights, fold-0 predictions, confusion totals")
+print("DRIVE115 OK")
+
+# batch-8g: two-stage PQ serving — ADC shortlist + exact re-rank
+from blogparser_spark.dataops import similarity as _sim
+_pe = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+_pcb = _sim.pq_train(_pe, m=4, ksub=8, iters=1)
+_psh = {(r.qid, r.nid) for r in _sim.pq_adc_topk(_pe, _pcb, n_queries=2, k=8).collect()}
+_prr = _sim.pq_rerank_topk(_pe, _pcb, n_queries=2, k=2, shortlist_mult=4).collect()
+assert len(_prr) == 4 and {(r.qid, r.nid) for r in _prr} <= _psh
+assert all(r.dist >= 0 for r in _prr)
+print("pq-rerank: exact-L2 re-rank drawn from the ADC shortlist")
+print("DRIVE116 OK")
