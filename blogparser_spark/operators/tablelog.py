@@ -282,6 +282,46 @@ def _part_match(field: dict, part_value: str, pred: tuple) -> bool:
     return lo <= part_value <= hi
 
 
+BLOOM_M = 2048  # bits per per-file bloom (256 bytes in the manifest)
+BLOOM_K = 3     # hash probes per value
+
+
+def _bloom_positions(value) -> list[int]:
+    """Deterministic md5-derived bit positions for one key value — the
+    same expression on write and probe, engine-neutral (str(value) keys:
+    ints and strings round-trip identically through JSON)."""
+    import hashlib
+
+    s = str(value)
+    return [
+        int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:8], 16) % BLOOM_M
+        for i in range(BLOOM_K)
+    ]
+
+
+def _bloom_build(values) -> str:
+    """Hex-encoded BLOOM_M-bit array with every value's probes set."""
+    bits = bytearray(BLOOM_M // 8)
+    for v in values:
+        if v is None:
+            continue
+        for pos in _bloom_positions(v):
+            bits[pos // 8] |= 1 << (pos % 8)
+    return bits.hex()
+
+
+def _bloom_match(hexbits: str | None, pred: tuple) -> bool:
+    """Definite-absence check for one '=' predicate: if ANY probe bit is
+    unset the file cannot contain the value. None / non-equality: keep
+    (blooms answer membership only — ranges fall back to min/max)."""
+    if hexbits is None or pred[0] != "=":
+        return True
+    bits = bytes.fromhex(hexbits)
+    return all(
+        bits[pos // 8] & (1 << (pos % 8)) for pos in _bloom_positions(pred[1])
+    )
+
+
 def _stats_match(st: list | None, pred: tuple) -> bool:
     """Min/max footer-stats check for one predicate; None stats keep."""
     if st is None:
@@ -331,6 +371,8 @@ def prune_files_where(
                     ok = False
             if not _stats_match(e.get("stats", {}).get(w), pred):
                 ok = False
+            if not _bloom_match(e.get("bloom", {}).get(w), pred):
+                ok = False
         if ok:
             keep.append(path)
         else:
@@ -365,7 +407,12 @@ def scan_where(
     return _apply_deletes(spark, df, pruned_state)
 
 
-def _file_entries(dirpath: str, stats_cols: tuple[str, ...], seq: int) -> list[dict]:
+def _file_entries(
+    dirpath: str,
+    stats_cols: tuple[str, ...],
+    seq: int,
+    bloom_cols: tuple[str, ...] = (),
+) -> list[dict]:
     """Manifest entries for every parquet file under dirpath: row count,
     byte size, partition values, and min/max per requested stats column —
     all read from parquet FOOTERS and path segments (the same numbers
@@ -395,6 +442,14 @@ def _file_entries(dirpath: str, stats_cols: tuple[str, ...], seq: int) -> list[d
                     hi = st.max if hi is None else max(hi, st.max)
                 if lo is not None:
                     stats[col] = [_json_safe(lo), _json_safe(hi)]
+            bloom: dict[str, str] = {}
+            for col in bloom_cols:
+                if col not in idx:
+                    continue
+                # writer-side column read (pyarrow, file-local) — the same
+                # work an Iceberg writer does to emit puffin/parquet blooms
+                vals = pq.read_table(path, columns=[col]).column(0).to_pylist()
+                bloom[col] = _bloom_build(vals)
             entry = {
                 "path": path,
                 "rows": md.num_rows,
@@ -402,6 +457,8 @@ def _file_entries(dirpath: str, stats_cols: tuple[str, ...], seq: int) -> list[d
                 "seq": seq,
                 "stats": stats,
             }
+            if bloom:
+                entry["bloom"] = bloom
             part = _partition_of(dirpath, path)
             if part:
                 entry["partition"] = part
@@ -1100,6 +1157,7 @@ def _write_data_files(
     kind: str,
     partition_by: tuple[str, ...] = (),
     spec_fields: list[dict] | None = None,
+    bloom_cols: tuple[str, ...] = (),
 ) -> list[dict]:
     outdir = os.path.join(table, kind, f"c{version:06d}-{uuid.uuid4().hex[:8]}")
     if partition_by and spec_fields:
@@ -1129,7 +1187,7 @@ def _write_data_files(
         ).parquet(outdir)
     else:
         df.write.mode("error").parquet(outdir)
-    entries = _file_entries(outdir, stats_cols, seq=version)
+    entries = _file_entries(outdir, stats_cols, seq=version, bloom_cols=bloom_cols)
     if spec_fields:
         # every file records the spec it was written under — partition
         # evolution is per-file, exactly Iceberg's manifest spec_id.
@@ -1149,6 +1207,7 @@ def append(
     marker: str | None = None,
     partition_spec: tuple[str, ...] = (),
     branch: str = "main",
+    bloom_cols: tuple[str, ...] = (),
 ) -> int:
     """Append df as a new snapshot; returns the committed version. Appends
     conflict with nothing (they only add files), so a lost commit race is
@@ -1158,6 +1217,12 @@ def append(
     `partition_spec` is the hidden-partitioning alternative — transform
     fields like ("days(ts)", "bucket(8, conv_id)") pruned via scan_where.
     `marker` stamps the commit for idempotent resume (append_idempotent).
+    `bloom_cols` records a per-file BLOOM_M-bit membership filter per named
+    column in the manifest (Iceberg's parquet/puffin bloom analog): point
+    ('=') predicates in prune_files_where then skip files with certainty of
+    absence even when every file's min/max RANGE overlaps — the skipping
+    lever for high-cardinality scattered keys, where clustering is not
+    worth a rewrite or another column already owns the sort order.
     `branch` commits onto a named branch (create_branch) instead of main:
     the commit takes the global next version number but chains off the
     BRANCH head, so main readers never see it until fast_forward."""
@@ -1172,6 +1237,7 @@ def append(
         "data",
         partition_by,
         parse_partition_spec(partition_spec) if partition_spec else None,
+        bloom_cols,
     )
     schema_new = _schema_of(df)
     for _ in range(max_retries):
@@ -1817,6 +1883,96 @@ def compact_binpack(
     return version
 
 
+def compact_sort(
+    spark: SparkSession,
+    table: str,
+    sort_cols: tuple[str, ...],
+    n_files: int = 4,
+    stats_cols: tuple[str, ...] | None = None,
+    zorder: bool = False,
+    bloom_cols: tuple[str, ...] = (),
+) -> int:
+    """Iceberg's sort / z-order rewrite strategy (`rewrite_data_files
+    strategy => 'sort'` resp. `sort_order => zorder(a, b)`): rewrite ALL
+    live rows — pending deletes applied — clustered on `sort_cols`, so
+    every new data file covers a compact key range and its manifest
+    min/max stats become (near-)disjoint: prune_files_where afterwards
+    answers a point or range predicate on the cluster key by opening ~1
+    file instead of every file. Unlike binpack (small-file fold, cost
+    bounded by the backlog) this is a FULL rewrite, cost O(table): run it
+    when cluster-key read patterns justify it, not on a schedule.
+
+    sort (default): repartitionByRange(n_files, sort_cols) +
+    sortWithinPartitions — range boundaries come from Spark's sampler, so
+    file CUTS may vary between runs; the committed contents and every
+    subsequent scan are exact regardless (only pruning granularity
+    wiggles). zorder=True takes exactly two non-negative int columns,
+    Morton-interleaves them (operators/storage.zorder_key) and range-
+    clusters the interleaved key: each file is then a compact box in BOTH
+    dimensions, so min/max stats on the two RAW columns are tight
+    simultaneously — a 2-D box predicate prunes most files, where a
+    single-column sort only prunes on its leading column. Inputs must fit
+    in 16 bits each (pre-bucketize skewed/wide keys).
+
+    Every old data file is removed, so every delete file's scope is
+    consumed by the rewrite — they are removed in the SAME commit (an
+    equality delete's semantic seq scope is moot once nothing it can
+    reference stays live). The commit reuses operation "compact":
+    changelog and incremental scans skip it as a row-level no-op."""
+    cur = _head(table, "main")
+    if cur is None:
+        raise LookupError(f"cannot rewrite empty table {table}")
+    _, state = _state_at(table, cur)
+    if not state["data"]:
+        raise LookupError(f"no live data files to rewrite: {table}")
+    df = _apply_deletes(
+        spark,
+        _read_projected(spark, list(state["data"].values()), state),
+        state,
+    )
+    if zorder:
+        if len(sort_cols) != 2:
+            raise ValueError("zorder takes exactly two sort columns")
+        from blogparser_spark.operators.storage import zorder_key
+
+        a, b = sort_cols
+        # range-partition directly on the interleaved key: contiguous z
+        # ranges per file with no bucket hashing (a hash repartition can
+        # collide two z buckets into one task and widen that file's box)
+        df = (
+            df.withColumn("_z", zorder_key(F.col(a), F.col(b)))
+            .repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    else:
+        df = df.repartitionByRange(
+            n_files, *[F.col(c) for c in sort_cols]
+        ).sortWithinPartitions(*sort_cols)
+    version = (current_version(table) or 0) + 1
+    entries = _write_data_files(
+        df,
+        table,
+        version,
+        tuple(stats_cols or sort_cols),
+        "data",
+        bloom_cols=bloom_cols,
+    )
+    commit = {
+        "version": version,
+        "parent": cur,
+        "operation": "compact",
+        "ts": time.time(),
+        "schema": state["schema"],
+        "added_data": _stamp_cols(entries, _fields_of(state)),
+        "removed_data": sorted(state["data"]),
+        "removed_deletes": sorted(state["deletes"]),
+    }
+    if not _try_commit(table, commit):
+        raise CommitConflict(f"sort rewrite conflicted at v{version}: {table}")
+    return version
+
+
 def rewrite_position_deletes(spark: SparkSession, table: str) -> int | None:
     """Compact the position-delete backlog (Iceberg's
     rewrite_position_delete_files procedure): every live positional delete
@@ -1867,6 +2023,48 @@ def rewrite_position_deletes(spark: SparkSession, table: str) -> int | None:
     return version
 
 
+def clustering_depth(table: str, col: str) -> dict:
+    """Manifests-only clustering health on `col` (the metric behind
+    Delta's OPTIMIZE clustering decision): for each live data file, how
+    many live files' [min,max] ranges overlap its own — 1.0 means
+    disjoint ranges (a point predicate opens one file), n_files means
+    fully scattered (stats prune nothing). Computed with two sorted
+    arrays and binary searches per file (depth_i = n − #files entirely
+    below − #files entirely above), O(n log n) in the live file count —
+    driver-side metadata, no data read. Files without recorded stats on
+    `col` are excluded (and reported)."""
+    import bisect
+
+    _, state = _state_at(table)
+    ranges = [
+        tuple(e["stats"][col])
+        for e in state["data"].values()
+        if col in e.get("stats", {})
+    ]
+    n = len(ranges)
+    n_unstated = len(state["data"]) - n
+    if n == 0:
+        return {
+            "n_files": 0,
+            "n_unstated": n_unstated,
+            "avg_depth": 0.0,
+            "max_depth": 0,
+        }
+    los = sorted(lo for lo, _hi in ranges)
+    his = sorted(hi for _lo, hi in ranges)
+    depths = []
+    for lo, hi in ranges:
+        below = bisect.bisect_left(his, lo)   # hi2 < lo: entirely below
+        above = n - bisect.bisect_right(los, hi)  # lo2 > hi: entirely above
+        depths.append(n - below - above)
+    return {
+        "n_files": n,
+        "n_unstated": n_unstated,
+        "avg_depth": round(sum(depths) / n, 3),
+        "max_depth": max(depths),
+    }
+
+
 def maintenance_plan(
     spark: SparkSession,
     table: str,
@@ -1875,6 +2073,8 @@ def maintenance_plan(
     pos_delete_backlog: int = 2,
     eq_delete_backlog: int = 4,
     keep_versions: int = 16,
+    cluster_col: str | None = None,
+    max_avg_depth: float = 2.0,
 ) -> DataFrame:
     """Recommend maintenance from MANIFESTS alone (the planner half of
     Iceberg's maintenance procedures): one row per recommended action with
@@ -1882,8 +2082,11 @@ def maintenance_plan(
     `compact_binpack` when the small-file backlog passes the threshold,
     `rewrite_position_deletes` when positional delete files pile up,
     `compact` when EQUALITY delete files pile up (only a full rewrite
-    folds those away), and `expire_snapshots` when the retained version
-    chain grows past `keep_versions`. Planning cost is O(live files +
+    folds those away), `expire_snapshots` when the retained version
+    chain grows past `keep_versions`, and — when `cluster_col` names the
+    table's read-pattern key — `compact_sort` when clustering_depth's
+    average overlap on that column exceeds `max_avg_depth` (appends have
+    degraded the layout until stats no longer prune). Planning cost is O(live files +
     commits) driver-side metadata — at corpus scale this is the health
     check a table-service cron runs per table, never a data read. An
     empty result means the table is healthy."""
@@ -1927,6 +2130,17 @@ def maintenance_plan(
                 n_eq,
             )
         )
+    if cluster_col is not None:
+        cd = clustering_depth(table, cluster_col)
+        if cd["n_files"] >= 2 and cd["avg_depth"] > max_avg_depth:
+            rows.append(
+                (
+                    "compact_sort",
+                    f"avg {cd['avg_depth']} of {cd['n_files']} files overlap "
+                    f"on {cluster_col} (max_avg_depth={max_avg_depth})",
+                    cd["n_files"],
+                )
+            )
     n_versions = len(list_versions(table))
     if n_versions > keep_versions:
         rows.append(

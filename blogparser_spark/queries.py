@@ -9620,3 +9620,167 @@ def pq_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_rerank_topk(
         emb, cb, n_queries=5, k=5, shortlist_mult=4
     )
+
+
+@_q(
+    "tablelog_sort_rewrite_scan",
+    """
+    SELECT event_type, count(*)::BIGINT AS cnt,
+      min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events
+    WHERE event_id BETWEEN 150 AND 250 AND user_id % 7 <> 0
+    GROUP BY event_type
+    """,
+)
+def tablelog_sort_rewrite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort rewrite (tablelog.compact_sort — Iceberg's rewrite_data_files
+    strategy=>'sort'): events land hash-scattered (every file's event_id
+    range overlaps, nothing prunes), an equality delete goes pending,
+    then ONE clustering rewrite folds the delete and range-partitions on
+    event_id — after which the ranged scan opens only stats-overlapping
+    files (pruning pinned in tests/test_tablelog.py; cuts vary with the
+    range sampler so the pin lives there, not here). Oracle: the plain
+    filtered aggregate."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_sortrw_") + "/t"
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    tl.append(spark, t, ev.repartition(5))
+    tl.delete_where(spark, t, F.col("user_id") % 7 == 0, key_cols=["event_id"])
+    tl.compact_sort(spark, t, ("event_id",), n_files=5)
+    got = tl.scan_where(spark, t, {"event_id": ("between", 150, 250)})
+    return got.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@_q(
+    "tablelog_zorder_box_scan",
+    """
+    SELECT count(*)::BIGINT AS cnt,
+      min(event_id) AS min_id, max(event_id) AS max_id,
+      sum(event_id)::BIGINT AS sum_id
+    FROM events
+    WHERE user_id % 16 BETWEEN 2 AND 5 AND event_id % 16 BETWEEN 8 AND 11
+    """,
+)
+def tablelog_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order rewrite (tablelog.compact_sort zorder=True — Iceberg's
+    sort_order=>zorder(a,b)): two bucketized dimensions Morton-interleave
+    into one cluster key, so each rewritten file is a compact box in BOTH
+    dims and a 2-D box predicate prunes most files from manifests alone
+    (effect pinned in tests/test_tablelog.py). The scan still returns the
+    exact box contents — the oracle recomputes them directly."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_zbox_") + "/t"
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        (F.col("user_id") % 16).alias("a"),
+        (F.col("event_id") % 16).alias("b"),
+    )
+    tl.append(spark, t, ev.repartition(4))
+    tl.compact_sort(spark, t, ("a", "b"), n_files=8, zorder=True)
+    got = tl.scan_where(
+        spark, t, {"a": ("between", 2, 5), "b": ("between", 8, 11)}
+    )
+    return got.agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum("event_id").cast("bigint").alias("sum_id"),
+    )
+
+
+@_q(
+    "tablelog_bloom_point_scan",
+    """
+    SELECT count(*)::BIGINT AS cnt,
+      min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events
+    WHERE (event_id * 2654435761) % 1000000 = (123 * 2654435761) % 1000000
+    """,
+)
+def tablelog_bloom_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest bloom-filter point lookup (tablelog append bloom_cols —
+    Iceberg's parquet/puffin bloom analog): a Knuth-hash-scattered key
+    makes every file's [min,max] overlap, so footer stats prune nothing —
+    the per-file bloom still skips all files that definitely lack the
+    probed value (skip counts pinned in tests/test_tablelog.py). The scan
+    returns the exact matching rows; the oracle recomputes the filter
+    directly on the events table."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_bloom_") + "/t"
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        ((F.col("event_id") * F.lit(2654435761)) % 1000000).alias("k"),
+    )
+    tl.append(
+        spark, t, ev.repartition(8), stats_cols=("k",), bloom_cols=("k",)
+    )
+    got = tl.scan_where(spark, t, {"k": ("=", (123 * 2654435761) % 1000000)})
+    return got.agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@_q(
+    "unigram_encode_docs",
+    f"""
+    WITH {_UG_BASE},{_UG_DP},
+    ugtok AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split(lower(text), ' '),
+                           x -> x != '')) AS word
+      FROM documents
+    )
+    SELECT t.doc_id,
+      sum(s.n_pieces)::BIGINT AS n_pieces,
+      count(*)::BIGINT AS n_words,
+      floor(sum(s.n_pieces)::DOUBLE / count(*)::DOUBLE
+            * 1000000 + 0.5)::BIGINT AS fertility_u
+    FROM ugtok t JOIN ugseg s USING (word)
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encode under the seed unigram vocabulary: the per-word
+    Viterbi segmentation (a dict-sized table) joins back BROADCAST onto
+    the token stream — the corpus is touched exactly once and never
+    shuffles on text; per-doc piece totals and fertility come from one
+    partial agg keyed on the doc. This is the unigram twin of
+    lm.bpe_encode's dictionary-join serving shape."""
+    from blogparser_spark.dataops import unigram as ug
+
+    wd = _ug_wd(spark, sf_dir)
+    scores = ug.piece_scores(ug.seed_pieces(wd, _UG_PIECE))
+    segs = ug.viterbi_segments(wd, scores, _UG_PIECE, _UG_MAXLEN).select(
+        "word", "n_pieces"
+    )
+    docs = _docs(spark, sf_dir)
+    from blogparser_spark.dataops.textstats import tokens as _toks
+
+    stream = docs.select(
+        "doc_id", F.explode(_toks(F.lower(F.col("text")))).alias("word")
+    )
+    return (
+        stream.join(F.broadcast(segs), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.count("*").cast("bigint").alias("n_words"),
+            F.floor(
+                F.sum("n_pieces").cast("double")
+                / F.count("*").cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("fertility_u"),
+        )
+    )

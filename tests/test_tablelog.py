@@ -1362,3 +1362,124 @@ def test_maintenance_plan_recommends_then_clears(spark, tmp_path):
     # version-chain growth triggers expiry advice
     plan3 = {r.action for r in tl.maintenance_plan(spark, t, keep_versions=5).collect()}
     assert "expire_snapshots" in plan3
+
+
+def test_compact_sort_clusters_and_prunes(spark, tmp_path):
+    """Sort rewrite: hash-scattered files become range-clustered ones with
+    disjoint min/max stats — a point predicate then keeps exactly one
+    file; pending deletes are folded in and their files removed."""
+    t = str(tmp_path / "cs")
+    tl.append(
+        spark,
+        t,
+        spark.range(0, 100).selectExpr("id AS k", "id % 7 AS v").repartition(4),
+    )
+    tl.delete_where_positions(spark, t, F.col("k") == 50)
+    keep0, skip0 = tl.prune_files_where(t, {"k": ("=", 10)})
+    assert len(keep0) == 4 and skip0 == 0  # hash layout: every file overlaps
+    tl.compact_sort(spark, t, ("k",), n_files=4)
+    keep1, skip1 = tl.prune_files_where(t, {"k": ("=", 10)})
+    assert len(keep1) == 1 and skip1 == 3
+    _, state = tl._state_at(t)
+    assert not state["deletes"]  # consumed by the rewrite, removed in-commit
+    assert tl.read_snapshot(spark, t).count() == 99
+    got = sorted(r.k for r in tl.scan_where(spark, t, {"k": ("between", 45, 55)}).collect())
+    assert got == [45, 46, 47, 48, 49, 51, 52, 53, 54, 55]
+
+
+def test_compact_sort_zorder_prunes_2d_box(spark, tmp_path):
+    """Z-order rewrite: a 2-D box predicate prunes most files, where a
+    single-column sort (stats recorded on both dims) prunes nothing on
+    the trailing dimension — the multi-dimensional clustering contract."""
+    df = spark.range(0, 256).selectExpr(
+        "id % 16 AS a", "cast(id / 16 AS long) AS b", "id AS payload"
+    )
+    tz = str(tmp_path / "cz")
+    tl.append(spark, tz, df.repartition(4))
+    tl.compact_sort(spark, tz, ("a", "b"), n_files=4, zorder=True)
+    keepz, skipz = tl.prune_files_where(
+        tz, {"a": ("between", 0, 3), "b": ("between", 0, 3)}
+    )
+    assert len(keepz) + skipz == 4 and skipz >= 2
+    assert tl.read_snapshot(spark, tz).count() == 256
+    ts = str(tmp_path / "cs1")
+    tl.append(spark, ts, df.repartition(4))
+    tl.compact_sort(spark, ts, ("a",), n_files=4, stats_cols=("a", "b"))
+    _, skips = tl.prune_files_where(ts, {"b": ("between", 0, 3)})
+    assert skips == 0  # leading-column sort cannot prune the other dim
+    # exact rows either way
+    gz = sorted(
+        r.payload
+        for r in tl.scan_where(
+            spark, tz, {"a": ("between", 0, 3), "b": ("between", 0, 3)}
+        ).collect()
+    )
+    exp = sorted(i for i in range(256) if i % 16 <= 3 and i // 16 <= 3)
+    assert gz == exp
+
+
+def test_compact_sort_is_changelog_noop(spark, tmp_path):
+    """The rewrite commits as operation 'compact': incremental consumers
+    and the changelog skip it — no row ever appears as inserted/deleted."""
+    t = str(tmp_path / "cn")
+    tl.append(spark, t, spark.range(0, 20).selectExpr("id AS k"))
+    v = tl.compact_sort(spark, t, ("k",), n_files=2)
+    assert tl.changelog_scan(spark, t, from_version=v - 1).count() == 0
+
+
+def test_bloom_point_lookup_prunes_scattered_keys(spark, tmp_path):
+    """Per-file manifest blooms: on a high-cardinality scattered key every
+    file's [min,max] overlaps (stats prune nothing), but '=' predicates
+    skip files with certainty of absence; absent keys read zero files."""
+    t = str(tmp_path / "bl")
+    df = spark.range(0, 400).selectExpr(
+        "(id * 2654435761) % 1000000 AS k", "id AS v"
+    )
+    tl.append(spark, t, df.repartition(8), stats_cols=("k",), bloom_cols=("k",))
+    some_k = int(df.filter("v = 123").collect()[0].k)
+    keep, skip = tl.prune_files_where(t, {"k": ("=", some_k)})
+    assert len(keep) + skip == 8 and skip >= 5
+    assert [r.v for r in tl.scan_where(spark, t, {"k": ("=", some_k)}).collect()] == [123]
+    keep2, skip2 = tl.prune_files_where(t, {"k": ("=", 999999999)})
+    assert skip2 == 8 and not keep2
+    assert tl.scan_where(spark, t, {"k": ("=", 999999999)}).count() == 0
+
+
+def test_bloom_never_blocks_range_predicates_or_unbloomd_cols(spark, tmp_path):
+    """Blooms answer membership only: range predicates and columns without
+    a recorded bloom fall back to min/max stats (never prune blind)."""
+    t = str(tmp_path / "bl2")
+    tl.append(
+        spark,
+        t,
+        spark.range(0, 50).selectExpr("id AS k", "id % 3 AS v").coalesce(2),
+        stats_cols=("k",),
+        bloom_cols=("k",),
+    )
+    got = sorted(
+        r.k for r in tl.scan_where(spark, t, {"k": ("between", 10, 20)}).collect()
+    )
+    assert got == list(range(10, 21))
+    assert tl.scan_where(spark, t, {"v": ("=", 1)}).count() == 17
+
+
+def test_clustering_depth_and_planner_recommend_sort(spark, tmp_path):
+    """clustering_depth reads manifests only: scattered appends score
+    avg_depth ≈ n_files, the planner recommends compact_sort, and the
+    rewrite drops the depth to ~1 and clears the recommendation."""
+    t = str(tmp_path / "cd")
+    df = spark.range(0, 100).selectExpr("id AS k")
+    tl.append(spark, t, df.repartition(4), stats_cols=("k",))
+    cd = tl.clustering_depth(t, "k")
+    assert cd["n_files"] == 4 and cd["avg_depth"] == 4.0  # fully scattered
+    plan = {r.action for r in tl.maintenance_plan(spark, t, cluster_col="k").collect()}
+    assert "compact_sort" in plan
+    tl.compact_sort(spark, t, ("k",), n_files=4)
+    cd2 = tl.clustering_depth(t, "k")
+    assert cd2["avg_depth"] <= 1.5 and cd2["max_depth"] <= 2  # boundary touch at most
+    plan2 = {r.action for r in tl.maintenance_plan(spark, t, cluster_col="k").collect()}
+    assert "compact_sort" not in plan2
+    # files without stats on the column are excluded and reported
+    tl.append(spark, t, spark.range(100, 110).selectExpr("id AS k").coalesce(1))
+    cd3 = tl.clustering_depth(t, "k")
+    assert cd3["n_unstated"] == 1 and cd3["n_files"] == 4

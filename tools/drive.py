@@ -1551,3 +1551,40 @@ assert len(_prr) == 4 and {(r.qid, r.nid) for r in _prr} <= _psh
 assert all(r.dist >= 0 for r in _prr)
 print("pq-rerank: exact-L2 re-rank drawn from the ADC shortlist")
 print("DRIVE116 OK")
+
+# batch-8h: clustering rewrite — sort + z-order file skipping on the log format
+_cst = _tf.mkdtemp(prefix="drv_cs_") + "/t"
+_tl.append(spark, _cst, spark.range(0, 100).selectExpr("id AS k", "id % 7 AS v").repartition(4))
+_tl.delete_where_positions(spark, _cst, _F.col("k") == 50)
+assert _tl.prune_files_where(_cst, {"k": ("=", 10)})[1] == 0   # hash layout: nothing prunes
+_tl.compact_sort(spark, _cst, ("k",), n_files=4)
+_csk, _css = _tl.prune_files_where(_cst, {"k": ("=", 10)})
+assert len(_csk) == 1 and _css == 3 and _tl.read_snapshot(spark, _cst).count() == 99
+_czt = _tf.mkdtemp(prefix="drv_cz_") + "/t"
+_tl.append(spark, _czt, spark.range(0, 256).selectExpr("id % 16 AS a", "cast(id / 16 AS long) AS b", "id AS p").repartition(4))
+_tl.compact_sort(spark, _czt, ("a", "b"), n_files=4, zorder=True)
+assert _tl.prune_files_where(_czt, {"a": ("between", 0, 3), "b": ("between", 0, 3)})[1] >= 2
+print("compact_sort: range clustering 4->1 files on point lookup; z-order prunes the 2-D box")
+print("DRIVE117 OK")
+
+# batch-8i: manifest bloom filters — point-lookup skipping on scattered keys
+_blt = _tf.mkdtemp(prefix="drv_bl_") + "/t"
+_bld = spark.range(0, 400).selectExpr("(id * 2654435761) % 1000000 AS k", "id AS v")
+_tl.append(spark, _blt, _bld.repartition(8), stats_cols=("k",), bloom_cols=("k",))
+_blk = int(_bld.filter("v = 123").collect()[0].k)
+assert _tl.prune_files_where(_blt, {"k": ("=", _blk)})[1] >= 5
+assert [r.v for r in _tl.scan_where(spark, _blt, {"k": ("=", _blk)}).collect()] == [123]
+assert _tl.prune_files_where(_blt, {"k": ("=", 999999999)})[1] == 8
+print("manifest blooms: present key opens ~1 file, absent key opens none")
+print("DRIVE118 OK")
+
+# batch-8j: clustering-depth health metric drives the sort-rewrite loop
+_cdt = _tf.mkdtemp(prefix="drv_cd_") + "/t"
+_tl.append(spark, _cdt, spark.range(0, 100).selectExpr("id AS k").repartition(4), stats_cols=("k",))
+assert _tl.clustering_depth(_cdt, "k")["avg_depth"] == 4.0
+assert "compact_sort" in {r.action for r in _tl.maintenance_plan(spark, _cdt, cluster_col="k").collect()}
+_tl.compact_sort(spark, _cdt, ("k",), n_files=4)
+assert _tl.clustering_depth(_cdt, "k")["avg_depth"] <= 1.5
+assert "compact_sort" not in {r.action for r in _tl.maintenance_plan(spark, _cdt, cluster_col="k").collect()}
+print("clustering depth: scattered 4.0 -> recommended rewrite -> ~1.0, recommendation clears")
+print("DRIVE119 OK")
