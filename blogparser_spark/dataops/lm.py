@@ -562,3 +562,62 @@ def bpe_fertility(
         "chars_per_token": round(chars_per_token, 6),
         "n_token_occurrences": int(row["tok_occ"]),
     }
+
+
+def domain_excess_reweight(
+    docs: DataFrame,
+    eta: int = 1,
+    budget_tokens: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Domain mixture reweighting from excess LM difficulty — the DoReMi
+    idea (Xie et al. 2023: upweight domains where the proxy model's
+    excess loss is high) collapsed to ONE deterministic pass with the
+    corpus-trained bigram LM standing in for the proxy/reference pair
+    (documented deviation: no iterative Group-DRO loop, the reference
+    loss is the corpus mean): per domain,
+        excess_d  = corpus_mean_logprob − domain_mean_logprob   (≥ 0 ⇔ harder)
+        w_d       ∝ exp(eta · excess_d),   normalized over domains
+        planned_tokens_d = tie-free round of budget · w_d
+    Returns (domain, n_docs, dom_logprob, excess, weight, planned_tokens)
+    — the sampling plan a mixture loader consumes.
+
+    Shape / scale: per-doc scores come from lm_quality_scores (LM tables
+    vocabulary-sized, token volume only crosses map-side partial aggs);
+    the domain rollup is one partial agg to a |domains|-row frame; corpus
+    mean and weight normalizer ride back as broadcast 1-row dims — no
+    window, no collect. Floats are round-6 at every boundary (module
+    convention); eta is an integer so exp's argument parses identically
+    in the DuckDB oracle (bare decimal literals are DECIMAL there)."""
+    scores = lm_quality_scores(docs, text_col, id_col)
+    dd = docs.select(F.col(id_col), F.col(domain_col).alias("domain")).join(
+        scores, id_col
+    )
+    dom = dd.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("avg_logprob"), 6).alias("dom_logprob"),
+    )
+    corpus = dd.agg(F.round(F.avg("avg_logprob"), 6).alias("corp_logprob"))
+    w = (
+        dom.crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "excess", F.round(F.col("corp_logprob") - F.col("dom_logprob"), 6)
+        )
+        .withColumn("w_raw", F.round(F.exp(F.lit(eta) * F.col("excess")), 6))
+    )
+    tot = w.agg(F.round(F.sum("w_raw"), 6).alias("w_tot"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "dom_logprob",
+        "excess",
+        F.round(F.col("w_raw") / F.col("w_tot"), 6).alias("weight"),
+        F.floor(
+            F.lit(budget_tokens) * F.round(F.col("w_raw") / F.col("w_tot"), 6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("planned_tokens"),
+    )

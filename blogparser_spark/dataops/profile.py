@@ -431,3 +431,45 @@ def k_anonymity_audit(
         "risky_row_frac",
         F.round(F.col("n_rows_at_risk") / F.greatest(F.col("n_rows"), F.lit(1)), 6),
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    qid_cols: Sequence[str],
+    sensitive_col: str,
+    l_min: int = 3,
+    by: str | None = None,
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al., TKDD 2007): a
+    k-anonymous release still leaks when a quasi-identifier group's
+    SENSITIVE values are homogeneous — every member is revealed to share
+    the one value. A group is diverse iff it covers >= l_min distinct
+    sensitive values. Same two stacked map-side-combinable aggregates as
+    k_anonymity_audit (the exact distinct is the standard two-phase
+    expand — (qid, sensitive) partials shuffle, never rows), same
+    release-level rollup: group counts, risky groups, rows at risk, the
+    minimum diversity width, risky-row fraction, optionally per `by`
+    slice audited as its own release."""
+    qids = list(qid_cols) + ([by] if by and by not in qid_cols else [])
+    groups = df.groupBy(*qids).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(sensitive_col).alias("n_sensitive"),
+        (F.countDistinct(sensitive_col) < l_min).alias("at_risk"),
+    )
+    keys = [by] if by else []
+    risky_rows = F.sum(F.when(F.col("at_risk"), F.col("n_rows")).otherwise(0))
+    agg = groups.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("at_risk"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_groups"),
+        risky_rows.cast("bigint").alias("n_rows_at_risk"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("n_sensitive").cast("bigint").alias("min_diversity"),
+    )
+    return agg.withColumn(
+        "risky_row_frac",
+        F.round(
+            F.col("n_rows_at_risk") / F.greatest(F.col("n_rows"), F.lit(1)), 6
+        ),
+    )

@@ -9784,3 +9784,106 @@ def unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fertility_u"),
         )
     )
+
+
+@_q(
+    "l_diversity_audit",
+    """
+    WITH g AS (
+      SELECT event_type, user_id % 3 AS region,
+        count(*)::BIGINT AS n_rows,
+        count(DISTINCT user_id % 11)::BIGINT AS n_sensitive
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+      count(*)::BIGINT AS n_groups,
+      sum(CASE WHEN n_sensitive < 5 THEN 1 ELSE 0 END)::BIGINT AS n_risky_groups,
+      sum(CASE WHEN n_sensitive < 5 THEN n_rows ELSE 0 END)::BIGINT AS n_rows_at_risk,
+      sum(n_rows)::BIGINT AS n_rows,
+      min(n_sensitive)::BIGINT AS min_diversity,
+      round(sum(CASE WHEN n_sensitive < 5 THEN n_rows ELSE 0 END)
+            / greatest(sum(n_rows), 1), 6) AS risky_row_frac
+    FROM g GROUP BY event_type
+    """,
+)
+def l_diversity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity privacy gate (profile.l_diversity_audit;
+    Machanavajjhala 2007) per event_type release slice: QIDs =
+    (event_type, synthetic region), sensitive = a derived user attribute;
+    the audit reports groups whose sensitive values are too homogeneous.
+    Complements k_anonymity_audit — the two standard pre-release checks."""
+    from blogparser_spark.dataops.profile import l_diversity_audit
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.col("user_id") % 3).alias("region"),
+        (F.col("user_id") % 11).alias("sensitive"),
+    )
+    return l_diversity_audit(
+        ev, ["event_type", "region"], "sensitive", l_min=5, by="event_type"
+    )
+
+
+@_q(
+    "domain_mixture_reweight",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+        list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
+      FROM documents
+    ), b2 AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk), 1)),
+                                     i -> {'w1': tk[i], 'w2': tk[i+1]})) AS u
+        FROM t
+      )
+    ), c2 AS (
+      SELECT w1, w2, count(*)::BIGINT AS cnt2 FROM b2 GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, sum(cnt2)::BIGINT AS cnt1 FROM c2 GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT w)::BIGINT AS vocab
+      FROM (SELECT unnest(tk) AS w FROM t)
+    ), lp AS (
+      SELECT doc_id,
+             round(ln((cnt2 + 1.0) / (cnt1 + vocab)), 6) AS lp
+      FROM b2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    ), ds AS (
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             round(avg(lp), 6) AS avg_logprob
+      FROM lp GROUP BY 1
+    ), dd AS MATERIALIZED (
+      SELECT t.source AS domain, ds.avg_logprob
+      FROM ds JOIN (SELECT DISTINCT doc_id, source FROM t) t USING (doc_id)
+    ), dom AS MATERIALIZED (
+      SELECT domain, count(*)::BIGINT AS n_docs,
+             round(avg(avg_logprob), 6) AS dom_logprob
+      FROM dd GROUP BY 1
+    ), corp AS (
+      SELECT round(avg(avg_logprob), 6) AS corp_logprob FROM dd
+    ), w AS MATERIALIZED (
+      SELECT domain, n_docs, dom_logprob,
+        round(corp_logprob - dom_logprob, 6) AS excess,
+        round(exp(1 * round(corp_logprob - dom_logprob, 6)), 6) AS w_raw
+      FROM dom CROSS JOIN corp
+    ), wt AS (SELECT round(sum(w_raw), 6) AS w_tot FROM w)
+    SELECT domain, n_docs, dom_logprob, excess,
+      round(w_raw / w_tot, 6) AS weight,
+      floor(1000000 * round(w_raw / w_tot, 6) + 0.5)::BIGINT AS planned_tokens
+    FROM w CROSS JOIN wt
+    """,
+)
+def domain_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-flavored domain mixture plan (lm.domain_excess_reweight;
+    Xie et al. 2023 collapsed to one deterministic pass): per-source
+    excess bigram-LM difficulty vs the corpus mean becomes an
+    exponential-family weight and a token allocation under a fixed
+    budget. LM tables vocabulary-sized, domain rollup one partial agg,
+    corpus mean and normalizer broadcast 1-row dims."""
+    from blogparser_spark.dataops.lm import domain_excess_reweight
+
+    return domain_excess_reweight(
+        _docs(spark, sf_dir), eta=1, budget_tokens=1_000_000
+    )

@@ -1540,3 +1540,42 @@ def test_pq_rerank_plan_broadcasts_shortlist(spark):
     )
     assert plan.count("BroadcastHashJoin") >= 2  # shortlist + query dims
     assert "SortMergeJoin" not in plan
+
+
+def test_l_diversity_audit_counts(spark):
+    """Distinct l-diversity: a homogeneous QID group flags at_risk, rows
+    roll up per release slice, min_diversity reports the worst group."""
+    from blogparser_spark.dataops.profile import l_diversity_audit
+
+    rows = (
+        [("a", 1, i % 5) for i in range(10)]       # diverse: 5 values
+        + [("b", 1, 7)] * 6                        # homogeneous: 1 value
+        + [("b", 2, i % 2) for i in range(4)]      # 2 values
+    )
+    df = spark.createDataFrame(rows, ["seg", "sub", "diag"])
+    out = {r.seg: r for r in l_diversity_audit(
+        df, ["seg", "sub"], "diag", l_min=3, by="seg").collect()}
+    assert out["a"].n_risky_groups == 0 and out["a"].min_diversity == 5
+    assert out["b"].n_groups == 2 and out["b"].n_risky_groups == 2
+    assert out["b"].n_rows_at_risk == 10 and out["b"].min_diversity == 1
+    assert abs(out["b"].risky_row_frac - 1.0) < 1e-9
+
+
+def test_domain_excess_reweight_properties(spark):
+    """Weights are a proper distribution, harder domains (lower mean
+    logprob) weigh more, and planned tokens track the budget."""
+    from blogparser_spark.dataops.lm import domain_excess_reweight
+
+    rows = [(i, "easy", "a b a b a b") for i in range(10)] + [
+        (100 + i, "hard", f"z{i} q{i} x{i} y{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.domain: r for r in domain_excess_reweight(
+        df, eta=1, budget_tokens=1000).collect()}
+    assert set(out) == {"easy", "hard"}
+    assert abs(out["easy"].weight + out["hard"].weight - 1.0) < 2e-6
+    assert out["hard"].dom_logprob < out["easy"].dom_logprob  # harder
+    assert out["hard"].excess > 0 > out["easy"].excess
+    assert out["hard"].weight > out["easy"].weight            # upweighted
+    total = out["easy"].planned_tokens + out["hard"].planned_tokens
+    assert abs(total - 1000) <= 2  # rounding slack only

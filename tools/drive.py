@@ -1588,3 +1588,21 @@ assert _tl.clustering_depth(_cdt, "k")["avg_depth"] <= 1.5
 assert "compact_sort" not in {r.action for r in _tl.maintenance_plan(spark, _cdt, cluster_col="k").collect()}
 print("clustering depth: scattered 4.0 -> recommended rewrite -> ~1.0, recommendation clears")
 print("DRIVE119 OK")
+
+# batch-8k: privacy l-diversity gate + DoReMi-style mixture reweighting
+from blogparser_spark.dataops.profile import l_diversity_audit as _lda
+_ldf = spark.createDataFrame(
+    [("a", 1, i % 5) for i in range(10)] + [("b", 1, 7)] * 6,
+    ["seg", "sub", "diag"])
+_ldo = {r.seg: r for r in _lda(_ldf, ["seg", "sub"], "diag", l_min=3, by="seg").collect()}
+assert _ldo["a"].n_risky_groups == 0 and _ldo["b"].min_diversity == 1
+from blogparser_spark.dataops.lm import domain_excess_reweight as _der
+_ddf = spark.createDataFrame(
+    [(i, "easy", "a b a b a b") for i in range(10)]
+    + [(100 + i, "hard", f"z{i} q{i} x{i} y{i}") for i in range(10)],
+    ["doc_id", "source", "text"])
+_ddo = {r.domain: r for r in _der(_ddf, eta=1, budget_tokens=1000).collect()}
+assert _ddo["hard"].weight > _ddo["easy"].weight
+assert abs(_ddo["easy"].weight + _ddo["hard"].weight - 1.0) < 2e-6
+print("l-diversity flags homogeneous groups; hard domain upweighted under the budget")
+print("DRIVE120 OK")
