@@ -278,6 +278,8 @@ def route_commit_tablelog(
     table: str,
     marker: str,
     files_per_sink: int = 1,
+    stats_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
 ) -> tuple[int | None, bool]:
     """Fan routed rows into ONE snapshot-log table partitioned by the sink
     keys, as a single atomic idempotent commit — the north rule's "per-sink
@@ -288,7 +290,12 @@ def route_commit_tablelog(
     prune to the sink's files via the manifest partition values
     (read_routed_tablelog). Same bounded-salt repartition as write_routed,
     so file counts stay `files_per_sink` per touched sink regardless of
-    upstream parallelism. Returns (version, committed)."""
+    upstream parallelism. `stats_cols`/`bloom_cols` forward to the
+    manifest writer so sink files carry min/max footer stats and
+    per-file blooms (a bloom on conv_id lets a conversation point
+    lookup skip sink files that definitely lack the conv — the
+    serving path for "fetch this conversation" against the routed
+    lakehouse). Returns (version, committed)."""
     from blogparser_spark.operators import tablelog as tl
 
     out = df.drop("images")
@@ -300,6 +307,8 @@ def route_commit_tablelog(
         out,
         marker=marker,
         partition_by=tuple(SINK_KEYS),
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
     )
 
 

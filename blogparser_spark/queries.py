@@ -9887,3 +9887,63 @@ def domain_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_excess_reweight(
         _docs(spark, sf_dir), eta=1, budget_tokens=1_000_000
     )
+
+
+@_q(
+    "tablelog_routed_conv_lookup",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, doc_id % 4 AS v,
+        ['user','assistant','system','tool'][(doc_id % 4)::INT + 1] AS role,
+        row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS turn_idx,
+        strlen(trim(regexp_replace(regexp_replace(regexp_replace(text,
+          '\r\n?', chr(10), 'g'), '(?m)^[ \t\f\v]+|[ \t\f\v]+$', '', 'g'),
+          '\n{2,}', chr(10), 'g'))) AS bb
+      FROM documents
+    )
+    SELECT turn_idx, role,
+      CASE WHEN v >= 2 THEN 'no_title'
+           WHEN bb >= 100 THEN 'ok'
+           ELSE 'no_content' END AS parse_status,
+      CASE WHEN v < 2 THEN 'Doc ' || doc_id ELSE NULL END AS title,
+      CASE WHEN v < 2 AND bb >= 100 THEN bb ELSE NULL END AS body_bytes
+    FROM t WHERE source = 'src7' ORDER BY turn_idx
+    """,
+)
+def tablelog_routed_conv_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation point-lookup against the ROUTED lakehouse table — the
+    serving path of the flagship chain: enriched turns fan into the
+    snapshot-log table with per-file conv_id blooms + stats
+    (route_commit_tablelog stats_cols/bloom_cols), then one conversation
+    is fetched back with scan_where, which consults manifests before
+    opening any file. The oracle independently re-derives that conv's
+    per-turn parse results (title, status, cleaned body bytes) from the
+    documents table — per-turn parity through the full
+    parse→enrich→route→commit→point-read loop, the north rule's per-turn
+    text-equality criterion exercised at the storage boundary."""
+    from blogparser_spark.operators import tablelog as tl
+    from blogparser_spark.operators.enrich import enrich
+    from blogparser_spark.operators.parse import parse_stage
+    from blogparser_spark.operators.route import route_commit_tablelog
+
+    t = _tablelog_tmp("tablelog_convlk_") + "/t"
+    enriched = enrich(
+        parse_stage(documents_as_transcripts(spark, sf_dir)), spark
+    )
+    route_commit_tablelog(
+        enriched,
+        t,
+        marker="conv-lookup",
+        stats_cols=("conv_id",),
+        bloom_cols=("conv_id",),
+    )
+    conv = tl.scan_where(spark, t, {"conv_id": ("=", "src7")})
+    return conv.select(
+        "turn_idx",
+        "role",
+        "parse_status",
+        "title",
+        F.when(
+            F.col("parse_status") == "ok", F.octet_length("body")
+        ).alias("body_bytes"),
+    ).orderBy("turn_idx")

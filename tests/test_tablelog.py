@@ -1483,3 +1483,26 @@ def test_clustering_depth_and_planner_recommend_sort(spark, tmp_path):
     tl.append(spark, t, spark.range(100, 110).selectExpr("id AS k").coalesce(1))
     cd3 = tl.clustering_depth(t, "k")
     assert cd3["n_unstated"] == 1 and cd3["n_files"] == 4
+
+
+def test_route_commit_records_blooms_for_conv_lookup(spark, parsed, tmp_path):
+    """route_commit_tablelog forwards stats/bloom cols to the manifest
+    writer; a conversation point-lookup reads back exactly that conv's
+    rows and the manifest carries a bloom per sink file."""
+    from blogparser_spark.operators.enrich import enrich
+    from blogparser_spark.operators.route import route_commit_tablelog
+
+    t = str(tmp_path / "rt")
+    enriched = enrich(parsed, spark)
+    route_commit_tablelog(
+        enriched, t, marker="m0", stats_cols=("conv_id",), bloom_cols=("conv_id",)
+    )
+    _, state = tl._state_at(t)
+    assert all("conv_id" in e.get("bloom", {}) for e in state["data"].values())
+    conv = enriched.select("conv_id").first().conv_id
+    got = tl.scan_where(spark, t, {"conv_id": ("=", conv)})
+    exp = enriched.filter(F.col("conv_id") == conv).drop("images")
+    assert got.count() == exp.count() > 0
+    assert {r.turn_idx for r in got.collect()} == {
+        r.turn_idx for r in exp.collect()
+    }

@@ -1606,3 +1606,16 @@ assert _ddo["hard"].weight > _ddo["easy"].weight
 assert abs(_ddo["easy"].weight + _ddo["hard"].weight - 1.0) < 2e-6
 print("l-diversity flags homogeneous groups; hard domain upweighted under the budget")
 print("DRIVE120 OK")
+
+# batch-8l: conversation point-lookup through the routed lakehouse table
+from blogparser_spark.operators.route import route_commit_tablelog as _rct
+_rlt = _tf.mkdtemp(prefix="drv_rl_") + "/t"
+_rle = enrich(parse_stage(transcripts_df(spark, n_convs=12, turns_per_conv=5)))
+_rct(_rle, _rlt, marker="m0", stats_cols=("conv_id",), bloom_cols=("conv_id",))
+_rlc = _rle.select("conv_id").first().conv_id
+_rlo = _tl.scan_where(spark, _rlt, {"conv_id": ("=", _rlc)})
+assert _rlo.count() == 5 and {r.turn_idx for r in _rlo.collect()} == set(range(5))
+_, _rls = _tl._state_at(_rlt)
+assert all("conv_id" in e.get("bloom", {}) for e in _rls["data"].values())
+print("routed conv lookup: bloom'd sink manifests serve one conv's turns back exactly")
+print("DRIVE121 OK")
