@@ -289,7 +289,11 @@ BLOOM_K = 3     # hash probes per value
 def _bloom_positions(value) -> list[int]:
     """Deterministic md5-derived bit positions for one key value — the
     same expression on write and probe, engine-neutral (str(value) keys:
-    ints and strings round-trip identically through JSON)."""
+    ints and strings round-trip identically through JSON). Only int and
+    str keys are bloomable: a float's string form is representation-
+    dependent (1 vs 1.0), and a false absence verdict would WRONGLY prune
+    a file — _bloom_build skips other types so no filter exists to
+    mis-answer, and _bloom_match returns keep for them."""
     import hashlib
 
     s = str(value)
@@ -303,8 +307,8 @@ def _bloom_build(values) -> str:
     """Hex-encoded BLOOM_M-bit array with every value's probes set."""
     bits = bytearray(BLOOM_M // 8)
     for v in values:
-        if v is None:
-            continue
+        if v is None or isinstance(v, bool) or not isinstance(v, (int, str)):
+            return ""  # unbloomable column type: record no filter at all
         for pos in _bloom_positions(v):
             bits[pos // 8] |= 1 << (pos % 8)
     return bits.hex()
@@ -314,8 +318,14 @@ def _bloom_match(hexbits: str | None, pred: tuple) -> bool:
     """Definite-absence check for one '=' predicate: if ANY probe bit is
     unset the file cannot contain the value. None / non-equality: keep
     (blooms answer membership only — ranges fall back to min/max)."""
-    if hexbits is None or pred[0] != "=":
-        return True
+    v = pred[1] if pred[0] == "=" else None
+    if (
+        not hexbits  # None or the empty unbloomable marker
+        or pred[0] != "="
+        or isinstance(v, bool)
+        or not isinstance(v, (int, str))
+    ):
+        return True  # membership unknown: never prune blind
     bits = bytes.fromhex(hexbits)
     return all(
         bits[pos // 8] & (1 << (pos % 8)) for pos in _bloom_positions(pred[1])
@@ -449,7 +459,9 @@ def _file_entries(
                 # writer-side column read (pyarrow, file-local) — the same
                 # work an Iceberg writer does to emit puffin/parquet blooms
                 vals = pq.read_table(path, columns=[col]).column(0).to_pylist()
-                bloom[col] = _bloom_build(vals)
+                hexbits = _bloom_build(vals)
+                if hexbits:
+                    bloom[col] = hexbits
             entry = {
                 "path": path,
                 "rows": md.num_rows,
@@ -2050,8 +2062,18 @@ def clustering_depth(table: str, col: str) -> dict:
             "avg_depth": 0.0,
             "max_depth": 0,
         }
-    los = sorted(lo for lo, _hi in ranges)
-    his = sorted(hi for _lo, hi in ranges)
+    try:
+        los = sorted(lo for lo, _hi in ranges)
+        his = sorted(hi for _lo, hi in ranges)
+    except TypeError:
+        # cross-type stats (schema type changed mid-history): report the
+        # conservative worst case rather than crash the health check
+        return {
+            "n_files": n,
+            "n_unstated": n_unstated,
+            "avg_depth": float(n),
+            "max_depth": n,
+        }
     depths = []
     for lo, hi in ranges:
         below = bisect.bisect_left(his, lo)   # hi2 < lo: entirely below

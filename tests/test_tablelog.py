@@ -1506,3 +1506,27 @@ def test_route_commit_records_blooms_for_conv_lookup(spark, parsed, tmp_path):
     assert {r.turn_idx for r in got.collect()} == {
         r.turn_idx for r in exp.collect()
     }
+
+
+def test_bloom_skips_unbloomable_types_never_misprunes(spark, tmp_path):
+    """A float column records NO bloom (its string form is representation-
+    dependent) and a type-mismatched '=' probe keeps the file — the
+    filter can only ever assert definite absence for int/str keys."""
+    t = str(tmp_path / "bl3")
+    tl.append(
+        spark,
+        t,
+        spark.range(0, 10).selectExpr("cast(id AS double) AS x", "id AS k"),
+        bloom_cols=("x", "k"),  # no stats: isolates the bloom's verdicts
+    )
+    _, state = tl._state_at(t)
+    for e in state["data"].values():
+        assert "x" not in e.get("bloom", {})  # unbloomable: no filter recorded
+        assert "k" in e.get("bloom", {})
+    # float probe against the int column's bloom: membership unknown → keep
+    keep, skip = tl.prune_files_where(t, {"k": ("=", 3.0)})
+    assert skip == 0
+    # int probe: the bloom answers, and the answer is safe
+    keep_i, skip_i = tl.prune_files_where(t, {"k": ("=", 3)})
+    assert skip_i >= 1
+    assert [r.k for r in tl.scan_where(spark, t, {"k": ("=", 3)}).collect()] == [3]
