@@ -718,14 +718,11 @@ def dsir_bucket_counts(
     statistic for a DSIR distribution. explode → codegen md5 bucket →
     map-side-combinable count: the corpus never shuffles on text, only
     (bucket, partial-count) rows move, bounded by n_buckets·partitions."""
+    from blogparser_spark.dataops.common import md5_bucket
+
     g = df.select(F.explode(_dsir_grams(F.col(text_col))).alias("g"))
     return (
-        g.select(
-            (
-                F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
-                % n_buckets
-            ).alias("bucket")
-        )
+        g.select(md5_bucket(F.col("g"), n_buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )

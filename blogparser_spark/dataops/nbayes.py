@@ -33,25 +33,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from blogparser_spark.dataops.common import md5_bucket, micro as _micro
 from blogparser_spark.dataops.textstats import tokens
 
 NB_BUCKETS = 32
 NB_SPLIT_MOD = 5  # doc_id-hash fold count: fold 0 tests, folds 1-4 train
-MICRO = 1_000_000
-
-
-def _micro(col: Column) -> Column:
-    """Tie-free round-to-6-decimals as integer micros (CLAUDE.md rule 7)."""
-    return F.floor(col * MICRO + F.lit(0.5)).cast("bigint")
 
 
 def nb_bucket(col: Column, n_buckets: int = NB_BUCKETS) -> Column:
-    """md5-hash a token to a feature bucket — the dsir_bucket_counts
-    expression (curation.py), exact in DuckDB."""
-    return (
-        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
-        % n_buckets
-    )
+    """md5-hash a token to a feature bucket (common.md5_bucket — the
+    dsir_bucket_counts expression, exact in DuckDB)."""
+    return md5_bucket(col, n_buckets)
 
 
 def split_fold(id_col: Column, salt: str = "nb") -> Column:
@@ -73,7 +65,11 @@ def split_fold(id_col: Column, salt: str = "nb") -> Column:
 
 
 def _doc_tokens(
-    docs: DataFrame, text_col: str, id_col: str, label_col: str
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    n_buckets: int = NB_BUCKETS,
 ) -> DataFrame:
     """(id, label, fold, bucket) one row per token occurrence."""
     return docs.select(
@@ -81,7 +77,9 @@ def _doc_tokens(
         F.col(label_col).alias("label"),
         split_fold(F.col(id_col)).alias("fold"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
-    ).select("id", "label", "fold", nb_bucket(F.col("tok")).alias("bucket"))
+    ).select(
+        "id", "label", "fold", nb_bucket(F.col("tok"), n_buckets).alias("bucket")
+    )
 
 
 def nb_train(
@@ -97,7 +95,7 @@ def nb_train(
     priors = (label, n_docs, prior_u). Both are (L × B)- and L-sized
     dims: always broadcastable, at any corpus scale."""
     spark = docs.sparkSession
-    toks = _doc_tokens(docs, text_col, id_col, label_col).filter(
+    toks = _doc_tokens(docs, text_col, id_col, label_col, n_buckets).filter(
         F.col("fold") != 0
     )
     labels = docs.select(F.col(label_col).alias("label")).distinct()
@@ -154,13 +152,15 @@ def nb_predict(
     text_col: str = "text",
     label_col: str = "lang",
     id_col: str = "doc_id",
+    n_buckets: int = NB_BUCKETS,
 ) -> DataFrame:
     """Score the fold-0 test documents: (id, label, pred, score_u).
+    `n_buckets` must match the value the weights were trained with.
     Tokens explode once, join the BROADCAST weight dim on bucket (L rows
     out per token), partial-agg per (doc, candidate), add the prior, and
     take the argmax as min(struct(-score, candidate)) — no window, no
     second pass over text."""
-    toks = _doc_tokens(docs, text_col, id_col, label_col).filter(
+    toks = _doc_tokens(docs, text_col, id_col, label_col, n_buckets).filter(
         F.col("fold") == 0
     )
     scored = (

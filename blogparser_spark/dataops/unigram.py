@@ -42,14 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from blogparser_spark.dataops.common import micro as _micro
 from blogparser_spark.dataops.lm import word_freq_dict
-
-MICRO = 1_000_000
-
-
-def _micro(col):
-    """Tie-free round-to-6-decimals as integer micros (CLAUDE.md rule 7)."""
-    return F.floor(col * MICRO + F.lit(0.5)).cast("bigint")
 
 
 def seed_pieces(wd: DataFrame, max_piece_len: int = 4) -> DataFrame:
@@ -167,19 +161,23 @@ def viterbi_best(
     return best
 
 
-def viterbi_segments(
+def viterbi_path_pieces(
     wd: DataFrame,
     scores: DataFrame,
     max_piece_len: int = 4,
     max_word_len: int = 8,
+    best: DataFrame | None = None,
 ) -> DataFrame:
-    """(word, cnt, toks, n_pieces, cost_u) — the Viterbi segmentation of
-    every dictionary word, pieces joined '|' in path order. The backtrace
-    walks prev pointers from pos = len(word): max_word_len bounded
-    rounds, each a dict-sized join; per-word piece lists are
-    ≤ max_word_len elements so the final collect_list is bounded (the
-    capped-collect convention)."""
-    best = viterbi_best(wd, scores, max_piece_len, max_word_len)
+    """(word, cnt, pos, prev, piece) — one row per piece on each word's
+    Viterbi path. The backtrace walks prev pointers from pos = len(word):
+    max_word_len bounded rounds, each a dict-sized join. This raw row
+    form is the authoritative path representation: EM counts aggregate
+    from it directly, so a piece that happens to CONTAIN the display
+    delimiter can never be miscounted. Pass a precomputed `best` DP table
+    to avoid re-running the forward rounds (viterbi_segments shares its
+    own)."""
+    if best is None:
+        best = viterbi_best(wd, scores, max_piece_len, max_word_len)
     wd = wd.filter(F.length("word") <= max_word_len)
     cur = wd.select(
         "word", "cnt", F.length("word").cast("int").alias("pos")
@@ -201,6 +199,23 @@ def viterbi_segments(
             .select("word", "cnt", F.col("prev").alias("pos"))
             .join(best, ["word", "pos"])
         )
+    return out
+
+
+def viterbi_segments(
+    wd: DataFrame,
+    scores: DataFrame,
+    max_piece_len: int = 4,
+    max_word_len: int = 8,
+) -> DataFrame:
+    """(word, cnt, toks, n_pieces, cost_u) — the Viterbi segmentation of
+    every dictionary word, pieces joined '|' in path order (display
+    form — use viterbi_path_pieces for anything that must count pieces
+    exactly). Per-word piece lists are ≤ max_word_len elements so the
+    final collect_list is bounded (the capped-collect convention)."""
+    best = viterbi_best(wd, scores, max_piece_len, max_word_len)
+    wd = wd.filter(F.length("word") <= max_word_len)
+    out = viterbi_path_pieces(wd, scores, max_piece_len, max_word_len, best)
     segs = out.groupBy("word", "cnt").agg(
         F.concat_ws(
             "|",
@@ -234,11 +249,9 @@ def em_round(
     unsegmentable next round); the M-step re-estimates add-one-smoothed
     scores over the kept set (the Laplace floor gives never-used single
     chars a finite logp). Returns (piece, cnt, logp_u)."""
-    segs = viterbi_segments(wd, scores, max_piece_len, max_word_len)
-    used = (
-        segs.select("cnt", F.explode(F.split("toks", "[|]")).alias("piece"))
-        .groupBy("piece")
-        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    path = viterbi_path_pieces(wd, scores, max_piece_len, max_word_len)
+    used = path.groupBy("piece").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
     )
     kept_top = used.orderBy(F.desc("cnt"), F.asc("piece")).limit(vocab_size)
     singles_extra = (

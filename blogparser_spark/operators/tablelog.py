@@ -307,7 +307,9 @@ def _bloom_build(values) -> str:
     """Hex-encoded BLOOM_M-bit array with every value's probes set."""
     bits = bytearray(BLOOM_M // 8)
     for v in values:
-        if v is None or isinstance(v, bool) or not isinstance(v, (int, str)):
+        if v is None:
+            continue  # NULL never matches an '=' predicate: safe to omit
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
             return ""  # unbloomable column type: record no filter at all
         for pos in _bloom_positions(v):
             bits[pos // 8] |= 1 << (pos % 8)

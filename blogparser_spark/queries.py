@@ -3202,16 +3202,21 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- bigram-LM quality scoring ---
 
-_LMPPL_SQL = r"""
-    WITH t AS (
-      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
+def _lm_ctes(extra_cols: str = "") -> str:
+    """The bigram-LM replay CTE chain (token lists, bigrams, add-one
+    counts, vocab, round-6 per-bigram log-probs) — shared by the
+    perplexity and domain-reweight oracles so the smoothing/rounding
+    conventions cannot drift between copies. `extra_cols` appends
+    passthrough columns (e.g. ', source') to the token CTE."""
+    return rf"""t AS (
+      SELECT doc_id{extra_cols}, list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
       FROM documents
     ), b2 AS (
       SELECT doc_id, u.w1 AS w1, u.w2 AS w2
       FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(tk), 1)),
-                                     i -> {'w1': tk[i], 'w2': tk[i+1]})) AS u
+                                     i -> {{'w1': tk[i], 'w2': tk[i+1]}})) AS u
         FROM t
       )
     ), c2 AS (
@@ -3225,12 +3230,17 @@ _LMPPL_SQL = r"""
       SELECT doc_id,
              round(ln((cnt2 + 1.0) / (cnt1 + vocab)), 6) AS lp
       FROM b2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
-    )
+    )"""
+
+
+_LMPPL_SQL = rf"""
+    WITH {_lm_ctes()}
     SELECT doc_id, count(*)::BIGINT AS n_bigrams,
            round(avg(lp), 6) AS avg_logprob,
            round(exp(-avg(lp)), 6) AS ppl
     FROM lp GROUP BY 1 ORDER BY 1
 """
+
 
 
 @_q("lm_perplexity_scores", _LMPPL_SQL)
@@ -9826,33 +9836,10 @@ def l_diversity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "domain_mixture_reweight",
-    r"""
-    WITH t AS (
-      SELECT doc_id, source,
-        list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
-      FROM documents
-    ), b2 AS (
-      SELECT doc_id, u.w1 AS w1, u.w2 AS w2
-      FROM (
-        SELECT doc_id,
-               unnest(list_transform(range(1, greatest(len(tk), 1)),
-                                     i -> {'w1': tk[i], 'w2': tk[i+1]})) AS u
-        FROM t
-      )
-    ), c2 AS (
-      SELECT w1, w2, count(*)::BIGINT AS cnt2 FROM b2 GROUP BY 1, 2
-    ), c1 AS (
-      SELECT w1, sum(cnt2)::BIGINT AS cnt1 FROM c2 GROUP BY 1
-    ), v AS (
-      SELECT count(DISTINCT w)::BIGINT AS vocab
-      FROM (SELECT unnest(tk) AS w FROM t)
-    ), lp AS (
-      SELECT doc_id,
-             round(ln((cnt2 + 1.0) / (cnt1 + vocab)), 6) AS lp
-      FROM b2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
-    ), ds AS (
-      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-             round(avg(lp), 6) AS avg_logprob
+    rf"""
+    WITH {_lm_ctes(", source")},
+    ds AS (
+      SELECT doc_id, round(avg(lp), 6) AS avg_logprob
       FROM lp GROUP BY 1
     ), dd AS MATERIALIZED (
       SELECT t.source AS domain, ds.avg_logprob

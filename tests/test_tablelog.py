@@ -1530,3 +1530,22 @@ def test_bloom_skips_unbloomable_types_never_misprunes(spark, tmp_path):
     keep_i, skip_i = tl.prune_files_where(t, {"k": ("=", 3)})
     assert skip_i >= 1
     assert [r.k for r in tl.scan_where(spark, t, {"k": ("=", 3)}).collect()] == [3]
+
+
+def test_bloom_tolerates_nulls_and_still_skips(spark, tmp_path):
+    """NULL values in a bloomed column are simply omitted (a NULL can
+    never match an '=' predicate), so skipping keeps working on nullable
+    keys instead of silently recording no filter."""
+    t = str(tmp_path / "bl4")
+    df = spark.range(0, 40).selectExpr(
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE (id * 2654435761) % 100000 END AS k",
+        "id AS v",
+    )
+    tl.append(spark, t, df.repartition(4), bloom_cols=("k",))
+    _, state = tl._state_at(t)
+    assert all("k" in e.get("bloom", {}) for e in state["data"].values())
+    some_k = int(df.filter("v = 7").collect()[0].k)
+    keep, skip = tl.prune_files_where(t, {"k": ("=", some_k)})
+    assert skip >= 1  # the filter still excludes files
+    got = [r.v for r in tl.scan_where(spark, t, {"k": ("=", some_k)}).collect()]
+    assert got == [7]

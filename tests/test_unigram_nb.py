@@ -235,3 +235,48 @@ def test_nb_predict_plan_broadcast_no_window(spark, nb_docs):
     assert "Window" not in plan  # argmax is min(struct), not row_number
     assert "EvalPython" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # weights + priors dims
+
+
+def test_unigram_em_counts_survive_pipe_in_tokens(spark):
+    """EM piece counts aggregate from the raw backtrace rows, so a corpus
+    token CONTAINING the '|' display delimiter is counted as one piece,
+    never fragmented by re-splitting the joined string."""
+    df = spark.createDataFrame(
+        [(0, "a|b a|b xy"), (1, "a|b xy xy")], ["doc_id", "text"]
+    )
+    wd = word_freq_dict(df)
+    seed = ug.piece_scores(ug.seed_pieces(wd, 3))
+    out = {r.piece: r.cnt for r in
+           ug.em_round(wd, seed, vocab_size=4, max_piece_len=3).collect()}
+    # 'a|b' (3 chars, within max_piece_len) is its own most-likely piece:
+    # it must be counted 3 times as ONE piece, and the fragment counts of
+    # 'a'/'b' must NOT absorb its occurrences
+    assert out.get("a|b") == 3
+    # mass conservation against the segmentation's own totals
+    segs = ug.viterbi_segments(wd, seed, 3, 8)
+    total = segs.agg(
+        F.sum(F.col("cnt") * F.col("n_pieces")).alias("t")
+    ).collect()[0]["t"]
+    full = ug.em_round(wd, seed, vocab_size=1000, max_piece_len=3)
+    assert sum(r.cnt for r in full.collect()) == total
+
+
+def test_nb_nondefault_buckets_thread_through(spark, nb_docs):
+    """n_buckets=8 must shape the spine AND the token hashing on both the
+    train and predict paths (regression: the bucketing once ignored it)."""
+    rows, df = nb_docs
+    weights, priors = nb.nb_train(df, n_buckets=8)
+    got_w = {(r.label, r.bucket): r.llw_u for r in weights.collect()}
+    assert len(got_w) == 3 * 8
+    exp_w, _, exp_pred = _py_nb(rows, n_buckets=8)
+    assert got_w == exp_w
+    # token mass is conserved: counts sum equals train-fold token count
+    n_train_toks = sum(
+        len(t.split()) for i, _l, t in rows
+        if __import__("hashlib").md5(f"nb:{i}".encode()).hexdigest()[:8]
+        and int(__import__("hashlib").md5(f"nb:{i}".encode()).hexdigest()[:8], 16) % 5 != 0
+    )
+    assert sum(r.cnt for r in weights.collect()) == n_train_toks
+    pred = nb.nb_predict(df, weights, priors, n_buckets=8)
+    got = {r.id: (r.label, r.pred) for r in pred.collect()}
+    assert got == exp_pred
