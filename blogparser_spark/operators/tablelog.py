@@ -334,6 +334,62 @@ def _bloom_match(hexbits: str | None, pred: tuple) -> bool:
     )
 
 
+NDV_K = 64  # KMV sketch size: k smallest 64-bit hashes per file/column
+
+
+def _kmv_mins(values) -> list[int]:
+    """The NDV_K smallest distinct 64-bit md5 hashes of a column's values
+    — a KMV (k-minimum-values) sketch (Bar-Yossef et al. 2002; Iceberg
+    stores the same idea as puffin theta sketches). Merging per-file
+    sketches by re-taking the k smallest of the union is EXACT: any hash
+    among the global k smallest is necessarily among its own file's k
+    smallest. Same int/str-only key discipline as the blooms (a float's
+    string form is representation-dependent); NULLs are skipped."""
+    import hashlib
+
+    hs = set()
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            return []  # unsketchable type: record nothing
+        hs.add(int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16))
+    return sorted(hs)[:NDV_K]
+
+
+def column_ndv(table: str, col: str) -> dict:
+    """Merged distinct-count estimate for `col` from MANIFESTS alone: the
+    per-file KMV sketches union to the exact global k-minimum set, and
+    NDV ≈ (k-1) / (kth_smallest / 2^64) — the standard KMV estimator,
+    exact (n_mins itself) whenever the true NDV < k. The optimizer-facing
+    number a join planner wants (which side is smaller, is a broadcast
+    safe) without opening a single data file. Returns {n_files,
+    n_files_sketched, n_mins, ndv_est} with ndv_est rounded to 6
+    decimals (a pure function of exact integer hashes — engine-neutral,
+    replayed verbatim by the DuckDB oracle)."""
+    _, state = _state_at(table)
+    entries = list(state["data"].values())
+    sketched = [e for e in entries if col in e.get("ndv", {})]
+    mins = sorted({m for e in sketched for m in e["ndv"][col]})[:NDV_K]
+    if not mins:
+        return {
+            "n_files": len(entries),
+            "n_files_sketched": 0,
+            "n_mins": 0,
+            "ndv_est": 0.0,
+        }
+    if len(mins) < NDV_K:
+        est = float(len(mins))  # saw fewer than k distinct hashes: exact
+    else:
+        est = round((NDV_K - 1) / (mins[-1] / 2.0**64), 6)
+    return {
+        "n_files": len(entries),
+        "n_files_sketched": len(sketched),
+        "n_mins": len(mins),
+        "ndv_est": est,
+    }
+
+
 def _stats_match(st: list | None, pred: tuple) -> bool:
     """Min/max footer-stats check for one predicate; None stats keep."""
     if st is None:
@@ -424,6 +480,7 @@ def _file_entries(
     stats_cols: tuple[str, ...],
     seq: int,
     bloom_cols: tuple[str, ...] = (),
+    ndv_cols: tuple[str, ...] = (),
 ) -> list[dict]:
     """Manifest entries for every parquet file under dirpath: row count,
     byte size, partition values, and min/max per requested stats column —
@@ -455,15 +512,31 @@ def _file_entries(
                 if lo is not None:
                     stats[col] = [_json_safe(lo), _json_safe(hi)]
             bloom: dict[str, str] = {}
+            ndv: dict[str, list[int]] = {}
+            colvals: dict[str, list] = {}
+
+            def _colvals(col: str) -> list:
+                # writer-side column read (pyarrow, file-local) — the same
+                # work an Iceberg writer does to emit puffin/parquet stats;
+                # read once even when a column is both bloomed and sketched
+                if col not in colvals:
+                    colvals[col] = (
+                        pq.read_table(path, columns=[col]).column(0).to_pylist()
+                    )
+                return colvals[col]
+
             for col in bloom_cols:
                 if col not in idx:
                     continue
-                # writer-side column read (pyarrow, file-local) — the same
-                # work an Iceberg writer does to emit puffin/parquet blooms
-                vals = pq.read_table(path, columns=[col]).column(0).to_pylist()
-                hexbits = _bloom_build(vals)
+                hexbits = _bloom_build(_colvals(col))
                 if hexbits:
                     bloom[col] = hexbits
+            for col in ndv_cols:
+                if col not in idx:
+                    continue
+                mins = _kmv_mins(_colvals(col))
+                if mins:
+                    ndv[col] = mins
             entry = {
                 "path": path,
                 "rows": md.num_rows,
@@ -473,6 +546,8 @@ def _file_entries(
             }
             if bloom:
                 entry["bloom"] = bloom
+            if ndv:
+                entry["ndv"] = ndv
             part = _partition_of(dirpath, path)
             if part:
                 entry["partition"] = part
@@ -1172,6 +1247,7 @@ def _write_data_files(
     partition_by: tuple[str, ...] = (),
     spec_fields: list[dict] | None = None,
     bloom_cols: tuple[str, ...] = (),
+    ndv_cols: tuple[str, ...] = (),
 ) -> list[dict]:
     outdir = os.path.join(table, kind, f"c{version:06d}-{uuid.uuid4().hex[:8]}")
     if partition_by and spec_fields:
@@ -1201,7 +1277,9 @@ def _write_data_files(
         ).parquet(outdir)
     else:
         df.write.mode("error").parquet(outdir)
-    entries = _file_entries(outdir, stats_cols, seq=version, bloom_cols=bloom_cols)
+    entries = _file_entries(
+        outdir, stats_cols, seq=version, bloom_cols=bloom_cols, ndv_cols=ndv_cols
+    )
     if spec_fields:
         # every file records the spec it was written under — partition
         # evolution is per-file, exactly Iceberg's manifest spec_id.
@@ -1222,6 +1300,7 @@ def append(
     partition_spec: tuple[str, ...] = (),
     branch: str = "main",
     bloom_cols: tuple[str, ...] = (),
+    ndv_cols: tuple[str, ...] = (),
 ) -> int:
     """Append df as a new snapshot; returns the committed version. Appends
     conflict with nothing (they only add files), so a lost commit race is
@@ -1252,6 +1331,7 @@ def append(
         partition_by,
         parse_partition_spec(partition_spec) if partition_spec else None,
         bloom_cols,
+        ndv_cols,
     )
     schema_new = _schema_of(df)
     for _ in range(max_retries):

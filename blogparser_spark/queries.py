@@ -9934,3 +9934,58 @@ def tablelog_routed_conv_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("parse_status") == "ok", F.octet_length("body")
         ).alias("body_bytes"),
     ).orderBy("turn_idx")
+
+
+def _ndv_oracle_branch(col: str) -> str:
+    """KMV replay for one column: distinct 64-bit md5 hashes, k smallest,
+    (k-1)/(kth/2^64) estimate — exact when fewer than k distinct."""
+    return f"""
+      SELECT '{col}' AS col, count(*)::BIGINT AS n_mins,
+        CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+             ELSE round(63 / (max(h) / CAST(18446744073709551616 AS DOUBLE)), 6)
+        END AS ndv_est,
+        (SELECT count(DISTINCT {col}) FROM events)::BIGINT AS exact_ndv
+      FROM (
+        SELECT h FROM (
+          SELECT DISTINCT ('0x' || substr(md5({col}::VARCHAR), 1, 16))::UBIGINT AS h
+          FROM events WHERE {col} IS NOT NULL
+        ) ORDER BY h LIMIT 64
+      )"""
+
+
+@_q(
+    "tablelog_column_ndv",
+    f"""
+    SELECT * FROM ({_ndv_oracle_branch("event_type")}
+    UNION ALL {_ndv_oracle_branch("user_id")})
+    ORDER BY col
+    """,
+)
+def tablelog_column_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest NDV column statistics (tablelog.column_ndv — Iceberg's
+    puffin theta-sketch distinct counts as KMV min-hash sketches): append
+    records the k=64 smallest 64-bit md5 hashes per file per column, and
+    the merged table-level estimate — exact when true NDV < k
+    (event_type), the (k-1)/kth estimator otherwise (user_id) — comes
+    from manifests alone, no data file opened. This is the number a join
+    planner reads to pick broadcast vs shuffle sides. The oracle replays
+    the identical hash/k-min/estimator arithmetic in DuckDB; exact_ndv
+    rides along to show the estimate's quality."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_ndv_") + "/t"
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    tl.append(
+        spark, t, ev.repartition(4), ndv_cols=("user_id", "event_type")
+    )
+    exact = ev.agg(
+        F.countDistinct("event_type").cast("bigint").alias("et"),
+        F.countDistinct("user_id").cast("bigint").alias("uid"),
+    ).collect()[0]
+    rows = []
+    for col, ex in (("event_type", exact["et"]), ("user_id", exact["uid"])):
+        nd = tl.column_ndv(t, col)
+        rows.append((col, nd["n_mins"], nd["ndv_est"], ex))
+    return spark.createDataFrame(
+        rows, "col string, n_mins bigint, ndv_est double, exact_ndv bigint"
+    ).orderBy("col")

@@ -1549,3 +1549,29 @@ def test_bloom_tolerates_nulls_and_still_skips(spark, tmp_path):
     assert skip >= 1  # the filter still excludes files
     got = [r.v for r in tl.scan_where(spark, t, {"k": ("=", some_k)}).collect()]
     assert got == [7]
+
+
+def test_column_ndv_merge_is_exact_and_layout_independent(spark, tmp_path):
+    """Per-file KMV sketches merge to the exact global k-minimum set, so
+    the table-level estimate is identical across file layouts; NDV below
+    k is exact, the estimator is within its expected error above k, and
+    unsketchable (float) columns record nothing."""
+    import hashlib
+
+    df = spark.range(0, 2000).selectExpr(
+        "id % 37 AS few", "id AS many", "cast(id AS double) AS fl"
+    )
+    t4 = str(tmp_path / "n4")
+    t1 = str(tmp_path / "n1")
+    tl.append(spark, t4, df.repartition(4), ndv_cols=("few", "many", "fl"))
+    tl.append(spark, t1, df.coalesce(1), ndv_cols=("few", "many", "fl"))
+    for t in (t4, t1):
+        assert tl.column_ndv(t, "few")["ndv_est"] == 37.0   # exact below k
+        assert tl.column_ndv(t, "fl")["n_files_sketched"] == 0
+    m4, m1 = tl.column_ndv(t4, "many"), tl.column_ndv(t1, "many")
+    assert m4["ndv_est"] == m1["ndv_est"]  # layout-independent merge
+    hs = sorted(
+        {int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16) for v in range(2000)}
+    )[:64]
+    assert m4["ndv_est"] == round(63 / (hs[-1] / 2.0**64), 6)  # exact twin
+    assert 1000 < m4["ndv_est"] < 4000  # sane for true NDV 2000 at k=64

@@ -1619,3 +1619,13 @@ _, _rls = _tl._state_at(_rlt)
 assert all("conv_id" in e.get("bloom", {}) for e in _rls["data"].values())
 print("routed conv lookup: bloom'd sink manifests serve one conv's turns back exactly")
 print("DRIVE121 OK")
+
+# batch-8m: manifest NDV column stats — KMV sketches, layout-independent merge
+_nvt = _tf.mkdtemp(prefix="drv_nv_") + "/t"
+_nvd = spark.range(0, 2000).selectExpr("id % 37 AS few", "id AS many")
+_tl.append(spark, _nvt, _nvd.repartition(4), ndv_cols=("few", "many"))
+assert _tl.column_ndv(_nvt, "few")["ndv_est"] == 37.0
+_nvm = _tl.column_ndv(_nvt, "many")
+assert _nvm["n_mins"] == 64 and 1000 < _nvm["ndv_est"] < 4000
+print("column NDV from manifests: exact below k, KMV estimate above, no data read")
+print("DRIVE122 OK")
