@@ -390,6 +390,65 @@ def column_ndv(table: str, col: str) -> dict:
     }
 
 
+def _merged_mins(table: str, col: str) -> list[int]:
+    """Exact global k-minimum hash set for `col` from the table's per-file
+    KMV sketches (the column_ndv merge)."""
+    _, state = _state_at(table)
+    return sorted(
+        {
+            m
+            for e in state["data"].values()
+            for m in e.get("ndv", {}).get(col, [])
+        }
+    )[:NDV_K]
+
+
+def _kmv_estimate(mins: list[int]) -> float:
+    """(k-1)/(kth/2^64) KMV estimator; exact count when fewer than k."""
+    if not mins:
+        return 0.0
+    if len(mins) < NDV_K:
+        return float(len(mins))
+    return round((NDV_K - 1) / (mins[-1] / 2.0**64), 6)
+
+
+def column_ndv_overlap(
+    table_a: str, table_b: str, col_a: str, col_b: str | None = None
+) -> dict:
+    """Join-cardinality planning from MANIFESTS of two tables (Beyer et
+    al., SIGMOD 2007 §4: KMV set operations): take the k smallest hashes
+    of the UNION (exact — each side's global k-min set is known, and the
+    union's k-min is contained in their union), estimate
+    Jaccard = |union k-mins present in BOTH sides| / |union k-mins|
+    (sound: any union-k-min hash that belongs to side A is necessarily
+    within A's own k-min, because A's kth smallest ≥ the union's), then
+    ndv(A ∩ B) ≈ J · ndv(A ∪ B). This is the equi-join selectivity
+    number — broadcast the side whose intersection share is tiny — read
+    without opening one data file on either table. Exact whenever the
+    union has fewer than k distinct hashes. Returns {jaccard, union_est,
+    inter_est, n_union_mins}."""
+    a = _merged_mins(table_a, col_a)
+    b = _merged_mins(table_b, col_b or col_a)
+    sa, sb = set(a), set(b)
+    union = sorted(sa | sb)[:NDV_K]
+    if not union:
+        return {
+            "jaccard": 0.0,
+            "union_est": 0.0,
+            "inter_est": 0.0,
+            "n_union_mins": 0,
+        }
+    shared = sum(1 for h in union if h in sa and h in sb)
+    jacc = round(shared / len(union), 6)
+    union_est = _kmv_estimate(union)
+    return {
+        "jaccard": jacc,
+        "union_est": union_est,
+        "inter_est": round(jacc * union_est, 6),
+        "n_union_mins": len(union),
+    }
+
+
 def _stats_match(st: list | None, pred: tuple) -> bool:
     """Min/max footer-stats check for one predicate; None stats keep."""
     if st is None:

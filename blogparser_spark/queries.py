@@ -9989,3 +9989,81 @@ def tablelog_column_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col string, n_mins bigint, ndv_est double, exact_ndv bigint"
     ).orderBy("col")
+
+
+@_q(
+    "tablelog_ndv_join_estimate",
+    """
+    WITH ha AS (
+      SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT AS h
+      FROM events WHERE event_id % 2 = 0
+    ), hb AS (
+      SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT AS h
+      FROM events WHERE event_id % 3 = 0
+    ), ma AS MATERIALIZED (SELECT h FROM ha ORDER BY h LIMIT 64),
+    mb AS MATERIALIZED (SELECT h FROM hb ORDER BY h LIMIT 64),
+    u AS MATERIALIZED (
+      SELECT h FROM (SELECT h FROM ma UNION SELECT h FROM mb)
+      ORDER BY h LIMIT 64
+    ), s AS (
+      SELECT count(*)::BIGINT AS n_union,
+        sum(CASE WHEN h IN (SELECT h FROM ma)
+                  AND h IN (SELECT h FROM mb) THEN 1 ELSE 0 END)::BIGINT
+          AS shared,
+        max(h) AS kth
+      FROM u
+    ), est AS (
+      SELECT n_union,
+        round(shared::DOUBLE / n_union::DOUBLE, 6) AS jaccard,
+        CASE WHEN n_union < 64 THEN n_union::DOUBLE
+             ELSE round(63 / (kth / CAST(18446744073709551616 AS DOUBLE)), 6)
+        END AS union_est
+      FROM s
+    )
+    SELECT jaccard, union_est,
+      round(jaccard * union_est, 6) AS inter_est,
+      n_union AS n_union_mins,
+      (SELECT count(DISTINCT a.user_id) FROM events a
+       WHERE a.event_id % 2 = 0
+         AND a.user_id IN (SELECT user_id FROM events WHERE event_id % 3 = 0)
+      )::BIGINT AS exact_inter
+    FROM est
+    """,
+)
+def tablelog_ndv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimate between two snapshot-log tables
+    from MANIFESTS alone (tablelog.column_ndv_overlap; Beyer et al.
+    SIGMOD 2007 KMV set operations): two event slices land in separate
+    tables with ndv_cols sketches on user_id, and the planner-facing
+    numbers — Jaccard over the union's k-minimum hashes, union NDV,
+    intersection estimate — come from the committed sketches without
+    opening a data file on either side. exact_inter rides along to show
+    the estimate's quality; the oracle replays the identical hash/k-min/
+    estimator arithmetic."""
+    from blogparser_spark.operators import tablelog as tl
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    ta = _tablelog_tmp("tablelog_ova_") + "/t"
+    tb = _tablelog_tmp("tablelog_ovb_") + "/t"
+    tl.append(spark, ta, ev.filter(F.col("event_id") % 2 == 0), ndv_cols=("user_id",))
+    tl.append(spark, tb, ev.filter(F.col("event_id") % 3 == 0), ndv_cols=("user_id",))
+    ov = tl.column_ndv_overlap(ta, tb, "user_id")
+    exact = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select("user_id")
+        .intersect(ev.filter(F.col("event_id") % 3 == 0).select("user_id"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                ov["jaccard"],
+                ov["union_est"],
+                ov["inter_est"],
+                ov["n_union_mins"],
+                exact,
+            )
+        ],
+        "jaccard double, union_est double, inter_est double,"
+        " n_union_mins bigint, exact_inter bigint",
+    )

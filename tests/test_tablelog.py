@@ -1575,3 +1575,31 @@ def test_column_ndv_merge_is_exact_and_layout_independent(spark, tmp_path):
     )[:64]
     assert m4["ndv_est"] == round(63 / (hs[-1] / 2.0**64), 6)  # exact twin
     assert 1000 < m4["ndv_est"] < 4000  # sane for true NDV 2000 at k=64
+
+
+def test_column_ndv_overlap_estimates_join_cardinality(spark, tmp_path):
+    """KMV set operations across two tables: Jaccard/union/intersection
+    estimates from manifests match the pure-Python twin exactly and land
+    near the true overlap; disjoint tables estimate ~zero intersection."""
+    import hashlib
+
+    ta, tb, tc = (str(tmp_path / x) for x in ("a", "b", "c"))
+    tl.append(spark, ta, spark.range(0, 1200).selectExpr("id AS k"), ndv_cols=("k",))
+    tl.append(spark, tb, spark.range(600, 1800).selectExpr("id AS k"), ndv_cols=("k",))
+    tl.append(spark, tc, spark.range(5000, 6200).selectExpr("id AS k"), ndv_cols=("k",))
+    ov = tl.column_ndv_overlap(ta, tb, "k")
+
+    def mins(rng):
+        return sorted(
+            {int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16) for v in rng}
+        )[:64]
+
+    sa, sb = set(mins(range(0, 1200))), set(mins(range(600, 1800)))
+    u = sorted(sa | sb)[:64]
+    j = round(sum(1 for h in u if h in sa and h in sb) / len(u), 6)
+    ue = round(63 / (u[-1] / 2.0**64), 6)
+    assert ov["jaccard"] == j and ov["union_est"] == ue
+    assert ov["inter_est"] == round(j * ue, 6)
+    assert 250 < ov["inter_est"] < 1100  # true intersection is 600
+    dis = tl.column_ndv_overlap(ta, tc, "k")
+    assert dis["jaccard"] == 0.0 and dis["inter_est"] == 0.0

@@ -1629,3 +1629,12 @@ _nvm = _tl.column_ndv(_nvt, "many")
 assert _nvm["n_mins"] == 64 and 1000 < _nvm["ndv_est"] < 4000
 print("column NDV from manifests: exact below k, KMV estimate above, no data read")
 print("DRIVE122 OK")
+
+# batch-8n: cross-table join-size estimate from manifest KMV sketches
+_ja = _tf.mkdtemp(prefix="drv_ja_") + "/t"; _jb = _tf.mkdtemp(prefix="drv_jb_") + "/t"
+_tl.append(spark, _ja, spark.range(0, 1200).selectExpr("id AS k"), ndv_cols=("k",))
+_tl.append(spark, _jb, spark.range(600, 1800).selectExpr("id AS k"), ndv_cols=("k",))
+_jov = _tl.column_ndv_overlap(_ja, _jb, "k")
+assert 0.15 < _jov["jaccard"] < 0.55 and 250 < _jov["inter_est"] < 1100
+print("join-size estimate from manifests: J=%.3f inter≈%.0f (true 600)" % (_jov["jaccard"], _jov["inter_est"]))
+print("DRIVE123 OK")
