@@ -159,7 +159,13 @@ def nb_predict(
     Tokens explode once, join the BROADCAST weight dim on bucket (L rows
     out per token), partial-agg per (doc, candidate), add the prior, and
     take the argmax as min(struct(-score, candidate)) — no window, no
-    second pass over text."""
+    second pass over text.
+
+    Zero-token documents are EXCLUDED: a fold-0 doc whose text tokenizes
+    to nothing has no rows after the explode, so it appears in neither
+    the output nor nb_confusion's totals (the confusion matrix counts
+    scoreable docs, not the fold size). The DuckDB oracle and the Python
+    twin replicate the same exclusion."""
     toks = _doc_tokens(docs, text_col, id_col, label_col, n_buckets).filter(
         F.col("fold") == 0
     )
@@ -203,7 +209,9 @@ def nb_predict(
 
 def nb_confusion(pred: DataFrame) -> DataFrame:
     """(label, pred, n_docs) confusion matrix over the test fold — the
-    L²-row evaluation summary."""
+    L²-row evaluation summary. Totals count SCOREABLE docs only:
+    zero-token fold-0 docs never reach nb_predict's output (see its
+    docstring), so sum(n_docs) can undercount the fold size."""
     return pred.groupBy("label", "pred").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )

@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 import os
 import re
 import shutil
@@ -69,6 +70,14 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _q6(x: float) -> float:
+    """Tie-free 6-decimal quantizer (repo cross-engine rule): floor(x*1e6
+    + 0.5)/1e6. Python round() is half-even, DuckDB round() half-away —
+    this form evaluates identically in both engines at a decimal tie, so
+    every float the NDV estimators emit is oracle-safe."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
 
 
 class CommitConflict(RuntimeError):
@@ -357,6 +366,42 @@ def _kmv_mins(values) -> list[int]:
     return sorted(hs)[:NDV_K]
 
 
+def _col_sketches(
+    pf, col: str, want_bloom: bool, want_ndv: bool
+) -> tuple[str, list[int]]:
+    """Writer-side bloom + KMV for one column in ONE streaming pass over
+    the file's record batches (pyarrow iter_batches) — the same work an
+    Iceberg writer does to emit puffin/parquet stats, but with driver
+    memory bounded at O(batch + BLOOM_M/8 + k), never O(rows in file):
+    the bloom folds bits in place and the KMV running set is pruned back
+    to its k smallest after every batch, which is exact because any hash
+    among the file's k smallest is among every running prefix's k
+    smallest. Same int/str-only key discipline as _bloom_build/_kmv_mins:
+    an unbloomable/unsketchable value type records no filter at all for
+    the whole file ('' / [])."""
+    import hashlib
+
+    bits = bytearray(BLOOM_M // 8) if want_bloom else None
+    hs: set[int] | None = set() if want_ndv else None
+    for batch in pf.iter_batches(columns=[col]):
+        for v in batch.column(0).to_pylist():
+            if v is None:
+                continue  # NULL never matches '=' and never counts distinct
+            if isinstance(v, bool) or not isinstance(v, (int, str)):
+                return "", []
+            if bits is not None:
+                for pos in _bloom_positions(v):
+                    bits[pos // 8] |= 1 << (pos % 8)
+            if hs is not None:
+                hs.add(int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16))
+        if hs is not None and len(hs) > NDV_K:
+            hs = set(sorted(hs)[:NDV_K])
+    return (
+        bits.hex() if bits is not None else "",
+        sorted(hs)[:NDV_K] if hs is not None else [],
+    )
+
+
 def column_ndv(table: str, col: str) -> dict:
     """Merged distinct-count estimate for `col` from MANIFESTS alone: the
     per-file KMV sketches union to the exact global k-minimum set, and
@@ -381,7 +426,7 @@ def column_ndv(table: str, col: str) -> dict:
     if len(mins) < NDV_K:
         est = float(len(mins))  # saw fewer than k distinct hashes: exact
     else:
-        est = round((NDV_K - 1) / (mins[-1] / 2.0**64), 6)
+        est = _q6((NDV_K - 1) / (mins[-1] / 2.0**64))
     return {
         "n_files": len(entries),
         "n_files_sketched": len(sketched),
@@ -409,7 +454,7 @@ def _kmv_estimate(mins: list[int]) -> float:
         return 0.0
     if len(mins) < NDV_K:
         return float(len(mins))
-    return round((NDV_K - 1) / (mins[-1] / 2.0**64), 6)
+    return _q6((NDV_K - 1) / (mins[-1] / 2.0**64))
 
 
 def column_ndv_overlap(
@@ -439,12 +484,12 @@ def column_ndv_overlap(
             "n_union_mins": 0,
         }
     shared = sum(1 for h in union if h in sa and h in sb)
-    jacc = round(shared / len(union), 6)
+    jacc = _q6(shared / len(union))
     union_est = _kmv_estimate(union)
     return {
         "jaccard": jacc,
         "union_est": union_est,
-        "inter_est": round(jacc * union_est, 6),
+        "inter_est": _q6(jacc * union_est),
         "n_union_mins": len(union),
     }
 
@@ -554,7 +599,8 @@ def _file_entries(
             if not name.endswith(".parquet"):
                 continue
             path = os.path.join(root, name)
-            md = pq.ParquetFile(path).metadata
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
             stats: dict[str, list] = {}
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             for col in stats_cols:
@@ -572,28 +618,14 @@ def _file_entries(
                     stats[col] = [_json_safe(lo), _json_safe(hi)]
             bloom: dict[str, str] = {}
             ndv: dict[str, list[int]] = {}
-            colvals: dict[str, list] = {}
-
-            def _colvals(col: str) -> list:
-                # writer-side column read (pyarrow, file-local) — the same
-                # work an Iceberg writer does to emit puffin/parquet stats;
-                # read once even when a column is both bloomed and sketched
-                if col not in colvals:
-                    colvals[col] = (
-                        pq.read_table(path, columns=[col]).column(0).to_pylist()
-                    )
-                return colvals[col]
-
-            for col in bloom_cols:
+            for col in {*bloom_cols, *ndv_cols}:
                 if col not in idx:
                     continue
-                hexbits = _bloom_build(_colvals(col))
+                hexbits, mins = _col_sketches(
+                    pf, col, col in bloom_cols, col in ndv_cols
+                )
                 if hexbits:
                     bloom[col] = hexbits
-            for col in ndv_cols:
-                if col not in idx:
-                    continue
-                mins = _kmv_mins(_colvals(col))
                 if mins:
                     ndv[col] = mins
             entry = {
@@ -1955,22 +1987,52 @@ def rollback_to(table: str, version: int) -> int:
     return commit["version"]
 
 
+def _sketch_cols_of(state: dict) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """(bloom_cols, ndv_cols) present in the live pre-rewrite manifest
+    entries, write-time names resolved through field ids to current names
+    — a maintenance rewrite must carry the table's membership filters and
+    NDV sketches forward by default, not silently drop them."""
+    byid = {i: n for i, n, _t in _fields_of(state)}
+    out: dict[str, set] = {"bloom": set(), "ndv": set()}
+    for e in state["data"].values():
+        ids = e.get("cols") or {}
+        for kind, dest in out.items():
+            for c in e.get(kind, {}):
+                dest.add(byid.get(ids[c], c) if c in ids else c)
+    return tuple(sorted(out["bloom"])), tuple(sorted(out["ndv"]))
+
+
 def compact(
     spark: SparkSession,
     table: str,
     n_files: int = 1,
     stats_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] | None = None,
+    ndv_cols: tuple[str, ...] | None = None,
 ) -> int:
     """Rewrite the live row set (deletes applied) into n_files fresh files
     and retire the old data + delete files in one atomic commit. Logical
-    rows are unchanged — incremental_append_scan skips compact commits."""
+    rows are unchanged — incremental_append_scan skips compact commits.
+    bloom_cols/ndv_cols default to the columns sketched in the
+    pre-rewrite manifest entries, so a maintenance rewrite preserves the
+    table's filters unless the caller explicitly overrides (pass () to
+    drop them)."""
     cur = _head(table, "main")
     if cur is None:
         raise LookupError(f"cannot compact empty table {table}")
     _, state = _state_at(table, cur)
+    prev_bloom, prev_ndv = _sketch_cols_of(state)
     df = read_snapshot(spark, table).coalesce(n_files)
     version = (current_version(table) or 0) + 1
-    entries = _write_data_files(df, table, version, stats_cols, "data")
+    entries = _write_data_files(
+        df,
+        table,
+        version,
+        stats_cols,
+        "data",
+        bloom_cols=prev_bloom if bloom_cols is None else bloom_cols,
+        ndv_cols=prev_ndv if ndv_cols is None else ndv_cols,
+    )
     commit = {
         "version": version,
         "parent": cur,
@@ -1991,6 +2053,8 @@ def compact_binpack(
     table: str,
     target_bytes: int = 128 * 1024 * 1024,
     stats_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] | None = None,
+    ndv_cols: tuple[str, ...] | None = None,
 ) -> int | None:
     """Iceberg's binpack rewrite strategy: ONLY data files below
     target_bytes are rewritten (pending deletes applied) into ~target-
@@ -2002,7 +2066,10 @@ def compact_binpack(
     are RETAINED (they still scope to the untouched older files); the
     packed files' sequence number exceeds every prior delete's, so
     rewritten rows are not re-deleted. Returns the committed version, or
-    None when fewer than two small files exist (nothing to pack)."""
+    None when fewer than two small files exist (nothing to pack).
+    bloom_cols/ndv_cols default to the columns sketched in the rewritten
+    (small) files' manifest entries — the fold preserves the table's
+    filters; pass () explicitly to drop them."""
     cur = _head(table, "main")
     if cur is None:
         raise LookupError(f"cannot compact empty table {table}")
@@ -2020,8 +2087,17 @@ def compact_binpack(
         _read_projected(spark, list(small.values()), small_state),
         small_state,
     ).coalesce(n_files)
+    prev_bloom, prev_ndv = _sketch_cols_of(dict(state, data=small))
     version = (current_version(table) or 0) + 1
-    entries = _write_data_files(df, table, version, stats_cols, "data")
+    entries = _write_data_files(
+        df,
+        table,
+        version,
+        stats_cols,
+        "data",
+        bloom_cols=prev_bloom if bloom_cols is None else bloom_cols,
+        ndv_cols=prev_ndv if ndv_cols is None else ndv_cols,
+    )
     commit = {
         "version": version,
         "parent": cur,
@@ -2043,7 +2119,8 @@ def compact_sort(
     n_files: int = 4,
     stats_cols: tuple[str, ...] | None = None,
     zorder: bool = False,
-    bloom_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] | None = None,
+    ndv_cols: tuple[str, ...] | None = None,
 ) -> int:
     """Iceberg's sort / z-order rewrite strategy (`rewrite_data_files
     strategy => 'sort'` resp. `sort_order => zorder(a, b)`): rewrite ALL
@@ -2071,7 +2148,10 @@ def compact_sort(
     consumed by the rewrite — they are removed in the SAME commit (an
     equality delete's semantic seq scope is moot once nothing it can
     reference stays live). The commit reuses operation "compact":
-    changelog and incremental scans skip it as a row-level no-op."""
+    changelog and incremental scans skip it as a row-level no-op.
+    bloom_cols/ndv_cols default to the columns sketched in the
+    pre-rewrite manifest entries (filters carried forward); pass ()
+    explicitly to drop them."""
     cur = _head(table, "main")
     if cur is None:
         raise LookupError(f"cannot rewrite empty table {table}")
@@ -2102,6 +2182,7 @@ def compact_sort(
         df = df.repartitionByRange(
             n_files, *[F.col(c) for c in sort_cols]
         ).sortWithinPartitions(*sort_cols)
+    prev_bloom, prev_ndv = _sketch_cols_of(state)
     version = (current_version(table) or 0) + 1
     entries = _write_data_files(
         df,
@@ -2109,7 +2190,8 @@ def compact_sort(
         version,
         tuple(stats_cols or sort_cols),
         "data",
-        bloom_cols=bloom_cols,
+        bloom_cols=prev_bloom if bloom_cols is None else bloom_cols,
+        ndv_cols=prev_ndv if ndv_cols is None else ndv_cols,
     )
     commit = {
         "version": version,

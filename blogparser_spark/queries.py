@@ -9942,7 +9942,8 @@ def _ndv_oracle_branch(col: str) -> str:
     return f"""
       SELECT '{col}' AS col, count(*)::BIGINT AS n_mins,
         CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
-             ELSE round(63 / (max(h) / CAST(18446744073709551616 AS DOUBLE)), 6)
+             ELSE floor(63 / (max(h) / CAST(18446744073709551616 AS DOUBLE))
+                        * 1e6 + 0.5) / 1e6
         END AS ndv_est,
         (SELECT count(DISTINCT {col}) FROM events)::BIGINT AS exact_ndv
       FROM (
@@ -10014,14 +10015,15 @@ def tablelog_column_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u
     ), est AS (
       SELECT n_union,
-        round(shared::DOUBLE / n_union::DOUBLE, 6) AS jaccard,
+        floor(shared::DOUBLE / n_union::DOUBLE * 1e6 + 0.5) / 1e6 AS jaccard,
         CASE WHEN n_union < 64 THEN n_union::DOUBLE
-             ELSE round(63 / (kth / CAST(18446744073709551616 AS DOUBLE)), 6)
+             ELSE floor(63 / (kth / CAST(18446744073709551616 AS DOUBLE))
+                        * 1e6 + 0.5) / 1e6
         END AS union_est
       FROM s
     )
     SELECT jaccard, union_est,
-      round(jaccard * union_est, 6) AS inter_est,
+      floor(jaccard * union_est * 1e6 + 0.5) / 1e6 AS inter_est,
       n_union AS n_union_mins,
       (SELECT count(DISTINCT a.user_id) FROM events a
        WHERE a.event_id % 2 = 0

@@ -1573,7 +1573,7 @@ def test_column_ndv_merge_is_exact_and_layout_independent(spark, tmp_path):
     hs = sorted(
         {int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16) for v in range(2000)}
     )[:64]
-    assert m4["ndv_est"] == round(63 / (hs[-1] / 2.0**64), 6)  # exact twin
+    assert m4["ndv_est"] == tl._q6(63 / (hs[-1] / 2.0**64))  # exact twin
     assert 1000 < m4["ndv_est"] < 4000  # sane for true NDV 2000 at k=64
 
 
@@ -1596,10 +1596,51 @@ def test_column_ndv_overlap_estimates_join_cardinality(spark, tmp_path):
 
     sa, sb = set(mins(range(0, 1200))), set(mins(range(600, 1800)))
     u = sorted(sa | sb)[:64]
-    j = round(sum(1 for h in u if h in sa and h in sb) / len(u), 6)
-    ue = round(63 / (u[-1] / 2.0**64), 6)
+    j = tl._q6(sum(1 for h in u if h in sa and h in sb) / len(u))
+    ue = tl._q6(63 / (u[-1] / 2.0**64))
     assert ov["jaccard"] == j and ov["union_est"] == ue
-    assert ov["inter_est"] == round(j * ue, 6)
+    assert ov["inter_est"] == tl._q6(j * ue)
     assert 250 < ov["inter_est"] < 1100  # true intersection is 600
     dis = tl.column_ndv_overlap(ta, tc, "k")
     assert dis["jaccard"] == 0.0 and dis["inter_est"] == 0.0
+
+
+def test_compaction_preserves_manifest_sketches_by_default(spark, tmp_path):
+    """A maintenance rewrite must not silently drop the table's blooms and
+    KMV sketches: compact / compact_binpack / compact_sort default
+    bloom_cols/ndv_cols from the pre-rewrite manifest entries, and an
+    explicit () opt-out drops them."""
+    df = spark.range(0, 400).selectExpr("id AS k", "id % 7 AS v")
+
+    t = str(tmp_path / "keep")
+    tl.append(spark, t, df.repartition(4), stats_cols=("k",),
+              bloom_cols=("k",), ndv_cols=("v",))
+    before = tl.column_ndv(t, "v")["ndv_est"]
+    tl.compact(spark, t, n_files=2)
+    _, state = tl._state_at(t)
+    assert all("k" in e.get("bloom", {}) for e in state["data"].values())
+    assert tl.column_ndv(t, "v")["ndv_est"] == before  # exact KMV merge
+    # bloom still prunes after the rewrite
+    kept, skipped = tl.prune_files_where(t, {"k": ("=", 123456)})
+    assert kept == [] and skipped == 2
+
+    tl.compact_sort(spark, t, sort_cols=("k",), n_files=2)
+    _, state = tl._state_at(t)
+    assert all("k" in e.get("bloom", {}) for e in state["data"].values())
+    assert tl.column_ndv(t, "v")["ndv_est"] == before
+
+    tb = str(tmp_path / "binpack")
+    for lo in (0, 200):
+        tl.append(spark, tb,
+                  spark.range(lo, lo + 200).selectExpr("id AS k", "id % 7 AS v"),
+                  bloom_cols=("k",), ndv_cols=("v",))
+    assert tl.compact_binpack(spark, tb, target_bytes=64 * 1024 * 1024)
+    _, state = tl._state_at(tb)
+    assert all("k" in e.get("bloom", {}) for e in state["data"].values())
+    assert tl.column_ndv(tb, "v")["n_files_sketched"] == len(state["data"])
+
+    td = str(tmp_path / "drop")
+    tl.append(spark, td, df.repartition(2), bloom_cols=("k",), ndv_cols=("v",))
+    tl.compact(spark, td, n_files=1, bloom_cols=(), ndv_cols=())
+    _, state = tl._state_at(td)
+    assert all("bloom" not in e and "ndv" not in e for e in state["data"].values())
