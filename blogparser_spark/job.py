@@ -2,11 +2,17 @@
 
     spark-submit --py-files blogparser_spark.zip blogparser_spark/job.py \
         --input /path/transcripts --output /path/out [--resume] \
-        [--slices 64] [--key-col conv_id] [--salt-parts 0]
+        [--slices 64] [--key-col conv_id] [--salt-parts 0] \
+        [--table-format tablelog|parquet]
 
 Runs the sliced, resumable parse→enrich pipeline (checkpoint manifests per
-slice), then the aggregate reports over the routed output. On a cluster the
-same file is submitted unchanged; local runs honor SPARK_GRAFT_CPUS.
+slice), then the aggregate reports over the routed output. The default sink
+is the snapshot-log table format (one atomic idempotent commit per slice
+into {output}/table, partitioned by sink keys, conv_id stats + blooms —
+the north rule's per-sink Iceberg tables; resume rides the commit-marker
+ledger as well as the slice manifests). --table-format parquet keeps the
+plain per-slice directory fallback. On a cluster the same file is
+submitted unchanged; local runs honor SPARK_GRAFT_CPUS.
 """
 
 from __future__ import annotations
@@ -56,6 +62,13 @@ def main(argv: list[str] | None = None) -> int:
         help="salted repartition width before parse (0 = off; use when the "
         "input layout clusters hot conv_ids)",
     )
+    ap.add_argument(
+        "--table-format",
+        choices=("tablelog", "parquet"),
+        default="tablelog",
+        help="routed sink: snapshot-log table (atomic idempotent commit "
+        "per slice; default) or plain per-slice parquet dirs",
+    )
     args = ap.parse_args(argv)
 
     from blogparser_spark.operators import aggregate as agg
@@ -71,23 +84,37 @@ def main(argv: list[str] | None = None) -> int:
         n_slices=args.slices,
         key_col=args.key_col,
         resume=args.resume,
-    )
-    # read exactly THIS run's slice set — a bare slice=* glob would also
-    # pick up stale slice dirs left by an earlier run with a larger
-    # --slices value, double-counting every row they hold
-    routed = spark.read.parquet(
-        *[f"{args.output}/slice={s}" for s in range(args.slices)]
+        table_format=args.table_format,
     )
     report = {
         "slices_run": [m.slice_id for m in manifests],
         "rows_in": sum(m.rows_in for m in manifests),
         "wall_seconds": round(sum(m.wall_seconds for m in manifests), 3),
-        "sink_counts": {
-            f"{r['channel']}/{r['tool_category']}/{r['parse_status']}": r["n"]
-            for r in agg.sink_counts(routed).collect()
-        },
-        "n_convs": agg.conv_stats(routed).count(),
     }
+    if args.table_format == "tablelog":
+        from blogparser_spark.operators import tablelog as tl
+
+        table = f"{args.output}/table"
+        # the snapshot IS the run's routed row set: slice commits are
+        # atomic and stale generations were replaced during the run
+        routed = tl.read_snapshot(spark, table)
+        report["table_version"] = tl.current_version(table)
+    else:
+        # read exactly THIS run's slice set — a bare slice=* glob would
+        # also pick up stale slice dirs left by an earlier run with a
+        # larger --slices value, double-counting every row they hold
+        routed = spark.read.parquet(
+            *[f"{args.output}/slice={s}" for s in range(args.slices)]
+        )
+    report.update(
+        {
+            "sink_counts": {
+                f"{r['channel']}/{r['tool_category']}/{r['parse_status']}": r["n"]
+                for r in agg.sink_counts(routed).collect()
+            },
+            "n_convs": agg.conv_stats(routed).count(),
+        }
+    )
     print(json.dumps(report))
     return 0
 

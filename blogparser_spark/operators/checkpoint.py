@@ -52,6 +52,7 @@ class SliceManifest:
     started_at: float
     wall_seconds: float
     output_path: str
+    table_version: int | None = None  # tablelog sink: this slice's commit
 
 
 def _manifest_path(base: str, slice_id: int) -> str:
@@ -150,6 +151,18 @@ def read_manifest(base: str, slice_id: int) -> dict | None:
         return None
 
 
+def slice_marker(
+    slice_id: int, snapshot: str, n_slices: int, key_col: str, nonce: str = ""
+) -> str:
+    """Idempotence marker for one slice's tablelog commit: encodes the
+    input snapshot and the slicing config, so a restarted job's
+    re-submission of the same work is a ledger no-op while a changed
+    input (different snapshot) or re-slicing produces a fresh marker and
+    re-commits. `nonce` (resume=False) forces a fresh generation."""
+    base = f"slice={slice_id}|snap={snapshot}|n={n_slices}|key={key_col}"
+    return f"{base}|run={nonce}" if nonce else base
+
+
 def run_sliced(
     spark: SparkSession,
     input_path: str,
@@ -158,9 +171,10 @@ def run_sliced(
     n_slices: int = 8,
     key_col: str = "conv_id",
     resume: bool = True,
+    table_format: str = "parquet",
 ) -> list[SliceManifest]:
     """Run transform(df_slice) -> DataFrame for each incomplete slice,
-    writing per-slice parquet + manifest. `transform` must return a frame
+    writing per-slice output + manifest. `transform` must return a frame
     with a parse_status column (for the observed sink metrics).
 
     Input layouts: if input_path was written by write_sliced_input with a
@@ -169,13 +183,46 @@ def run_sliced(
     hash predicate over a full scan (correct, but reads the corpus once
     per slice — fine in tests, wrong at 100 TB; ingest sliced there).
 
-    Resume safety: a completed slice is skipped only if its manifest's
+    Sinks: table_format="tablelog" (the job default) routes every slice
+    into ONE snapshot-log table at {output_base}/table as an atomic
+    idempotent commit per slice (route.route_commit_tablelog — the north
+    rule's per-sink Iceberg tables), partitioned by the sink keys with
+    conv_id footer stats + blooms for point lookups. "parquet" keeps the
+    plain per-slice directory layout.
+
+    Resume safety: a completed slice is skipped if its manifest's
     input_snapshot matches the CURRENT input snapshot — after the input
     changes, every slice re-runs rather than silently mixing lineages —
     AND the manifest's (n_slices, key_col) match this run's: resuming a
     4-slice output with n_slices=8 would keep pmod-4 slice outputs next
-    to pmod-8 ones, duplicating every row whose pmod8 ∈ {4..7}."""
+    to pmod-8 ones, duplicating every row whose pmod8 ∈ {4..7}. Under
+    tablelog the COMMIT MARKER LEDGER is a second, storage-level resume
+    guard: slice markers encode (snapshot, n_slices, key_col), so a slice
+    whose marker is already committed is skipped even if its manifest
+    file was lost, and a crashed run's re-submission is a commit no-op
+    (tablelog.append_idempotent). When the table holds commits from a
+    DIFFERENT generation (changed input or re-slicing), each re-run slice
+    first equality-deletes the old-generation rows of ITS OWN keyspace —
+    under the CURRENT hash predicate, so coverage over all current slices
+    is complete even when n_slices changed — then appends; the table
+    converges to exactly the current generation. Mid-migration readers
+    may see mixed generations between slice commits; a run needing
+    all-or-nothing publication should stage on a branch and fast_forward
+    (tablelog WAP) instead."""
     snapshot = input_snapshot_id(spark, input_path)
+    table = os.path.join(output_base, "table")
+    nonce = "" if resume else uuid.uuid4().hex[:8]
+    committed: set[str] = set()
+    stale_gens = False
+    if table_format == "tablelog":
+        from blogparser_spark.operators import tablelog as tl
+
+        committed = tl.committed_markers(table)
+        current = {
+            slice_marker(s, snapshot, n_slices, key_col, nonce)
+            for s in range(n_slices)
+        }
+        stale_gens = bool(committed - current)
     done: set[int] = set()
     if resume:
         for s in completed_slices(output_base):
@@ -187,6 +234,10 @@ def run_sliced(
                 and m.get("key_col") == key_col
             ):
                 done.add(s)
+        if table_format == "tablelog":
+            for s in range(n_slices):
+                if slice_marker(s, snapshot, n_slices, key_col) in committed:
+                    done.add(s)
     sliced = _sliced_layout(input_path, n_slices, key_col)
     manifests: list[SliceManifest] = []
     for s in range(n_slices):
@@ -213,8 +264,37 @@ def run_sliced(
             for st in _OBSERVED_STATUSES
         ]
         out = out.observe(obs_out, F.count(F.lit(1)).alias("rows"), *status_aggs)
-        out_path = os.path.join(output_base, f"slice={s}")
-        out.write.mode("overwrite").parquet(out_path)
+        table_version: int | None = None
+        if table_format == "tablelog":
+            from blogparser_spark.operators import tablelog as tl
+            from blogparser_spark.operators.route import route_commit_tablelog
+
+            marker = slice_marker(s, snapshot, n_slices, key_col, nonce)
+            if stale_gens and tl.current_version(table) is not None:
+                # replace THIS slice's keyspace from older generations:
+                # the current hash predicate scopes the delete, so the
+                # union over all current slices covers every stale row
+                # even when n_slices changed between generations
+                tl.delete_where(
+                    spark,
+                    table,
+                    slice_predicate(s, n_slices, key_col)
+                    & (F.col("_gen") != marker),
+                    [key_col, "_gen"],
+                )
+            table_version, _ = route_commit_tablelog(
+                out.withColumn("_slice", F.lit(s)).withColumn(
+                    "_gen", F.lit(marker)
+                ),
+                table,
+                marker=marker,
+                stats_cols=("conv_id",),
+                bloom_cols=("conv_id",),
+            )
+            out_path = table
+        else:
+            out_path = os.path.join(output_base, f"slice={s}")
+            out.write.mode("overwrite").parquet(out_path)
         metrics = obs_out.get
         sink_counts = {
             st: int(metrics[st]) for st in _OBSERVED_STATUSES if metrics[st]
@@ -237,6 +317,7 @@ def run_sliced(
             started_at=t0,
             wall_seconds=round(time.time() - t0, 3),
             output_path=out_path,
+            table_version=table_version,
         )
         write_manifest(output_base, m)
         manifests.append(m)

@@ -215,3 +215,98 @@ def test_job_report_ignores_stale_slice_dirs(spark, tmp_path, capsys):
     r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r1["rows_in"] == r2["rows_in"]
     assert r1["sink_counts"] == r2["sink_counts"]
+
+
+def test_job_tablelog_sink_matches_parquet_and_resumes(spark, tmp_path, capsys):
+    """The default tablelog sink routes every slice into one snapshot-log
+    table as atomic idempotent commits: sink counts match the parquet
+    fallback exactly, per-sink reads prune via manifests, and a --resume
+    re-run is a commit no-op (marker ledger), leaving the version pinned."""
+    from blogparser_spark import job
+    from blogparser_spark.operators import tablelog as tl
+    from blogparser_spark.operators.route import read_routed_tablelog
+
+    inp = _write_input(spark, tmp_path)
+    out_t = str(tmp_path / "out_tl")
+    out_p = str(tmp_path / "out_pq")
+    assert job.main(
+        ["--input", inp, "--output", out_t, "--slices", "4", "--resume"]
+    ) == 0
+    rt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert job.main(
+        ["--input", inp, "--output", out_p, "--slices", "4",
+         "--table-format", "parquet"]
+    ) == 0
+    rp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rt["sink_counts"] == rp["sink_counts"]
+    assert rt["rows_in"] == rp["rows_in"] and rt["n_convs"] == rp["n_convs"]
+    table = out_t + "/table"
+    v1 = tl.current_version(table)
+    assert rt["table_version"] == v1 and v1 == 4  # one commit per slice
+
+    # per-sink read equals a filter over the full snapshot
+    full = tl.read_snapshot(spark, table)
+    one = read_routed_tablelog(spark, out_t + "/table", parse_status="ok")
+    assert one.count() == full.filter(F.col("parse_status") == "ok").count()
+
+    # resume: every marker already committed → zero slices, zero commits
+    assert job.main(
+        ["--input", inp, "--output", out_t, "--slices", "4", "--resume"]
+    ) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["slices_run"] == [] and r2["rows_in"] == 0
+    assert tl.current_version(table) == v1
+    assert r2["sink_counts"] == rt["sink_counts"]  # served from the table
+
+    # marker ledger is a storage-level guard: lose ALL slice manifests and
+    # resume still skips every slice (no duplicate commits)
+    import shutil
+
+    shutil.rmtree(out_t + "/_manifests")
+    assert job.main(
+        ["--input", inp, "--output", out_t, "--slices", "4", "--resume"]
+    ) == 0
+    r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r3["slices_run"] == [] and tl.current_version(table) == v1
+
+
+def test_tablelog_generation_replace_on_input_change_and_reslice(
+    spark, tmp_path
+):
+    """A changed input (new snapshot) or a changed slice count re-runs into
+    the SAME table without mixing generations: each slice replaces its own
+    keyspace under the CURRENT hash predicate, so the table converges to
+    exactly the new generation even when n_slices changed."""
+    import time as _time
+
+    from blogparser_spark.job import transform
+    from blogparser_spark.operators import tablelog as tl
+    from blogparser_spark.operators.checkpoint import run_sliced
+
+    inp = _write_input(spark, tmp_path)
+    out = str(tmp_path / "out_gen")
+    table = out + "/table"
+    first = run_sliced(
+        spark, inp, out, transform, n_slices=4, table_format="tablelog"
+    )
+    n1 = spark.read.parquet(inp).count()
+    assert sum(m.rows_in for m in first) == n1
+    assert tl.read_snapshot(spark, table).count() == n1
+
+    # rewrite the input (new snapshot) AND change the slice count: the old
+    # generation's 4-slice rows must all be replaced by the 2-slice run
+    _time.sleep(1.1)
+    _write_input(spark, tmp_path)
+    n2 = spark.read.parquet(inp).count()
+    rerun = run_sliced(
+        spark, inp, out, transform, n_slices=2, table_format="tablelog"
+    )
+    assert [m.slice_id for m in rerun] == [0, 1]
+    snap = tl.read_snapshot(spark, table)
+    assert snap.count() == n2  # no old-generation residue
+    gens = [r["_gen"] for r in snap.select("_gen").distinct().collect()]
+    assert len(gens) == 2 and all("|n=2|" in g for g in gens)
+    # and a resume of the new generation is a pure no-op
+    assert run_sliced(
+        spark, inp, out, transform, n_slices=2, table_format="tablelog"
+    ) == []
