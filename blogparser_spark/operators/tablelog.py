@@ -506,6 +506,250 @@ def _stats_match(st: list | None, pred: tuple) -> bool:
         return True  # cross-type stats (e.g. str vs int) — never prune blind
 
 
+# ---------------------------------------------------------------------------
+# two-level manifests (Iceberg's manifest-list layer)
+# ---------------------------------------------------------------------------
+#
+# A commit that adds many files groups its file entries into MANIFEST CHUNK
+# files (log/mchunk-*.json) and records only per-chunk summaries inline:
+# file/row/byte tallies, the distinct partition values per spec field, merged
+# min/max stats, and the OR of the per-file blooms (a valid membership filter
+# for the whole chunk — if a probe bit is unset in the union, no file in the
+# chunk contains the value). Planning (plan_scan / prune_files_where /
+# scan_where) then checks the SUMMARY first and skips whole chunks without
+# opening them — at 10^7 live files the driver touches O(chunks) summaries
+# instead of O(files) entries for a selective predicate. Full-table
+# operations (read_snapshot, compaction, metadata tables) expand chunks via
+# _state_at's default expand=True and behave exactly as before.
+
+MANIFEST_CHUNK_FILES = 512  # commits adding more files than this chunk them
+_CHUNK_SUMMARY_VALUES = 64  # max distinct partition values per summary field
+
+
+def _bloom_or(hexes: list[str]) -> str:
+    bits = bytearray(BLOOM_M // 8)
+    for h in hexes:
+        for i, b in enumerate(bytes.fromhex(h)):
+            bits[i] |= b
+    return bits.hex()
+
+
+def _chunk_summary(entries: list[dict]) -> dict:
+    """Inline summary for one chunk of file entries: tallies + the merged
+    pruning metadata (partition value sets, min/max stats, OR'd blooms).
+    A field/column is summarized only when EVERY entry carries it — a
+    partial summary could prune a file the summary never saw."""
+    ref: dict = {
+        "n_files": len(entries),
+        "rows": sum(e["rows"] for e in entries),
+        "bytes": sum(e.get("bytes", 0) for e in entries),
+    }
+    spec = entries[0].get("spec")
+    if spec and all(e.get("spec") == spec for e in entries):
+        ref["spec"] = spec
+    parts: dict[str, list] = {}
+    for fname in {k for e in entries for k in e.get("partition", {})}:
+        vals = {e.get("partition", {}).get(fname) for e in entries}
+        if None not in vals and len(vals) <= _CHUNK_SUMMARY_VALUES:
+            parts[fname] = sorted(vals)
+    if parts:
+        ref["partitions"] = parts
+    stats: dict[str, list] = {}
+    for col in {c for e in entries for c in e.get("stats", {})}:
+        sts = [e.get("stats", {}).get(col) for e in entries]
+        if all(sts):
+            try:
+                stats[col] = [
+                    min(s[0] for s in sts),
+                    max(s[1] for s in sts),
+                ]
+            except TypeError:
+                pass  # cross-type stats: no chunk-level range
+    if stats:
+        ref["stats"] = stats
+    blooms: dict[str, str] = {}
+    for col in {c for e in entries for c in e.get("bloom", {})}:
+        hx = [e.get("bloom", {}).get(col) for e in entries]
+        if all(hx):
+            blooms[col] = _bloom_or(hx)
+    if blooms:
+        ref["bloom"] = blooms
+    return ref
+
+
+def _write_manifest_chunks(
+    table: str, entries: list[dict], chunk_files: int
+) -> list[dict]:
+    """Group `entries` (sorted by partition values then path, so each chunk
+    covers a coherent partition range) into chunk manifest files under
+    log/, returning the summary refs to inline into the commit. Chunk
+    paths are relative to the table root so the table stays relocatable."""
+    entries = sorted(
+        entries,
+        key=lambda e: (json.dumps(e.get("partition", {}), sort_keys=True), e["path"]),
+    )
+    log = _log_dir(table)
+    os.makedirs(log, exist_ok=True)
+    refs = []
+    for i in range(0, len(entries), chunk_files):
+        grp = entries[i : i + chunk_files]
+        name = f"mchunk-{uuid.uuid4().hex}.json"
+        tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump({"entries": grp}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(log, name))
+        ref = _chunk_summary(grp)
+        ref["manifest"] = os.path.join("log", name)
+        refs.append(ref)
+    return refs
+
+
+def _maybe_chunk(
+    table: str, entries: list[dict], chunk_files: int | None
+) -> list[dict]:
+    limit = MANIFEST_CHUNK_FILES if chunk_files is None else chunk_files
+    if limit and len(entries) > limit:
+        return _write_manifest_chunks(table, entries, limit)
+    return entries
+
+
+def _load_chunk_entries(table: str, ref: dict) -> list[dict]:
+    """File entries of one chunk, stamped with the ref's commit-level
+    seq/cols (chunk files are written once, before the optimistic-commit
+    retry loop settles the version)."""
+    with open(os.path.join(table, ref["manifest"])) as f:
+        raw = json.load(f)["entries"]
+    out = []
+    for e in raw:
+        e = dict(e)
+        if "seq" in ref:
+            e["seq"] = ref["seq"]
+        if "cols" in ref:
+            e["cols"] = ref["cols"]
+        if "spec" in ref and "spec" not in e:
+            e["spec"] = ref["spec"]
+        out.append(e)
+    return out
+
+
+def _added_entries(table: str, commit: dict) -> list[dict]:
+    """A commit's added data files with chunk refs expanded."""
+    out = []
+    for e in commit.get("added_data", []):
+        if "manifest" in e:
+            out.extend(_load_chunk_entries(table, e))
+        else:
+            out.append(e)
+    return out
+
+
+def _added_file_count(commit: dict) -> int:
+    return sum(
+        e["n_files"] if "manifest" in e else 1
+        for e in commit.get("added_data", [])
+    )
+
+
+def _entry_matches(
+    e: dict,
+    state: dict,
+    predicates: dict[str, tuple],
+    byname: dict[str, int],
+    evolved: bool,
+    any_part_value: bool = False,
+) -> bool:
+    """True iff the entry (file, or chunk summary) may contain matching
+    rows. `any_part_value=True` treats the entry's partition values as
+    SETS (chunk summaries): the entry may match if ANY recorded value
+    passes, where a file entry's single value must pass."""
+    by_source: dict[str, list[tuple[dict, object]]] = {}
+    for f in e.get("spec", []):
+        if any_part_value:
+            pvs = e.get("partitions", {}).get(f["name"])
+            # a null/default value among the set means some file in the
+            # chunk has no value for this field: indeterminate, never prune
+            if pvs and all(
+                pv is not None and pv != "__HIVE_DEFAULT_PARTITION__"
+                for pv in pvs
+            ):
+                by_source.setdefault(f["source"], []).append((f, pvs))
+        else:
+            pv = e.get("partition", {}).get(f["name"])
+            if pv is not None and pv != "__HIVE_DEFAULT_PARTITION__":
+                by_source.setdefault(f["source"], []).append((f, [pv]))
+    # specs and stats are keyed by the file's WRITE-TIME names; after a
+    # rename the predicate's current name resolves through the field id
+    wname = {}
+    if evolved:
+        inv = {fid: n for n, fid in _entry_cols(e, state).items()}
+        wname = {c: inv.get(byname.get(c)) for c in predicates}
+    for col, pred in predicates.items():
+        w = wname.get(col, col) if evolved else col
+        if w is None:
+            continue  # column younger than this file: keep, never prune blind
+        for f, pvs in by_source.get(w, []):
+            if not any(_part_match(f, pv, pred) for pv in pvs):
+                return False
+        if not _stats_match(e.get("stats", {}).get(w), pred):
+            return False
+        if not _bloom_match(e.get("bloom", {}).get(w), pred):
+            return False
+    return True
+
+
+def plan_scan(
+    table: str, predicates: dict[str, tuple], version: int | None = None
+) -> dict:
+    """Two-level manifest planning: check each chunk SUMMARY first and skip
+    whole chunks (their file entries are never read) before checking the
+    surviving chunks' per-file entries. Returns {"paths", "entries",
+    "n_files_skipped", "n_chunks_total", "n_chunks_opened",
+    "n_chunks_skipped"}. When a later commit removed files out of a chunk
+    (compaction/expiry), every chunk is opened — a summary cannot say
+    which of its files are still live, and skipped-file counts must stay
+    exact."""
+    _, state = _state_at(table, version, expand=False)
+    byname = {n: i for i, n, _t in _fields_of(state)}
+    evolved = bool(state.get("evolved"))
+    removed: set[str] = state.get("removed", set())
+    kept: dict[str, dict] = {}
+    skipped = 0
+    for path in sorted(state["data"]):
+        e = state["data"][path]
+        if _entry_matches(e, state, predicates, byname, evolved):
+            kept[path] = e
+        else:
+            skipped += 1
+    chunks = state.get("chunks", {})
+    opened = chunks_skipped = 0
+    for mpath in sorted(chunks):
+        ref = chunks[mpath]
+        if not removed and not _entry_matches(
+            ref, state, predicates, byname, evolved, any_part_value=True
+        ):
+            chunks_skipped += 1
+            skipped += ref["n_files"]
+            continue
+        opened += 1
+        for e in _load_chunk_entries(table, ref):
+            if e["path"] in removed:
+                continue
+            if _entry_matches(e, state, predicates, byname, evolved):
+                kept[e["path"]] = e
+            else:
+                skipped += 1
+    return {
+        "paths": sorted(kept),
+        "entries": kept,
+        "n_files_skipped": skipped,
+        "n_chunks_total": len(chunks),
+        "n_chunks_opened": opened,
+        "n_chunks_skipped": chunks_skipped,
+    }
+
+
 def prune_files_where(
     table: str, predicates: dict[str, tuple], version: int | None = None
 ) -> tuple[list[str], int]:
@@ -515,41 +759,11 @@ def prune_files_where(
     partition spec it was written under, projected through its transforms
     — so partition EVOLUTION is handled per-file: a file written before a
     bucket field existed simply has no value for it and is kept — and (b)
-    its min/max footer stats. Returns (paths_to_read, n_files_skipped)."""
-    _, state = _state_at(table, version)
-    byname = {n: i for i, n, _t in _fields_of(state)}
-    evolved = bool(state.get("evolved"))
-    keep, skipped = [], 0
-    for path in sorted(state["data"]):
-        e = state["data"][path]
-        by_source: dict[str, list[tuple[dict, str]]] = {}
-        for f in e.get("spec", []):
-            pv = e.get("partition", {}).get(f["name"])
-            if pv is not None and pv != "__HIVE_DEFAULT_PARTITION__":
-                by_source.setdefault(f["source"], []).append((f, pv))
-        # specs and stats are keyed by the file's WRITE-TIME names; after a
-        # rename the predicate's current name resolves through the field id
-        wname = {}
-        if evolved:
-            inv = {fid: n for n, fid in _entry_cols(e, state).items()}
-            wname = {c: inv.get(byname.get(c)) for c in predicates}
-        ok = True
-        for col, pred in predicates.items():
-            w = wname.get(col, col) if evolved else col
-            if w is None:
-                continue  # column younger than this file: keep, never prune blind
-            for f, pv in by_source.get(w, []):
-                if not _part_match(f, pv, pred):
-                    ok = False
-            if not _stats_match(e.get("stats", {}).get(w), pred):
-                ok = False
-            if not _bloom_match(e.get("bloom", {}).get(w), pred):
-                ok = False
-        if ok:
-            keep.append(path)
-        else:
-            skipped += 1
-    return keep, skipped
+    its min/max footer stats (plus blooms for '='). Chunked commits are
+    planned summary-first (plan_scan): whole manifest chunks are skipped
+    without being read. Returns (paths_to_read, n_files_skipped)."""
+    plan = plan_scan(table, predicates, version)
+    return plan["paths"], plan["n_files_skipped"]
 
 
 def scan_where(
@@ -564,18 +778,21 @@ def scan_where(
     and apply outstanding delete files scoped to the pruned set. At 100 TB
     this is the difference between a point lookup opening 1/n_buckets of
     one day's files and a full-table scan — and because the spec is
-    per-file, the same call stays correct across partition-spec changes."""
-    _, state = _state_at(table, version)
-    paths, _skipped = prune_files_where(table, predicates, version)
+    per-file, the same call stays correct across partition-spec changes.
+    Planning is two-level (plan_scan): chunked commits' manifest chunks
+    are summary-skipped before any file entry is read."""
+    _, state = _state_at(table, version, expand=False)
+    plan = plan_scan(table, predicates, version)
+    paths = plan["paths"]
     if not paths:
         return _empty_df(spark, _field_pairs(_fields_of(state)))
-    df = _read_projected(spark, [state["data"][p] for p in paths], state)
+    df = _read_projected(spark, [plan["entries"][p] for p in paths], state)
     for col, pred in predicates.items():
         if pred[0] == "=":
             df = df.filter(F.col(col) == F.lit(pred[1]))
         else:
             df = df.filter(F.col(col).between(pred[1], pred[2]))
-    pruned_state = dict(state, data={p: state["data"][p] for p in paths})
+    pruned_state = dict(state, data=plan["entries"])
     return _apply_deletes(spark, df, pruned_state)
 
 
@@ -1048,7 +1265,9 @@ def fast_forward(table: str, branch: str, max_retries: int = 5) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _state_at(table: str, version: int | None = None) -> tuple[int, dict]:
+def _state_at(
+    table: str, version: int | None = None, expand: bool = True
+) -> tuple[int, dict]:
     """Replay the ANCESTRY CHAIN of `version` (default: the main branch
     head). Returns (version, state) where state = {"data": {path: entry},
     "deletes": {path: entry}, "schema": [...]}.
@@ -1060,7 +1279,14 @@ def _state_at(table: str, version: int | None = None) -> tuple[int, dict]:
     linear sequence, so this is exactly the old behavior. The walk stops
     early at any version carrying a rebase base file (the persisted state
     at that version, written by expiry wherever the chain is truncated),
-    keeping replay O(retained chain length)."""
+    keeping replay O(retained chain length).
+
+    expand=False keeps chunked commits' manifest refs UNRESOLVED in
+    state["chunks"] ({manifest relpath: summary ref}) with any
+    chunk-member removals in state["removed"] — the two-level planning
+    input (plan_scan). The default expands every chunk into
+    state["data"], so all full-table consumers see exactly the one-level
+    state they always did."""
     versions = list_versions(table)
     if not versions:
         raise LookupError(f"no commits in table log: {table}")
@@ -1107,9 +1333,20 @@ def _state_at(table: str, version: int | None = None) -> tuple[int, dict]:
 
     for c in reversed(chain):
         for e in c.get("added_data", []):
-            state["data"][e["path"]] = e
+            if "manifest" in e:
+                state.setdefault("chunks", {})[e["manifest"]] = e
+            else:
+                state["data"][e["path"]] = e
         for p in c.get("removed_data", []):
-            state["data"].pop(p, None)
+            if state["data"].pop(p, None) is None and state.get("chunks"):
+                # the removed file may live inside an unresolved chunk:
+                # record it so expansion (or plan_scan) filters it out
+                state.setdefault("removed", set()).add(p)
+        for m in c.get("removed_manifests", []):
+            # a full rewrite retires whole chunk refs so later planning
+            # never reopens chunks whose files are all gone
+            if state.get("chunks"):
+                state["chunks"].pop(m, None)
         for e in c.get("added_deletes", []):
             state["deletes"][e["path"]] = e
         for p in c.get("removed_deletes", []):
@@ -1124,6 +1361,14 @@ def _state_at(table: str, version: int | None = None) -> tuple[int, dict]:
             state["legacy_cols"] = c["legacy_cols"]
         if c.get("operation") == "evolve_schema" or c.get("evolved"):
             state["evolved"] = True
+    if expand and state.get("chunks"):
+        removed = state.get("removed", set())
+        for ref in state["chunks"].values():
+            for e in _load_chunk_entries(table, ref):
+                if e["path"] not in removed:
+                    state["data"][e["path"]] = e
+        state.pop("chunks", None)
+        state.pop("removed", None)
     return target, state
 
 
@@ -1176,7 +1421,7 @@ def snapshot_lineage(table: str) -> list[dict]:
                 "branch": c.get("branch", "main"),
                 "ts": c.get("ts"),
                 "rows_added": sum(e["rows"] for e in c.get("added_data", [])),
-                "files_added": len(c.get("added_data", [])),
+                "files_added": _added_file_count(c),
                 "files_removed": len(c.get("removed_data", [])),
                 "delete_rows_added": sum(
                     e["rows"] for e in c.get("added_deletes", [])
@@ -1214,7 +1459,7 @@ def table_history(spark: SparkSession, table: str) -> DataFrame:
                 c.get("branch", "main"),
                 float(c.get("ts") or 0.0),
                 sum(int(e.get("rows", 0)) for e in c.get("added_data", [])),
-                len(c.get("added_data", [])),
+                _added_file_count(c),
                 len(c.get("removed_data", [])),
                 len(c.get("added_deletes", [])),
                 len(c.get("removed_deletes", [])),
@@ -1392,6 +1637,7 @@ def append(
     branch: str = "main",
     bloom_cols: tuple[str, ...] = (),
     ndv_cols: tuple[str, ...] = (),
+    manifest_chunk_files: int | None = None,
 ) -> int:
     """Append df as a new snapshot; returns the committed version. Appends
     conflict with nothing (they only add files), so a lost commit race is
@@ -1409,7 +1655,11 @@ def append(
     worth a rewrite or another column already owns the sort order.
     `branch` commits onto a named branch (create_branch) instead of main:
     the commit takes the global next version number but chains off the
-    BRANCH head, so main readers never see it until fast_forward."""
+    BRANCH head, so main readers never see it until fast_forward.
+    Commits adding more than `manifest_chunk_files` files (default
+    MANIFEST_CHUNK_FILES) record two-level manifests: file entries go to
+    chunk files and the commit inlines only per-chunk summaries, so
+    planning (plan_scan/scan_where) skips whole chunks by summary."""
     if branch != "main":
         _head(table, branch)  # validates the ref exists and is a branch
     version = (current_version(table) or 0) + 1
@@ -1424,6 +1674,7 @@ def append(
         bloom_cols,
         ndv_cols,
     )
+    entries = _maybe_chunk(table, entries, manifest_chunk_files)
     schema_new = _schema_of(df)
     for _ in range(max_retries):
         parent = _head(table, branch)
@@ -1488,6 +1739,8 @@ def add_files(
             "append it through a DataFrame) instead of importing by "
             "reference"
         )
+    entries = _file_entries(os.path.abspath(source_dir), stats_cols, 0)
+    entries = _maybe_chunk(table, entries, None)
     for _ in range(max_retries):
         parent = _head(table, "main")
         version = (current_version(table) or 0) + 1
@@ -1495,9 +1748,8 @@ def add_files(
         existing = pstate["schema"] if pstate is not None else None
         merged = _check_schema(existing, schema_new, allow_evolution)
         fields, last_id = _fields_after_write(pstate, merged)
-        entries = _file_entries(os.path.abspath(source_dir), stats_cols, version)
-        if not entries:
-            raise LookupError(f"no parquet files under {source_dir}")
+        for e in entries:
+            e["seq"] = version
         commit = {
             "version": version,
             "parent": parent,
@@ -2043,6 +2295,9 @@ def compact(
         "removed_data": sorted(state["data"]),
         "removed_deletes": sorted(state["deletes"]),
     }
+    chunks = _state_at(table, cur, expand=False)[1].get("chunks", {})
+    if chunks:
+        commit["removed_manifests"] = sorted(chunks)
     if not _try_commit(table, commit):
         raise CommitConflict(f"compact conflicted at version {version}: {table}")
     return version
@@ -2203,6 +2458,9 @@ def compact_sort(
         "removed_data": sorted(state["data"]),
         "removed_deletes": sorted(state["deletes"]),
     }
+    chunks = _state_at(table, cur, expand=False)[1].get("chunks", {})
+    if chunks:
+        commit["removed_manifests"] = sorted(chunks)
     if not _try_commit(table, commit):
         raise CommitConflict(f"sort rewrite conflicted at v{version}: {table}")
     return version
@@ -2411,20 +2669,26 @@ def remove_orphans(table: str, min_age_sec: float = 0.0) -> int:
     referenced: set[str] = set()
     for v in versions:
         c = _read_commit(table, v)
-        for e in c.get("added_data", []) + c.get("added_deletes", []):
+        for e in _added_entries(table, c) + c.get("added_deletes", []):
             referenced.add(e["path"])
     for sid in staged_ids(table):
         # staged-but-unpublished WAP files are NOT orphans — an audit may
         # still be running against them
         for e in _read_staged(table, sid)["added_data"]:
             referenced.add(e["path"])
-    if versions:
-        base = _base_path(table, versions[0])
-        if os.path.exists(base):
-            with open(base) as f:
-                snap = json.load(f)
-            for e in snap.get("data", []) + snap.get("deletes", []):
-                referenced.add(e["path"])
+    # EVERY rebase base still pins its files: branch lineages truncated by
+    # expiry get their own base, not just the oldest retained version's
+    try:
+        base_names = [
+            n for n in os.listdir(_log_dir(table)) if n.startswith("_base_v")
+        ]
+    except OSError:
+        base_names = []
+    for n in base_names:
+        with open(os.path.join(_log_dir(table), n)) as f:
+            snap = json.load(f)
+        for e in snap.get("data", []) + snap.get("deletes", []):
+            referenced.add(e["path"])
     removed = 0
     now = time.time()
     for kind in ("data", "deletes"):
@@ -2656,7 +2920,7 @@ def incremental_append_scan(
                 f"commit v{c['version']} is {op!r}; incremental append scan "
                 "only spans append/compact commits"
             )
-        entries += c.get("added_data", [])
+        entries += _added_entries(table, c)
     state = _state_at(table, to_version)[1]
     if not entries:
         return _empty_df(spark, _field_pairs(_fields_of(state)))
@@ -2775,7 +3039,9 @@ def changelog_scan(
             raise ValueError(f"commit v{v}: unknown operation {op!r}")
         if op in ("append", "merge", "overwrite") and c.get("added_data"):
             _emit(
-                _read_projected(spark, c["added_data"], to_state, fields=tf),
+                _read_projected(
+                    spark, _added_entries(table, c), to_state, fields=tf
+                ),
                 "insert",
                 v,
             )
@@ -2938,10 +3204,17 @@ def expire_snapshots(
     removed = 0
     for v in expired:
         c = _read_commit(table, v)
-        for e in c.get("added_data", []) + c.get("added_deletes", []):
+        for e in _added_entries(table, c) + c.get("added_deletes", []):
             if e["path"] not in keep_files and os.path.exists(e["path"]):
                 os.unlink(e["path"])
                 removed += 1
+        for r in c.get("added_data", []):
+            # chunk manifests are per-commit: expired commit → dead chunk
+            # (its still-live files were flattened into the rebase base)
+            if "manifest" in r:
+                mp = os.path.join(table, r["manifest"])
+                if os.path.exists(mp):
+                    os.unlink(mp)
 
     # every retained version whose parent chain is truncated persists its
     # state; by induction every retained version then replays within

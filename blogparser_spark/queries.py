@@ -10069,3 +10069,61 @@ def tablelog_ndv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard double, union_est double, inter_est double,"
         " n_union_mins bigint, exact_inter bigint",
     )
+
+
+@_q(
+    "tablelog_manifest_chunk_scan",
+    """
+    WITH types AS MATERIALIZED (
+      SELECT DISTINCT event_type FROM events
+    ), n AS (
+      SELECT count(*)::BIGINT AS n_types FROM types
+    )
+    SELECT
+      CAST(ceil(n_types / 2.0) AS BIGINT) AS n_chunks_total,
+      1::BIGINT AS n_chunks_opened,
+      CAST(ceil(n_types / 2.0) AS BIGINT) - 1 AS n_chunks_skipped,
+      (SELECT count(*) FROM events
+        WHERE event_type = (SELECT min(event_type) FROM types)
+      )::BIGINT AS matching_rows
+    FROM n
+    """,
+)
+def tablelog_manifest_chunk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level manifest planning (tablelog.plan_scan — Iceberg's
+    manifest-list layer): a chunked append (one file per event_type,
+    chunk size 2, chunks sorted by partition value) yields a DETERMINISTIC
+    chunk layout, so the oracle predicts the planner's behavior from SQL
+    alone: ceil(n_types/2) chunks total, a point predicate on the first
+    type opens exactly ONE chunk and skips the rest whole — their file
+    entries are never read — and the pruned scan returns exactly that
+    type's rows. This is the 10^7-file planning contract: driver cost for
+    a selective predicate is O(chunks touched), not O(live files)."""
+    from blogparser_spark.operators import tablelog as tl
+
+    t = _tablelog_tmp("tablelog_chunk_") + "/t"
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    tl.append(
+        spark,
+        t,
+        ev.repartition("event_type"),
+        partition_spec=("event_type",),
+        manifest_chunk_files=2,
+    )
+    target = ev.agg(F.min("event_type")).collect()[0][0]
+    plan = tl.plan_scan(t, {"event_type": ("=", target)})
+    matching = tl.scan_where(
+        spark, t, {"event_type": ("=", target)}
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                plan["n_chunks_total"],
+                plan["n_chunks_opened"],
+                plan["n_chunks_skipped"],
+                matching,
+            )
+        ],
+        "n_chunks_total bigint, n_chunks_opened bigint,"
+        " n_chunks_skipped bigint, matching_rows bigint",
+    )

@@ -1644,3 +1644,71 @@ def test_compaction_preserves_manifest_sketches_by_default(spark, tmp_path):
     tl.compact(spark, td, n_files=1, bloom_cols=(), ndv_cols=())
     _, state = tl._state_at(td)
     assert all("bloom" not in e and "ndv" not in e for e in state["data"].values())
+
+
+def test_two_level_manifests_plan_skips_chunks(spark, tmp_path):
+    """A commit adding many files writes chunked manifests (Iceberg's
+    manifest-list layer): the commit inlines per-chunk summaries only, and
+    planning skips whole chunks — partition-value sets, merged stats, OR'd
+    blooms — without reading their file entries. Full-table reads expand
+    to the identical one-level state."""
+    t = str(tmp_path / "chunked")
+    df = spark.range(0, 400).selectExpr(
+        "id AS k", "cast(id % 8 AS string) AS day", "id % 5 AS v"
+    )
+    tl.append(
+        spark, t, df.repartition("day"),
+        partition_spec=("day",), stats_cols=("k",), bloom_cols=("k",),
+        manifest_chunk_files=2,
+    )
+    _, lazy = tl._state_at(t, expand=False)
+    assert lazy.get("chunks") and not lazy["data"]  # fully chunked commit
+    n_chunks = len(lazy["chunks"])
+    assert n_chunks >= 3
+    n_files = sum(r["n_files"] for r in lazy["chunks"].values())
+
+    # expansion parity: the full read sees every row and file
+    assert tl.read_snapshot(spark, t).count() == 400
+    assert tl.table_files(spark, t).count() == n_files
+    hist = tl.table_history(spark, t).collect()[-1]
+    assert hist["files_added"] == n_files and hist["rows_added"] == 400
+
+    # hidden-partition point predicate: only the chunk(s) whose summary
+    # value set contains day=3 are OPENED; the rest are skipped whole
+    plan = tl.plan_scan(t, {"day": ("=", "3")})
+    assert plan["n_chunks_total"] == n_chunks
+    assert plan["n_chunks_opened"] + plan["n_chunks_skipped"] == n_chunks
+    assert plan["n_chunks_opened"] <= max(1, n_chunks // 2)
+    got = tl.scan_where(spark, t, {"day": ("=", "3")})
+    want = df.filter(F.col("day") == "3")
+    assert got.count() == want.count() > 0
+    assert got.select("k").exceptAll(want.select("k")).count() == 0
+
+    # chunk-level bloom: an absent key skips EVERY chunk unopened, and the
+    # skipped-file tally stays exact
+    plan2 = tl.plan_scan(t, {"k": ("=", 999_999)})
+    assert plan2["n_chunks_opened"] == 0
+    assert plan2["n_files_skipped"] == n_files and plan2["paths"] == []
+
+    # incremental scan expands chunk refs transparently
+    inc = tl.incremental_append_scan(spark, t, 0)
+    assert inc.count() == 400
+
+
+def test_compaction_retires_chunked_manifests(spark, tmp_path):
+    """A full rewrite removes the chunk refs with the files (the commit's
+    removed_manifests), so post-compaction planning replays zero chunks
+    while row counts and pruning stay exact."""
+    t = str(tmp_path / "chunked_compact")
+    df = spark.range(0, 300).selectExpr("id AS k", "id % 3 AS v")
+    tl.append(
+        spark, t, df.repartition(6), stats_cols=("k",),
+        manifest_chunk_files=2,
+    )
+    assert tl._state_at(t, expand=False)[1].get("chunks")
+    tl.compact(spark, t, n_files=2)
+    _, lazy = tl._state_at(t, expand=False)
+    assert not lazy.get("chunks")  # refs retired by removed_manifests
+    assert tl.read_snapshot(spark, t).count() == 300
+    plan = tl.plan_scan(t, {"k": ("=", 7)})
+    assert plan["n_chunks_total"] == 0 and len(plan["paths"]) >= 1
