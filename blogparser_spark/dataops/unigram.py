@@ -16,13 +16,19 @@ joins/partial aggs with the piece table BROADCAST (piece vocab is 10^4-
 
 Viterbi is RELATIONAL, not a UDF: the segmentation lattice is an edge
 table (word, j, i, piece) for every ≤max_piece_len substring span, and
-shortest-path over the position-DAG is max_word_len sequential rounds of
+the whole shortest-path DP over the position-DAG — every position AND
+the backtrace — runs inside ONE groupBy("word"): the word's bounded
+edge list collects once and an aggregate() fold over positions carries
   best(i) = min over edges (j -> i) of best(j) + cost(piece)
-each one dict-sized join + min(struct) partial agg (the map-side-
-combinable min(struct) convention from dedup.py). The backtrace is the
-same number of bounded rounds walking prev pointers. No per-row Python,
-no global windows (the prune top-V is a TakeOrdered limit), no collect —
-the learned piece table itself is the (small) result.
+as struct(cost_u, prev, path), the path array doubling as the fused
+backtrace. One shuffle total (the round-5 fusion; the previous design
+paid ~16 sequential dict-sized shuffle rounds — 8 forward + 8
+backtrace). The fold's higher-order functions run interpreted, which is
+safe here because the input is VOCABULARY-sized (corpus volume already
+collapsed in word_freq_dict) and per-word work is O(max_word_len ×
+max_piece_len). No per-row Python, no global windows (the prune top-V
+is a TakeOrdered limit), no collect — the learned piece table itself is
+the (small) result.
 
 Determinism / oracle portability: piece log-probabilities live in
 integer micros, floor(x*1e6 + 0.5) of ln-ratios of exact integer counts
@@ -105,60 +111,128 @@ def _lattice_edges(
     )
 
 
+_PATH_T = "array<struct<prev:int,pos:int,piece:string>>"
+
+# unreachable-prefix sentinel: any real path cost is a sum of ≤ max_word_len
+# piece costs (each ≤ ~30e6 micros), 50+ binary orders below this
+_UNREACHABLE_U = 1 << 62
+
+
 def viterbi_best(
     wd: DataFrame,
     scores: DataFrame,
     max_piece_len: int = 4,
     max_word_len: int = 8,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 4,  # kept for API compat; the fused DP needs none
 ) -> DataFrame:
-    """Forward DP table (word, pos, cost_u, prev): the min-cost
+    """Forward DP table (word, pos, cost_u, prev, path): the min-cost
     segmentation of every dictionary word's prefix word[0..pos) under
-    `scores`, cost_u = sum of -logp_u micros. max_word_len sequential
-    rounds — position i is computed from all positions < i in one
-    dict-sized join + min(struct) partial agg. Words longer than
-    max_word_len are excluded up front (documented cap — raise the
-    parameter; the loop is O(max_word_len)). localCheckpoint every few
-    rounds truncates the growing lineage (the BPE-learner convention)."""
+    `scores`, cost_u = sum of -logp_u micros.
+
+    The whole per-word DP — all positions AND the backtrace — runs inside
+    ONE groupBy("word"): each word's in-vocabulary spans collect into a
+    bounded edge list (≤ max_word_len × max_piece_len tiny structs), and
+    an aggregate() fold over positions 1..len(word) carries the running
+    best array, each element struct(cost_u, prev, path) where `path` is
+    the full min-cost span list of that prefix. One shuffle total,
+    replacing the former 8-round forward + 8-round backtrace (~16
+    sequential dict-sized shuffle stages) — the fixed per-query job cost
+    the round-4 verdict flagged. The higher-order functions run
+    interpreted (repo rule: never corpus-scale), which is safe here
+    because the fold input is VOCABULARY-sized — corpus volume already
+    collapsed in word_freq_dict — and per-word work is O(max_word_len ×
+    max_piece_len).
+
+    Exactness: candidates for position i are array_min over
+    struct(cost_u, prev, path) — the identical ordering the former
+    per-round min(struct) partial agg used, and the DuckDB oracles
+    replay. Two candidates tying on (cost_u, prev) came through the same
+    predecessor (word, j), whose path is already unique, with the last
+    span fully determined by (word, prev, pos) — tied structs are
+    identical, so the trailing array never decides a comparison.
+    Unreachable prefixes carry the _UNREACHABLE_U sentinel and are
+    filtered from the output (the former design simply had no row).
+    Words longer than max_word_len are excluded up front (documented cap
+    — raise the parameter)."""
     wd = wd.filter(F.length("word") <= max_word_len)
-    edges = _lattice_edges(wd, scores, max_piece_len).localCheckpoint()
-    best = wd.select(
+    per_word = (
+        _lattice_edges(wd, scores, max_piece_len)
+        .groupBy("word")
+        .agg(F.collect_list(F.struct("j", "i", "piece", "logp_u")).alias("es"))
+    )
+    empty_path = F.array().cast(_PATH_T)
+    base = F.struct(
+        F.lit(0).cast("bigint").alias("cost_u"),
+        F.lit(-1).cast("int").alias("prev"),
+        empty_path.alias("path"),
+    )
+    dead = F.struct(
+        F.lit(_UNREACHABLE_U).cast("bigint").alias("cost_u"),
+        F.lit(-1).cast("int").alias("prev"),
+        empty_path.alias("path"),
+    )
+
+    def _at(acc, j):
+        return F.element_at(acc, (j + 1).cast("int"))
+
+    def _step(acc, i):
+        cands = F.filter(
+            F.col("es"),
+            lambda e: (e["i"] == i)
+            & (_at(acc, e["j"])["cost_u"] < F.lit(_UNREACHABLE_U)),
+        )
+        best_i = F.array_min(
+            F.transform(
+                cands,
+                lambda e: F.struct(
+                    (_at(acc, e["j"])["cost_u"] - e["logp_u"]).alias("cost_u"),
+                    e["j"].cast("int").alias("prev"),
+                    F.concat(
+                        _at(acc, e["j"])["path"],
+                        F.array(
+                            F.struct(
+                                e["j"].cast("int").alias("prev"),
+                                i.cast("int").alias("pos"),
+                                e["piece"].alias("piece"),
+                            )
+                        ),
+                    ).alias("path"),
+                ),
+            )
+        )
+        return F.concat(acc, F.array(F.coalesce(best_i, dead)))
+
+    acc = F.aggregate(
+        F.sequence(F.lit(1), F.length("word")), F.array(base), _step
+    )
+    solved = per_word.select(
+        "word", F.posexplode(acc).alias("pos", "b")
+    ).select(
+        "word",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("b.cost_u").alias("cost_u"),
+        F.col("b.prev").alias("prev"),
+        F.col("b.path").alias("path"),
+    ).filter(F.col("cost_u") < _UNREACHABLE_U)
+    # words with NO in-vocabulary span at all still own their pos-0 row
+    # (the former design seeded every word), so downstream joins see the
+    # same universe
+    no_edge = wd.join(per_word.select("word"), "word", "left_anti").select(
         "word",
         F.lit(0).alias("pos"),
         F.lit(0).cast("bigint").alias("cost_u"),
         F.lit(-1).alias("prev"),
+        empty_path.alias("path"),
     )
-    for i in range(1, max_word_len + 1):
-        step = (
-            edges.filter(F.col("i") == i)
-            .join(
-                best.select(
-                    "word",
-                    F.col("pos").alias("j"),
-                    F.col("cost_u").alias("pc"),
-                ),
-                ["word", "j"],
-            )
-            .groupBy("word")
-            .agg(
-                F.min(
-                    F.struct(
-                        (F.col("pc") - F.col("logp_u")).alias("cost_u"),
-                        F.col("j").alias("prev"),
-                    )
-                ).alias("b")
-            )
-            .select(
-                "word",
-                F.lit(i).alias("pos"),
-                F.col("b.cost_u").alias("cost_u"),
-                F.col("b.prev").alias("prev"),
-            )
-        )
-        best = best.unionByName(step)
-        if i % checkpoint_every == 0 or i == max_word_len:
-            best = best.localCheckpoint()
-    return best
+    return solved.unionByName(no_edge)
+
+
+def _word_ends(wd: DataFrame, best: DataFrame) -> DataFrame:
+    """Each word's full-length DP row: (word, cnt, pos, cost_u, prev,
+    path) at pos = len(word) — the fused path IS the segmentation."""
+    return wd.select(
+        "word", "cnt", F.length("word").cast("int").alias("pos")
+    ).join(best, ["word", "pos"])
 
 
 def viterbi_path_pieces(
@@ -169,37 +243,27 @@ def viterbi_path_pieces(
     best: DataFrame | None = None,
 ) -> DataFrame:
     """(word, cnt, pos, prev, piece) — one row per piece on each word's
-    Viterbi path. The backtrace walks prev pointers from pos = len(word):
-    max_word_len bounded rounds, each a dict-sized join. This raw row
-    form is the authoritative path representation: EM counts aggregate
-    from it directly, so a piece that happens to CONTAIN the display
-    delimiter can never be miscounted. Pass a precomputed `best` DP table
-    to avoid re-running the forward rounds (viterbi_segments shares its
-    own)."""
+    Viterbi path: ONE explode of the DP table's fused path arrays (no
+    prev-pointer walk — the backtrace rode along in viterbi_best's
+    min-struct). This raw row form is the authoritative path
+    representation: EM counts aggregate from it directly, so a piece
+    that happens to CONTAIN the display delimiter can never be
+    miscounted. Pass a precomputed `best` DP table to avoid re-running
+    the forward rounds (viterbi_segments shares its own)."""
     if best is None:
         best = viterbi_best(wd, scores, max_piece_len, max_word_len)
     wd = wd.filter(F.length("word") <= max_word_len)
-    cur = wd.select(
-        "word", "cnt", F.length("word").cast("int").alias("pos")
-    ).join(best, ["word", "pos"])
-    out = None
-    for _ in range(max_word_len):
-        emit = cur.filter(F.col("pos") > 0).select(
+    return (
+        _word_ends(wd, best)
+        .select("word", "cnt", F.explode("path").alias("s"))
+        .select(
             "word",
             "cnt",
-            "pos",
-            "prev",
-            F.col("word").substr(
-                F.col("prev") + F.lit(1), F.col("pos") - F.col("prev")
-            ).alias("piece"),
+            F.col("s.pos").alias("pos"),
+            F.col("s.prev").alias("prev"),
+            F.col("s.piece").alias("piece"),
         )
-        out = emit if out is None else out.unionByName(emit)
-        cur = (
-            emit.filter(F.col("prev") > 0)
-            .select("word", "cnt", F.col("prev").alias("pos"))
-            .join(best, ["word", "pos"])
-        )
-    return out
+    )
 
 
 def viterbi_segments(
@@ -211,25 +275,20 @@ def viterbi_segments(
     """(word, cnt, toks, n_pieces, cost_u) — the Viterbi segmentation of
     every dictionary word, pieces joined '|' in path order (display
     form — use viterbi_path_pieces for anything that must count pieces
-    exactly). Per-word piece lists are ≤ max_word_len elements so the
-    final collect_list is bounded (the capped-collect convention)."""
+    exactly). The fused path array is already in span order, so this is
+    a pure projection of the word-end DP rows: no collect_list, no
+    backtrace, no second cost join."""
     best = viterbi_best(wd, scores, max_piece_len, max_word_len)
     wd = wd.filter(F.length("word") <= max_word_len)
-    out = viterbi_path_pieces(wd, scores, max_piece_len, max_word_len, best)
-    segs = out.groupBy("word", "cnt").agg(
+    return _word_ends(wd, best).select(
+        "word",
+        "cnt",
         F.concat_ws(
-            "|",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "piece"))),
-                lambda x: x["piece"],
-            ),
+            "|", F.transform("path", lambda s: s["piece"])
         ).alias("toks"),
-        F.count("*").cast("bigint").alias("n_pieces"),
+        F.size("path").cast("bigint").alias("n_pieces"),
+        "cost_u",
     )
-    cost = wd.select(
-        "word", F.length("word").cast("int").alias("pos")
-    ).join(best, ["word", "pos"]).select("word", "cost_u")
-    return segs.join(cost, "word")
 
 
 def em_round(

@@ -280,3 +280,27 @@ def test_nb_nondefault_buckets_thread_through(spark, nb_docs):
     pred = nb.nb_predict(df, weights, priors, n_buckets=8)
     got = {r.id: (r.label, r.pred) for r in pred.collect()}
     assert got == exp_pred
+
+
+def test_unigram_dp_is_one_shuffle_fused(spark, tiny_docs):
+    """The whole Viterbi DP — every position AND the backtrace — runs in
+    ONE groupBy("word") fold (the round-5 fusion): with the dictionary
+    and scores pre-materialized, segmenting costs a bounded handful of
+    jobs/stages, where the former 8-round forward + 8-round backtrace
+    design measured 38 jobs / 67 stages on this same fixture. Counted
+    via the status tracker over a dedicated job group."""
+    wd = word_freq_dict(tiny_docs, "text").localCheckpoint()
+    scores = ug.piece_scores(ug.seed_pieces(wd, 3)).localCheckpoint()
+    sc = spark.sparkContext
+    sc.setJobGroup("ug-fused", "viterbi fused-DP job count")
+    try:
+        ug.viterbi_segments(wd, scores, 3, 8).collect()
+    finally:
+        sc.setJobGroup("ug-fused-done", "")
+    tracker = sc.statusTracker()
+    jobs = tracker.getJobIdsForGroup("ug-fused")
+    stages = set()
+    for j in jobs:
+        stages.update(tracker.getJobInfo(j).stageIds)
+    assert 0 < len(jobs) <= 12, jobs
+    assert len(stages) <= 20, sorted(stages)
