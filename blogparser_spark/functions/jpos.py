@@ -91,10 +91,13 @@ LEMMA_RULES: tuple[tuple[str, str], ...] = _build_lemma_rules()
 # Irregular verbs (サ変 する, カ変 来る/くる): their inflected forms don't
 # follow the godan/ichidan suffix rows (します would suffix-rewrite to しる,
 # きました to きる), so — like every dictionary — they are an exact-match
-# table consulted BEFORE the suffix rules. Only BARE forms are listed:
-# kanji-noun+する compounds (勉強しました) are lexically ambiguous with
-# godan す-verbs (話しました→話す) without a real dictionary, and remain
-# part of the documented lattice-morphology deviation.
+# table consulted BEFORE the suffix rules. Only BARE forms are listed;
+# kanji-noun+する compounds (勉強しました vs the godan 話しました→話す)
+# resolve through the bundled SURU_NOUNS lexicon below — stems OUTSIDE
+# that list still take the godan rule and remain the documented
+# lattice-morphology residual (per-token parity rate measured in
+# tests/test_summary_bm25.py::test_morphology_parity_rate: 41/42 vs the
+# pre-lexicon twin's 24/42).
 IRREGULAR_LEMMAS: dict[str, str] = {
     # する
     "します": "する", "しました": "する", "しません": "する",
@@ -106,18 +109,87 @@ IRREGULAR_LEMMAS: dict[str, str] = {
     # 来る (kanji stem)
     "来ます": "来る", "来ました": "来る", "来ません": "来る",
     "来て": "来る", "来た": "来る", "来ない": "来る",
+    # できる (kana potential verb — the suffix rows would give でく)
+    "できます": "できる", "できました": "できる", "できません": "できる",
+    "できて": "できる", "できた": "できる",
 }
 # tokens eligible for de-inflection: optional kanji stem + hiragana tail
 _INFLECTABLE_RE = r"^[一-龯々]*[ぁ-ゖ]+$"
+
+# High-frequency サ変 nouns (the round-5 ambiguity lexicon): <noun>+する
+# compounds inflect like します/しました, which is lexically IDENTICAL to a
+# godan す-verb ending (話しました → 話す) — undecidable without a
+# dictionary, so this bundled exact-match noun list decides it: a merged
+# token whose stem is here de-inflects to <noun>する, anything else keeps
+# the godan rule. Chosen from public frequency lists, all two-kanji so no
+# godan-す stem (話, 出, 押, …, all single-kanji or verb-specific
+# compounds) collides.
+SURU_NOUNS: tuple[str, ...] = (
+    "勉強", "運動", "練習", "旅行", "掃除", "料理", "散歩", "説明",
+    "連絡", "電話", "結婚", "質問", "研究", "紹介", "準備", "利用",
+    "使用", "確認", "開発", "処理", "検索", "登録", "更新", "削除",
+    "保存", "送信", "受信", "実行", "設定", "入力", "出力", "接続",
+    "完了", "開始", "終了", "参加", "発表", "報告", "対応", "案内",
+)
+# the する-inflections the segmenter merges onto a kanji stem (⊆ the
+# suffix alternation below); bare forms (しない, しましょう, すれば) split
+# off as their own hiragana token and resolve via IRREGULAR_LEMMAS
+_SURU_FORMS: tuple[str, ...] = ("しました", "しません", "します", "して", "した")
+
+# Okurigana compound nouns (kanji + hiragana + kanji …) the script-run
+# segmenter would otherwise split at every script boundary (晴れ → 晴 +
+# れです, 問い合わせ → 問 + い + 合 + わせ): a small bundled LONGEST-MATCH
+# lexicon, tried FIRST in the segmentation regex (leftmost-first
+# alternation — identical semantics in Java regex, RE2/DuckDB, and Python
+# re) and tagged 名詞-一般. High-frequency picks from public lists.
+SEGMENT_LEXICON: tuple[str, ...] = tuple(
+    sorted(
+        (
+            "問い合わせ", "打ち合わせ", "申し込み", "読み込み", "書き込み",
+            "取り組み", "受け取り", "乗り換え", "切り替え", "引っ越し",
+            "気持ち", "買い物", "飲み物", "食べ物", "晴れ", "曇り",
+            "手続き", "締め切り", "売り上げ", "振り込み",
+        ),
+        key=len,
+        reverse=True,
+    )
+)
+
+# Kana words beginning with a split-particle character (below): listed
+# before the particle branch so the split never dismembers them
+# (できました would otherwise become で + きました → くる).
+KANA_LEXICON: tuple[str, ...] = tuple(
+    sorted(
+        (
+            "できました", "できません", "できます", "できて", "できた",
+            "できる", "とても", "はじめて",
+        ),
+        key=len,
+        reverse=True,
+    )
+)
+
+# Single-char case particles split off the FRONT of a hiragana run (one
+# char per match, leftmost-first — RE2 has no lookahead, so this is the
+# portable form): をしました then tokenizes を + しました → する instead
+# of the をす garbage token. Word-initial occurrences of these chars are
+# protected by KANA_LEXICON above; everything else starting with them
+# (もう, やはり…) was weight-0 noise before and after the split.
+_SPLIT_PARTICLES = "はがをにでとへ"
 
 # segmentation: a kanji stem MERGES with a directly-following inflection
 # suffix (so 飛びます is ONE token and de-inflects to the true lemma 飛ぶ
 # instead of splitting into 飛 + びます); the suffix alternation is built
 # from the rule table + bare い (already-dictionary-form adjectives), so
-# ordinary particles (分散処理の → 分散処理 + の) never merge.
+# ordinary particles (分散処理の → 分散処理 + の) never merge. The
+# okurigana + kana lexicons alternate FIRST (longest entries first), so
+# their words survive as single tokens.
 _SUFFIX_ALT = "|".join([s for s, _ in LEMMA_RULES] + ["しい", "い"])
 SEGMENT_RE = (
-    r"[一-龯々]+(?:" + _SUFFIX_ALT + r")?|[ぁ-ゖ]+|[ァ-ヶー]+|[A-Za-z]+|[0-9]+"
+    "|".join(SEGMENT_LEXICON + KANA_LEXICON)
+    + r"|[一-龯々]+(?:" + _SUFFIX_ALT + r")?"
+    + f"|[{_SPLIT_PARTICLES}]"
+    + r"|[ぁ-ゖ]+|[ァ-ヶー]+|[A-Za-z]+|[0-9]+"
 )
 
 # closed-class function words (public Japanese grammar): exact-match stages
@@ -171,8 +243,22 @@ def lemma_of(term: Column) -> Column:
         F.create_map(*[F.lit(x) for kv in IRREGULAR_LEMMAS.items() for x in kv]),
         term,
     )
+    # サ変 compound: <SURU_NOUNS stem> + する-inflection → stem + する,
+    # consulted BEFORE the godan suffix rules (which would give stem + す)
+    suru = []
+    for form in _SURU_FORMS:
+        ln = len(form)
+        stem = F.substring(term, F.lit(1), F.length(term) - ln)
+        suru.append(
+            F.when(
+                (F.length(term) > ln)
+                & (F.substring(term, -ln, ln) == form)
+                & stem.isin(*SURU_NOUNS),
+                F.concat(stem, F.lit("する")),
+            ).otherwise(F.lit(None).cast("string"))
+        )
     return F.coalesce(
-        irr, F.when(inflectable, F.coalesce(*cands, term)).otherwise(term)
+        irr, *suru, F.when(inflectable, F.coalesce(*cands, term)).otherwise(term)
     )
 
 
@@ -190,7 +276,8 @@ def pos_of(term: Column) -> Column:
     """Heuristic POS label for one segmented token — the rule order is the
     spec; pos_case_sql() generates the identical CASE for DuckDB."""
     return (
-        F.when(
+        F.when(term.isin(*SEGMENT_LEXICON), "名詞-一般")
+        .when(
             term.rlike("^[ァ-ヶー]+$"),
             F.when(F.length(term) >= 4, "名詞-固有名詞").otherwise("名詞-一般"),
         )
@@ -228,7 +315,9 @@ def pos_case_sql(term: str) -> str:
     """The pos_of() rules as a DuckDB CASE expression over column `term`."""
     particles = ", ".join(_sql_quote(p) for p in PARTICLES)
     aux = ", ".join(_sql_quote(a) for a in AUXILIARIES)
+    lexicon = ", ".join(_sql_quote(w) for w in SEGMENT_LEXICON)
     return f"""CASE
+      WHEN {term} IN ({lexicon}) THEN '名詞-一般'
       WHEN regexp_matches({term}, '^[ァ-ヶー]+$')
         THEN CASE WHEN length({term}) >= 4 THEN '名詞-固有名詞' ELSE '名詞-一般' END
       WHEN regexp_matches({term}, '^[一-龯々]+$') THEN '名詞-一般'
@@ -264,6 +353,14 @@ def lemma_case_sql(term: str) -> str:
         f"WHEN {term} = {_sql_quote(form)} THEN {_sql_quote(lem)}"
         for form, lem in IRREGULAR_LEMMAS.items()
     )
+    nouns = ", ".join(_sql_quote(n) for n in SURU_NOUNS)
+    suru = " ".join(
+        f"WHEN length({term}) > {len(form)} "
+        f"AND right({term}, {len(form)}) = {_sql_quote(form)} "
+        f"AND substr({term}, 1, length({term}) - {len(form)}) IN ({nouns}) "
+        f"THEN substr({term}, 1, length({term}) - {len(form)}) || 'する'"
+        for form in _SURU_FORMS
+    )
     whens = " ".join(
         f"WHEN regexp_matches({term}, '{_INFLECTABLE_RE}') "
         f"AND {term} NOT IN ({aux}) "
@@ -271,7 +368,7 @@ def lemma_case_sql(term: str) -> str:
         f"THEN substr({term}, 1, length({term}) - {len(sfx)}) || {_sql_quote(rep)}"
         for sfx, rep in LEMMA_RULES
     )
-    return f"CASE {irr} {whens} ELSE {term} END"
+    return f"CASE {irr} {suru} {whens} ELSE {term} END"
 
 
 def pos_lemma_case_sql(term: str, lemma: str) -> str:
@@ -292,6 +389,11 @@ def lemma_py(tok: str) -> str:
 
     if tok in IRREGULAR_LEMMAS:
         return IRREGULAR_LEMMAS[tok]
+    for form in _SURU_FORMS:
+        if tok.endswith(form) and len(tok) > len(form):
+            stem = tok[: -len(form)]
+            if stem in SURU_NOUNS:
+                return stem + "する"
     if tok not in AUXILIARIES and re.fullmatch(_INFLECTABLE_RE.strip("^$"), tok):
         for sfx, rep in LEMMA_RULES:
             if tok.endswith(sfx) and len(tok) > len(sfx):
@@ -303,6 +405,8 @@ def _pos_py(tok: str) -> str:
     """Pure-Python twin of pos_of() (surface rules)."""
     import re
 
+    if tok in SEGMENT_LEXICON:
+        return "名詞-一般"
     if re.fullmatch(r"[ァ-ヶー]+", tok):
         return "名詞-固有名詞" if len(tok) >= 4 else "名詞-一般"
     if re.fullmatch(r"[一-龯々]+", tok):
