@@ -2664,7 +2664,9 @@ def remove_orphans(table: str, min_age_sec: float = 0.0) -> int:
     writers that wrote their files but lost the optimistic commit race or
     died before the log write. `min_age_sec` is the same age guard as
     Iceberg's default 3-day cutoff: files younger than it are skipped, so
-    an IN-FLIGHT writer's not-yet-committed files are never swept."""
+    an IN-FLIGHT writer's not-yet-committed files are never swept.
+    Unreferenced chunk manifests (mchunk-*.json in log/, pre-written by
+    writers that lost the commit race) are swept under the same guard."""
     versions = list_versions(table)
     referenced: set[str] = set()
     for v in versions:
@@ -2702,6 +2704,26 @@ def remove_orphans(table: str, min_age_sec: float = 0.0) -> int:
                     continue
                 os.unlink(p)
                 removed += 1
+    # chunk manifests are written BEFORE the optimistic commit, so a
+    # writer that lost every retry (or died) leaves its mchunk files in
+    # log/ unreferenced — the same orphan class as its data files, swept
+    # under the same age guard
+    ref_chunks = {
+        os.path.join(table, e["manifest"])
+        for v in versions
+        for e in _read_commit(table, v).get("added_data", [])
+        if "manifest" in e
+    }
+    log = _log_dir(table)
+    if os.path.isdir(log):
+        for name in os.listdir(log):
+            if not (name.startswith("mchunk-") and name.endswith(".json")):
+                continue
+            p = os.path.join(log, name)
+            if p in ref_chunks or now - os.path.getmtime(p) < min_age_sec:
+                continue
+            os.unlink(p)
+            removed += 1
     return removed
 
 

@@ -1712,3 +1712,100 @@ def test_compaction_retires_chunked_manifests(spark, tmp_path):
     assert tl.read_snapshot(spark, t).count() == 300
     plan = tl.plan_scan(t, {"k": ("=", 7)})
     assert plan["n_chunks_total"] == 0 and len(plan["paths"]) >= 1
+
+
+def test_orphan_sweep_removes_lost_writers_chunk_manifests(spark, tmp_path):
+    """A chunked append writes its mchunk files BEFORE the commit; a
+    writer that lost the race leaves them unreferenced in log/. The
+    orphan sweep removes exactly those (age-guarded), never a committed
+    chunk."""
+    t = str(tmp_path / "chunk_orphans")
+    df = spark.range(0, 100).selectExpr("id AS k")
+    tl.append(spark, t, df.repartition(4), manifest_chunk_files=2)
+    live = {
+        r["manifest"]
+        for r in tl._state_at(t, expand=False)[1]["chunks"].values()
+    }
+    assert live
+    # simulate a lost writer's pre-written chunk
+    dead = os.path.join(t, "log", "mchunk-deadbeefdeadbeef.json")
+    with open(dead, "w") as f:
+        json.dump({"entries": []}, f)
+    removed = tl.remove_orphans(t, min_age_sec=0.0)
+    assert removed == 1 and not os.path.exists(dead)
+    for m in live:
+        assert os.path.exists(os.path.join(t, m))
+    assert tl.read_snapshot(spark, t).count() == 100
+
+
+def test_plan_scan_scales_by_chunks_not_files(tmp_path):
+    """The 10^7-file planning contract, proven at 10^5: a synthetic
+    chunked commit with 100,000 file entries across 200 chunks (manifest
+    JSON only — plan_scan never opens data files). A point predicate on
+    the chunk-coherent partition value opens exactly ONE chunk: driver
+    work is O(summaries + one chunk), and measured planning time is an
+    order of magnitude under the full expansion the one-level layout
+    would force."""
+    import time as _time
+
+    t = str(tmp_path / "bigplan")
+    log = os.path.join(t, "log")
+    os.makedirs(log)
+    n_chunks, per_chunk = 200, 500
+    spec = [{"name": "day", "source": "day", "transform": "identity", "param": None}]
+    refs = []
+    for c in range(n_chunks):
+        entries = [
+            {
+                "path": f"{t}/data/c000001/day={c:03d}/part-{i:05d}.parquet",
+                "rows": 10,
+                "bytes": 1000,
+                "stats": {"k": [c * per_chunk + i, c * per_chunk + i]},
+                "partition": {"day": f"{c:03d}"},
+                "spec": spec,
+            }
+            for i in range(per_chunk)
+        ]
+        name = f"mchunk-{c:032x}.json"
+        with open(os.path.join(log, name), "w") as f:
+            json.dump({"entries": entries}, f)
+        refs.append(
+            {
+                "manifest": os.path.join("log", name),
+                "n_files": per_chunk,
+                "rows": per_chunk * 10,
+                "bytes": per_chunk * 1000,
+                "partitions": {"day": [f"{c:03d}"]},
+                "stats": {"k": [c * per_chunk, (c + 1) * per_chunk - 1]},
+                "spec": spec,
+                "seq": 1,
+            }
+        )
+    commit = {
+        "version": 1,
+        "parent": None,
+        "operation": "append",
+        "ts": 0.0,
+        "schema": [["k", "bigint"], ["day", "string"]],
+        "added_data": refs,
+    }
+    with open(os.path.join(log, "v000000000001.json"), "w") as f:
+        json.dump(commit, f)
+
+    t0 = _time.perf_counter()
+    plan = tl.plan_scan(t, {"day": ("=", "123")})
+    chunked_sec = _time.perf_counter() - t0
+    assert plan["n_chunks_total"] == n_chunks
+    assert plan["n_chunks_opened"] == 1
+    assert plan["n_chunks_skipped"] == n_chunks - 1
+    assert len(plan["paths"]) == per_chunk
+    assert plan["n_files_skipped"] == (n_chunks - 1) * per_chunk
+
+    # the one-level cost this layout avoids: expand every chunk, check
+    # every file entry (what prune_files_where did before round 5)
+    t0 = _time.perf_counter()
+    _, state = tl._state_at(t)  # expand=True: all 100k entries
+    n_live = len(state["data"])
+    expanded_sec = _time.perf_counter() - t0
+    assert n_live == n_chunks * per_chunk
+    assert chunked_sec < expanded_sec / 10, (chunked_sec, expanded_sec)

@@ -1638,3 +1638,68 @@ _jov = _tl.column_ndv_overlap(_ja, _jb, "k")
 assert 0.15 < _jov["jaccard"] < 0.55 and 250 < _jov["inter_est"] < 1100
 print("join-size estimate from manifests: J=%.3f inter≈%.0f (true 600)" % (_jov["jaccard"], _jov["inter_est"]))
 print("DRIVE123 OK")
+
+# batch-9a: two-level manifests — chunked commit, summary skip, parity
+_c2t = _tf.mkdtemp(prefix="drv_c2_") + "/t"
+_c2d = spark.range(0, 400).selectExpr(
+    "id AS k", "cast(id % 8 AS string) AS day")
+_tl.append(spark, _c2t, _c2d.repartition("day"), partition_spec=("day",),
+           stats_cols=("k",), bloom_cols=("k",), manifest_chunk_files=2)
+_c2l = _tl._state_at(_c2t, expand=False)[1]
+assert _c2l.get("chunks") and not _c2l["data"]
+_c2p = _tl.plan_scan(_c2t, {"day": ("=", "3")})
+assert _c2p["n_chunks_opened"] < _c2p["n_chunks_total"]
+assert _tl.scan_where(spark, _c2t, {"day": ("=", "3")}).count() == 50
+assert _tl.read_snapshot(spark, _c2t).count() == 400
+_c2a = _tl.plan_scan(_c2t, {"k": ("=", 999999)})
+assert _c2a["n_chunks_opened"] == 0 and _c2a["paths"] == []
+print("two-level manifests: %d/%d chunks skipped on point scan, absent key opens none"
+      % (_c2p["n_chunks_skipped"], _c2p["n_chunks_total"]))
+print("DRIVE124 OK")
+
+# batch-9b: sliced job routes through the tablelog sink with ledger resume
+from blogparser_spark.job import transform as _jtf
+from blogparser_spark.operators.checkpoint import run_sliced as _rsl
+_j5i = _tf.mkdtemp(prefix="drv_j5_")
+transcripts_df(spark, n_convs=20, turns_per_conv=4).write.mode(
+    "overwrite").parquet(_j5i + "/in")
+_j5o = _j5i + "/out"
+_j5m = _rsl(spark, _j5i + "/in", _j5o, _jtf, n_slices=2,
+            table_format="tablelog")
+assert [m.slice_id for m in _j5m] == [0, 1]
+assert all(m.table_version for m in _j5m)
+_j5n = spark.read.parquet(_j5i + "/in").count()
+assert _tl.read_snapshot(spark, _j5o + "/table").count() == _j5n
+import shutil as _sh
+_sh.rmtree(_j5o + "/_manifests")  # ledger alone must still resume
+assert _rsl(spark, _j5i + "/in", _j5o, _jtf, n_slices=2,
+            table_format="tablelog") == []
+print("sliced job -> tablelog sink: atomic slice commits, marker-ledger resume without manifests")
+print("DRIVE125 OK")
+
+# batch-9c: fused unigram Viterbi — one-shuffle DP, exact segmentation
+from blogparser_spark.dataops import unigram as _ug
+from blogparser_spark.dataops.lm import word_freq_dict as _wfd
+_ugd = spark.createDataFrame(
+    [(i, "abab abc cab abab") for i in range(6)], ["doc_id", "text"])
+_ugw = _wfd(_ugd, "text")
+_ugs = _ug.piece_scores(_ug.seed_pieces(_ugw, 3))
+_ugo = {r.word: (r.toks, r.n_pieces)
+        for r in _ug.viterbi_segments(_ugw, _ugs, 3, 8).collect()}
+# every segmentation reconstructs its word and its piece count is exact
+assert all(t.replace("|", "") == w for w, (t, _n) in _ugo.items())
+assert all(n == len(t.split("|")) for t, n in _ugo.values())
+assert _ugo["abc"] == ("abc", 1)  # 3-char word fits one seed piece
+_uge = _ug.em_round(_ugw, _ugs, vocab_size=4, max_piece_len=3)
+assert _uge.count() >= 4  # top-V + single-char coverage
+print("fused unigram DP: one-shuffle Viterbi segments + EM round over %d words" % len(_ugo))
+print("DRIVE126 OK")
+
+# batch-9d: morphology lexicons — compound/okurigana/particle-split twins
+from blogparser_spark.functions.jpos import lemma_py as _lpy, tokenize_pos_py as _tpy
+assert _lpy("勉強しました") == "勉強する" and _lpy("話しました") == "話す"
+assert _lpy("できました") == "できる"
+assert [t for t, _p, _w in _tpy("手続きをしました")] == ["手続き", "する"]
+assert "晴れ" in [t for t, _p, _w in _tpy("明後日は晴れです")]
+print("morphology lexicons: suru-compounds, okurigana nouns, particle split all resolve")
+print("DRIVE127 OK")
