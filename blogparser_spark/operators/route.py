@@ -280,6 +280,7 @@ def route_commit_tablelog(
     files_per_sink: int = 1,
     stats_cols: tuple[str, ...] = (),
     bloom_cols: tuple[str, ...] = (),
+    manifest_chunk_files: int | None = None,
 ) -> tuple[int | None, bool]:
     """Fan routed rows into ONE snapshot-log table partitioned by the sink
     keys, as a single atomic idempotent commit — the north rule's "per-sink
@@ -295,7 +296,11 @@ def route_commit_tablelog(
     per-file blooms (a bloom on conv_id lets a conversation point
     lookup skip sink files that definitely lack the conv — the
     serving path for "fetch this conversation" against the routed
-    lakehouse). Returns (version, committed)."""
+    lakehouse). A wide batch touching many sinks (files_per_sink × live
+    sink combinations) inherits the two-level manifest layer through
+    `manifest_chunk_files` (None = tablelog.MANIFEST_CHUNK_FILES), so
+    per-sink point reads plan by chunk summary. Returns (version,
+    committed)."""
     from blogparser_spark.operators import tablelog as tl
 
     out = df.drop("images")
@@ -309,6 +314,7 @@ def route_commit_tablelog(
         partition_by=tuple(SINK_KEYS),
         stats_cols=stats_cols,
         bloom_cols=bloom_cols,
+        manifest_chunk_files=manifest_chunk_files,
     )
 
 

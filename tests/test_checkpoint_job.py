@@ -310,3 +310,58 @@ def test_tablelog_generation_replace_on_input_change_and_reslice(
     assert run_sliced(
         spark, inp, out, transform, n_slices=2, table_format="tablelog"
     ) == []
+
+
+def test_tablelog_replace_converges_after_crash_between_delete_and_append(
+    spark, tmp_path
+):
+    """Generation replace is delete-commit + append-commit per slice; a
+    crash between them leaves the slice's rows deleted but its marker
+    uncommitted. The resumed run must re-run exactly that slice (delete
+    matches nothing, append lands) and converge to the full new
+    generation."""
+    import time as _time
+
+    from blogparser_spark.job import transform
+    from blogparser_spark.operators import tablelog as tl
+    from blogparser_spark.operators.checkpoint import (
+        run_sliced,
+        slice_marker,
+        slice_predicate,
+    )
+
+    inp = _write_input(spark, tmp_path)
+    out = str(tmp_path / "out_crash")
+    table = out + "/table"
+    run_sliced(spark, inp, out, transform, n_slices=2, table_format="tablelog")
+    n1 = spark.read.parquet(inp).count()
+
+    _time.sleep(1.1)
+    _write_input(spark, tmp_path)
+    n2 = spark.read.parquet(inp).count()
+    snapshot = None
+    from blogparser_spark.operators.checkpoint import input_snapshot_id
+
+    snapshot = input_snapshot_id(spark, inp)
+    # simulate the crashed first half of slice 0's replace: the delete
+    # commit landed, the append (and its marker) did not
+    marker0 = slice_marker(0, snapshot, 2, "conv_id")
+    tl.delete_where(
+        spark,
+        table,
+        slice_predicate(0, 2, "conv_id") & (F.col("_gen") != marker0),
+        ["conv_id", "_gen"],
+    )
+    import shutil
+
+    shutil.rmtree(out + "/_manifests")  # crash also lost the manifests
+    assert tl.read_snapshot(spark, table).count() < n1  # mid-crash state
+
+    rerun = run_sliced(
+        spark, inp, out, transform, n_slices=2, table_format="tablelog"
+    )
+    assert [m.slice_id for m in rerun] == [0, 1]
+    snap = tl.read_snapshot(spark, table)
+    assert snap.count() == n2
+    gens = [r["_gen"] for r in snap.select("_gen").distinct().collect()]
+    assert len(gens) == 2 and all("|n=2|" in g for g in gens)
