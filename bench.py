@@ -284,8 +284,15 @@ def main() -> None:
     # code has measured 7.8-9.4s headline totals across host windows
     # (BASELINE.md noise notes), so a single session cannot distinguish a
     # code regression from a window — the JSON itself carries the noise
-    # band (per-session totals + gauges) instead of external prose.
-    runs = [one_run(cpus, sf_dir) for _ in range(2)]
+    # band (per-session totals + gauges) instead of external prose. If
+    # the first session ran long (bad host window), the second is skipped
+    # so the harness's own runtime stays bounded; the JSON then carries
+    # one session and the reader knows why.
+    t0 = time.time()
+    runs = [one_run(cpus, sf_dir)]
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
+    if time.time() - t0 < budget:
+        runs.append(one_run(cpus, sf_dir))
     out = dict(min(runs, key=lambda r: r["value"]))
     out["sessions"] = [
         {

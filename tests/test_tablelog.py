@@ -1809,3 +1809,29 @@ def test_plan_scan_scales_by_chunks_not_files(tmp_path):
     expanded_sec = _time.perf_counter() - t0
     assert n_live == n_chunks * per_chunk
     assert chunked_sec < expanded_sec / 10, (chunked_sec, expanded_sec)
+
+
+def test_chunk_summaries_translate_renamed_predicates(spark, tmp_path):
+    """Field-id evolution over a CHUNKED commit: after a rename, a
+    predicate on the CURRENT name must translate through the chunk ref's
+    write-time cols map at the SUMMARY level — skipping chunks without
+    opening them — and through each file entry after a chunk opens."""
+    t = str(tmp_path / "chunk_evolve")
+    df = spark.range(0, 400).selectExpr("id AS k", "cast(id % 8 AS string) AS day")
+    tl.append(
+        spark, t, df.repartition("day"),
+        partition_spec=("day",), stats_cols=("k",),
+        manifest_chunk_files=2,
+    )
+    tl.evolve_schema(t, rename={"k": "key", "day": "d"})
+    n_chunks = tl.plan_scan(t, {})["n_chunks_total"]
+    # stats predicate on the renamed measure column
+    plan = tl.plan_scan(t, {"key": ("between", 0, 10)})
+    assert plan["n_chunks_opened"] + plan["n_chunks_skipped"] == n_chunks
+    got = tl.scan_where(spark, t, {"key": ("between", 0, 10)})
+    assert got.count() == 11 and "key" in got.columns
+    # hidden-partition predicate on the renamed source column still skips
+    # whole chunks by the summary's partition-value sets
+    plan2 = tl.plan_scan(t, {"d": ("=", "3")})
+    assert plan2["n_chunks_opened"] < n_chunks
+    assert tl.scan_where(spark, t, {"d": ("=", "3")}).count() == 50
