@@ -3145,41 +3145,21 @@ def prune_files(
 ) -> tuple[list[str], int]:
     """Manifest-stats pruning: live data files whose [min,max] for `col`
     overlaps [lo,hi]; files without stats are kept (never prune blind).
-    Returns (paths_to_read, n_files_skipped)."""
-    _, state = _state_at(table, version)
-    byname = {n: i for i, n, _t in _fields_of(state)}
-    evolved = bool(state.get("evolved"))
-    keep, skipped = [], 0
-    for path in sorted(state["data"]):
-        e = state["data"][path]
-        w = col
-        if evolved:
-            inv = {fid: n for n, fid in _entry_cols(e, state).items()}
-            w = inv.get(byname.get(col))
-        st = e.get("stats", {}).get(w) if w is not None else None
-        if st is None:
-            keep.append(path)
-        elif st[0] <= hi and st[1] >= lo:
-            keep.append(path)
-        else:
-            skipped += 1
-    return keep, skipped
+    Delegates to the two-level planner, so chunked commits skip whole
+    chunk manifests by their merged stats summaries (partition-spec
+    projection composes when present). Returns (paths_to_read,
+    n_files_skipped)."""
+    plan = plan_scan(table, {col: ("between", lo, hi)}, version)
+    return plan["paths"], plan["n_files_skipped"]
 
 
 def scan_between(
     spark: SparkSession, table: str, col: str, lo, hi, version: int | None = None
 ) -> DataFrame:
-    """Predicate scan that opens only stats-overlapping files, then applies
-    the exact filter and any outstanding delete files."""
-    _, state = _state_at(table, version)
-    paths, _skipped = prune_files(table, col, lo, hi, version)
-    if not paths:
-        return _empty_df(spark, _field_pairs(_fields_of(state)))
-    df = _read_projected(spark, [state["data"][p] for p in paths], state).filter(
-        F.col(col).between(lo, hi)
-    )
-    pruned_state = dict(state, data={p: state["data"][p] for p in paths})
-    return _apply_deletes(spark, df, pruned_state)
+    """Predicate scan that opens only stats-overlapping files (chunk
+    summaries first — see plan_scan), then applies the exact filter and
+    any outstanding delete files."""
+    return scan_where(spark, table, {col: ("between", lo, hi)}, version)
 
 
 # ---------------------------------------------------------------------------
