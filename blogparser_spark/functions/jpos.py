@@ -112,6 +112,7 @@ IRREGULAR_LEMMAS: dict[str, str] = {
     # できる (kana potential verb — the suffix rows would give でく)
     "できます": "できる", "できました": "できる", "できません": "できる",
     "できて": "できる", "できた": "できる",
+    "できない": "できる", "できなかった": "できる",
 }
 # tokens eligible for de-inflection: optional kanji stem + hiragana tail
 _INFLECTABLE_RE = r"^[一-龯々]*[ぁ-ゖ]+$"
@@ -161,8 +162,13 @@ SEGMENT_LEXICON: tuple[str, ...] = tuple(
 KANA_LEXICON: tuple[str, ...] = tuple(
     sorted(
         (
-            "できました", "できません", "できます", "できて", "できた",
-            "できる", "とても", "はじめて",
+            "できました", "できません", "できなかった", "できない",
+            "できます", "できて", "できた", "できる",
+            # copulas/auxiliaries that START with a split-particle char:
+            # です would otherwise split to で + す, injecting a phantom
+            # weighted verb into every 〜です sentence
+            "でしょう", "でした", "です", "では", "でも",
+            "とても", "はじめて",
         ),
         key=len,
         reverse=True,
@@ -195,7 +201,10 @@ SEGMENT_RE = (
 # closed-class function words (public Japanese grammar): exact-match stages
 # of the heuristic, both mapping to weight-0 POS (dropped, like kagome 助詞)
 PARTICLES = ("は", "が", "を", "に", "で", "と", "も", "の", "へ", "から", "まで", "より", "や", "か")
-AUXILIARIES = ("です", "ます", "でした", "ました", "だ", "である", "ない", "た", "て", "ている")
+AUXILIARIES = (
+    "です", "ます", "でした", "ました", "だ", "である", "ない", "た", "て",
+    "ている", "でしょう", "だった",
+)
 
 VERB_SUFFIXES = "るうくすつむぶぬぐ"  # godan/ichidan dictionary-form endings
 

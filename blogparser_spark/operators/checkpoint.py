@@ -53,6 +53,7 @@ class SliceManifest:
     wall_seconds: float
     output_path: str
     table_version: int | None = None  # tablelog sink: this slice's commit
+    table_format: str = "parquet"  # sink the slice was written to
 
 
 def _manifest_path(base: str, slice_id: int) -> str:
@@ -232,6 +233,11 @@ def run_sliced(
                 and m.get("input_snapshot") == snapshot
                 and m.get("n_slices") == n_slices
                 and m.get("key_col") == key_col
+                # a manifest written against the OTHER sink format proves
+                # nothing about this run's sink: trusting a parquet-era
+                # manifest under tablelog would skip every slice and
+                # leave the table uncreated (and vice versa)
+                and m.get("table_format", "parquet") == table_format
             ):
                 done.add(s)
         if table_format == "tablelog":
@@ -318,6 +324,7 @@ def run_sliced(
             wall_seconds=round(time.time() - t0, 3),
             output_path=out_path,
             table_version=table_version,
+            table_format=table_format,
         )
         write_manifest(output_base, m)
         manifests.append(m)

@@ -346,6 +346,14 @@ def _bloom_match(hexbits: str | None, pred: tuple) -> bool:
 NDV_K = 64  # KMV sketch size: k smallest 64-bit hashes per file/column
 
 
+def _kmv_hash(v) -> int:
+    """THE sketch-key hash: 64-bit md5 prefix of str(v). One definition —
+    the write path (_col_sketches), the whole-column path (_kmv_mins),
+    and every oracle replay must agree bit-for-bit or layout-independent
+    NDV merging silently breaks."""
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16)
+
+
 def _kmv_mins(values) -> list[int]:
     """The NDV_K smallest distinct 64-bit md5 hashes of a column's values
     — a KMV (k-minimum-values) sketch (Bar-Yossef et al. 2002; Iceberg
@@ -354,15 +362,13 @@ def _kmv_mins(values) -> list[int]:
     among the global k smallest is necessarily among its own file's k
     smallest. Same int/str-only key discipline as the blooms (a float's
     string form is representation-dependent); NULLs are skipped."""
-    import hashlib
-
     hs = set()
     for v in values:
         if v is None:
             continue
         if isinstance(v, bool) or not isinstance(v, (int, str)):
             return []  # unsketchable type: record nothing
-        hs.add(int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16))
+        hs.add(_kmv_hash(v))
     return sorted(hs)[:NDV_K]
 
 
@@ -379,8 +385,6 @@ def _col_sketches(
     smallest. Same int/str-only key discipline as _bloom_build/_kmv_mins:
     an unbloomable/unsketchable value type records no filter at all for
     the whole file ('' / [])."""
-    import hashlib
-
     bits = bytearray(BLOOM_M // 8) if want_bloom else None
     hs: set[int] | None = set() if want_ndv else None
     for batch in pf.iter_batches(columns=[col]):
@@ -393,7 +397,7 @@ def _col_sketches(
                 for pos in _bloom_positions(v):
                     bits[pos // 8] |= 1 << (pos % 8)
             if hs is not None:
-                hs.add(int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16))
+                hs.add(_kmv_hash(v))
         if hs is not None and len(hs) > NDV_K:
             hs = set(sorted(hs)[:NDV_K])
     return (
@@ -700,7 +704,10 @@ def _entry_matches(
 
 
 def plan_scan(
-    table: str, predicates: dict[str, tuple], version: int | None = None
+    table: str,
+    predicates: dict[str, tuple],
+    version: int | None = None,
+    _state: dict | None = None,
 ) -> dict:
     """Two-level manifest planning: check each chunk SUMMARY first and skip
     whole chunks (their file entries are never read) before checking the
@@ -709,8 +716,13 @@ def plan_scan(
     "n_chunks_skipped"}. When a later commit removed files out of a chunk
     (compaction/expiry), every chunk is opened — a summary cannot say
     which of its files are still live, and skipped-file counts must stay
-    exact."""
-    _, state = _state_at(table, version, expand=False)
+    exact. `_state` takes a caller's already-replayed expand=False state
+    so one planning call never replays the commit log twice."""
+    state = (
+        _state
+        if _state is not None
+        else _state_at(table, version, expand=False)[1]
+    )
     byname = {n: i for i, n, _t in _fields_of(state)}
     evolved = bool(state.get("evolved"))
     removed: set[str] = state.get("removed", set())
@@ -782,7 +794,7 @@ def scan_where(
     Planning is two-level (plan_scan): chunked commits' manifest chunks
     are summary-skipped before any file entry is read."""
     _, state = _state_at(table, version, expand=False)
-    plan = plan_scan(table, predicates, version)
+    plan = plan_scan(table, predicates, version, _state=state)
     paths = plan["paths"]
     if not paths:
         return _empty_df(spark, _field_pairs(_fields_of(state)))
@@ -1217,10 +1229,14 @@ def fast_forward(table: str, branch: str, max_retries: int = 5) -> int:
     became visible on the branch, so MoR delete scoping replays exactly.
     History is preserved: the branch commits stay time-travelable and the
     fast-forward is itself a commit (auditable in snapshot_lineage).
-    Readers of main see the whole branch or none of it. Returns the new
-    main version."""
+    Readers of main see the whole branch or none of it. Chunked branch
+    commits publish AS CHUNK REFS, not re-inlined entries — the WAP flow
+    (stage a huge chunked append on a branch, audit, fast_forward) keeps
+    its two-level manifests on main, so planning stays O(chunks).
+    Returns the new main version."""
     src = resolve_ref(table, branch)
     _, target = _state_at(table, src)
+    tgt_chunks = _state_at(table, src, expand=False)[1].get("chunks", {})
     for _ in range(max_retries):
         cur = _head(table, "main")
         now = (
@@ -1228,6 +1244,21 @@ def fast_forward(table: str, branch: str, max_retries: int = 5) -> int:
             if cur is not None
             else {"data": {}, "deletes": {}, "schema": None}
         )
+        now_chunks = (
+            _state_at(table, cur, expand=False)[1].get("chunks", {})
+            if cur is not None
+            else {}
+        )
+        # branch-only chunk refs pass through verbatim (original seq —
+        # MoR scoping replays exactly); their members drop out of the
+        # inline adds, and members the branch later removed ride the
+        # commit's removed_data so replay filters them
+        added_refs = {m: r for m, r in tgt_chunks.items() if m not in now_chunks}
+        ref_members = {
+            e["path"]
+            for r in added_refs.values()
+            for e in _load_chunk_entries(table, r)
+        }
         commit = {
             "version": (current_version(table) or 0) + 1,
             "parent": cur,
@@ -1240,10 +1271,14 @@ def fast_forward(table: str, branch: str, max_retries: int = 5) -> int:
             "last_field_id": target.get("last_field_id", 0),
             "evolved": bool(target.get("evolved")),
             "added_data": [
-                e for p, e in target["data"].items() if p not in now["data"]
-            ],
+                e
+                for p, e in target["data"].items()
+                if p not in now["data"] and p not in ref_members
+            ]
+            + list(added_refs.values()),
             "removed_data": sorted(
-                p for p in now["data"] if p not in target["data"]
+                [p for p in now["data"] if p not in target["data"]]
+                + [p for p in ref_members if p not in target["data"]]
             ),
             "added_deletes": [
                 e for p, e in target["deletes"].items() if p not in now["deletes"]
@@ -1252,6 +1287,9 @@ def fast_forward(table: str, branch: str, max_retries: int = 5) -> int:
                 p for p in now["deletes"] if p not in target["deletes"]
             ),
         }
+        gone = sorted(m for m in now_chunks if m not in tgt_chunks)
+        if gone:
+            commit["removed_manifests"] = gone
         if _try_commit(table, commit):
             return commit["version"]
     raise CommitConflict(
@@ -2669,9 +2707,17 @@ def remove_orphans(table: str, min_age_sec: float = 0.0) -> int:
     writers that lost the commit race) are swept under the same guard."""
     versions = list_versions(table)
     referenced: set[str] = set()
+    ref_chunks: set[str] = set()
     for v in versions:
         c = _read_commit(table, v)
-        for e in _added_entries(table, c) + c.get("added_deletes", []):
+        for e in c.get("added_data", []):
+            if "manifest" in e:
+                ref_chunks.add(os.path.join(table, e["manifest"]))
+                for ent in _load_chunk_entries(table, e):
+                    referenced.add(ent["path"])
+            else:
+                referenced.add(e["path"])
+        for e in c.get("added_deletes", []):
             referenced.add(e["path"])
     for sid in staged_ids(table):
         # staged-but-unpublished WAP files are NOT orphans — an audit may
@@ -2707,13 +2753,7 @@ def remove_orphans(table: str, min_age_sec: float = 0.0) -> int:
     # chunk manifests are written BEFORE the optimistic commit, so a
     # writer that lost every retry (or died) leaves its mchunk files in
     # log/ unreferenced — the same orphan class as its data files, swept
-    # under the same age guard
-    ref_chunks = {
-        os.path.join(table, e["manifest"])
-        for v in versions
-        for e in _read_commit(table, v).get("added_data", [])
-        if "manifest" in e
-    }
+    # under the same age guard (ref_chunks collected in the first pass)
     log = _log_dir(table)
     if os.path.isdir(log):
         for name in os.listdir(log):

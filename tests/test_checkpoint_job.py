@@ -365,3 +365,37 @@ def test_tablelog_replace_converges_after_crash_between_delete_and_append(
     assert snap.count() == n2
     gens = [r["_gen"] for r in snap.select("_gen").distinct().collect()]
     assert len(gens) == 2 and all("|n=2|" in g for g in gens)
+
+
+def test_resume_never_trusts_other_sink_formats_manifests(spark, tmp_path):
+    """A parquet-era slice manifest must not satisfy a tablelog resume (it
+    would skip every slice and leave the table uncreated) — and vice
+    versa: switching --table-format re-runs all slices against the new
+    sink."""
+    from blogparser_spark.job import transform
+    from blogparser_spark.operators import tablelog as tl
+    from blogparser_spark.operators.checkpoint import run_sliced
+
+    inp = _write_input(spark, tmp_path)
+    out = str(tmp_path / "out_fmt")
+    first = run_sliced(
+        spark, inp, out, transform, n_slices=2, table_format="parquet"
+    )
+    assert [m.slice_id for m in first] == [0, 1]
+    n = spark.read.parquet(inp).count()
+
+    # switch to tablelog with resume: the parquet manifests must NOT
+    # mark slices done — the table gets created and fully populated
+    rerun = run_sliced(
+        spark, inp, out, transform, n_slices=2, table_format="tablelog"
+    )
+    assert [m.slice_id for m in rerun] == [0, 1]
+    assert all(m.table_format == "tablelog" for m in rerun)
+    assert tl.read_snapshot(spark, out + "/table").count() == n
+
+    # and back: tablelog manifests don't satisfy a parquet resume
+    rerun2 = run_sliced(
+        spark, inp, out, transform, n_slices=2, table_format="parquet"
+    )
+    assert [m.slice_id for m in rerun2] == [0, 1]
+    assert spark.read.parquet(out + "/slice=*").count() == n

@@ -371,8 +371,21 @@ def test_morphology_parity_rate():
     assert lemma_py("勉強しました") == "勉強する"  # サ変 compound
     assert lemma_py("話しました") == "話す"  # godan stays godan
     assert lemma_py("できました") == "できる"  # kana potential verb
+    assert lemma_py("できない") == lemma_py("できなかった") == "できる"
     toks = [t for t, _p, _w in tokenize_pos_py("手続きをしました")]
     assert toks == ["手続き", "する"]  # particle split, no をす token
+    # the split must NOT dismember copulas into phantom weighted verbs
+    # (です → で+す gave ('す', 動詞, 1.2) before the KANA_LEXICON guard)
+    assert tokenize_pos_py("これはペンです。") == [("ペン", "名詞-一般", 1.5)]
+    assert [t for t, _p, _w in tokenize_pos_py("昨日は雨でした。")] == [
+        "昨日", "雨"
+    ]
+    assert [t for t, _p, _w in tokenize_pos_py("明日は晴れでしょう")] == [
+        "明日", "晴れ"
+    ]
+    assert [t for t, _p, _w in tokenize_pos_py("昨日は雨だった")] == [
+        "昨日", "雨"
+    ]
 
 
 def test_morphology_lexicons_three_twins(spark):

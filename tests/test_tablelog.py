@@ -1835,3 +1835,34 @@ def test_chunk_summaries_translate_renamed_predicates(spark, tmp_path):
     plan2 = tl.plan_scan(t, {"d": ("=", "3")})
     assert plan2["n_chunks_opened"] < n_chunks
     assert tl.scan_where(spark, t, {"d": ("=", "3")}).count() == 50
+
+
+def test_fast_forward_publishes_chunk_refs_not_inlined_entries(spark, tmp_path):
+    """The branch-WAP flow at scale: a chunked append on a branch
+    publishes into main AS CHUNK REFS — main's planning stays two-level
+    (summary skipping) instead of degrading to an inlined O(files)
+    commit. Members the branch removed after its chunked commit stay
+    removed on main."""
+    t = str(tmp_path / "ff_chunks")
+    tl.append(spark, t, spark.range(0, 10).selectExpr(
+        "id AS k", "cast(id % 2 AS string) AS day"))
+    tl.create_branch(t, "audit")
+    df = spark.range(100, 500).selectExpr(
+        "id AS k", "cast(id % 8 AS string) AS day")
+    tl.append(
+        spark, t, df.repartition("day"), branch="audit",
+        partition_spec=("day",), stats_cols=("k",),
+        manifest_chunk_files=2,
+    )
+    tl.delete_where(spark, t, F.col("k") == 107, ["k"])  # main-side noise
+    v = tl.fast_forward(t, "audit")
+    c = tl._read_commit(t, v)
+    refs = [e for e in c["added_data"] if "manifest" in e]
+    inline = [e for e in c["added_data"] if "path" in e]
+    assert refs and not inline  # the chunked branch commit stayed chunked
+    _, lazy = tl._state_at(t, expand=False)
+    assert len(lazy.get("chunks", {})) == len(refs)
+    assert tl.read_snapshot(spark, t).count() == 410
+    plan = tl.plan_scan(t, {"day": ("=", "3")})
+    assert plan["n_chunks_skipped"] > 0  # summary skipping works on main
+    assert tl.scan_where(spark, t, {"day": ("=", "3")}).count() == 50

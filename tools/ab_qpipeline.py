@@ -66,8 +66,13 @@ def one_sample(repo: str) -> dict:
         [sys.executable, path, repo], capture_output=True, text=True,
         cwd="/tmp", check=False,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    d = json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench child for {repo} produced no result "
+            f"(rc={out.returncode}); stderr tail:\n{out.stderr[-2000:]}"
+        )
+    d = json.loads(lines[-1])
     d["gauge_gbps"] = gauge
     return d
 
