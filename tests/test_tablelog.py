@@ -1866,3 +1866,28 @@ def test_fast_forward_publishes_chunk_refs_not_inlined_entries(spark, tmp_path):
     plan = tl.plan_scan(t, {"day": ("=", "3")})
     assert plan["n_chunks_skipped"] > 0  # summary skipping works on main
     assert tl.scan_where(spark, t, {"day": ("=", "3")}).count() == 50
+
+
+def test_expiry_flattens_expired_chunked_commits(spark, tmp_path):
+    """Expiring a chunked commit deletes its chunk manifests and flattens
+    its still-live files into the rebase base: reads stay exact, planning
+    simply has no chunks left to consult."""
+    import glob
+
+    t = str(tmp_path / "chunk_expire")
+    tl.append(
+        spark, t,
+        spark.range(0, 200).selectExpr("id AS k").repartition(4),
+        stats_cols=("k",), manifest_chunk_files=2,
+    )
+    tl.append(spark, t, spark.range(200, 250).selectExpr("id AS k"))
+    assert glob.glob(os.path.join(t, "log", "mchunk-*.json"))
+    out = tl.expire_snapshots(t, keep_last=1)
+    assert out["versions_removed"] == 1
+    # the expired commit's chunk manifests are gone; its files live on
+    # through the rebase base
+    assert not glob.glob(os.path.join(t, "log", "mchunk-*.json"))
+    assert tl.read_snapshot(spark, t).count() == 250
+    plan = tl.plan_scan(t, {"k": ("between", 0, 10)})
+    assert plan["n_chunks_total"] == 0 and len(plan["paths"]) >= 1
+    assert tl.scan_between(spark, t, "k", 0, 10).count() == 11
