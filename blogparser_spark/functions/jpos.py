@@ -54,6 +54,12 @@ def _build_lemma_rules() -> tuple[tuple[str, str], ...]:
         ("しかった", "しい"),
         ("しくない", "しい"),
         ("しくて", "しい"),
+        # adjective + polite copula (おいしいです → おいしい,
+        # 高かったです → 高い) — the fused run otherwise survives as a
+        # phantom or is glue-gated away
+        ("かったです", "い"),
+        ("くないです", "い"),
+        ("いです", "い"),
     ]
     # godan polite forms keep their stem row (走りました → 走る)
     for stem, dict_end in _GODAN_STEM_END:
@@ -96,8 +102,8 @@ LEMMA_RULES: tuple[tuple[str, str], ...] = _build_lemma_rules()
 # resolve through the bundled SURU_NOUNS lexicon below — stems OUTSIDE
 # that list still take the godan rule and remain the documented
 # lattice-morphology residual (per-token parity rate measured in
-# tests/test_summary_bm25.py::test_morphology_parity_rate: 41/42 vs the
-# pre-lexicon twin's 24/42).
+# tests/test_summary_bm25.py::test_morphology_parity_rate: 46/48 on the
+# extended gold vs the pre-lexicon twin's 24/42 on the original corpus).
 IRREGULAR_LEMMAS: dict[str, str] = {
     # する
     "します": "する", "しました": "する", "しません": "する",
@@ -113,7 +119,20 @@ IRREGULAR_LEMMAS: dict[str, str] = {
     "できます": "できる", "できました": "できる", "できません": "できる",
     "できて": "できる", "できた": "できる",
     "できない": "できる", "できなかった": "できる",
+    # polite past negatives: longer than the glued-run gate, so they must
+    # resolve by exact match before it (the suffix rows would mangle them)
+    "できませんでした": "できる", "しませんでした": "する",
+    "ありませんでした": "ある",
 }
+
+# Pure-hiragana tokens longer than this are PARTICLE-GLUED RESIDUE, not
+# content words: the script-run segmenter cannot split interior particles
+# out of an all-kana stretch (それはできない), and real kana content words
+# — できる, わかる, うれしい, おいしい — fit within 5 chars. Gated tokens
+# keep lemma = surface and take the weight-0 POS, so they never pollute
+# tf/df vectors as phantom verbs/adjectives. Exact-match entries
+# (IRREGULAR_LEMMAS, KANA_LEXICON) resolve BEFORE the gate.
+_GLUED_KANA_LEN = 5
 # tokens eligible for de-inflection: optional kanji stem + hiragana tail
 _INFLECTABLE_RE = r"^[一-龯々]*[ぁ-ゖ]+$"
 
@@ -203,7 +222,7 @@ SEGMENT_RE = (
 PARTICLES = ("は", "が", "を", "に", "で", "と", "も", "の", "へ", "から", "まで", "より", "や", "か")
 AUXILIARIES = (
     "です", "ます", "でした", "ました", "だ", "である", "ない", "た", "て",
-    "ている", "でしょう", "だった",
+    "ている", "でしょう", "だった", "ないです",
 )
 
 VERB_SUFFIXES = "るうくすつむぶぬぐ"  # godan/ichidan dictionary-form endings
@@ -274,10 +293,16 @@ def lemma_of(term: Column) -> Column:
 def pos_of_lemma(term: Column, lemma: Column) -> Column:
     """POS for a (surface, lemma) pair: a de-inflected token is a verb or
     adjective by its dictionary-form ending; uninflected tokens go through
-    the surface rules (pos_of)."""
+    the surface rules (pos_of). The glued-run gate applies to the LEMMA:
+    a de-inflected pure-kana lemma longer than _GLUED_KANA_LEN came from
+    a particle-glued run (それはたべました → それはたべる), while a real
+    polite form's lemma fits (わかりました → わかる)."""
+    glued = lemma.rlike("^[ぁ-ゖ]+$") & (F.length(lemma) > _GLUED_KANA_LEN)
     return F.when(
         lemma != term,
-        F.when(lemma.endswith("い"), "形容詞-自立").otherwise("動詞-自立"),
+        F.when(glued, "助詞-係助詞")
+        .when(lemma.endswith("い"), "形容詞-自立")
+        .otherwise("動詞-自立"),
     ).otherwise(pos_of(term))
 
 
@@ -296,6 +321,10 @@ def pos_of(term: Column) -> Column:
         .when(term.rlike("^[0-9]+$"), "名詞-数")
         .when(term.isin(*PARTICLES), "助詞-格助詞")
         .when(term.isin(*AUXILIARIES), "助動詞")
+        .when(
+            term.rlike("^[ぁ-ゖ]+$") & (F.length(term) > _GLUED_KANA_LEN),
+            "助詞-係助詞",  # particle-glued residue: weight 0, dropped
+        )
         .when(term.rlike("い$"), "形容詞-自立")
         .when(term.rlike(f"[{VERB_SUFFIXES}]$"), "動詞-自立")
         .otherwise("助詞-係助詞")
@@ -335,6 +364,8 @@ def pos_case_sql(term: str) -> str:
       WHEN regexp_matches({term}, '^[0-9]+$') THEN '名詞-数'
       WHEN {term} IN ({particles}) THEN '助詞-格助詞'
       WHEN {term} IN ({aux}) THEN '助動詞'
+      WHEN regexp_matches({term}, '^[ぁ-ゖ]+$')
+        AND length({term}) > {_GLUED_KANA_LEN} THEN '助詞-係助詞'
       WHEN regexp_matches({term}, 'い$') THEN '形容詞-自立'
       WHEN regexp_matches({term}, '[{VERB_SUFFIXES}]$') THEN '動詞-自立'
       ELSE '助詞-係助詞'
@@ -384,7 +415,9 @@ def pos_lemma_case_sql(term: str, lemma: str) -> str:
     """pos_of_lemma() as SQL over (surface, lemma) columns."""
     return (
         f"CASE WHEN {lemma} != {term} THEN "
-        f"(CASE WHEN {lemma} LIKE '%い' THEN '形容詞-自立' ELSE '動詞-自立' END) "
+        f"(CASE WHEN regexp_matches({lemma}, '^[ぁ-ゖ]+$') "
+        f"AND length({lemma}) > {_GLUED_KANA_LEN} THEN '助詞-係助詞' "
+        f"WHEN {lemma} LIKE '%い' THEN '形容詞-自立' ELSE '動詞-自立' END) "
         f"ELSE {pos_case_sql(term)} END"
     )
 
@@ -430,6 +463,8 @@ def _pos_py(tok: str) -> str:
         return "助詞-格助詞"
     if tok in AUXILIARIES:
         return "助動詞"
+    if re.fullmatch(r"[ぁ-ゖ]+", tok) and len(tok) > _GLUED_KANA_LEN:
+        return "助詞-係助詞"  # particle-glued residue
     if tok.endswith("い"):
         return "形容詞-自立"
     if tok[-1] in VERB_SUFFIXES:
@@ -448,7 +483,12 @@ def tokenize_pos_py(text: str) -> list[tuple[str, str, float]]:
     for tok in re.findall(SEGMENT_RE, text):
         lemma = lemma_py(tok)
         if lemma != tok:
-            pos = "形容詞-自立" if lemma.endswith("い") else "動詞-自立"
+            if re.fullmatch(r"[ぁ-ゖ]+", lemma) and len(lemma) > _GLUED_KANA_LEN:
+                pos = "助詞-係助詞"  # particle-glued run's mangled lemma
+            elif lemma.endswith("い"):
+                pos = "形容詞-自立"
+            else:
+                pos = "動詞-自立"
         else:
             pos = _pos_py(tok)
         if pos in POS_WEIGHTS:

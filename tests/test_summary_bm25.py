@@ -340,6 +340,12 @@ MORPH_GOLD = [
     ("お振り込みの手続きをしました", ["振り込み", "手続き", "する"]),
     ("明日は曇りです", ["明日", "曇り"]),
     ("引っ越しの準備をします", ["引っ越し", "準備", "する"]),
+    ("このラーメンはおいしいです", ["ラーメン", "おいしい"]),
+    ("映画はたのしかったです", ["映画", "たのしい"]),
+    # known residual: a particle-glued kana run hides its verb (できる
+    # is unrecoverable without a lattice; the glued-run gate at least
+    # keeps the mangled token out of the vectors)
+    ("それはできないと思います", ["できる", "思う"]),
 ]
 
 
@@ -347,11 +353,12 @@ def test_morphology_parity_rate():
     """Per-token parity against the hand-labeled gold (multiset
     intersection of kept lemmas per sentence): the round-5 ambiguity
     lexicons (SURU_NOUNS compounds, okurigana SEGMENT_LEXICON, the
-    particle split + KANA_LEXICON guard) lift the rate from 24/42
-    (0.571, measured on the pre-lexicon twin) to 41/42 (0.976). The one
-    residual is the honorific prefix merge (お願いします → 願い, not
-    お願い) — the documented lattice-morphology deviation's remaining
-    surface."""
+    particle split + KANA_LEXICON guard, adjective+copula de-inflection,
+    the glued-run gate) reach 46/48 (0.958) where the pre-lexicon twin
+    scored 24/42 on the original corpus. The two residuals are the
+    honorific prefix merge (お願いします → 願い, not お願い) and a verb
+    hidden inside a particle-glued kana run (それはできない…) — the
+    documented lattice-morphology deviation's remaining surface."""
     from collections import Counter
 
     from blogparser_spark.functions.jpos import tokenize_pos_py
@@ -363,8 +370,8 @@ def test_morphology_parity_rate():
         matched += sum((got & g).values())
         total += sum(g.values())
     rate = matched / total
-    assert (matched, total) == (41, 42), (matched, total)
-    assert rate > 0.97
+    assert (matched, total) == (46, 48), (matched, total)
+    assert rate > 0.94
     # the specific ambiguities the lexicons decide
     from blogparser_spark.functions.jpos import lemma_py
 
